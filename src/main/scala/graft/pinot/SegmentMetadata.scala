@@ -1,0 +1,120 @@
+package graft.pinot
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.collection.immutable.ListMap
+
+/** Per-column metadata from `metadata.properties`
+  * (reference: pinot-segment/src/metadata.rs:32-42,139-183).
+  */
+final case class ColumnMetadata(
+    name: String,
+    dataType: PinotType,
+    cardinality: Int,
+    totalDocs: Int,
+    bitsPerElement: Int,
+    hasDictionary: Boolean,
+    isSorted: Boolean,
+    lengthOfEachEntry: Int)
+
+/** Segment-level metadata parsed from the Java-properties file
+  * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
+  *
+  * Columns are kept in **insertion order** (ListMap), fixing the reference's
+  * latent HashMap-iteration-order hazard flagged in SURVEY.md §2A: projection
+  * resolution downstream is by name, never by positional index.
+  */
+final case class SegmentMetadata(
+    segmentName: String,
+    tableName: String,
+    totalDocs: Int,
+    columns: ListMap[String, ColumnMetadata]) {
+
+  def column(name: String): ColumnMetadata =
+    columns.getOrElse(name,
+      throw new PinotFormatException(s"Column not found: $name"))
+}
+
+object SegmentMetadata {
+
+  def fromFile(path: Path): SegmentMetadata =
+    parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+
+  def parse(content: String): SegmentMetadata = {
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    content.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val idx = line.indexOf('=')
+        if (idx >= 0) {
+          val key = line.substring(0, idx).trim
+          val value = decodeJavaString(line.substring(idx + 1).trim)
+          props(key) = value
+        }
+      }
+    }
+
+    def required(key: String): String =
+      props.getOrElse(key, throw new PinotFormatException(s"Missing $key"))
+
+    val segmentName = required("segment.name")
+    val tableName = required("segment.table.name")
+    val totalDocs = required("segment.total.docs").toInt
+
+    // Column discovery unions the flat `columns` list with the v3 role lists
+    // (reference: metadata.rs:106-119) — dimension/metric/datetime roles are
+    // flattened into one column set, deduped, insertion-ordered.
+    val listKeys = Seq("columns", "segment.dimension.column.names",
+      "segment.metric.column.names", "segment.datetime.column.names")
+    val names = listKeys.flatMap(props.get)
+      .flatMap(_.split(',').map(_.trim))
+      .filter(_.nonEmpty)
+      .distinct
+
+    val cols = names.map { n =>
+      def prop(suffix: String): Option[String] = props.get(s"column.$n.$suffix")
+      val dt = PinotType.fromString(prop("dataType").getOrElse(
+        throw new PinotFormatException(s"Missing dataType for column $n")))
+      n -> ColumnMetadata(
+        name = n,
+        dataType = dt,
+        cardinality = prop("cardinality").flatMap(_.toIntOption).getOrElse(0),
+        totalDocs = totalDocs,
+        bitsPerElement = prop("bitsPerElement").flatMap(_.toIntOption).getOrElse(0),
+        hasDictionary = prop("hasDictionary").contains("true"),
+        isSorted = prop("isSorted").contains("true"),
+        lengthOfEachEntry = prop("lengthOfEachEntry").flatMap(_.toIntOption).getOrElse(0))
+    }
+
+    SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))
+  }
+
+  /** Decode Java-properties escapes: \\uXXXX, \t, \n, \r, \\\\
+    * (reference: metadata.rs:186-239 — invalid \\u sequences pass through
+    * verbatim, unknown escapes keep the backslash).
+    */
+  def decodeJavaString(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' =>
+            val hex = s.substring(math.min(i + 2, s.length), math.min(i + 6, s.length))
+            val code = try Some(Integer.parseInt(hex, 16)) catch { case _: Exception => None }
+            code.filter(c => Character.isValidCodePoint(c)) match {
+              case Some(cp) => out.appendAll(Character.toChars(cp)); i += 2 + hex.length
+              case None => out.append("\\u").append(hex); i += 2 + hex.length
+            }
+          case 't' => out.append('\t'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case _ => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pinot
+
+import java.io.RandomAccessFile
+import java.nio.file.{Files, Path, Paths}
+
+/** Reader for one Pinot v3 segment directory
+  * (reference: pinot-segment/src/segment_reader.rs).
+  *
+  * Accepts either the `v3/` directory itself or its parent segment directory
+  * (the files live at `<segment>/v3/{metadata.properties,index_map,
+  * columns.psf}`). Whole-column decode matches the reference's eager model
+  * (README "suitable for segments < 1GB"); the Spark DSv2 layer bounds this
+  * per-partition, one segment per task.
+  */
+final class SegmentReader private (
+    val segmentDir: Path,
+    val metadata: SegmentMetadata,
+    val indexMap: IndexMap) {
+
+  def totalDocs: Int = metadata.totalDocs
+
+  private val columnsPsf = segmentDir.resolve("columns.psf")
+
+  /** Read one index section of columns.psf into memory. */
+  private def section(loc: IndexLocation): Array[Byte] = {
+    val raf = new RandomAccessFile(columnsPsf.toFile, "r")
+    try {
+      val out = new Array[Byte](loc.size.toInt)
+      raf.seek(loc.startOffset)
+      raf.readFully(out)
+      out
+    } finally raf.close()
+  }
+
+  private def dictLoc(name: String): IndexLocation =
+    indexMap.dictionary(name).getOrElse(
+      throw new PinotFormatException(s"No dictionary for $name"))
+
+  private def fwdLoc(name: String): IndexLocation =
+    indexMap.forwardIndex(name).getOrElse(
+      throw new PinotFormatException(s"No forward index for $name"))
+
+  private def checkType(name: String, expected: PinotType): ColumnMetadata = {
+    val cm = metadata.column(name)
+    if (cm.dataType != expected)
+      throw new PinotFormatException(s"Column $name is not ${expected.name} type")
+    cm
+  }
+
+  /** Decode the dictionary for a column. */
+  def dictionary(name: String): PinotDictionary = {
+    val cm = metadata.column(name)
+    PinotDictionary.read(section(dictLoc(name)), cm.dataType, cm.cardinality,
+      cm.lengthOfEachEntry)
+  }
+
+  /** Decode the fixed-bit dict-id stream for a column (strips the 8-byte
+    * magic marker that precedes the packed bits, fixed_bit.rs:34-42).
+    */
+  def dictIds(name: String): Array[Int] = {
+    val cm = metadata.column(name)
+    val raw = section(fwdLoc(name))
+    if (raw.length < 8)
+      throw new PinotFormatException("Forward index too small to contain magic marker")
+    val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
+    new FixedBitReader(payload, cm.bitsPerElement, cm.totalDocs).readAll()
+  }
+
+  private def requireDict(cm: ColumnMetadata): Unit =
+    if (!cm.hasDictionary)
+      throw new PinotFormatException(
+        s"RAW ${cm.dataType.name} columns not supported")
+
+  def readIntColumn(name: String): Array[Int] = {
+    val cm = checkType(name, PinotType.PInt); requireDict(cm)
+    val PinotDictionary.Ints(dict) = dictionary(name): @unchecked
+    dictIds(name).map(dict(_))
+  }
+
+  def readLongColumn(name: String): Array[Long] = {
+    val cm = checkType(name, PinotType.PLong); requireDict(cm)
+    val PinotDictionary.Longs(dict) = dictionary(name): @unchecked
+    dictIds(name).map(dict(_))
+  }
+
+  def readFloatColumn(name: String): Array[Float] = {
+    val cm = checkType(name, PinotType.PFloat); requireDict(cm)
+    val PinotDictionary.Floats(dict) = dictionary(name): @unchecked
+    dictIds(name).map(dict(_))
+  }
+
+  def readDoubleColumn(name: String): Array[Double] = {
+    val cm = checkType(name, PinotType.PDouble); requireDict(cm)
+    val PinotDictionary.Doubles(dict) = dictionary(name): @unchecked
+    dictIds(name).map(dict(_))
+  }
+
+  /** STRING supports both dictionary and RAW VarByteChunk V4 encodings
+    * (segment_reader.rs:166-255).
+    */
+  def readStringColumn(name: String): Array[String] = {
+    val cm = checkType(name, PinotType.PString)
+    if (cm.hasDictionary) {
+      val PinotDictionary.Strings(dict) = dictionary(name): @unchecked
+      dictIds(name).map(dict(_))
+    } else {
+      new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllStrings()
+    }
+  }
+}
+
+object SegmentReader {
+
+  def open(dir: String): SegmentReader = open(Paths.get(dir))
+
+  def open(dir: Path): SegmentReader = {
+    val v3 = dir.resolve("v3")
+    val root =
+      if (Files.exists(dir.resolve("metadata.properties"))) dir
+      else if (Files.exists(v3.resolve("metadata.properties"))) v3
+      else throw new PinotFormatException(s"No metadata.properties under $dir")
+    new SegmentReader(root,
+      SegmentMetadata.fromFile(root.resolve("metadata.properties")),
+      IndexMap.fromFile(root.resolve("index_map")))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.pinot
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Test-fixture generator: writes minimal but format-exact Pinot v3 segments
+  * (`metadata.properties`, `index_map`, `columns.psf`).
+  *
+  * The reference has no writer — its tests depend on a Pinot-quickstart
+  * segment we must not assume (SURVEY.md §5). This writer is the byte-level
+  * inverse of the readers in this package and exists so decoder specs and the
+  * DataSource V2 connector can be tested hermetically. Not a data path —
+  * the engine itself remains read-only like the reference (README:416).
+  */
+object SegmentWriter {
+
+  sealed trait ColumnData { def name: String; def length: Int }
+  final case class IntCol(name: String, values: Array[Int]) extends ColumnData { def length: Int = values.length }
+  final case class LongCol(name: String, values: Array[Long]) extends ColumnData { def length: Int = values.length }
+  final case class FloatCol(name: String, values: Array[Float]) extends ColumnData { def length: Int = values.length }
+  final case class DoubleCol(name: String, values: Array[Double]) extends ColumnData { def length: Int = values.length }
+  /** Dictionary-encoded STRING; `fixedLength=true` writes NUL-padded entries
+    * with `lengthOfEachEntry` set, else 4-byte-BE length prefixes.
+    */
+  final case class StringDictCol(name: String, values: Array[String],
+      fixedLength: Boolean = false) extends ColumnData { def length: Int = values.length }
+  /** RAW (no-dictionary) STRING in VarByteChunk V4 with the given compression
+    * and target chunk size (small sizes force multi-chunk / huge-value paths).
+    */
+  final case class StringRawCol(name: String, values: Array[String],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096,
+      withMagic: Boolean = true) extends ColumnData { def length: Int = values.length }
+
+  private val Magic = PinotDictionary.MagicMarker
+
+  /** Write a segment; returns the `v3/` directory. */
+  def write(segmentDir: Path, tableName: String, segmentName: String,
+      columns: Seq[ColumnData]): Path = {
+    require(columns.nonEmpty, "need at least one column")
+    val totalDocs = columns.head.length
+    require(columns.forall(_.length == totalDocs), "ragged columns")
+
+    val v3 = segmentDir.resolve("v3")
+    Files.createDirectories(v3)
+
+    val psf = new ByteArrayOutputStream()
+    val indexMap = new StringBuilder
+    val props = new StringBuilder
+    props ++= s"segment.name=$segmentName\n"
+    props ++= s"segment.table.name=$tableName\n"
+    props ++= s"segment.total.docs=$totalDocs\n"
+    props ++= s"columns=${columns.map(_.name).mkString(",")}\n"
+
+    def addSection(column: String, indexType: String, bytes: Array[Byte]): Unit = {
+      val off = psf.size()
+      psf.write(bytes)
+      indexMap ++= s"$column.$indexType.startOffset=$off\n"
+      indexMap ++= s"$column.$indexType.size=${bytes.length}\n"
+    }
+
+    def colProps(name: String, dataType: String, cardinality: Int, bits: Int,
+        hasDict: Boolean, lenEach: Int): Unit = {
+      props ++= s"column.$name.dataType=$dataType\n"
+      props ++= s"column.$name.cardinality=$cardinality\n"
+      props ++= s"column.$name.bitsPerElement=$bits\n"
+      props ++= s"column.$name.hasDictionary=$hasDict\n"
+      props ++= s"column.$name.isSorted=false\n"
+      props ++= s"column.$name.lengthOfEachEntry=$lenEach\n"
+    }
+
+    def bitsFor(cardinality: Int): Int =
+      math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(cardinality - 1, 1)))
+
+    def writeDictEncoded[T](name: String, dataType: String, values: Array[T],
+        distinct: Array[T], dictBytes: Array[Byte], lenEach: Int): Unit = {
+      val ids = {
+        val pos = distinct.zipWithIndex.toMap
+        values.map(pos(_))
+      }
+      val bits = bitsFor(distinct.length)
+      addSection(name, "dictionary", dictBytes)
+      val fwd = new ByteArrayOutputStream()
+      fwd.write(beLong(Magic))
+      fwd.write(FixedBitReader.pack(ids, bits))
+      addSection(name, "forward_index", fwd.toByteArray)
+      colProps(name, dataType, distinct.length, bits, hasDict = true, lenEach)
+    }
+
+    columns.foreach {
+      case IntCol(name, values) =>
+        val distinct = values.distinct.sorted
+        writeDictEncoded(name, "INT", values, distinct,
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putInt)), 0)
+      case LongCol(name, values) =>
+        val distinct = values.distinct.sorted
+        writeDictEncoded(name, "LONG", values, distinct,
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0)
+      case FloatCol(name, values) =>
+        val distinct = values.distinct.sorted
+        writeDictEncoded(name, "FLOAT", values, distinct,
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putFloat)), 0)
+      case DoubleCol(name, values) =>
+        val distinct = values.distinct.sorted
+        writeDictEncoded(name, "DOUBLE", values, distinct,
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putDouble)), 0)
+      case StringDictCol(name, values, fixedLength) =>
+        val distinct = values.distinct.sorted
+        val encoded = distinct.map(_.getBytes(StandardCharsets.UTF_8))
+        if (fixedLength) {
+          val lenEach = math.max(encoded.map(_.length).max, 1)
+          val dict = dictHeader(distinct.length * lenEach) { b =>
+            encoded.foreach { e => b.put(e); b.put(new Array[Byte](lenEach - e.length)) }
+          }
+          writeDictEncoded(name, "STRING", values, distinct, dict, lenEach)
+        } else {
+          val dict = dictHeader(encoded.map(_.length + 4).sum) { b =>
+            encoded.foreach { e => b.putInt(e.length); b.put(e) }
+          }
+          writeDictEncoded(name, "STRING", values, distinct, dict, 0)
+        }
+      case StringRawCol(name, values, compression, targetChunkSize, withMagic) =>
+        addSection(name, "forward_index",
+          writeVarByteV4(values.map(_.getBytes(StandardCharsets.UTF_8)),
+            compression, targetChunkSize, withMagic))
+        colProps(name, "STRING", values.distinct.length, 0, hasDict = false, 0)
+    }
+
+    Files.write(v3.resolve("columns.psf"), psf.toByteArray)
+    Files.write(v3.resolve("index_map"),
+      indexMap.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(v3.resolve("metadata.properties"),
+      props.toString.getBytes(StandardCharsets.UTF_8))
+    v3
+  }
+
+  private def beLong(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+
+  private def dictHeader(payload: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload) // big-endian by default
+    b.putLong(Magic)
+    fill(b)
+    b.array()
+  }
+
+  /** Assemble a VarByteChunk V4 section: values are grouped greedily into
+    * chunks of at most `targetChunkSize` decompressed bytes; a value that
+    * alone exceeds the target becomes a "huge" chunk (flag bit 31 of the
+    * metadata docId word).
+    */
+  private[pinot] def writeVarByteV4(values: Array[Array[Byte]], compression: Int,
+      targetChunkSize: Int, withMagic: Boolean): Array[Byte] = {
+    // Group into chunks.
+    final case class Chunk(docIdOffset: Int, huge: Boolean, payload: Array[Byte])
+    val chunks = Vector.newBuilder[Chunk]
+    var pending = Vector.empty[Array[Byte]]
+    var pendingBytes = 0
+    var docId = 0
+    var chunkStartDoc = 0
+
+    def flush(): Unit = if (pending.nonEmpty) {
+      val n = pending.length
+      val header = 4 + 4 * n
+      val buf = ByteBuffer.allocate(header + pending.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(n)
+      var off = header
+      pending.foreach { v => buf.putInt(off); off += v.length }
+      pending.foreach(buf.put)
+      chunks += Chunk(chunkStartDoc, huge = false, buf.array())
+      pending = Vector.empty
+      pendingBytes = 0
+    }
+
+    values.foreach { v =>
+      if (v.length >= targetChunkSize) {
+        flush()
+        chunks += Chunk(docId, huge = true, v)
+        docId += 1
+        chunkStartDoc = docId
+      } else {
+        if (pendingBytes + v.length + 4 * (pending.length + 2) > targetChunkSize) {
+          flush()
+          chunkStartDoc = docId
+        }
+        pending :+= v
+        pendingBytes += v.length
+        docId += 1
+      }
+    }
+    flush()
+    val all = chunks.result()
+
+    val compressed = all.map { c =>
+      (c, compressBytes(c.payload, compression))
+    }
+
+    val metaSize = all.length * VarByteChunkV4.MetadataEntrySize
+    val chunksStartOffset = 16 + metaSize
+    val out = ByteBuffer.allocate(
+      (if (withMagic) 8 else 0) + chunksStartOffset + compressed.map(_._2.length).sum)
+    if (withMagic) out.putLong(Magic) // starts 0xDEADBEEF — triggers magic detection
+    // 16-byte BE header.
+    out.putInt(4)
+    out.putInt(targetChunkSize)
+    out.putInt(compression)
+    out.putInt(chunksStartOffset)
+    // LE metadata entries.
+    var chunkOff = 0
+    compressed.foreach { case (c, payload) =>
+      val docWord = c.docIdOffset | (if (c.huge) 0x80000000 else 0)
+      out.order(ByteOrder.LITTLE_ENDIAN).putInt(docWord).putInt(chunkOff)
+      out.order(ByteOrder.BIG_ENDIAN)
+      chunkOff += payload.length
+    }
+    compressed.foreach { case (_, payload) => out.put(payload) }
+    out.array()
+  }
+
+  private def compressBytes(payload: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case VarByteChunkV4.PassThrough => payload
+      case VarByteChunkV4.Lz4LengthPrefixed =>
+        val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .fastCompressor().compress(payload)
+        ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(payload.length).put(comp).array()
+      case VarByteChunkV4.Lz4 =>
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(payload)
+      case VarByteChunkV4.Snappy =>
+        org.xerial.snappy.Snappy.compress(payload)
+      case VarByteChunkV4.Zstandard =>
+        com.github.luben.zstd.Zstd.compress(payload)
+      case other =>
+        throw new PinotFormatException(s"Unknown compression type: $other")
+    }
+}

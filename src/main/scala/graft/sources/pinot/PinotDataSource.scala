@@ -1,0 +1,105 @@
+package graft.sources.pinot
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import graft.pinot.{PinotFormatException, SegmentMetadata, SegmentReader}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("pinot").load(path)` — Spark DataSource V2 entry for
+  * Pinot v3 segment tables.
+  *
+  * `path` may be a table directory containing segment dirs (each with a
+  * `v3/` subdir), or a single segment directory. Mirrors the reference's
+  * direct-registration entry point (reference:
+  * datafusion-pinot/src/table.rs:28-83) with the same discovery rules:
+  * skip non-directories and `tmp`, require `v3/`, sort
+  * (metadata_provider.rs:163-211).
+  */
+class PinotDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "pinot"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PinotSegments.schemaFor(PinotSegments.discover(requirePath(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("pinot source requires a path"))
+    PinotSegmentTable.open(path)
+  }
+
+  private def requirePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("pinot source requires a path"))
+}
+
+/** Segment discovery + schema inference shared by the source and catalog. */
+object PinotSegments {
+
+  /** List segment `v3/` dirs for a table dir (or the dir itself if it is a
+    * segment). Sorted for deterministic partition order.
+    */
+  def discover(path: String): Seq[Path] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root))
+      throw new PinotFormatException(s"Not a directory: $path")
+    if (Files.exists(root.resolve("v3").resolve("metadata.properties")))
+      return Seq(root.resolve("v3"))
+    if (Files.exists(root.resolve("metadata.properties")))
+      return Seq(root)
+    val segs = Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filterNot(_.getFileName.toString == "tmp")
+      .filter(p => Files.exists(p.resolve("v3").resolve("metadata.properties")))
+      .map(_.resolve("v3"))
+      .toSeq
+      .sortBy(_.toString)
+    if (segs.isEmpty)
+      throw new PinotFormatException(s"No v3 segments under $path")
+    segs
+  }
+
+  /** Schema from the first segment, assumed uniform across segments
+    * (reference: table.rs:115-118). Fields are **non-nullable** — "Pinot
+    * columns are non-nullable" (schema.rs:26-31) — and ordered by the
+    * segment metadata's deterministic column order (fixes the reference's
+    * HashMap-iteration hazard, SURVEY §2A).
+    */
+  def schemaFor(segments: Seq[Path]): StructType = {
+    val meta = SegmentMetadata.fromFile(segments.head.resolve("metadata.properties"))
+    StructType(meta.columns.values.toSeq.map(c =>
+      StructField(c.name, c.dataType.sparkType, nullable = false)))
+  }
+}
+
+/** One Pinot table = N segment dirs (reference: PinotTable, table.rs:16-141). */
+class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
+    tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PinotScanBuilder(segmentPaths, tableSchema)
+}
+
+object PinotSegmentTable {
+  def open(path: String): PinotSegmentTable = {
+    val segs = PinotSegments.discover(path)
+    val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
+    new PinotSegmentTable(meta.tableName, segs.map(_.toString),
+      PinotSegments.schemaFor(segs))
+  }
+}
