@@ -16,10 +16,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Joins.queries ++
+      graft.queries.Windows.queries ++
+      graft.queries.SetOps.queries ++
+      graft.queries.Scalar.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++
+      graft.queries.Joins.oracleSql ++
+      graft.queries.Windows.oracleSql ++
+      graft.queries.SetOps.oracleSql ++
+      graft.queries.Scalar.oracleSql
 }

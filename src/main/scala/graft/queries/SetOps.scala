@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set-operation surface (SURVEY.md §2B B18) + grouping-set/distinct
+  * aggregates (B19).
+  *
+  * Scale notes (100 TB): UNION ALL is shuffle-free (plan concatenation);
+  * INTERSECT/EXCEPT/DISTINCT shuffle once on the full row as key —
+  * unavoidable semantics. rollup/cube expand to grouping-set rows on the
+  * map side then share one shuffle. countDistinct uses Spark's
+  * expand+two-phase aggregation; approx_count_distinct (HLL) is the
+  * constant-memory path we'd pick at 100 TB.
+  */
+object SetOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UNION ALL of two projections with a discriminator column.
+    "q25_union_all" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+          lit("customer").as("src"))
+        .unionAll(t(s, d, "supplier")
+          .select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"),
+            lit("supplier").as("src")))
+        .groupBy("src")
+        .agg(count(lit(1)).as("cnt"), round(sum("bal"), 2).as("sum_bal"))
+        .orderBy("src")),
+
+    // UNION (distinct) over overlapping key sets.
+    "q26_union_distinct" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    // INTERSECT: nation keys present among both customers and suppliers.
+    "q27_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // EXCEPT: part keys never shipped.
+    "q28_except" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey").as("pk"))
+        .except(t(s, d, "lineitem").select(col("l_partkey").as("pk")))
+        .orderBy("pk")),
+
+    // ROLLUP over (returnflag, linestatus) with grouping indicator.
+    "q29_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // CUBE over (orderstatus, orderpriority).
+    "q30_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("cnt"))
+        .orderBy("st", "pri")),
+
+    // DISTINCT aggregates: exact distinct counts per group.
+    "q31_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch (approx_count_distinct) — the 100 TB-scale path. Checked
+    // against DuckDB approx_count_distinct only for row shape (rows-only
+    // oracle omitted: sketch estimates are implementation-specific), but
+    // the relative error vs exact is asserted in SetOpsSpec.
+    "q32_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_union_all" ->
+      """SELECT src, count(*) AS cnt, round(sum(bal), 2) AS sum_bal FROM (
+        |  SELECT c_custkey AS key, c_acctbal AS bal, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, s_acctbal AS bal, 'supplier' AS src FROM supplier)
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q26_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q27_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q28_except" ->
+      """SELECT p_partkey AS pk FROM part
+        |EXCEPT
+        |SELECT l_partkey AS pk FROM lineitem
+        |ORDER BY pk""".stripMargin,
+
+    "q29_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |coalesce(l_linestatus, 'ALL') AS ls,
+        |count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q30_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+
+    "q31_distinct_agg" ->
+      """SELECT l_returnflag,
+        |count(DISTINCT l_partkey) AS distinct_parts,
+        |count(DISTINCT l_suppkey) AS distinct_supps,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
