@@ -20,7 +20,10 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.Windows.queries ++
       graft.queries.SetOps.queries ++
-      graft.queries.Scalar.queries
+      graft.queries.Scalar.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Embeddings.queries ++
+      graft.queries.SketchDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +32,8 @@ object SparkEntry {
       graft.queries.Joins.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.SetOps.oracleSql ++
-      graft.queries.Scalar.oracleSql
+      graft.queries.Scalar.oracleSql ++
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.Embeddings.oracleSql ++
+      graft.queries.SketchDedup.oracleSql
 }

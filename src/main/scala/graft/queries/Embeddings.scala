@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Numeric determinism for the DuckDB oracle: floats quantize to int64
+  * (`floor(x*1000)`) and thresholds/rankings compare in EXACT integer or
+  * IEEE-deterministic double arithmetic derived from those integers, so
+  * both engines produce bit-identical results (float accumulation order
+  * never matters). 64-dim · |x|≲10 keeps every product < 2^63.
+  *
+  * Scale notes (100 TB): brute-force pair join is quadratic — it is the
+  * *correctness baseline*. The scale paths are q48 (IVF: route each query
+  * to nprobe nearest centroids, search only those partitions — the
+  * centroid table broadcasts) and the LSH variants in SketchDedup. The
+  * query side of q47 is a small broadcast against the big side, so KNN is
+  * one scan of the corpus with a per-partition top-k (TakeOrdered), no
+  * full shuffle of candidates.
+  */
+object Embeddings {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      // int64 quantization: floor() is exact + engine-independent
+      .withColumn("qvec", expr(
+        "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
+      .withColumn("dotself", expr(
+        "aggregate(zip_with(qvec, qvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Near-dup pairs by cosine >= 0.4, decided as 25*dot^2 >= 4*na*nb in
+    // int64 (0.4^2 = 4/25) — no float threshold can flip a pair.
+    "q46_cosine_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(a.qvec, b.qvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
+        .select(
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(col("dot").cast("double") /
+            sqrt(col("a.dotself").cast("double") * col("b.dotself").cast("double")),
+            4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-5 per query (queries = vec_id < 10). The
+    // query side broadcasts; candidates rank per-query via row_number.
+    "q47_knn_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+          col("dotself").as("q_self"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      broadcast(q)
+        .join(e.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+          col("dotself").as("n_self")), col("q_id") =!= col("n_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q_vec, n_vec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("cos_sim",
+          col("dot").cast("double") /
+            sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-style ANN: coarse quantizer = one k-means assignment round
+    // (seeds: per-label centroids → assign every vector to its nearest
+    // seed → recompute centroids). Each query probes its nprobe=3 nearest
+    // centroids and searches only those clusters. Approximate by
+    // construction → spec-checked recall vs q47 instead of a SQL oracle.
+    "q48_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      def centroidsOf(assigned: DataFrame, key: String): DataFrame = assigned
+        .select(col(key), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(key, "pos").agg(avg(col("v")).as("c"))
+        .groupBy(key).agg(expr(
+          "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("centroid"))
+      // seed centroids from labels, then one Lloyd iteration so cluster
+      // geometry follows the metric (labels alone are not geometric)
+      val seeds = centroidsOf(e, "label")
+        .withColumnRenamed("label", "cluster")
+      def assign(cents: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(desc("a_sim"), asc("cluster"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("a_sim", expr(
+            "aggregate(zip_with(qvec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)") /
+            sqrt(col("dotself").cast("double")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("vec_id"), col("qvec"), col("dotself"), col("cluster"))
+      }
+      val assigned = assign(seeds)
+      val cent = centroidsOf(assigned, "cluster")
+      val clustered = assign(cent)
+      val q = clustered.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+          col("dotself").as("q_self"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("c_sim"), asc("cluster"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("c_sim", expr(
+          "aggregate(zip_with(q_vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= 3)
+        .select("q_id", "cluster")
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      probes
+        .join(q, "q_id")
+        .join(clustered.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+          col("dotself").as("n_self"), col("cluster")), Seq("cluster"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q_vec, n_vec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("cos_sim",
+          col("dot").cast("double") /
+            sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+        .withColumn("rank", row_number().over(wK))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  // Shared quantization CTE for the DuckDB side (1-based list indexing).
+  private val qvecCte =
+    """WITH E AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))
+      |    AS qvec FROM embeddings),
+      |S AS (SELECT vec_id, qvec,
+      |  list_sum(list_transform(range(1, len(qvec) + 1),
+      |    i -> qvec[i] * qvec[i])) AS dotself FROM E)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_cosine_pairs" -> (qvecCte +
+      """
+        |SELECT id_a, id_b,
+        |  round(dot / sqrt(CAST(sa AS DOUBLE) * sb), 4) AS cos_sim
+        |FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.dotself AS sa, b.dotself AS sb,
+        |    list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> a.qvec[i] * b.qvec[i])) AS dot
+        |  FROM S a JOIN S b ON a.vec_id < b.vec_id)
+        |WHERE dot > 0 AND dot * dot * 25 >= sa * sb * 4
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q47_knn_brute" -> (qvecCte +
+      """
+        |, J AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(q.qvec) + 1),
+        |      i -> q.qvec[i] * n.qvec[i])) AS dot,
+        |    q.dotself AS q_self, n.dotself AS n_self
+        |  FROM S q JOIN S n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+        |R AS (
+        |  SELECT q_id, n_id,
+        |    dot / sqrt(CAST(q_self AS DOUBLE) * n_self) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot / sqrt(CAST(q_self AS DOUBLE) * n_self) DESC,
+        |        n_id ASC) AS rank
+        |  FROM J)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        |  round(cos_sim, 4) AS cos_sim
+        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+  )
+}
