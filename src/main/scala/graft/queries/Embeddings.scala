@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.dotq
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
@@ -27,8 +28,7 @@ object Embeddings {
       // int64 quantization: floor() is exact + engine-independent
       .withColumn("qvec", expr(
         "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
-      .withColumn("dotself", expr(
-        "aggregate(zip_with(qvec, qvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("dotself", dotq(col("qvec"), col("qvec")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-dup pairs by cosine >= 0.4, decided as 25*dot^2 >= 4*na*nb in
@@ -36,8 +36,7 @@ object Embeddings {
     "q46_cosine_pairs" -> ((s, d) => {
       val e = emb(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(a.qvec, b.qvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
         .filter(col("dot") > 0 &&
           col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
         .select(
@@ -60,8 +59,7 @@ object Embeddings {
       broadcast(q)
         .join(e.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
           col("dotself").as("n_self")), col("q_id") =!= col("n_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(q_vec, n_vec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
         .withColumn("cos_sim",
           col("dot").cast("double") /
             sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
@@ -121,8 +119,7 @@ object Embeddings {
         .join(clustered.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
           col("dotself").as("n_self"), col("cluster")), Seq("cluster"))
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(q_vec, n_vec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
         .withColumn("cos_sim",
           col("dot").cast("double") /
             sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
