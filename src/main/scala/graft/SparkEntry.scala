@@ -23,7 +23,9 @@ object SparkEntry {
       graft.queries.Scalar.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Embeddings.queries ++
-      graft.queries.SketchDedup.queries
+      graft.queries.SketchDedup.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,7 @@ object SparkEntry {
       graft.queries.Scalar.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.Embeddings.oracleSql ++
-      graft.queries.SketchDedup.oracleSql
+      graft.queries.SketchDedup.oracleSql ++
+      graft.queries.Events.oracleSql ++
+      graft.queries.Media.oracleSql
 }

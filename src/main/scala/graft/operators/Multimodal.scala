@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs exist in this environment); everything Spark-side is real: the
+  * binary+metadata schema, partition-wise batched iteration
+  * (`mapPartitions` over a typed Dataset — the JVM analogue of
+  * `mapInPandas`-style batch UDFs), and downstream relational handling of
+  * the extracted features.
+  *
+  * Scale notes (100 TB of images): payloads never shuffle — features
+  * extract in the scan stage (narrow), and only the small feature vectors
+  * move. Decoder state (the `DecoderStub`) initializes once per PARTITION,
+  * not per row, exactly how a real ONNX/codec handle would amortize.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, fmt: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  case class MediaFeatures(doc_id: Long, fmt: String, width: Int, height: Int,
+      n_bytes: Int, checksum: Long, brightness: Double)
+
+  /** STUB decoder — stands in for a real image/audio codec. Deterministic
+    * fake: "brightness" = mean byte value, "checksum" = rolling polynomial
+    * hash. A real deployment swaps `decode` for the codec call; the
+    * signature (bytes → features) and the per-partition lifecycle hold.
+    */
+  class DecoderStub {
+    def decode(payload: Array[Byte]): (Long, Double) = {
+      var checksum = 0L
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) {
+        checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L
+        sum += (payload(i) & 0xff)
+        i += 1
+      }
+      val brightness =
+        if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      (checksum, brightness)
+    }
+  }
+
+  /** Synthesize a media table from `documents`: payload = utf-8 text bytes
+    * standing in for encoded media; metadata derived deterministically.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
+      (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-wise batched decode: one DecoderStub per partition. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new DecoderStub // per-partition init (≙ codec handle)
+      rows.map { r =>
+        val (checksum, brightness) = decoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.fmt, r.width, r.height,
+          r.payload.length, checksum, brightness)
+      }
+    }
+  }
+
+  def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(mediaTable(docs).as[MediaRow])
+  }
+}

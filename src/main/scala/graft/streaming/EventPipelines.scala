@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming pipelines over the `events` table schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform is written against a plain DataFrame so the SAME code
+  * runs in batch (oracle-checked via graft.queries.Events) and under
+  * `readStream` (watermark/late-data behavior tested in StreamingSpec) —
+  * Spark's unified model, in contrast to the reference which has no
+  * streaming execution at all (REALTIME segments are read as batch;
+  * reference: exec.rs:53-54, metadata_provider.rs:143-149).
+  *
+  * Scale notes: all stateful ops key by (window/session, event_type or
+  * user_id) so state partitions across executors; watermarks bound state
+  * size — nothing accumulates unboundedly at 100 TB/day event volumes.
+  */
+object EventPipelines {
+
+  /** Tumbling 1-hour windows per event_type with a 10-minute watermark. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 15 minutes (global, watermarked). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("cnt"))
+
+  /** Gap-based sessionization: session_window with a 30-minute gap. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom stateful operator (flatMapGroupsWithState) ----
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, sum_value: Double)
+
+  /** Custom sessionizer via flatMapGroupsWithState: emits a session row
+    * when 30 minutes pass with no events for the user (event-time timeout
+    * driven by the watermark). Demonstrates arbitrary stateful processing
+    * beyond built-in session_window.
+    */
+  def statefulSessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

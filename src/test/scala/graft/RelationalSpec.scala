@@ -21,7 +21,7 @@ class RelationalSpec extends SparkTestBase {
   // records the weaker rows-only check for these.
   private val rowsOnly = Set(
     "q32_approx_distinct", "q48_knn_ivf", "q49_dedup_minhash_lsh",
-    "q50_dedup_simhash")
+    "q50_dedup_simhash", "q56_media_features")
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

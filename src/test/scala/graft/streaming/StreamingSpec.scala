@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming behavior of the EventPipelines transforms:
+  * batch/stream result equivalence, watermark late-data handling, and the
+  * custom flatMapGroupsWithState sessionizer.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import EventPipelines._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private def eventsDf(rows: Seq[Event]) = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  private val sample = Seq(
+    Event(0, ts(1), 1, "view", 1.0), Event(1, ts(5), 1, "click", 2.0),
+    Event(2, ts(62), 1, "view", 3.0), Event(3, ts(65), 2, "buy", 4.0),
+    Event(4, ts(130), 1, "view", 5.0), Event(5, ts(131), 2, "view", 6.0))
+
+  test("hourlyByType: stream (complete mode) matches batch on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val batch = hourlyByType(eventsDf(sample))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(0, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far beyond hour 0 + watermark → closes window 0
+      mem.addData(Event(1, ts(200), 1, "view", 1.0))
+      q.processAllAvailable()
+      // this event is 3+ hours late; watermark passed its window → dropped
+      mem.addData(Event(2, ts(11), 1, "view", 100.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(400), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_stream").collect()
+      val hour0 = rows.filter(_.getString(0) == "2024-01-01 00:00:00")
+      assert(hour0.length === 1)
+      assert(hour0.head.getLong(2) === 1L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("sessionize: stream session_window matches batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_stream")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = sessionize(eventsDf(sample))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed === batch)
+    // user 1: events at minute 1,5 (one session), 62, 130 (two more)
+    assert(streamed.count(_.getLong(0) == 1L) === 3)
+  }
+
+  test("statefulSessionize emits sessions after the gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = statefulSessionize(mem.toDS())
+      .writeStream.format("memory").queryName("fmgws_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(0, ts(1), 1, "view", 1.0), Event(1, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      // watermark (event time - 10min) must pass last+30min to time out
+      mem.addData(Event(2, ts(60), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(120), 2, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_stream").as[SessionOut].collect()
+      val u1 = sessions.filter(_.user_id == 1)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2)
+      assert(u1.head.sum_value === 3.0)
+      assert(u1.head.start_ms === ts(1).getTime)
+      assert(u1.head.end_ms === ts(5).getTime)
+    } finally q.stop()
+  }
+
+  test("batch sessionize over the events table matches the q53 oracle shape") {
+    val df = graft.SparkEntry.queries("q53_events_sessions")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // sessions per user are disjoint: total events = table count
+    val total = graft.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+  }
+}
