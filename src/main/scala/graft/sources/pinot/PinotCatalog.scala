@@ -10,38 +10,23 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Filesystem Pinot catalog: `pinot.default.<table>` in Spark SQL.
-  *
-  * Register with:
-  * {{{
-  * spark.sql.catalog.pinot = graft.sources.pinot.PinotCatalog
-  * spark.sql.catalog.pinot.data_dir = /path/to/pinot/data
-  * }}}
-  *
-  * Discovery walks `data_dir` for `<table>_OFFLINE` / `<table>_REALTIME`
-  * directories, strips the suffix, dedupes and sorts — the reference's
-  * FileSystemMetadataProvider (metadata_provider.rs:127-155). Table lookup
-  * is case-insensitive (≙ catalog.rs:304-317; Spark lowercases unquoted
-  * identifiers the same way DataFusion does). OFFLINE is preferred over
-  * REALTIME when both exist (≙ metadata_provider.rs:280-319).
+/** Table/segment discovery strategy behind [[PinotCatalog]]
+  * (≙ the reference's MetadataProvider trait, metadata_provider.rs:41-88).
   */
-class PinotCatalog extends TableCatalog with SupportsNamespaces {
+sealed trait PinotMetadataProvider {
+  /** Sorted logical table names. */
+  def listTables(): Seq[String]
+  /** Open a table by its STORED name (already case-resolved). */
+  def openTable(storedName: String): PinotSegmentTable
+}
 
-  private var catalogName: String = _
-  private var dataDir: String = _
+/** Filesystem discovery: walk `data_dir` for `<t>_OFFLINE`/`<t>_REALTIME`
+  * dirs, strip suffix, dedupe (OFFLINE preferred), sort
+  * (≙ metadata_provider.rs:127-155).
+  */
+class FileSystemProvider(dataDir: String) extends PinotMetadataProvider {
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
-    catalogName = name
-    dataDir = Option(options.get("data_dir")).getOrElse(
-      throw new IllegalArgumentException(
-        s"catalog $name requires option data_dir"))
-  }
-
-  override def name(): String = catalogName
-
-  private val Default = Array("default")
-
-  private def tableDirs: Seq[(String, String)] = { // (tableName, dirName)
+  private[pinot] def tableDirs: Seq[(String, String)] = { // (table, dirName)
     val root = Paths.get(dataDir)
     if (!Files.isDirectory(root)) return Seq.empty
     Files.list(root).iterator().asScala
@@ -58,23 +43,111 @@ class PinotCatalog extends TableCatalog with SupportsNamespaces {
       .sortBy(_._1)
   }
 
+  override def listTables(): Seq[String] = tableDirs.map(_._1)
+
+  override def openTable(storedName: String): PinotSegmentTable =
+    tableDirs.find(_._1 == storedName) match {
+      case Some((_, dir)) => PinotSegmentTable.open(s"$dataDir/$dir")
+      case None => throw new graft.pinot.PinotFormatException(
+        s"No table directory for $storedName under $dataDir")
+    }
+}
+
+/** Controller discovery: table list via `GET /tables`, segment list via
+  * `GET /segments/{t}?type=` (OFFLINE preferred, REALTIME fallback), with
+  * segment names mapped to local `<data_dir>/<t>_<TYPE>/<seg>/v3` paths
+  * that must exist (≙ ControllerMetadataProvider,
+  * metadata_provider.rs:280-366 — the HTTP boundary exists at *planning*
+  * time only; data reads stay local).
+  */
+class ControllerProvider(client: PinotControllerClient, dataDir: String)
+    extends PinotMetadataProvider {
+
+  override def listTables(): Seq[String] = client.listTables().sorted
+
+  override def openTable(storedName: String): PinotSegmentTable = {
+    val (segments, tableType) = {
+      val offline = client.listSegments(storedName, "OFFLINE")
+      if (offline.nonEmpty) (offline, "OFFLINE")
+      else {
+        val realtime = client.listSegments(storedName, "REALTIME")
+        if (realtime.isEmpty) throw new graft.pinot.PinotFormatException(
+          s"No segments found for table '$storedName' in controller")
+        (realtime, "REALTIME")
+      }
+    }
+    val tableDir = Paths.get(dataDir, s"${storedName}_$tableType")
+    if (!Files.isDirectory(tableDir))
+      throw new graft.pinot.PinotFormatException(
+        s"Table directory not found: $tableDir")
+    val paths = segments.map { seg =>
+      val p = tableDir.resolve(seg).resolve("v3")
+      if (!Files.exists(p.resolve("metadata.properties")))
+        throw new graft.pinot.PinotFormatException(
+          s"Segment $seg not found locally at $p")
+      p
+    }.sortBy(_.toString)
+    val meta = graft.pinot.SegmentMetadata.fromFile(
+      paths.head.resolve("metadata.properties"))
+    new PinotSegmentTable(meta.tableName, paths.map(_.toString),
+      PinotSegments.schemaFor(paths))
+  }
+}
+
+/** Pinot catalog: `pinot.default.<table>` in Spark SQL.
+  *
+  * Filesystem mode:
+  * {{{
+  * spark.sql.catalog.pinot = graft.sources.pinot.PinotCatalog
+  * spark.sql.catalog.pinot.data_dir = /path/to/pinot/data
+  * }}}
+  * Controller mode (adds planning-time HTTP discovery):
+  * {{{
+  * spark.sql.catalog.pinot.controller_url = http://localhost:9000
+  * spark.sql.catalog.pinot.data_dir = /path/to/pinot/data
+  * }}}
+  *
+  * Table lookup is case-insensitive (≙ catalog.rs:304-317; Spark
+  * lowercases unquoted identifiers the same way DataFusion does).
+  */
+class PinotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var provider: PinotMetadataProvider = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val dataDir = Option(options.get("data_dir")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option data_dir"))
+    provider = Option(options.get("controller_url")) match {
+      case Some(url) =>
+        new ControllerProvider(new PinotControllerClient(url), dataDir)
+      case None => new FileSystemProvider(dataDir)
+    }
+  }
+
+  override def name(): String = catalogName
+
+  private val Default = Array("default")
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireDefault(namespace)
-    tableDirs.map { case (t, _) => Identifier.of(Default, t) }.toArray
+    provider.listTables().map(Identifier.of(Default, _)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     requireDefault(ident.namespace())
     // case-insensitive match against stored names
-    tableDirs.find(_._1.equalsIgnoreCase(ident.name())) match {
-      case Some((_, dir)) => PinotSegmentTable.open(s"$dataDir/$dir")
+    provider.listTables().find(_.equalsIgnoreCase(ident.name())) match {
+      case Some(stored) => provider.openTable(stored)
       case None => throw new NoSuchTableException(ident)
     }
   }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().sameElements(Default) &&
-      tableDirs.exists(_._1.equalsIgnoreCase(ident.name()))
+      provider.listTables().exists(_.equalsIgnoreCase(ident.name()))
 
   private def requireDefault(namespace: Array[String]): Unit =
     if (!namespace.sameElements(Default))
