@@ -56,14 +56,17 @@ final class SegmentReader private (
 
   /** Decode the fixed-bit dict-id stream for a column (strips the 8-byte
     * magic marker that precedes the packed bits, fixed_bit.rs:34-42).
+    * `maxDocs` bounds the decode for limit pushdown — bit-packed values
+    * are position-addressable, so a prefix read is exact.
     */
-  def dictIds(name: String): Array[Int] = {
+  def dictIds(name: String, maxDocs: Int = Int.MaxValue): Array[Int] = {
     val cm = metadata.column(name)
     val raw = section(fwdLoc(name))
     if (raw.length < 8)
       throw new PinotFormatException("Forward index too small to contain magic marker")
     val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
-    new FixedBitReader(payload, cm.bitsPerElement, cm.totalDocs).readAll()
+    val n = math.min(cm.totalDocs, maxDocs)
+    new FixedBitReader(payload, cm.bitsPerElement, n).readAll()
   }
 
   private def requireDict(cm: ColumnMetadata): Unit =
@@ -71,40 +74,42 @@ final class SegmentReader private (
       throw new PinotFormatException(
         s"RAW ${cm.dataType.name} columns not supported")
 
-  def readIntColumn(name: String): Array[Int] = {
+  def readIntColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Int] = {
     val cm = checkType(name, PinotType.PInt); requireDict(cm)
     val PinotDictionary.Ints(dict) = dictionary(name): @unchecked
-    dictIds(name).map(dict(_))
+    dictIds(name, maxDocs).map(dict(_))
   }
 
-  def readLongColumn(name: String): Array[Long] = {
+  def readLongColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Long] = {
     val cm = checkType(name, PinotType.PLong); requireDict(cm)
     val PinotDictionary.Longs(dict) = dictionary(name): @unchecked
-    dictIds(name).map(dict(_))
+    dictIds(name, maxDocs).map(dict(_))
   }
 
-  def readFloatColumn(name: String): Array[Float] = {
+  def readFloatColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Float] = {
     val cm = checkType(name, PinotType.PFloat); requireDict(cm)
     val PinotDictionary.Floats(dict) = dictionary(name): @unchecked
-    dictIds(name).map(dict(_))
+    dictIds(name, maxDocs).map(dict(_))
   }
 
-  def readDoubleColumn(name: String): Array[Double] = {
+  def readDoubleColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Double] = {
     val cm = checkType(name, PinotType.PDouble); requireDict(cm)
     val PinotDictionary.Doubles(dict) = dictionary(name): @unchecked
-    dictIds(name).map(dict(_))
+    dictIds(name, maxDocs).map(dict(_))
   }
 
   /** STRING supports both dictionary and RAW VarByteChunk V4 encodings
     * (segment_reader.rs:166-255).
     */
-  def readStringColumn(name: String): Array[String] = {
+  def readStringColumn(name: String, maxDocs: Int = Int.MaxValue): Array[String] = {
     val cm = checkType(name, PinotType.PString)
     if (cm.hasDictionary) {
       val PinotDictionary.Strings(dict) = dictionary(name): @unchecked
-      dictIds(name).map(dict(_))
+      dictIds(name, maxDocs).map(dict(_))
     } else {
-      new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllStrings()
+      val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs)
+        .readAllStrings()
+      if (maxDocs < all.length) all.take(maxDocs) else all
     }
   }
 }

@@ -114,6 +114,47 @@ class PinotSourceSpec extends SparkTestBase {
     assert(df.count() === n / 3)
   }
 
+  test("limit pushdown caps per-partition decode and keeps results correct") {
+    val df = spark.read.format("pinot").load(tablePath)
+      .select("playerID", "hits").limit(7)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("limit=7"), s"limit not pushed:\n$scan")
+    assert(df.count() === 7)
+    // reader-level: a capped reader decodes at most `limit` rows
+    val r = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"), Array.empty, Some(5))
+    assert(r.next())
+    assert(r.get().numRows() === 5)
+    assert(!r.next())
+  }
+
+  test("dictionary pruning skips segments that cannot match an equality") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // playerID is RAW (no dictionary) → cannot prune
+    val raw = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(EqualTo("playerID", "nobody")), None)
+    assert(raw.next(), "RAW column filters must not prune")
+    // teamID is dict-encoded; a value outside the dictionary prunes all
+    val pruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(EqualTo("teamID", "NO_SUCH_TEAM")), None)
+    assert(!pruned.next(), "segment should be skipped entirely")
+    // IN with one present value keeps the segment
+    val kept = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(In("teamID", Array("NO_SUCH_TEAM", teamID(0)))), None)
+    assert(kept.next())
+    // end-to-end: results stay correct because filters remain residual
+    val df = spark.read.format("pinot").load(tablePath)
+      .filter(col("teamID") === "NO_SUCH_TEAM")
+    assert(df.count() === 0)
+    val one = spark.read.format("pinot").load(tablePath)
+      .filter(col("teamID") === teamID(0))
+    val expected = teamID.count(_ == teamID(0))
+    assert(one.count() === expected)
+  }
+
   test("catalog: discovery, case-insensitive lookup, qualified SQL") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.pinot", "graft.sources.pinot.PinotCatalog")
