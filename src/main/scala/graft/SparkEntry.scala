@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Embeddings.queries ++
       graft.queries.SketchDedup.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Media.queries
+      graft.queries.Media.queries ++
+      graft.queries.Complex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Embeddings.oracleSql ++
       graft.queries.SketchDedup.oracleSql ++
       graft.queries.Events.oracleSql ++
-      graft.queries.Media.oracleSql
+      graft.queries.Media.oracleSql ++
+      graft.queries.Complex.oracleSql
 }
