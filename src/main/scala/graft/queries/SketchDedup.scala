@@ -28,24 +28,27 @@ object SketchDedup {
   private val Bands = 16 // 16 bands × 4 rows → s-curve threshold ≈ 0.5
   private val RowsPerBand = NumPerms / Bands
 
-  /** MinHash signature rows: (doc_id, perm i, min over shingles of
-    * xxhash64(shingle, i)).
+  /** Per-doc 64-perm MinHash signature as ONE array row: each shingle
+    * yields its 64 permutation hashes as an array; the custom
+    * element-wise-min aggregate (map-side combinable) folds them — no 64×
+    * posexplode, no (doc, perm) shuffle blowup.
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
     TextOps.shingles(s, d)
-      .withColumn("i", explode(expr(s"sequence(0, ${NumPerms - 1})")))
-      .withColumn("v", xxhash64(col("shingle"), col("i")))
-      .groupBy("doc_id", "i")
-      .agg(min("v").as("minv"))
+      .withColumn("perms", expr(
+        s"transform(sequence(0, ${NumPerms - 1}), i -> xxhash64(shingle, i))"))
+      .groupBy("doc_id")
+      .agg(graft.functions.ArrayLongReduceAgg.arrayMinAgg(col("perms"))
+        .as("sig_vec"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding + bucket join + exact verification at J>=0.8.
     "q49_dedup_minhash_lsh" -> ((s, d) => {
       val bandSigs = signatures(s, d)
-        .withColumn("band", col("i") / lit(RowsPerBand) cast "int")
-        .groupBy("doc_id", "band")
-        .agg(hash(sort_array(collect_list(struct(col("i"), col("minv")))))
-          .as("sig"))
+        .withColumn("band", explode(expr(s"sequence(0, ${Bands - 1})")))
+        .withColumn("sig", hash(expr(
+          s"slice(sig_vec, band * $RowsPerBand + 1, $RowsPerBand)")))
+        .select("doc_id", "band", "sig")
       val cand = bandSigs.as("a")
         .join(bandSigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -79,15 +82,19 @@ object SketchDedup {
     // near-dups = hamming distance <= 3.
     "q50_dedup_simhash" -> ((s, d) => {
       val docs = graft.Tables.load(s, d, "documents")
+      // per-token ±1 bit array, folded by the element-wise-sum aggregate
+      // (map-side combinable — replaces a 64× posexplode shuffle)
       val sims = docs
         .withColumn("word", explode(split(col("text"), " ")))
         .withColumn("h", xxhash64(col("word")))
-        .withColumn("j", explode(expr("sequence(0, 63)")))
-        .withColumn("contrib", expr("CAST(2 * ((h >> j) & 1) - 1 AS BIGINT)"))
-        .groupBy("doc_id", "j")
-        .agg(sum("contrib").as("sj"))
+        .withColumn("bits", expr(
+          "transform(sequence(0, 63), j -> CAST(2 * ((h >> j) & 1) - 1 AS BIGINT))"))
         .groupBy("doc_id")
-        .agg(sum(expr("IF(sj > 0, shiftleft(1L, j), 0L)")).as("simhash"))
+        .agg(graft.functions.ArrayLongReduceAgg.arraySumAgg(col("bits"))
+          .as("tally"))
+        .withColumn("simhash", expr(
+          "aggregate(sequence(0, 63), 0L, (acc, j) -> " +
+            "acc + IF(element_at(tally, j + 1) > 0, shiftleft(1L, j), 0L))"))
       // 8 bands × 8 bits: by pigeonhole, any pair within hamming 7 shares
       // at least one clean band → banding loses nothing below threshold.
       val banded = sims
