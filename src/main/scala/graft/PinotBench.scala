@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pinot.{SegmentWriter, VarByteChunkV4}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Supplementary benchmark: the reference's 7 query shapes over a
+  * generated Pinot-v3 segment table of the SAME size as its baseballStats
+  * dataset (97,889 rows, 1 segment), read through our DataSource V2 —
+  * the like-for-like comparison promised by BASELINE.md protocol item 2.
+  * Prints one JSON line; not part of the driver contract.
+  */
+object PinotBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 97,889-row single segment ≙ the quickstart baseballStats shape:
+    // dict ints, dict string (teamID), RAW+LZ4 string (playerID)
+    val n = 97889
+    val rnd = new scala.util.Random(42)
+    val root = Files.createTempDirectory("pinot_bench")
+    val tableDir = root.resolve("baseballStats_OFFLINE")
+    SegmentWriter.write(tableDir.resolve("seg0"), "baseballStats", "seg0", Seq(
+      SegmentWriter.IntCol("hits", Array.fill(n)(rnd.nextInt(263))),
+      SegmentWriter.IntCol("homeRuns", Array.fill(n)(rnd.nextInt(60))),
+      SegmentWriter.IntCol("strikeouts", Array.fill(n)(rnd.nextInt(200))),
+      SegmentWriter.StringDictCol("teamID",
+        Array.fill(n)(s"T${rnd.nextInt(30)}")),
+      SegmentWriter.StringDictCol("playerName",
+        Array.fill(n)(s"name${rnd.nextInt(5000)}")),
+      SegmentWriter.StringRawCol("playerID",
+        Array.tabulate(n)(i => f"player$i%06d"),
+        VarByteChunkV4.Lz4LengthPrefixed, 4096)))
+
+    def table: DataFrame = spark.read.format("pinot").load(tableDir.toString)
+
+    val shapes: Seq[(String, () => DataFrame)] = Seq(
+      "count_star" -> (() => table.agg(count(lit(1)).as("c"))),
+      "scan_dict_cols" -> (() => table.select("playerName", "hits", "homeRuns")),
+      "scan_raw_col" -> (() => table.select("playerID", "hits", "homeRuns")),
+      "agg_sum_avg_max" -> (() => table.agg(
+        sum("hits"), avg("homeRuns"), max("strikeouts"))),
+      "group_topk_dict" -> (() => table.groupBy("teamID")
+        .agg(count(lit(1)).as("games"), sum("hits").as("total_hits"))
+        .orderBy(desc("total_hits")).limit(10)),
+      "group_topk_raw" -> (() => table.groupBy("playerID")
+        .agg(avg("hits").as("avg_hits"))
+        .orderBy(desc("avg_hits")).limit(10)),
+      "projection_limit" -> (() => table.select("playerID", "hits").limit(10)))
+
+    def run(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val results = shapes.map { case (name, mk) =>
+      run(mk()) // warm-up
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run(mk())
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(1)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.4f"
+    println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","queries":$qs,"rows":$n}""")
+    spark.stop()
+  }
+}
