@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Mechanized `.explain` audit over the whole declared surface: the 100 TB
+  * story is the PLAN, not the answer. Catches regressions like a lost
+  * broadcast hint, a filter that stopped pushing, or an accidental
+  * cartesian product.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  // Queries whose non-equi pair joins are nested-loop BY DESIGN (brute-
+  // force similarity baselines; the scale paths are LSH/IVF).
+  private val intendedNestedLoop = Set(
+    "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf")
+
+  test("no accidental cartesian / nested-loop joins anywhere") {
+    for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {
+      val bad = allNodes(finalPlan(name)).filter {
+        case _: CartesianProductExec => true
+        case _: BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+      assert(bad.isEmpty,
+        s"$name has an unplanned cartesian/nested-loop join:\n" +
+          bad.headOption.map(_.nodeName).getOrElse(""))
+    }
+  }
+
+  test("filtered parquet scans always push their predicates") {
+    for (name <- Seq("q08_filter_range", "q09_filter_string", "q12_tpch_q1",
+        "q18_tpch_q3", "q19_tpch_q5")) {
+      val scans = finalPlan(name).collectLeaves()
+      val pushed = scans.exists(_.toString.contains("PushedFilters: ["))
+      assert(pushed, s"$name: no pushed filters in any scan")
+      val empty = scans.forall { s =>
+        val str = s.toString
+        !str.contains("PushedFilters: []") || !str.contains("Filter")
+      }
+      assert(empty || pushed, s"$name: scans carry empty PushedFilters")
+    }
+  }
+
+  test("aggregations are two-phase (map-side partial present)") {
+    for (name <- Seq("q01_count_star", "q04_agg_global", "q05_group_topk",
+        "q11_orders_agg", "q12_tpch_q1")) {
+      val aggs = allNodes(finalPlan(name)).collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggs.length >= 2,
+        s"$name: expected partial+final aggregation, found ${aggs.length}")
+    }
+  }
+
+  test("top-k queries fuse sort+limit (TakeOrderedAndProject)") {
+    for (name <- Seq("q05_group_topk", "q06_group_highcard", "q18_tpch_q3",
+        "q59_explode_words")) {
+      val fused = allNodes(finalPlan(name)).exists {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _ => false
+      }
+      assert(fused, s"$name: top-k did not fuse into TakeOrderedAndProject")
+    }
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle for dims)") {
+    for (name <- Seq("q13_join_broadcast", "q14_join_multiway",
+        "q17_join_outer", "q19_tpch_q5")) {
+      val hasBroadcast = allNodes(finalPlan(name)).exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+      assert(hasBroadcast, s"$name: expected a broadcast hash join")
+    }
+  }
+
+  test("projection-only queries prune columns at the scan") {
+    val df = SparkEntry.queries("q02_projection")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("l_extendedprice"),
+      s"q02 reads columns it does not project:\n$scan")
+  }
+}
