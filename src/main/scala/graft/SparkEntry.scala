@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.SketchDedup.queries ++
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
-      graft.queries.Complex.queries
+      graft.queries.Complex.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.SketchDedup.oracleSql ++
       graft.queries.Events.oracleSql ++
       graft.queries.Media.oracleSql ++
-      graft.queries.Complex.oracleSql
+      graft.queries.Complex.oracleSql ++
+      graft.queries.Advanced.oracleSql
 }
