@@ -56,6 +56,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // sized for the local SF: the biggest table is ~11 MB, so the 128 MB
+      // defaults would serialize every scan into one task and let AQE
+      // coalesce every shuffle to one partition. (At 100 TB the defaults
+      // are right; partition sizing must track the data scale.)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
