@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
       graft.queries.Complex.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++
+      graft.queries.PinotRoundtrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Events.oracleSql ++
       graft.queries.Media.oracleSql ++
       graft.queries.Complex.oracleSql ++
-      graft.queries.Advanced.oracleSql
+      graft.queries.Advanced.oracleSql ++
+      graft.queries.PinotRoundtrip.oracleSql
 }
