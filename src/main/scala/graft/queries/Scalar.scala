@@ -53,7 +53,10 @@ object Scalar {
           round(ln(col("l_extendedprice") + 1), 4).as("ln_price"),
           round(pow(col("l_tax") + 1, 2), 4).as("tax_sq"),
           pmod(col("l_partkey"), lit(97)).as("pk_mod"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // total order needs every output column
+        .orderBy("l_orderkey", "l_linenumber", "abs_disc", "ceil_qty",
+          "floor_price", "sqrt_qty", "ln_price", "tax_sq", "pk_mod")),
 
     // CASE WHEN / conditional logic + greatest/least.
     "q36_case_expr" -> ((s, d) =>
@@ -114,7 +117,8 @@ object Scalar {
         |round(ln(l_extendedprice + 1), 4) AS ln_price,
         |round(pow(l_tax + 1, 2), 4) AS tax_sq,
         |l_partkey % 97 AS pk_mod
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_disc,
+        |ceil_qty, floor_price, sqrt_qty, ln_price, tax_sq, pk_mod""".stripMargin,
 
     "q36_case_expr" ->
       """SELECT price_band, count(*) AS cnt,
