@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions with the SQL function registry so
+  * plain SQL can call them:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT dot_q(a, b) FROM vectors")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "dot_q"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_q(a, b) takes exactly 2 arguments")
+        LongDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_min_agg"),
+      new ExpressionInfo(classOf[ArrayLongReduceAgg].getName, "array_min_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "array_min_agg(v) takes exactly 1 argument")
+        ArrayLongReduceAgg(args.head, ArrayLongReduceAgg.MinOp)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_sum_agg"),
+      new ExpressionInfo(classOf[ArrayLongReduceAgg].getName, "array_sum_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "array_sum_agg(v) takes exactly 1 argument")
+        ArrayLongReduceAgg(args.head, ArrayLongReduceAgg.SumOp)
+          .toAggregateExpression()
+      }))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registry registration of the native expressions (B22 surface). */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("dot_q callable from SQL") {
+    val r = spark.sql(
+      "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+    assert(r.getLong(0) === 4 + 10 + 18)
+  }
+
+  test("array_min_agg / array_sum_agg callable from SQL") {
+    spark.sql(
+      """SELECT * FROM VALUES (1, array(5L, 1L)), (1, array(3L, 7L))
+        |AS t(k, v)""".stripMargin).createOrReplaceTempView("vecs")
+    val m = spark.sql(
+      "SELECT array_min_agg(v) AS m FROM vecs GROUP BY k").head()
+    assert(m.getSeq[Long](0).toList === List(3L, 1L))
+    val s = spark.sql(
+      "SELECT array_sum_agg(v) AS s FROM vecs GROUP BY k").head()
+    assert(s.getSeq[Long](0).toList === List(8L, 8L))
+  }
+
+  test("dot_q type errors are analysis-time failures") {
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_q(array('a'), array('b'))").collect())
+    assert(e.getMessage.contains("dot_q") ||
+      e.getMessage.toLowerCase.contains("array<bigint>"))
+  }
+}
