@@ -216,4 +216,33 @@ class DecoderSpec extends AnyFunSuite {
     intercept[PinotFormatException](r.readLongColumn("i"))
     intercept[PinotFormatException](r.readIntColumn("missing"))
   }
+
+  test("corrupt inputs fail with PinotFormatException, never garbage") {
+    // dictionary: bad magic
+    val badMagic = new Array[Byte](16) // zeros != 0xDEADBEEFDEAFBEAD
+    intercept[PinotFormatException](
+      PinotDictionary.read(badMagic, PinotType.PInt, 1, 0))
+    // dictionary: truncated payload (magic ok, no entries)
+    val truncated = java.nio.ByteBuffer.allocate(10)
+      .putLong(PinotDictionary.MagicMarker).array()
+    intercept[Exception]( // BufferUnderflow surfaces, not silent zeroes
+      PinotDictionary.read(truncated, PinotType.PLong, 4, 0))
+    // BYTES/BOOLEAN dictionaries unsupported (≙ dictionary.rs:125-134)
+    val okMagic = java.nio.ByteBuffer.allocate(8)
+      .putLong(PinotDictionary.MagicMarker).array()
+    intercept[PinotFormatException](
+      PinotDictionary.read(okMagic, PinotType.PBytes, 0, 0))
+    intercept[PinotFormatException](
+      PinotDictionary.read(okMagic, PinotType.PBoolean, 0, 0))
+    // V4: unsupported compression code
+    val v4 = java.nio.ByteBuffer.allocate(24)
+    v4.putLong(0xCAFEBABEDEADBEEFL) // wrong magic → header misparse path
+    intercept[Exception](new VarByteChunkV4(v4.array(), 1).readAllStrings())
+    // forward index too small for the magic marker
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg3")
+    SegmentWriter.write(dir, "t", "s", Seq(
+      SegmentWriter.IntCol("i", Array(1))))
+    val reader = SegmentReader.open(dir)
+    intercept[PinotFormatException](reader.dictIds("missing"))
+  }
 }
