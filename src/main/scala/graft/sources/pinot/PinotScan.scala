@@ -63,9 +63,27 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = projected
+
+  /** Row counts come free from segment metadata (`segment.total.docs`) —
+    * feeds Catalyst's CBO (e.g. auto-broadcast decisions) without
+    * touching column data.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val rows: Long = segmentPaths.map { p =>
+      try SegmentReader.open(p).totalDocs.toLong catch { case _: Throwable => 0L }
+    }.sum
+    private lazy val width: Long = projected.fields.map(_.dataType match {
+      case org.apache.spark.sql.types.StringType => 24L
+      case dt => math.max(dt.defaultSize.toLong, 4L)
+    }).sum.max(8L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"PinotScan(segments=${segmentPaths.length}, " +

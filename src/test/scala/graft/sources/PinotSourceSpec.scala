@@ -155,6 +155,16 @@ class PinotSourceSpec extends SparkTestBase {
     assert(one.count() === expected)
   }
 
+  test("scan reports row-count statistics from segment metadata") {
+    val scan = new graft.sources.pinot.PinotScan(
+      Seq(s"$tablePath/seg0/v3", s"$tablePath/seg1/v3", s"$tablePath/seg2/v3"),
+      spark.read.format("pinot").load(tablePath).schema,
+      Array.empty, None)
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong === n)
+    assert(stats.sizeInBytes().getAsLong > 0)
+  }
+
   test("catalog: discovery, case-insensitive lookup, qualified SQL") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.pinot", "graft.sources.pinot.PinotCatalog")
