@@ -26,7 +26,7 @@ class PinotDataSource extends TableProvider
 
   override def shortName(): String = "pinot"
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PinotSegments.schemaFor(PinotSegments.discover(requirePath(options)))
@@ -35,7 +35,12 @@ class PinotDataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("pinot source requires a path"))
-    PinotSegmentTable.open(path)
+    // existing segments win (their stored schema is authoritative); a
+    // fresh directory becomes a write-only table with the query's schema
+    try PinotSegmentTable.open(path)
+    catch { case _: PinotFormatException if schema != null =>
+      PinotSegmentTable.forWrite(path, schema)
+    }
   }
 
   private def requirePath(options: CaseInsensitiveStringMap): String =
@@ -59,7 +64,8 @@ object PinotSegments {
       return Seq(root)
     val segs = Files.list(root).iterator().asScala
       .filter(Files.isDirectory(_))
-      .filterNot(_.getFileName.toString == "tmp")
+      // `tmp` ≙ reference discovery; `tmp_*` = in-flight writer output
+      .filterNot(_.getFileName.toString.startsWith("tmp"))
       .filter(p => Files.exists(p.resolve("v3").resolve("metadata.properties")))
       .map(_.resolve("v3"))
       .toSeq
@@ -82,17 +88,30 @@ object PinotSegments {
   }
 }
 
-/** One Pinot table = N segment dirs (reference: PinotTable, table.rs:16-141). */
+/** One Pinot table = N segment dirs (reference: PinotTable, table.rs:16-141).
+  * Readable always; writable (append = new segments) as an extension
+  * beyond the read-only reference.
+  */
 class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType, tableDir: Option[String] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PinotScanBuilder(segmentPaths, tableSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val dir = tableDir.getOrElse(throw new PinotFormatException(
+      s"Table $tableName has no directory to write to"))
+    new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId())
+  }
 }
 
 object PinotSegmentTable {
@@ -100,6 +119,13 @@ object PinotSegmentTable {
     val segs = PinotSegments.discover(path)
     val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
     new PinotSegmentTable(meta.tableName, segs.map(_.toString),
-      PinotSegments.schemaFor(segs))
+      PinotSegments.schemaFor(segs), Some(path))
+  }
+
+  /** A not-yet-existing table: write-only until the first commit. */
+  def forWrite(path: String, schema: StructType): PinotSegmentTable = {
+    val name = Paths.get(path).getFileName.toString
+      .stripSuffix("_OFFLINE").stripSuffix("_REALTIME")
+    new PinotSegmentTable(name, Seq.empty, schema, Some(path))
   }
 }

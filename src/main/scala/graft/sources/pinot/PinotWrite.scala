@@ -1,0 +1,145 @@
+package graft.sources.pinot
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
+
+import graft.pinot.{PinotFormatException, SegmentWriter, VarByteChunkV4}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Write path — an EXTENSION beyond the read-only reference (its roadmap
+  * item "write support", README.md:416): `df.write.format("pinot")
+  * .mode("append").save(tableDir)` emits one Pinot v3 segment per input
+  * partition (the segment is the unit of parallelism on read, so write
+  * parallelism becomes read parallelism).
+  *
+  * Encodings chosen per column: numerics dictionary-encode (matching the
+  * reference's readable surface); strings dictionary-encode, switching to
+  * RAW VarByteChunkV4+LZ4 for high-cardinality columns (> 50% distinct)
+  * where a dictionary would bloat the segment.
+  *
+  * Commit protocol: tasks write to `tmp_<uuid>` dirs (the discovery walk
+  * ignores `tmp*`, ≙ metadata_provider.rs:183); the driver-side commit
+  * renames them to visible `seg_...` dirs, so failed/speculative task
+  * output is never read and abort simply deletes.
+  */
+class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
+    queryId: String) extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
+      schema, queryId)
+  }
+}
+
+case class PinotCommitMessage(tmpDir: String, rows: Long)
+    extends WriterCommitMessage
+
+class PinotBatchWrite(path: String, tableName: String, schema: StructType,
+    queryId: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PinotWriterFactory(path, tableName, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PinotCommitMessage(tmp, rows) if rows > 0 =>
+        val src = Paths.get(tmp)
+        val visible = src.resolveSibling(
+          src.getFileName.toString.replaceFirst("^tmp_", "seg_"))
+        Files.move(src, visible)
+      case PinotCommitMessage(tmp, _) => // empty partition: drop its dir
+        deleteRecursively(Paths.get(tmp))
+      case other =>
+        throw new PinotFormatException(s"Unexpected commit message: $other")
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PinotCommitMessage(tmp, _) => deleteRecursively(Paths.get(tmp))
+      case _ => ()
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+}
+
+class PinotWriterFactory(path: String, tableName: String, schema: StructType,
+    queryId: String) extends DataWriterFactory {
+
+  // validate up front so the failure is a clean analysis-time error
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType => ()
+      case other => throw new PinotFormatException(
+        s"pinot write does not support column ${f.name}: ${other.simpleString}")
+    }
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId)
+}
+
+class PinotDataWriter(path: String, tableName: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val buffers: Array[ArrayBuffer[Any]] =
+    schema.fields.map(_ => ArrayBuffer.empty[Any])
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.fields.length) {
+      if (row.isNullAt(i))
+        throw new PinotFormatException(
+          s"pinot columns are non-nullable; null in ${schema.fields(i).name}")
+      buffers(i) += (schema.fields(i).dataType match {
+        case IntegerType => row.getInt(i)
+        case LongType => row.getLong(i)
+        case FloatType => row.getFloat(i)
+        case DoubleType => row.getDouble(i)
+        case StringType => row.getUTF8String(i).toString
+        case other => throw new PinotFormatException(s"unsupported $other")
+      })
+      i += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val segName = f"seg_${queryId}_$partitionId%05d"
+    val tmpDir = Paths.get(path, f"tmp_${queryId}_$partitionId%05d")
+    val n = buffers.headOption.map(_.length).getOrElse(0)
+    if (n > 0) {
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case IntegerType =>
+            SegmentWriter.IntCol(f.name, buffers(i).map(_.asInstanceOf[Int]).toArray)
+          case LongType =>
+            SegmentWriter.LongCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
+          case FloatType =>
+            SegmentWriter.FloatCol(f.name, buffers(i).map(_.asInstanceOf[Float]).toArray)
+          case DoubleType =>
+            SegmentWriter.DoubleCol(f.name, buffers(i).map(_.asInstanceOf[Double]).toArray)
+          case StringType =>
+            val values = buffers(i).map(_.asInstanceOf[String]).toArray
+            // high-cardinality strings → RAW+LZ4; low-cardinality → dict
+            if (values.distinct.length * 2 > values.length)
+              SegmentWriter.StringRawCol(f.name, values,
+                VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
+            else SegmentWriter.StringDictCol(f.name, values)
+          case other => throw new PinotFormatException(s"unsupported $other")
+        }
+      }.toSeq
+      SegmentWriter.write(tmpDir, tableName, segName, cols)
+    }
+    PinotCommitMessage(tmpDir.toString, n.toLong)
+  }
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = ()
+}

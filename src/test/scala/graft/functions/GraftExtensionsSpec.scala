@@ -10,6 +10,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
+    // Force a NEW session (sharing any existing SparkContext) so the
+    // extensions actually apply — getOrCreate would return the shared
+    // test session and silently skip them. Never stop() here: the
+    // underlying context belongs to the whole suite run.
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
     spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -17,9 +23,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = {
+    // restore the shared session as default for subsequent suites
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+  }
 
   test("dot_q callable from SQL") {
     val r = spark.sql(

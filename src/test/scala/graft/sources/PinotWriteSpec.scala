@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** `df.write.format("pinot")` — write path extension (reference is
+  * read-only; write support is its roadmap item).
+  */
+class PinotWriteSpec extends SparkTestBase {
+
+  test("write + read round-trip across all supported types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write")
+      .resolve("roundTrip_OFFLINE").toString
+    val df = spark.range(0, 5000, 1, 3).select(
+      col("id").as("k"),
+      (col("id") % 100).cast("int").as("i"),
+      (col("id") * 0.5).cast("float").as("f"),
+      (col("id") * 0.25).as("d"),
+      concat(lit("cat"), (col("id") % 7).cast("string")).as("dict_str"),
+      concat(lit("uid"), col("id").cast("string")).as("raw_str"))
+    df.write.format("pinot").mode("append").save(dir)
+
+    val back = spark.read.format("pinot").load(dir)
+    // one segment per input partition
+    assert(back.rdd.getNumPartitions === 3)
+    assert(back.count() === 5000)
+    val a = df.orderBy("k").collect().toSeq
+    val b = back.orderBy("k").select("k", "i", "f", "d", "dict_str", "raw_str")
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("append adds segments; in-flight tmp dirs are never read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write2")
+      .resolve("appendable_OFFLINE").toString
+    val mk = (from: Int, to: Int) => spark.range(from, to, 1, 1)
+      .select(col("id").as("k"), (col("id") % 5).cast("int").as("v"))
+    mk(0, 100).write.format("pinot").mode("append").save(dir)
+    mk(100, 250).write.format("pinot").mode("append").save(dir)
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.count() === 250)
+    assert(back.agg(sum("k")).head().getLong(0) === (0L until 250L).sum)
+    // a leftover tmp_ dir (simulated failed task) must be invisible
+    val tmp = java.nio.file.Paths.get(dir, "tmp_dead_00001")
+    graft.pinot.SegmentWriter.write(tmp, "appendable", "dead",
+      Seq(graft.pinot.SegmentWriter.IntCol("v", Array(999))))
+    assert(spark.read.format("pinot").load(dir).count() === 250)
+  }
+
+  test("unsupported column types fail cleanly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write3")
+      .resolve("bad_OFFLINE").toString
+    val df = Seq((1L, Array(1, 2))).toDF("k", "arr")
+    val e = intercept[Exception](
+      df.write.format("pinot").mode("append").save(dir))
+    assert(e.getMessage.contains("arr") ||
+      e.getCause != null && e.getCause.getMessage.contains("arr"))
+  }
+
+  test("nulls are rejected (pinot columns are non-nullable)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write4")
+      .resolve("nulls_OFFLINE").toString
+    val df = Seq(Some(1L), None).toDF("k")
+    intercept[Exception](df.write.format("pinot").mode("append").save(dir))
+  }
+}
