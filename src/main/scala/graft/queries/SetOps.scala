@@ -72,6 +72,19 @@ object SetOps {
           col("cnt"))
         .orderBy("st", "pri")),
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    // and grand-total rows in one pass (SQL entry point).
+    "q38_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
     // DISTINCT aggregates: exact distinct counts per group.
     "q31_distinct_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -131,6 +144,14 @@ object SetOps {
         |coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
+
+    "q38_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
 
     "q31_distinct_agg" ->
       """SELECT l_returnflag,
