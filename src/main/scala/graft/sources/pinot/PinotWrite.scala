@@ -30,7 +30,29 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId)
+    // streaming sink: each micro-batch epoch commits its own segments
+    // (how a _REALTIME table fills up, which the discovery walk and the
+    // catalog then serve with the same batch read path)
+    override def toStreaming: streaming.StreamingWrite =
+      new PinotStreamingWrite(path, tableName, schema, queryId)
   }
+}
+
+class PinotStreamingWrite(path: String, tableName: String,
+    schema: StructType, queryId: String)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    PinotStreamingWriterFactory(path, tableName, schema, queryId)
+
+  private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    delegate.commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    delegate.abort(messages)
 }
 
 case class PinotCommitMessage(tmpDir: String, rows: Long)
@@ -66,6 +88,15 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
     }
+}
+
+case class PinotStreamingWriterFactory(path: String, tableName: String,
+    schema: StructType, queryId: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new PinotDataWriter(path, tableName, schema,
+      s"${queryId}_e$epochId", partitionId, taskId)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,

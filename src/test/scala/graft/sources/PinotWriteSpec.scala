@@ -51,6 +51,31 @@ class PinotWriteSpec extends SparkTestBase {
     assert(spark.read.format("pinot").load(dir).count() === 250)
   }
 
+  test("streaming sink: micro-batch epochs become readable segments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("pinot_stream")
+      .resolve("streamed_REALTIME").toString
+    val ckpt = Files.createTempDirectory("pinot_stream_ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "s")
+      .writeStream.format("pinot")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.count() === 3)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
   test("unsupported column types fail cleanly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pinot_write3")
