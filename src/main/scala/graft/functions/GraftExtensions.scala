@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tokenize(text) takes exactly 1 argument")
+        Tokenize(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("array_sum_agg"),
       new ExpressionInfo(classOf[ArrayLongReduceAgg].getName, "array_sum_agg"),
       (args: Seq[Expression]) => {

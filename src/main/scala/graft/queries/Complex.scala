@@ -62,6 +62,20 @@ object Complex {
         .orderBy(desc("cnt"), asc("word"))
         .limit(10)),
 
+    // Custom Generator (UDTF): tokenize fans out rows inside the scan
+    // stage; re-aggregate positions + boundary tokens per document.
+    "q66_tokenize_udtf" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.Tokenize.tokenize(col("text")).as(Seq("pos", "token")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          min(expr("IF(pos = 0, token, NULL)")).as("first_token"),
+          max(expr("struct(pos, token)")).getField("token").as("last_token"),
+          sum(length(col("token"))).as("token_chars"))
+        .orderBy("doc_id")),
+
     // SQL entry: CTE + HAVING + scalar subquery.
     "q60_cte_having" -> ((s, d) => sql(s, d,
       """WITH brand_stats AS (
@@ -119,6 +133,20 @@ object Complex {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10""".stripMargin,
+
+    "q66_tokenize_udtf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')
+        |      AS tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |  tokens[1] AS first_token,
+        |  tokens[-1] AS last_token,
+        |  CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+        |    AS token_chars
+        |FROM tok ORDER BY doc_id""".stripMargin,
 
     "q60_cte_having" ->
       """WITH brand_stats AS (

@@ -50,6 +50,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getSeq[Long](0).toList === List(8L, 8L))
   }
 
+  test("tokenize UDTF callable via SQL LATERAL VIEW") {
+    spark.sql("SELECT 'ab cd!7x' AS s").createOrReplaceTempView("txt")
+    val rows = spark.sql(
+      """SELECT t.pos, t.token FROM txt
+        |LATERAL VIEW tokenize(s) t AS pos, token""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((0, "ab"), (1, "cd"), (2, "!"), (3, "7"), (4, "x")))
+  }
+
   test("dot_q type errors are analysis-time failures") {
     val e = intercept[Exception](
       spark.sql("SELECT dot_q(array('a'), array('b'))").collect())
