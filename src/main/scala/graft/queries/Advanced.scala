@@ -44,6 +44,34 @@ object Advanced {
         .orderBy("user_id", "click_id")
     }),
 
+    // Interval (range) join, bucketized: count PURCHASE events within
+    // ±60s of each ERROR event by a DIFFERENT user. The scalable pattern:
+    // truncate ts to 1-minute buckets, explode each error to its
+    // {-1, 0, +1} neighbor buckets, equi-join on the bucket, then apply
+    // the exact |Δt| <= 60s residual — turns an O(n·m) theta join into a
+    // hash join + cheap filter.
+    "q67_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+        .withColumn("bkt", explode(array(
+          (unix_timestamp(col("err_ts")) / 60).cast("long") - 1,
+          (unix_timestamp(col("err_ts")) / 60).cast("long"),
+          (unix_timestamp(col("err_ts")) / 60).cast("long") + 1)))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withColumn("bkt", (unix_timestamp(col("p_ts")) / 60).cast("long"))
+      errors.join(purchases, Seq("bkt"))
+        .filter(col("p_user") =!= col("err_user"))
+        .filter(abs(unix_timestamp(col("p_ts")) - unix_timestamp(col("err_ts"))) <= 60)
+        .select("err_id", "p_id").distinct()
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("nearby_purchases"))
+        .orderBy("err_id")
+    }),
+
     // Exact interpolated percentiles per event type.
     "q63_percentiles" -> ((s, d) =>
       ev(s, d)
@@ -78,6 +106,18 @@ object Advanced {
         |FROM clicks c ASOF JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.user_id, click_id""".stripMargin,
+
+    "q67_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'error'),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT e.event_id AS err_id, count(*) AS nearby_purchases
+        |FROM e JOIN p
+        |  ON p.user_id <> e.user_id
+        |  AND abs(CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(e.ts)) AS BIGINT))
+        |    <= 60
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
 
     "q63_percentiles" ->
       """SELECT event_type,

@@ -33,7 +33,7 @@ class ExtendedRelationalSpec extends SparkTestBase {
   }
 
   test("every extension query runs and returns rows on sf0.001") {
-    val expectEmpty = Set("q16_join_anti", "q28_except")
+    val expectEmpty = Set("q16_join_anti", "q28_except", "q67_range_join")
     for (name <- SparkEntry.queries.keys if name >= "q13") {
       val n = SparkEntry.queries(name)(spark, sf).count()
       if (expectEmpty(name)) assert(n >= 0, name)
