@@ -26,9 +26,14 @@ object PinotRoundtrip {
   /** Build (once per sf dir) a 3-segment Pinot table from the first
     * 30,000 lineitem rows, ordered for determinism.
     */
+  // bump when the subset/columns change — keys the /tmp cache so a stale
+  // layout from an earlier build is never reused
+  private val LayoutVersion = 1
+
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_pinot_rt$key")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
     val tableDir = root.resolve("lineitemPinot_OFFLINE")
     if (!Files.exists(tableDir)) {
       val rows = Tables.load(s, d, "lineitem")
