@@ -55,7 +55,7 @@ class PinotStreamingWrite(path: String, tableName: String,
     delegate.abort(messages)
 }
 
-case class PinotCommitMessage(tmpDir: String, rows: Long)
+case class PinotCommitMessage(tmpDirs: Seq[String], rows: Long)
     extends WriterCommitMessage
 
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
@@ -66,20 +66,21 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case PinotCommitMessage(tmp, rows) if rows > 0 =>
-        val src = Paths.get(tmp)
-        val visible = src.resolveSibling(
-          src.getFileName.toString.replaceFirst("^tmp_", "seg_"))
-        Files.move(src, visible)
-      case PinotCommitMessage(tmp, _) => // empty partition: drop its dir
-        deleteRecursively(Paths.get(tmp))
+      case PinotCommitMessage(tmps, _) =>
+        tmps.foreach { tmp =>
+          val src = Paths.get(tmp)
+          val visible = src.resolveSibling(
+            src.getFileName.toString.replaceFirst("^tmp_", "seg_"))
+          Files.move(src, visible)
+        }
       case other =>
         throw new PinotFormatException(s"Unexpected commit message: $other")
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case PinotCommitMessage(tmp, _) => deleteRecursively(Paths.get(tmp))
+      case PinotCommitMessage(tmps, _) =>
+        tmps.foreach(t => deleteRecursively(Paths.get(t)))
       case _ => ()
     }
 
@@ -119,8 +120,17 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
+  /** Segment roll threshold: bounds writer memory on arbitrarily large
+    * input partitions (≙ Pinot's own many-small-segments model; the
+    * reference targets "segments < 1GB").
+    */
+  private val MaxRowsPerSegment = 1 << 20
+
   private val buffers: Array[ArrayBuffer[Any]] =
     schema.fields.map(_ => ArrayBuffer.empty[Any])
+  private val flushed = ArrayBuffer.empty[String]
+  private var segSeq = 0
+  private var totalRows = 0L
 
   override def write(row: InternalRow): Unit = {
     var i = 0
@@ -138,36 +148,44 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       })
       i += 1
     }
+    totalRows += 1
+    if (buffers.head.length >= MaxRowsPerSegment) flush()
+  }
+
+  private def flush(): Unit = {
+    val n = buffers.headOption.map(_.length).getOrElse(0)
+    if (n == 0) return
+    val suffix = f"${queryId}_$partitionId%05d_$segSeq%03d"
+    val tmpDir = Paths.get(path, s"tmp_$suffix")
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case IntegerType =>
+          SegmentWriter.IntCol(f.name, buffers(i).map(_.asInstanceOf[Int]).toArray)
+        case LongType =>
+          SegmentWriter.LongCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
+        case FloatType =>
+          SegmentWriter.FloatCol(f.name, buffers(i).map(_.asInstanceOf[Float]).toArray)
+        case DoubleType =>
+          SegmentWriter.DoubleCol(f.name, buffers(i).map(_.asInstanceOf[Double]).toArray)
+        case StringType =>
+          val values = buffers(i).map(_.asInstanceOf[String]).toArray
+          // high-cardinality strings → RAW+LZ4; low-cardinality → dict
+          if (values.distinct.length * 2 > values.length)
+            SegmentWriter.StringRawCol(f.name, values,
+              VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
+          else SegmentWriter.StringDictCol(f.name, values)
+        case other => throw new PinotFormatException(s"unsupported $other")
+      }
+    }.toSeq
+    SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols)
+    flushed += tmpDir.toString
+    buffers.foreach(_.clear())
+    segSeq += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    val segName = f"seg_${queryId}_$partitionId%05d"
-    val tmpDir = Paths.get(path, f"tmp_${queryId}_$partitionId%05d")
-    val n = buffers.headOption.map(_.length).getOrElse(0)
-    if (n > 0) {
-      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-        f.dataType match {
-          case IntegerType =>
-            SegmentWriter.IntCol(f.name, buffers(i).map(_.asInstanceOf[Int]).toArray)
-          case LongType =>
-            SegmentWriter.LongCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
-          case FloatType =>
-            SegmentWriter.FloatCol(f.name, buffers(i).map(_.asInstanceOf[Float]).toArray)
-          case DoubleType =>
-            SegmentWriter.DoubleCol(f.name, buffers(i).map(_.asInstanceOf[Double]).toArray)
-          case StringType =>
-            val values = buffers(i).map(_.asInstanceOf[String]).toArray
-            // high-cardinality strings → RAW+LZ4; low-cardinality → dict
-            if (values.distinct.length * 2 > values.length)
-              SegmentWriter.StringRawCol(f.name, values,
-                VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
-            else SegmentWriter.StringDictCol(f.name, values)
-          case other => throw new PinotFormatException(s"unsupported $other")
-        }
-      }.toSeq
-      SegmentWriter.write(tmpDir, tableName, segName, cols)
-    }
-    PinotCommitMessage(tmpDir.toString, n.toLong)
+    flush()
+    PinotCommitMessage(flushed.toSeq, totalRows)
   }
 
   override def abort(): Unit = ()

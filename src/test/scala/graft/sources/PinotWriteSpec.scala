@@ -51,6 +51,21 @@ class PinotWriteSpec extends SparkTestBase {
     assert(spark.read.format("pinot").load(dir).count() === 250)
   }
 
+  test("large partitions roll into multiple segments (bounded memory)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_roll")
+      .resolve("rolled_OFFLINE").toString
+    // 1 partition × 2.5M rows > MaxRowsPerSegment (1M) → 3 segments
+    spark.range(0, 2500000, 1, 1)
+      .select(col("id").as("k"), (col("id") % 1000).cast("int").as("v"))
+      .write.format("pinot").mode("append").save(dir)
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.rdd.getNumPartitions === 3, "expected 3 rolled segments")
+    assert(back.count() === 2500000L)
+    assert(back.agg(sum("k")).head().getLong(0) ===
+      (0L until 2500000L).sum)
+  }
+
   test("streaming sink: micro-batch epochs become readable segments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
