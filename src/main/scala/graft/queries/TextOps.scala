@@ -128,6 +128,30 @@ object TextOps {
           length(col("text")).as("chars"))
         .orderBy("doc_id")),
 
+    // TF-IDF: corpus-wide document frequencies (one small aggregate,
+    // broadcast back) + per-doc term frequencies → top-scored term per
+    // document. ln() on identical doubles is IEEE-deterministic, so the
+    // oracle matches bit-for-bit.
+    "q46b_tfidf_top_term" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val n = docs(s, d).count()
+      val dfreq = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+      tf.join(broadcast(dfreq), "word")
+        .withColumn("score",
+          col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"),
+          round(col("score"), 4).as("tfidf"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: rolling polynomial hash over words
     // (order-sensitive, mod 1e9+7 each step so i64 never overflows).
     "q45_fingerprint" -> ((s, d) =>
@@ -221,6 +245,27 @@ object TextOps {
         |  AS INTEGER) AS bpe_tokens,
         |CAST(length(text) AS INTEGER) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46b_tfidf_top_term" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfreq AS (
+        |  SELECT word, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM w2) GROUP BY word),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word AS top_word, round(score, 4) AS tfidf
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q45_fingerprint" ->
       """WITH f AS (SELECT doc_id, source,
