@@ -29,8 +29,6 @@ case class ArrayLongReduceAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  import ArrayLongReduceAgg._
-
   override def children: Seq[Expression] = Seq(child)
 
   override def nullable: Boolean = true

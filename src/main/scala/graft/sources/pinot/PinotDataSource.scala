@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 
-import graft.pinot.{PinotFormatException, SegmentMetadata, SegmentReader}
+import graft.pinot.{PinotFormatException, SegmentMetadata}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
