@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
+      graft.queries.Joins.extraQueries ++
       graft.queries.Windows.queries ++
       graft.queries.SetOps.queries ++
       graft.queries.Scalar.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Joins.oracleSql ++
+      graft.queries.Joins.extraOracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.SetOps.oracleSql ++
       graft.queries.Scalar.oracleSql ++

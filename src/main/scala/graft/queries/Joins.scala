@@ -100,6 +100,54 @@ object Joins {
         .orderBy(desc("revenue"), asc("n_name")))
   )
 
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q10 shape: returned-item revenue per customer, 4-way join
+    // (two fact shuffles, nation broadcast), top-20.
+    "q68_tpch_q10" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)),
+
+    // Histogram binning: order-value distribution in 25k buckets.
+    "q69_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket", expr(
+          "CAST(floor(o_totalprice / 25000) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("bucket"))
+  )
+
+  val extraOracleSql: Map[String, String] = Map(
+    "q68_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q69_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+
   val oracleSql: Map[String, String] = Map(
     "q13_join_broadcast" ->
       """SELECT p_brand, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
