@@ -112,6 +112,17 @@ final class SegmentReader private (
       if (maxDocs < all.length) all.take(maxDocs) else all
     }
   }
+
+  /** RAW STRING column decoded straight to per-value UTF-8 byte arrays —
+    * the vectorized scan path feeds these to Spark without ever building
+    * `java.lang.String`s (no decode→re-encode round trip).
+    */
+  def readRawStringBytes(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Byte]] = {
+    val cm = checkType(name, PinotType.PString)
+    require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
+    val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllBytes()
+    if (maxDocs < all.length) all.take(maxDocs) else all
+  }
 }
 
 object SegmentReader {

@@ -29,7 +29,7 @@ class PinotDataSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PinotSegments.schemaFor(PinotSegments.discover(requirePath(options)))
+    PinotSegmentTable.open(requirePath(options)).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -116,11 +116,28 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
 }
 
 object PinotSegmentTable {
+
+  // Warm-catalog cache: segment discovery + schema inference per table
+  // path, invalidated when the directory's mtime changes (a committed
+  // write creates/renames segment dirs, bumping the parent mtime). The
+  // reference benchmarks with a warm catalog (examples/benchmark.rs:43-45)
+  // — this is the DSv2 counterpart, and at 100 TB it keeps per-query
+  // planning from re-walking tens of thousands of segment dirs.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, PinotSegmentTable)]()
+
   def open(path: String): PinotSegmentTable = {
+    val mtime =
+      try Files.getLastModifiedTime(Paths.get(path)).toMillis
+      catch { case _: Throwable => -1L }
+    val cached = cache.get(path)
+    if (cached != null && cached._1 == mtime) return cached._2
     val segs = PinotSegments.discover(path)
     val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
-    new PinotSegmentTable(meta.tableName, segs.map(_.toString),
+    val table = new PinotSegmentTable(meta.tableName, segs.map(_.toString),
       PinotSegments.schemaFor(segs), Some(path))
+    cache.put(path, (mtime, table))
+    table
   }
 
   /** A not-yet-existing table: write-only until the first commit. */

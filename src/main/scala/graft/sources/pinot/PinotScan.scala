@@ -1,11 +1,13 @@
 package graft.sources.pinot
 
 import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
-import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Scan pipeline: one [[InputPartition]] per segment (the segment is the
@@ -21,16 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var projected: StructType = fullSchema
   private var skipFilters: Array[Filter] = Array.empty
+  private var sawFilters = false
   private var limit: Option[Int] = None
+  private var pushedAgg: Option[Aggregation] = None
+  private var aggComplete = false
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
   override def pruneColumns(requiredSchema: StructType): Unit =
-    projected = requiredSchema
+    if (pushedAgg.isEmpty) projected = requiredSchema
 
   /** Equality/IN filters are accepted as ADVISORY: each partition consults
     * the segment's per-column dictionary and skips the whole segment when
@@ -40,6 +46,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
     * pruning can only skip, never change results.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     skipFilters = filters.filter {
       case _: EqualTo | _: In => true
       case _ => false
@@ -57,8 +64,70 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
     true
   }
 
-  override def build(): Scan =
-    new PinotScan(segmentPaths, projected, skipFilters, limit)
+  /** COUNT-only global aggregations are answered COMPLETELY from segment
+    * metadata (`segment.total.docs`, cached on the driver): no tasks touch
+    * any column data, and a single row comes back — Spark plans no final
+    * aggregate. Pinot columns are non-nullable, so `COUNT(col)` ≡
+    * `COUNT(*)` ≡ totalDocs.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty && !sawFilters &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && fieldName(c.column()).isDefined
+        case _ => false
+      }
+    if (ok) aggComplete = true
+    ok
+  }
+
+  /** Partial pushdown for global COUNT/MIN/MAX: each task answers from its
+    * own segment's metadata + dictionary (cardinality entries, never the
+    * forward index), and Spark merges the per-segment rows. Distributed —
+    * at 100 TB the tiny dictionary reads happen on executors, not the
+    * driver. MIN/MAX limited to dictionary-encoded numeric columns
+    * (string ordering semantics and RAW decode costs stay engine-side).
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty || sawFilters || limit.isDefined) return false
+    val ok = agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && fieldName(c.column()).isDefined
+      case m: Min => fieldName(m.column()).exists(isDictNumeric)
+      case m: Max => fieldName(m.column()).exists(isDictNumeric)
+      case _ => false
+    }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private lazy val firstSegmentMeta: Option[graft.pinot.SegmentMetadata] =
+    segmentPaths.headOption.flatMap { p =>
+      try Some(SegmentReader.open(p).metadata) catch { case _: Throwable => None }
+    }
+
+  private def isDictNumeric(col: String): Boolean =
+    firstSegmentMeta.exists { m =>
+      m.columns.get(col).exists(cm => cm.hasDictionary && (cm.dataType match {
+        case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+             PinotType.PDouble => true
+        case _ => false
+      }))
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema)
+    case None =>
+      new PinotScan(segmentPaths, projected, skipFilters, limit)
+  }
 }
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
@@ -69,12 +138,12 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   /** Row counts come free from segment metadata (`segment.total.docs`) —
     * feeds Catalyst's CBO (e.g. auto-broadcast decisions) without
-    * touching column data.
+    * touching column data. Totals are cached per segment path (segments
+    * are immutable), so repeated queries over a many-thousand-segment
+    * table do not re-read metadata on the driver each time.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val rows: Long = segmentPaths.map { p =>
-      try SegmentReader.open(p).totalDocs.toLong catch { case _: Throwable => 0L }
-    }.sum
+    private lazy val rows: Long = segmentPaths.map(PinotScan.segmentDocs).sum
     private lazy val width: Long = projected.fields.map(_.dataType match {
       case org.apache.spark.sql.types.StringType => 24L
       case dt => math.max(dt.defaultSize.toLong, 4L)
@@ -96,6 +165,143 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PinotReaderFactory(projected.fieldNames, skipFilters, limit)
+}
+
+/** Scan for a pushed-down global COUNT/MIN/MAX aggregation.
+  *
+  * `complete = true` (COUNT-only shapes): one partition emits the final
+  * single row, computed from the driver's cached per-segment doc totals —
+  * zero column I/O, no final aggregate in the plan.
+  *
+  * `complete = false`: one partition per segment; each task emits one
+  * partial row — counts from segment metadata, MIN/MAX from the segment's
+  * dictionary (cardinality entries; the forward index is never read).
+  * Spark's final aggregate merges the per-segment rows.
+  */
+class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
+    complete: Boolean, fullSchema: StructType) extends Scan with Batch {
+
+  private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (m: Min, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
+    case (m: Max, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
+    case (f, _) => throw new IllegalStateException(s"unexpected pushed agg $f")
+  })
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  private def colType(e: org.apache.spark.sql.connector.expressions.Expression) =
+    fullSchema(colName(e)).dataType
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"PinotAggScan(complete=$complete, funcs=[${funcs.mkString(", ")}], " +
+      s"segments=${segmentPaths.length})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (complete) Array(PinotAggPartition(null))
+    else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val totalRows: Long =
+      if (complete) segmentPaths.map(PinotScan.segmentDocs).sum else 0L
+    val specs: Array[AggSpec] = funcs.map {
+      case _: CountStar => AggSpec("", isCount = true, isMin = false)
+      case c: Count => AggSpec(colName(c.column()), isCount = true, isMin = false)
+      case m: Min => AggSpec(colName(m.column()), isCount = false, isMin = true)
+      case m: Max => AggSpec(colName(m.column()), isCount = false, isMin = false)
+    }
+    new PinotAggReaderFactory(specs, complete, totalRows)
+  }
+}
+
+case class PinotAggPartition(segmentPath: String) extends InputPartition
+case class AggSpec(column: String, isCount: Boolean, isMin: Boolean)
+
+class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
+    completeCount: Long) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+    val row: InternalRow = if (complete) {
+      new GenericInternalRow(specs.map(_ => completeCount: Any))
+    } else {
+      val path = partition.asInstanceOf[PinotAggPartition].segmentPath
+      val reader = SegmentReader.open(path)
+      val docs = reader.metadata.totalDocs
+      val values: Array[Any] = specs.map { s =>
+        if (s.isCount) docs.toLong
+        else if (docs == 0) null
+        else dictMinMax(reader, s.column, s.isMin)
+      }
+      new GenericInternalRow(values)
+    }
+
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  /** MIN/MAX over the segment's dictionary values (all dictionary entries
+    * are present in the column — Pinot builds dictionaries from the
+    * segment's own values). Falls back to a full column decode only if a
+    * segment unexpectedly lacks the dictionary. Float/double use
+    * `j.l.{Float,Double}.compare`, matching Spark's NaN-is-largest order.
+    */
+  private def dictMinMax(reader: SegmentReader, col: String, isMin: Boolean): Any = {
+    val cm = reader.metadata.column(col)
+    def reduceI(a: Array[Int]) = if (isMin) a.min else a.max
+    def reduceL(a: Array[Long]) = if (isMin) a.min else a.max
+    def reduceF(a: Array[Float]) =
+      a.reduce((x, y) => if ((java.lang.Float.compare(x, y) <= 0) == isMin) x else y)
+    def reduceD(a: Array[Double]) =
+      a.reduce((x, y) => if ((java.lang.Double.compare(x, y) <= 0) == isMin) x else y)
+    if (cm.hasDictionary) reader.dictionary(col) match {
+      case PinotDictionary.Ints(v) => reduceI(v)
+      case PinotDictionary.Longs(v) => reduceL(v)
+      case PinotDictionary.Floats(v) => reduceF(v)
+      case PinotDictionary.Doubles(v) => reduceD(v)
+      case other => throw new graft.pinot.PinotFormatException(
+        s"MIN/MAX pushdown on unsupported dictionary $other")
+    } else cm.dataType match {
+      case PinotType.PInt => reduceI(reader.readIntColumn(col))
+      case PinotType.PLong => reduceL(reader.readLongColumn(col))
+      case PinotType.PFloat => reduceF(reader.readFloatColumn(col))
+      case PinotType.PDouble => reduceD(reader.readDoubleColumn(col))
+      case other => throw new graft.pinot.PinotFormatException(
+        s"MIN/MAX pushdown on RAW ${other.name} column $col")
+    }
+  }
+}
+
+object PinotScan {
+  // Per-segment doc counts, metadata.properties only (no index_map, no
+  // column data). Segment dirs are immutable, so a plain concurrent map
+  // never invalidates; new segments arrive under new paths.
+  private val docCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def segmentDocs(path: String): Long =
+    docCache.computeIfAbsent(path, p => {
+      try {
+        val dir = java.nio.file.Paths.get(p)
+        val root =
+          if (java.nio.file.Files.exists(dir.resolve("metadata.properties"))) dir
+          else dir.resolve("v3")
+        graft.pinot.SegmentMetadata.fromFile(root.resolve("metadata.properties"))
+          .totalDocs.toLong
+      } catch { case _: Throwable => 0L }
+    }).longValue()
 }
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition
@@ -162,68 +368,96 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     limit.fold(n)(math.min(n, _)) // per-partition limit cap
   }
 
-  // Whole-column decode, once per segment (segments are bounded; the scan
-  // above is what distributes — this mirrors the reference's eager model).
-  // A pushed limit caps the decode itself, not just emission.
-  private lazy val decoded: Array[(PinotType, AnyRef)] = columns.map { name =>
-    val cm = reader.metadata.column(name)
-    val cap = totalDocs
-    cm.dataType match {
-      case PinotType.PInt => (PinotType.PInt, reader.readIntColumn(name, cap))
-      case PinotType.PLong => (PinotType.PLong, reader.readLongColumn(name, cap))
-      case PinotType.PFloat => (PinotType.PFloat, reader.readFloatColumn(name, cap))
-      case PinotType.PDouble => (PinotType.PDouble, reader.readDoubleColumn(name, cap))
-      case PinotType.PString => (PinotType.PString, reader.readStringColumn(name, cap))
-      case other => throw new graft.pinot.PinotFormatException(
-        s"Unsupported column type for scan: ${other.name}")
+  /** Row position used as dictionary id for RAW columns (value i ↔ doc i);
+    * shared across all RAW columns of the segment.
+    */
+  private lazy val identityIds: Array[Int] = Array.tabulate(totalDocs)(i => i)
+
+  /** Per projected column: a [[Dictionary]] over the decoded distinct
+    * values and the per-doc id stream. Dict columns reuse Pinot's own
+    * dictionary (decoded once — string entries to UTF-8 bytes once per
+    * DISTINCT value, not per row); RAW string columns expose their decoded
+    * byte values through an identity-id dictionary. Spark's ColumnVector
+    * then serves every read through `Dictionary.decodeTo*` with zero
+    * per-row copying in the scan.
+    */
+  private lazy val decoded: Array[(PinotType, Dictionary, Array[Int])] =
+    columns.map { name =>
+      val cm = reader.metadata.column(name)
+      if (cm.hasDictionary) {
+        val ids = reader.dictIds(name, totalDocs)
+        val dict = reader.dictionary(name) match {
+          case PinotDictionary.Ints(v) => ArrayDictionary.ofInts(v)
+          case PinotDictionary.Longs(v) => ArrayDictionary.ofLongs(v)
+          case PinotDictionary.Floats(v) => ArrayDictionary.ofFloats(v)
+          case PinotDictionary.Doubles(v) => ArrayDictionary.ofDoubles(v)
+          case PinotDictionary.Strings(v) =>
+            ArrayDictionary.ofBinary(v.map(
+              _.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        (cm.dataType, dict, ids)
+      } else cm.dataType match {
+        case PinotType.PString =>
+          val values = reader.readRawStringBytes(name, totalDocs)
+          (PinotType.PString, ArrayDictionary.ofBinary(values), identityIds)
+        case other => throw new graft.pinot.PinotFormatException(
+          s"Unsupported RAW column type for scan: ${other.name}")
+      }
     }
-  }
+
+  // Vectors and the batch are allocated ONCE and refilled per 8,192-row
+  // window — only the int dict-ids move per batch (bulk System.arraycopy).
+  private lazy val vectors: Array[OnHeapColumnVector] =
+    decoded.map { case (tpe, dict, _) =>
+      val v = new OnHeapColumnVector(BatchSize, tpe.sparkType)
+      v.setDictionary(dict)
+      v
+    }
+  private lazy val batch: ColumnarBatch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
 
   private var pos = 0
-  private var current: ColumnarBatch = _
+  private var started = false
 
   override def next(): Boolean = {
     if (pos >= totalDocs) return false
+    started = true
     val n = math.min(BatchSize, totalDocs - pos)
-    current = if (columns.isEmpty) {
-      new ColumnarBatch(Array.empty[ColumnVector], n) // COUNT(*) rows-only
-    } else {
-      val vectors = decoded.map { case (tpe, data) =>
-        val vec = new OnHeapColumnVector(n, tpe.sparkType)
-        tpe match {
-          case PinotType.PInt =>
-            val a = data.asInstanceOf[Array[Int]]
-            var i = 0; while (i < n) { vec.putInt(i, a(pos + i)); i += 1 }
-          case PinotType.PLong =>
-            val a = data.asInstanceOf[Array[Long]]
-            var i = 0; while (i < n) { vec.putLong(i, a(pos + i)); i += 1 }
-          case PinotType.PFloat =>
-            val a = data.asInstanceOf[Array[Float]]
-            var i = 0; while (i < n) { vec.putFloat(i, a(pos + i)); i += 1 }
-          case PinotType.PDouble =>
-            val a = data.asInstanceOf[Array[Double]]
-            var i = 0; while (i < n) { vec.putDouble(i, a(pos + i)); i += 1 }
-          case PinotType.PString =>
-            val a = data.asInstanceOf[Array[String]]
-            var i = 0
-            while (i < n) {
-              val bytes = a(pos + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              vec.putByteArray(i, bytes, 0, bytes.length)
-              i += 1
-            }
-          case _ => ()
-        }
-        vec: ColumnVector
+    if (columns.nonEmpty) {
+      var c = 0
+      while (c < decoded.length) {
+        vectors(c).reserveDictionaryIds(n).putInts(0, n, decoded(c)._3, pos)
+        c += 1
       }
-      new ColumnarBatch(vectors, n)
     }
+    batch.setNumRows(n) // empty projection: rows-only batch for COUNT(*)
     pos += n
     true
   }
 
-  override def get(): ColumnarBatch = current
+  override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = {
-    if (current != null) current.close()
-  }
+  override def close(): Unit = if (started) batch.close()
+}
+
+/** Spark [[Dictionary]] over decoded Pinot values: the bridge that lets
+  * `OnHeapColumnVector` serve reads straight from the segment's decoded
+  * dictionary (or RAW value array) without materializing rows.
+  */
+final class ArrayDictionary private (
+    ints: Array[Int], longs: Array[Long], floats: Array[Float],
+    doubles: Array[Double], bins: Array[Array[Byte]]) extends Dictionary {
+  override def decodeToInt(id: Int): Int = ints(id)
+  override def decodeToLong(id: Int): Long = longs(id)
+  override def decodeToFloat(id: Int): Float = floats(id)
+  override def decodeToDouble(id: Int): Double = doubles(id)
+  override def decodeToBinary(id: Int): Array[Byte] = bins(id)
+}
+
+object ArrayDictionary {
+  def ofInts(v: Array[Int]) = new ArrayDictionary(v, null, null, null, null)
+  def ofLongs(v: Array[Long]) = new ArrayDictionary(null, v, null, null, null)
+  def ofFloats(v: Array[Float]) = new ArrayDictionary(null, null, v, null, null)
+  def ofDoubles(v: Array[Double]) = new ArrayDictionary(null, null, null, v, null)
+  def ofBinary(v: Array[Array[Byte]]) = new ArrayDictionary(null, null, null, null, v)
 }

@@ -87,21 +87,52 @@ class PinotSourceSpec extends SparkTestBase {
     assert(!scans.head.scan.description().contains("playerID"))
   }
 
-  test("COUNT(*) uses an empty projection (rows-only batches)") {
+  test("COUNT(*) pushes down completely: answered from metadata, no decode") {
     val df = spark.read.format("pinot").load(tablePath)
     val agg = df.groupBy().count()
-    // the agg's shuffle triggers AQE, which wraps the plan — unwrap it
-    val plan = agg.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan
-      case p => p
-    }
-    val scans = plan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }
-    assert(scans.head.scan.description().contains("columns=)") ||
-      scans.head.scan.readSchema().isEmpty)
+    val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotAggScan(complete=true"),
+      s"COUNT(*) not fully pushed:\n$leaf")
     assert(agg.head().getLong(0) === n)
+  }
+
+  test("MIN/MAX push down partially: per-segment dictionary rows, merged") {
+    val df = spark.read.format("pinot").load(tablePath)
+    val agg = df.agg(min("hits").as("mn"), max("salary").as("mx"),
+      count(lit(1)).as("c"))
+    val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotAggScan(complete=false"),
+      s"MIN/MAX not pushed:\n$leaf")
+    val r = agg.head()
+    assert(r.getInt(0) === hits.min)
+    assert(r.getDouble(1) === salary.max)
+    assert(r.getLong(2) === n)
+  }
+
+  test("aggregate pushdown is refused when a filter is present") {
+    val df = spark.read.format("pinot").load(tablePath)
+      .filter(col("hits") > 100).groupBy().count()
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotScan("), s"expected plain scan:\n$leaf")
+    assert(df.head().getLong(0) === hits.count(_ > 100))
+  }
+
+  test("aggregate pushdown is refused for MIN/MAX on RAW or string columns") {
+    val df = spark.read.format("pinot").load(tablePath)
+      .agg(min("playerID").as("mn"), max("teamID").as("mx"))
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotScan("), s"expected plain scan:\n$leaf")
+    val r = df.head()
+    assert(r.getString(0) === playerID.min)
+    assert(r.getString(1) === teamID.max)
+  }
+
+  test("empty projection emits rows-only batches (reader level)") {
+    val r = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array.empty)
+    var rows = 0L
+    while (r.next()) { assert(r.get().numCols() === 0); rows += r.get().numRows() }
+    assert(rows === n / 3)
   }
 
   test("one partition per segment") {
