@@ -67,33 +67,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // headline: warm-up once, report median of 3
-    for (name <- Headline) {
-      val fn = headlineVariant.getOrElse(name, SparkEntry.queries(name))
+    // EVERY query: 1 untimed warm-up (file listing, schema, JIT), then
+    // median of 3 — no number in the output is a single cold sample.
+    def bench(name: String, fn: (SparkSession, String) => DataFrame): Unit =
       try {
-        execute(fn(spark, sfDir)) // warm-up (file listing, schema, JIT)
+        execute(fn(spark, sfDir))
         val ts = (1 to 3).map(_ => timed(fn(spark, sfDir))).sorted
         results(name) = ts(1)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = -1.0
       }
-    }
-    // full surface: one timed pass each
+
+    for (name <- Headline)
+      bench(name, headlineVariant.getOrElse(name, SparkEntry.queries(name)))
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-        if !Headline.contains(name)) {
-      try results(name) = timed(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        results(name) = -1.0
-      }
-    }
+        if !Headline.contains(name))
+      bench(name, fn)
 
     val headlineTotal = Headline.map(results(_)).filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = f"$headlineTotal%.4f"
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // JVM diagnostics make environment-induced outliers attributable
+    // (e.g. a constrained heap or CPU set shows up right here).
+    val rt = Runtime.getRuntime
+    val env = s""""jvm":{"maxHeapMb":${rt.maxMemory() / (1 << 20)},""" +
+      s""""cpus":${rt.availableProcessors()},"master":"local[$cpus]"}"""
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }
