@@ -41,14 +41,17 @@ case class ArrayLongReduceAgg(
       s"array_reduce_agg requires array<bigint>, got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] = Array.empty
+  // `null` is the uninitialized-buffer sentinel — NOT Array.empty, so a
+  // legal zero-length input array participates in the ragged-length check
+  // and round-trips to an empty array instead of a null result.
+  override def createAggregationBuffer(): Array[Long] = null
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (buffer.isEmpty) {
+    if (buffer == null) {
       val fresh = new Array[Long](n)
       var i = 0
       while (i < n) { fresh(i) = arr.getLong(i); i += 1 }
@@ -63,8 +66,8 @@ case class ArrayLongReduceAgg(
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
+    if (a == null) return b
+    if (b == null) return a
     require(a.length == b.length,
       s"array_reduce_agg: ragged partials (${a.length} vs ${b.length})")
     var i = 0
@@ -73,9 +76,10 @@ case class ArrayLongReduceAgg(
   }
 
   override def eval(buffer: Array[Long]): Any =
-    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+    if (buffer == null) null else new GenericArrayData(buffer)
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
+    if (buffer == null) return ByteBuffer.allocate(4).putInt(-1).array()
     val bb = ByteBuffer.allocate(4 + 8 * buffer.length)
     bb.putInt(buffer.length)
     buffer.foreach(bb.putLong)
@@ -85,7 +89,7 @@ case class ArrayLongReduceAgg(
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    Array.fill(n)(bb.getLong)
+    if (n < 0) null else Array.fill(n)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): ArrayLongReduceAgg =

@@ -63,18 +63,29 @@ object Complex {
         .limit(10)),
 
     // Custom Generator (UDTF): tokenize fans out rows inside the scan
-    // stage; re-aggregate positions + boundary tokens per document.
-    "q66_tokenize_udtf" -> ((s, d) =>
-      t(s, d, "documents")
+    // stage; re-aggregate positions + boundary tokens per document. A
+    // zero-token document (e.g. whitespace-only text) emits no generator
+    // rows, so the aggregate is left-joined back to `documents` and
+    // count/chars coalesce to 0 — the doc row survives, matching the
+    // oracle (which emits len=0 / NULL boundary tokens for it).
+    "q66_tokenize_udtf" -> ((s, d) => {
+      val toks = t(s, d, "documents")
         .select(col("doc_id"),
           graft.functions.Tokenize.tokenize(col("text")).as(Seq("pos", "token")))
         .groupBy("doc_id")
         .agg(
-          count(lit(1)).as("n_tokens"),
+          count(lit(1)).as("tok_n"),
           min(expr("IF(pos = 0, token, NULL)")).as("first_token"),
           max(expr("struct(pos, token)")).getField("token").as("last_token"),
-          sum(length(col("token"))).as("token_chars"))
-        .orderBy("doc_id")),
+          sum(length(col("token"))).as("tok_chars"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(toks, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tok_n"), lit(0L)).as("n_tokens"),
+          col("first_token"), col("last_token"),
+          coalesce(col("tok_chars"), lit(0L)).as("token_chars"))
+        .orderBy("doc_id")
+    }),
 
     // SQL entry: CTE + HAVING + scalar subquery.
     "q60_cte_having" -> ((s, d) => sql(s, d,
@@ -144,8 +155,8 @@ object Complex {
         |  CAST(len(tokens) AS BIGINT) AS n_tokens,
         |  tokens[1] AS first_token,
         |  tokens[-1] AS last_token,
-        |  CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
-        |    AS token_chars
+        |  COALESCE(CAST(list_sum(list_transform(tokens, t -> length(t)))
+        |    AS BIGINT), 0) AS token_chars
         |FROM tok ORDER BY doc_id""".stripMargin,
 
     "q60_cte_having" ->

@@ -25,9 +25,17 @@ object Embeddings {
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
-      // int64 quantization: floor() is exact + engine-independent
+      // int64 quantization: floor() is exact + engine-independent.
+      // Exactness bound (ENFORCED): |x| <= 3 ⇒ |q| <= 3000 ⇒ over 64 dims
+      // dot <= 64·3000² = 5.76e8, so dot²·25 <= 8.3e18 < 2^63 and
+      // dotself_a·dotself_b·4 <= 1.33e18 < 2^63 — no silent wrap in the
+      // squared-threshold compare. Inputs beyond the bound fail loudly
+      // instead of flipping pair membership.
       .withColumn("qvec", expr(
-        "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT) + " +
+          "ifnull(CAST(assert_true(abs(x) <= 3.0D, " +
+          "'quantized cosine compare requires |x| <= 3 for int64 exactness') " +
+          "AS BIGINT), 0))"))
       .withColumn("dotself", dotq(col("qvec"), col("qvec")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

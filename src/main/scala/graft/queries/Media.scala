@@ -21,14 +21,18 @@ object Media {
         .orderBy("fmt")),
 
     // Full decode path (mapPartitions stub): deterministic features →
-    // relational aggregation. JVM-side decode → rows-only for the driver;
-    // MultimodalSpec asserts exact values.
+    // relational aggregation. The stub's checksum/brightness are pure
+    // integer math over the payload bytes, so the whole query IS
+    // DuckDB-expressible and hash-oracled. Brightness aggregates via
+    // floor-scaled int64 (per-doc double → one IEEE op → exact floor;
+    // int64 sum + integer DIV — no float-summation-order hazard).
     "q56_media_features" -> ((s, d) =>
       Multimodal.features(s, Tables.load(s, d, "documents")).toDF()
         .groupBy("fmt")
         .agg(
           count(lit(1)).as("cnt"),
-          round(avg("brightness"), 4).as("avg_brightness"),
+          expr("sum(CAST(floor(brightness * 10000) AS BIGINT)) DIV count(1)")
+            .as("avg_brightness_scaled"),
           countDistinct(col("checksum")).as("distinct_payloads"))
         .orderBy("fmt"))
   )
@@ -45,6 +49,28 @@ object Media {
         |    CAST(doc_id % 9 * 64 + 256 AS INTEGER) AS height,
         |    encode(text) AS payload
         |  FROM documents)
-        |GROUP BY fmt ORDER BY fmt""".stripMargin
+        |GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    // The DecoderStub re-expressed in DuckDB: text is ASCII in this
+    // corpus (verified octet_length == length), so char codes == payload
+    // bytes; checksum = left fold (acc*31 + byte) % 1e9+7, brightness =
+    // mean byte, floor-scaled ×10⁴ into int64 before any aggregation.
+    "q56_media_features" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |    CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(list_sum(list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(text) * 10000)
+        |           AS BIGINT)
+        |    END AS b_scaled
+        |  FROM documents)
+        |SELECT fmt, count(*) AS cnt,
+        |  CAST(sum(b_scaled) // count(*) AS BIGINT) AS avg_brightness_scaled,
+        |  count(DISTINCT checksum) AS distinct_payloads
+        |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin
   )
 }

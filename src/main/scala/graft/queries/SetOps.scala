@@ -97,12 +97,19 @@ object SetOps {
 
     // HLL sketch (approx_count_distinct) — the 100 TB-scale path. Checked
     // against DuckDB approx_count_distinct only for row shape (rows-only
-    // oracle omitted: sketch estimates are implementation-specific), but
-    // the relative error vs exact is asserted in SetOpsSpec.
+    // The HLL++ estimate itself is engine-specific, so the oracled output
+    // carries the EXACT distinct count plus an in-query proof that the
+    // sketch landed within 5% of it (rsd=0.01 ⇒ 5% = 5σ; integer-exact
+    // compare). DuckDB emits the same exact count and literal TRUE.
     "q32_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) * 20 <= col("exact_parts"))
+            .as("approx_within_5pct"))
         .orderBy("l_returnflag"))
   )
 
@@ -158,6 +165,12 @@ object SetOps {
         |count(DISTINCT l_partkey) AS distinct_parts,
         |count(DISTINCT l_suppkey) AS distinct_supps,
         |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q32_approx_distinct" ->
+      """SELECT l_returnflag,
+        |count(DISTINCT l_partkey) AS exact_parts,
+        |TRUE AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -64,6 +64,14 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId)
 
+  /** Idempotent per segment: a replayed commit (streaming epoch retry —
+    * Spark's StreamingWrite contract requires `commit(epochId)` to be
+    * replay-safe) finds the visible `seg_` dir already present and simply
+    * discards its tmp dir instead of failing or double-committing.
+    * Segment names are deterministic per (queryId, epochId, partitionId,
+    * segSeq) — the streaming queryId is the query's stable checkpoint id,
+    * so a post-restart replay regenerates the same names.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case PinotCommitMessage(tmps, _) =>
@@ -71,7 +79,10 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
           val src = Paths.get(tmp)
           val visible = src.resolveSibling(
             src.getFileName.toString.replaceFirst("^tmp_", "seg_"))
-          Files.move(src, visible)
+          if (Files.exists(visible)) PinotWriteUtil.deleteRecursively(src)
+          else if (Files.exists(src)) Files.move(src, visible)
+          else throw new PinotFormatException(
+            s"commit: neither $src nor $visible exists")
         }
       case other =>
         throw new PinotFormatException(s"Unexpected commit message: $other")
@@ -80,11 +91,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case PinotCommitMessage(tmps, _) =>
-        tmps.foreach(t => deleteRecursively(Paths.get(t)))
+        tmps.foreach(t => PinotWriteUtil.deleteRecursively(Paths.get(t)))
       case _ => ()
     }
+}
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+object PinotWriteUtil {
+  def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
@@ -157,6 +170,9 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     if (n == 0) return
     val suffix = f"${queryId}_$partitionId%05d_$segSeq%03d"
     val tmpDir = Paths.get(path, s"tmp_$suffix")
+    // a stale tmp dir with this deterministic name is a previous attempt
+    // of this same task (failed/speculative/epoch-replayed) — reclaim it
+    PinotWriteUtil.deleteRecursively(tmpDir)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
         case IntegerType =>
@@ -188,7 +204,12 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     PinotCommitMessage(flushed.toSeq, totalRows)
   }
 
-  override def abort(): Unit = ()
+  /** Failed/speculative tasks never reach driver-side commit, so their
+    * already-flushed tmp dirs must be reclaimed here or they leak forever
+    * (invisible to reads — discovery skips `tmp*` — but unbounded disk).
+    */
+  override def abort(): Unit =
+    flushed.foreach(t => PinotWriteUtil.deleteRecursively(Paths.get(t)))
 
   override def close(): Unit = ()
 }

@@ -53,4 +53,20 @@ class ArrayReduceAggSpec extends SparkTestBase {
     assert(rows(0).getSeq[Long](1).toList === List(1L, 2L))
     assert(rows(1).isNullAt(1))
   }
+
+  test("zero-length arrays are legal values, not uninitialized sentinels") {
+    import spark.implicits._
+    // aggregating genuinely empty arrays yields an empty array, not null
+    val d = Seq((1L, Array.empty[Long]), (1L, Array.empty[Long])).toDF("k", "v")
+    val r = d.groupBy("k").agg(arraySumAgg(col("v")).as("s")).head()
+    assert(!r.isNullAt(1))
+    assert(r.getSeq[Long](1).isEmpty)
+    // a 0-length vs n-length mix is ragged and must fail, not pass silently
+    val ragged = Seq((1L, Array.empty[Long]), (1L, Array(1L))).toDF("k", "v")
+    val e = intercept[Exception] {
+      ragged.groupBy("k").agg(arraySumAgg(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
 }

@@ -36,7 +36,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.getString(0)).toSeq === Seq("jpeg", "png", "webp"))
     assert(rows.map(_.getLong(1)).sum === docs.count())
     rows.foreach { r =>
-      assert(r.getDouble(2) > 0, "brightness should be positive for text bytes")
+      assert(r.getLong(2) > 0, "scaled brightness should be positive for text bytes")
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
@@ -89,6 +90,49 @@ class PinotWriteSpec extends SparkTestBase {
     assert(back.count() === 3)
     assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 2L, 3L))
+  }
+
+  test("replayed commit is idempotent; task abort reclaims tmp dirs") {
+    import graft.sources.pinot.{PinotCommitMessage, PinotBatchWrite, PinotDataWriter}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("pinot_idem")
+      .resolve("idem_OFFLINE")
+    Files.createDirectories(dir)
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    def writeTask(): PinotCommitMessage = {
+      val w = new PinotDataWriter(dir.toString, "idem", schema, "q1_e0", 0, 0L)
+      (0 until 10).foreach(i => w.write(
+        InternalRow(i.toLong, UTF8String.fromString(s"v$i"))))
+      w.commit().asInstanceOf[PinotCommitMessage]
+    }
+    val bw = new PinotBatchWrite(dir.toString, "idem", schema, "q1_e0")
+    val m1 = writeTask()
+    bw.commit(Array(m1))
+    // epoch replay: the task re-runs (same deterministic names), commit
+    // re-fires — must neither throw nor duplicate segments
+    val m2 = writeTask()
+    bw.commit(Array(m2))
+    val segs = Files.list(dir).iterator()
+    var segCount = 0
+    while (segs.hasNext) {
+      val p = segs.next().getFileName.toString
+      assert(!p.startsWith("tmp"), s"leaked tmp dir $p")
+      segCount += 1
+    }
+    assert(segCount === 1, "replayed epoch must not duplicate segments")
+    assert(spark.read.format("pinot").load(dir.toString).count() === 10)
+
+    // abort path: flushed tmp dirs of a failed task are deleted
+    val w3 = new PinotDataWriter(dir.toString, "idem", schema, "q2_e0", 1, 1L)
+    (0 until 5).foreach(i => w3.write(
+      InternalRow(i.toLong, UTF8String.fromString(s"x$i"))))
+    w3.commit() // flush to tmp, but never driver-commit
+    w3.abort()
+    assert(!Files.list(dir).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("tmp")), "abort leaked tmp")
   }
 
   test("unsupported column types fail cleanly") {
