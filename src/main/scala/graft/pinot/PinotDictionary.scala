@@ -19,6 +19,7 @@ object PinotDictionary {
   final case class Floats(values: Array[Float]) extends PinotDictionary { def size: Int = values.length }
   final case class Doubles(values: Array[Double]) extends PinotDictionary { def size: Int = values.length }
   final case class Strings(values: Array[String]) extends PinotDictionary { def size: Int = values.length }
+  final case class Bytes(values: Array[Array[Byte]]) extends PinotDictionary { def size: Int = values.length }
 
   val MagicMarker: Long = 0xDEADBEEFDEAFBEADL
 
@@ -57,9 +58,22 @@ object PinotDictionary {
           new String(raw, StandardCharsets.UTF_8)
         })
       case PinotType.PBytes =>
-        throw new PinotFormatException("BYTES dictionary not supported")
+        // Var-length entries, 4-byte BE length prefix — same frame as
+        // var-length strings but without the UTF-8 decode (payload may
+        // contain NULs, so fixed-length NUL-trimming is inapplicable).
+        // EXTENSION: the reference rejects BYTES (dictionary.rs:125-134).
+        Bytes(Array.fill(cardinality) {
+          val len = buf.getInt
+          val raw = new Array[Byte](len)
+          buf.get(raw)
+          raw
+        })
       case PinotType.PBoolean =>
-        throw new PinotFormatException("BOOLEAN dictionary not expected")
+        // Stored as INT 0/1 (how Apache Pinot models BOOLEAN internally).
+        Ints(Array.fill(cardinality)(buf.getInt))
+      case PinotType.PTimestamp =>
+        // Epoch millis as LONG (Apache Pinot's TIMESTAMP storage type).
+        Longs(Array.fill(cardinality)(buf.getLong))
     }
   }
 }

@@ -4,9 +4,12 @@ import org.apache.spark.sql.types._
 
 /** Pinot column data types (reference: pinot-segment/src/metadata.rs:7-29).
   *
-  * The reference's readable subset is INT/LONG/FLOAT/DOUBLE/STRING; BYTES and
-  * BOOLEAN are declared but unreadable there. We keep the full enum so the
-  * schema layer can reject them with a clear message, matching capability.
+  * The reference's readable subset is INT/LONG/FLOAT/DOUBLE/STRING; it
+  * declares BYTES/BOOLEAN but rejects them (dictionary.rs:125-134). We
+  * implement all three storage-extension types the way Apache Pinot itself
+  * models them: BOOLEAN stored as INT 0/1, TIMESTAMP stored as LONG epoch
+  * millis, BYTES as var-length byte arrays (length-prefixed dictionary
+  * entries, or RAW VarByteChunk V4 like strings).
   */
 sealed abstract class PinotType(val name: String) {
   /** Spark SQL equivalent (reference maps to Arrow in schema.rs:8-18). */
@@ -21,8 +24,10 @@ object PinotType {
   case object PString extends PinotType("STRING") { val sparkType: DataType = StringType }
   case object PBytes extends PinotType("BYTES") { val sparkType: DataType = BinaryType }
   case object PBoolean extends PinotType("BOOLEAN") { val sparkType: DataType = BooleanType }
+  case object PTimestamp extends PinotType("TIMESTAMP") { val sparkType: DataType = TimestampType }
 
-  val all: Seq[PinotType] = Seq(PInt, PLong, PFloat, PDouble, PString, PBytes, PBoolean)
+  val all: Seq[PinotType] =
+    Seq(PInt, PLong, PFloat, PDouble, PString, PBytes, PBoolean, PTimestamp)
 
   def fromString(s: String): PinotType =
     all.find(_.name == s).getOrElse(

@@ -123,6 +123,36 @@ final class SegmentReader private (
     val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllBytes()
     if (maxDocs < all.length) all.take(maxDocs) else all
   }
+
+  /** BOOLEAN column (stored as INT 0/1 dictionary — extension; the
+    * reference rejects BOOLEAN, dictionary.rs:125-134).
+    */
+  def readBooleanColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Boolean] = {
+    val cm = checkType(name, PinotType.PBoolean); requireDict(cm)
+    val PinotDictionary.Ints(dict) = dictionary(name): @unchecked
+    dictIds(name, maxDocs).map(dict(_) != 0)
+  }
+
+  /** TIMESTAMP column as epoch millis (stored as LONG dictionary). */
+  def readTimestampMillisColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Long] = {
+    val cm = checkType(name, PinotType.PTimestamp); requireDict(cm)
+    val PinotDictionary.Longs(dict) = dictionary(name): @unchecked
+    dictIds(name, maxDocs).map(dict(_))
+  }
+
+  /** BYTES column: dictionary-encoded (length-prefixed entries) or RAW
+    * VarByteChunk V4, exactly like STRING but without UTF-8 semantics.
+    */
+  def readBytesColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Byte]] = {
+    val cm = checkType(name, PinotType.PBytes)
+    if (cm.hasDictionary) {
+      val PinotDictionary.Bytes(dict) = dictionary(name): @unchecked
+      dictIds(name, maxDocs).map(dict(_))
+    } else {
+      val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllBytes()
+      if (maxDocs < all.length) all.take(maxDocs) else all
+    }
+  }
 }
 
 object SegmentReader {

@@ -33,6 +33,18 @@ object SegmentWriter {
       compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
       targetChunkSize: Int = 4096,
       withMagic: Boolean = true) extends ColumnData { def length: Int = values.length }
+  /** BOOLEAN, stored as INT 0/1 dictionary (storage-type extension —
+    * the reference rejects BOOLEAN, dictionary.rs:125-134).
+    */
+  final case class BoolCol(name: String, values: Array[Boolean]) extends ColumnData { def length: Int = values.length }
+  /** TIMESTAMP as epoch millis, stored as LONG dictionary. */
+  final case class TimestampCol(name: String, millis: Array[Long]) extends ColumnData { def length: Int = millis.length }
+  /** Dictionary-encoded BYTES: 4-byte-BE length-prefixed entries. */
+  final case class BytesDictCol(name: String, values: Array[Array[Byte]]) extends ColumnData { def length: Int = values.length }
+  /** RAW BYTES in VarByteChunk V4 (same container as RAW STRING). */
+  final case class BytesRawCol(name: String, values: Array[Array[Byte]],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
 
   private val Magic = PinotDictionary.MagicMarker
 
@@ -126,6 +138,32 @@ object SegmentWriter {
           writeVarByteV4(values.map(_.getBytes(StandardCharsets.UTF_8)),
             compression, targetChunkSize, withMagic))
         colProps(name, "STRING", values.distinct.length, 0, hasDict = false, 0)
+      case BoolCol(name, values) =>
+        val asInts = values.map(v => if (v) 1 else 0)
+        val distinct = asInts.distinct.sorted
+        writeDictEncoded(name, "BOOLEAN", asInts, distinct,
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putInt)), 0)
+      case TimestampCol(name, millis) =>
+        val distinct = millis.distinct.sorted
+        writeDictEncoded(name, "TIMESTAMP", millis, distinct,
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0)
+      case BytesDictCol(name, values) =>
+        // distinct+sort by unsigned lexicographic order via a string key
+        // (Array[Byte] has reference equality semantics in Scala)
+        val distinct = values.map(v => java.util.Base64.getEncoder.encodeToString(v) -> v)
+          .toMap.values.toArray
+          .sortWith((a, b) => java.util.Arrays.compareUnsigned(a, b) < 0)
+        val keyed = values.map(v => java.util.Base64.getEncoder.encodeToString(v))
+        val distinctKeys = distinct.map(v => java.util.Base64.getEncoder.encodeToString(v))
+        val dict = dictHeader(distinct.map(_.length + 4).sum) { b =>
+          distinct.foreach { e => b.putInt(e.length); b.put(e) }
+        }
+        writeDictEncoded(name, "BYTES", keyed, distinctKeys, dict, 0)
+      case BytesRawCol(name, values, compression, targetChunkSize) =>
+        addSection(name, "forward_index",
+          writeVarByteV4(values, compression, targetChunkSize, withMagic = true))
+        colProps(name, "BYTES", values.map(java.util.Arrays.hashCode).distinct.length,
+          0, hasDict = false, 0)
     }
 
     Files.write(v3.resolve("columns.psf"), psf.toByteArray)

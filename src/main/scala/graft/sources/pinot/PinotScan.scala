@@ -376,30 +376,52 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   /** Per projected column: a [[Dictionary]] over the decoded distinct
     * values and the per-doc id stream. Dict columns reuse Pinot's own
     * dictionary (decoded once — string entries to UTF-8 bytes once per
-    * DISTINCT value, not per row); RAW string columns expose their decoded
-    * byte values through an identity-id dictionary. Spark's ColumnVector
-    * then serves every read through `Dictionary.decodeTo*` with zero
-    * per-row copying in the scan.
+    * DISTINCT value, not per row); RAW string/bytes columns expose their
+    * decoded values through an identity-id dictionary. Spark's
+    * ColumnVector then serves every read through `Dictionary.decodeTo*`
+    * with zero per-row copying in the scan. BOOLEAN is the one direct-fill
+    * exception: Spark's `getBoolean` never consults a dictionary.
+    * TIMESTAMP converts millis→micros once at dictionary decode.
     */
-  private lazy val decoded: Array[(PinotType, Dictionary, Array[Int])] =
+  private sealed trait ColPlan { def sparkType: org.apache.spark.sql.types.DataType }
+  private final case class DictBacked(tpe: PinotType, dict: Dictionary,
+      ids: Array[Int]) extends ColPlan { def sparkType = tpe.sparkType }
+  private final case class BoolDirect(values: Array[Boolean]) extends ColPlan {
+    def sparkType = org.apache.spark.sql.types.BooleanType
+  }
+
+  private lazy val decoded: Array[ColPlan] =
     columns.map { name =>
       val cm = reader.metadata.column(name)
       if (cm.hasDictionary) {
-        val ids = reader.dictIds(name, totalDocs)
-        val dict = reader.dictionary(name) match {
-          case PinotDictionary.Ints(v) => ArrayDictionary.ofInts(v)
-          case PinotDictionary.Longs(v) => ArrayDictionary.ofLongs(v)
-          case PinotDictionary.Floats(v) => ArrayDictionary.ofFloats(v)
-          case PinotDictionary.Doubles(v) => ArrayDictionary.ofDoubles(v)
-          case PinotDictionary.Strings(v) =>
-            ArrayDictionary.ofBinary(v.map(
-              _.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        lazy val ids = reader.dictIds(name, totalDocs)
+        (reader.dictionary(name), cm.dataType) match {
+          case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
+            BoolDirect(ids.map(v(_) != 0))
+          case (PinotDictionary.Ints(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofInts(v), ids)
+          case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
+            DictBacked(cm.dataType,
+              ArrayDictionary.ofLongs(v.map(Math.multiplyExact(_, 1000L))), ids)
+          case (PinotDictionary.Longs(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofLongs(v), ids)
+          case (PinotDictionary.Floats(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofFloats(v), ids)
+          case (PinotDictionary.Doubles(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofDoubles(v), ids)
+          case (PinotDictionary.Strings(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofBinary(v.map(
+              _.getBytes(java.nio.charset.StandardCharsets.UTF_8))), ids)
+          case (PinotDictionary.Bytes(v), _) =>
+            DictBacked(cm.dataType, ArrayDictionary.ofBinary(v), ids)
         }
-        (cm.dataType, dict, ids)
       } else cm.dataType match {
         case PinotType.PString =>
           val values = reader.readRawStringBytes(name, totalDocs)
-          (PinotType.PString, ArrayDictionary.ofBinary(values), identityIds)
+          DictBacked(PinotType.PString, ArrayDictionary.ofBinary(values), identityIds)
+        case PinotType.PBytes =>
+          val values = reader.readBytesColumn(name, totalDocs)
+          DictBacked(PinotType.PBytes, ArrayDictionary.ofBinary(values), identityIds)
         case other => throw new graft.pinot.PinotFormatException(
           s"Unsupported RAW column type for scan: ${other.name}")
       }
@@ -408,9 +430,12 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   // Vectors and the batch are allocated ONCE and refilled per 8,192-row
   // window — only the int dict-ids move per batch (bulk System.arraycopy).
   private lazy val vectors: Array[OnHeapColumnVector] =
-    decoded.map { case (tpe, dict, _) =>
-      val v = new OnHeapColumnVector(BatchSize, tpe.sparkType)
-      v.setDictionary(dict)
+    decoded.map { plan =>
+      val v = new OnHeapColumnVector(BatchSize, plan.sparkType)
+      plan match {
+        case DictBacked(_, dict, _) => v.setDictionary(dict)
+        case _: BoolDirect => ()
+      }
       v
     }
   private lazy val batch: ColumnarBatch =
@@ -426,7 +451,14 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     if (columns.nonEmpty) {
       var c = 0
       while (c < decoded.length) {
-        vectors(c).reserveDictionaryIds(n).putInts(0, n, decoded(c)._3, pos)
+        decoded(c) match {
+          case DictBacked(_, _, ids) =>
+            vectors(c).reserveDictionaryIds(n).putInts(0, n, ids, pos)
+          case BoolDirect(values) =>
+            val vec = vectors(c)
+            var i = 0
+            while (i < n) { vec.putBoolean(i, values(pos + i)); i += 1 }
+        }
         c += 1
       }
     }

@@ -119,7 +119,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   // validate up front so the failure is a clean analysis-time error
   schema.fields.foreach { f =>
     f.dataType match {
-      case IntegerType | LongType | FloatType | DoubleType | StringType => ()
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           BooleanType | TimestampType | BinaryType => ()
       case other => throw new PinotFormatException(
         s"pinot write does not support column ${f.name}: ${other.simpleString}")
     }
@@ -157,6 +158,11 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         case FloatType => row.getFloat(i)
         case DoubleType => row.getDouble(i)
         case StringType => row.getUTF8String(i).toString
+        case BooleanType => row.getBoolean(i)
+        // Catalyst timestamps are epoch MICROS; Pinot stores millis —
+        // sub-millisecond precision truncates (documented storage grain)
+        case TimestampType => Math.floorDiv(row.getLong(i), 1000L)
+        case BinaryType => row.getBinary(i).clone()
         case other => throw new PinotFormatException(s"unsupported $other")
       })
       i += 1
@@ -190,6 +196,14 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
             SegmentWriter.StringRawCol(f.name, values,
               VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
           else SegmentWriter.StringDictCol(f.name, values)
+        case BooleanType =>
+          SegmentWriter.BoolCol(f.name, buffers(i).map(_.asInstanceOf[Boolean]).toArray)
+        case TimestampType =>
+          SegmentWriter.TimestampCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
+        case BinaryType =>
+          SegmentWriter.BytesRawCol(f.name,
+            buffers(i).map(_.asInstanceOf[Array[Byte]]).toArray,
+            VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
         case other => throw new PinotFormatException(s"unsupported $other")
       }
     }.toSeq

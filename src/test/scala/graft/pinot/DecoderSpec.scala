@@ -208,6 +208,35 @@ class DecoderSpec extends AnyFunSuite {
       Seq("hits", "atBats", "era", "salary", "teamID", "pos", "playerID"))
   }
 
+  test("BOOLEAN/TIMESTAMP/BYTES columns round-trip (storage-type extension)") {
+    val n = 500
+    val rnd = new scala.util.Random(7)
+    val bools = Array.fill(n)(rnd.nextBoolean())
+    val millis = Array.fill(n)(1700000000000L + rnd.nextInt(1000000).toLong)
+    val blobsD = Array.fill(n) {
+      val b = new Array[Byte](rnd.nextInt(4) + 1); rnd.nextBytes(b)
+      b(0) = (rnd.nextInt(3)).toByte // force duplicates + embedded NULs
+      b
+    }
+    val blobsR = Array.fill(n) {
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b); b
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg_ext")
+    SegmentWriter.write(dir, "t", "s", Seq(
+      SegmentWriter.BoolCol("b", bools),
+      SegmentWriter.TimestampCol("ts", millis),
+      SegmentWriter.BytesDictCol("bd", blobsD),
+      SegmentWriter.BytesRawCol("br", blobsR, VarByteChunkV4.Lz4LengthPrefixed, 512)))
+    val r = SegmentReader.open(dir)
+    assert(r.readBooleanColumn("b").toSeq === bools.toSeq)
+    assert(r.readTimestampMillisColumn("ts").toSeq === millis.toSeq)
+    assert(r.readBytesColumn("bd").map(_.toSeq).toSeq === blobsD.map(_.toSeq).toSeq)
+    assert(r.readBytesColumn("br").map(_.toSeq).toSeq === blobsR.map(_.toSeq).toSeq)
+    // limit pushdown caps decode for the new types too
+    assert(r.readBooleanColumn("b", 5).length === 5)
+    assert(r.readBytesColumn("bd", 5).length === 5)
+  }
+
   test("type mismatches and RAW numeric columns are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seg2")
     SegmentWriter.write(dir, "t", "s", Seq(
@@ -227,13 +256,12 @@ class DecoderSpec extends AnyFunSuite {
       .putLong(PinotDictionary.MagicMarker).array()
     intercept[Exception]( // BufferUnderflow surfaces, not silent zeroes
       PinotDictionary.read(truncated, PinotType.PLong, 4, 0))
-    // BYTES/BOOLEAN dictionaries unsupported (≙ dictionary.rs:125-134)
+    // BYTES/BOOLEAN dictionaries decode (extension beyond the reference,
+    // which rejects them — dictionary.rs:125-134); empty dicts are legal
     val okMagic = java.nio.ByteBuffer.allocate(8)
       .putLong(PinotDictionary.MagicMarker).array()
-    intercept[PinotFormatException](
-      PinotDictionary.read(okMagic, PinotType.PBytes, 0, 0))
-    intercept[PinotFormatException](
-      PinotDictionary.read(okMagic, PinotType.PBoolean, 0, 0))
+    assert(PinotDictionary.read(okMagic, PinotType.PBytes, 0, 0).size === 0)
+    assert(PinotDictionary.read(okMagic, PinotType.PBoolean, 0, 0).size === 0)
     // V4: unsupported compression code
     val v4 = java.nio.ByteBuffer.allocate(24)
     v4.putLong(0xCAFEBABEDEADBEEFL) // wrong magic → header misparse path

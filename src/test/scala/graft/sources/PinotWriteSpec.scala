@@ -92,6 +92,34 @@ class PinotWriteSpec extends SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("BOOLEAN/TIMESTAMP/BINARY columns round-trip through the DSv2") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write_ext")
+      .resolve("extTypes_OFFLINE").toString
+    val df = spark.range(0, 2000, 1, 2).select(
+      col("id").as("k"),
+      (col("id") % 3 === 0).as("flag"),
+      // ms-aligned timestamps: Pinot's storage grain is epoch millis
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000).as("ts"),
+      encode(concat(lit("blob"), col("id").cast("string")), "UTF-8").as("payload"))
+    df.write.format("pinot").mode("append").save(dir)
+
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString).toMap ===
+      Map("k" -> "bigint", "flag" -> "boolean", "ts" -> "timestamp",
+        "payload" -> "binary"))
+    val a = df.orderBy("k").collect().toSeq
+    val b = back.orderBy("k").select("k", "flag", "ts", "payload").collect().toSeq
+    assert(a.map(_.toSeq.map {
+      case x: Array[Byte] => x.toSeq; case x => x
+    }) === b.map(_.toSeq.map {
+      case x: Array[Byte] => x.toSeq; case x => x
+    }))
+    // filters/aggregates over the new types execute through the scan
+    assert(back.filter(col("flag")).count() ===
+      (0 until 2000).count(_ % 3 == 0))
+  }
+
   test("replayed commit is idempotent; task abort reclaims tmp dirs") {
     import graft.sources.pinot.{PinotCommitMessage, PinotBatchWrite, PinotDataWriter}
     import org.apache.spark.sql.catalyst.InternalRow
