@@ -15,7 +15,15 @@ final case class ColumnMetadata(
     bitsPerElement: Int,
     hasDictionary: Boolean,
     isSorted: Boolean,
-    lengthOfEachEntry: Int)
+    lengthOfEachEntry: Int,
+    /** Pinot's `isSingleValue` flag: false = multi-value (array) column —
+      * an EXTENSION; MV is a reference non-goal (README.md:310).
+      */
+    isSingleValue: Boolean = true,
+    /** Total flattened value count across docs for MV columns
+      * (`totalNumberOfEntries` in Pinot metadata); == totalDocs for SV.
+      */
+    totalEntries: Int = 0)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -83,7 +91,10 @@ object SegmentMetadata {
         bitsPerElement = prop("bitsPerElement").flatMap(_.toIntOption).getOrElse(0),
         hasDictionary = prop("hasDictionary").contains("true"),
         isSorted = prop("isSorted").contains("true"),
-        lengthOfEachEntry = prop("lengthOfEachEntry").flatMap(_.toIntOption).getOrElse(0))
+        lengthOfEachEntry = prop("lengthOfEachEntry").flatMap(_.toIntOption).getOrElse(0),
+        isSingleValue = !prop("isSingleValue").contains("false"),
+        totalEntries = prop("totalNumberOfEntries").flatMap(_.toIntOption)
+          .getOrElse(totalDocs))
     }
 
     SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))

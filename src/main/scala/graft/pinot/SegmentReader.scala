@@ -140,6 +140,62 @@ final class SegmentReader private (
     dictIds(name, maxDocs).map(dict(_))
   }
 
+  /** Multi-value forward index (EXTENSION — MV is a reference non-goal,
+    * README.md:310): 8-byte magic, i32 BE totalEntries, (totalDocs+1)
+    * i32 BE cumulative offsets, fixed-bit packed dict ids of every value.
+    * Returns (offsets[0..nDocs], flattened dict ids) with the decode
+    * capped at `maxDocs` documents (offsets are position-addressable, so
+    * a prefix read is exact — limit pushdown works for MV too).
+    */
+  def mvIndex(name: String, maxDocs: Int = Int.MaxValue): (Array[Int], Array[Int]) = {
+    val cm = metadata.column(name)
+    if (cm.isSingleValue)
+      throw new PinotFormatException(s"Column $name is single-value")
+    val raw = section(fwdLoc(name))
+    val b = java.nio.ByteBuffer.wrap(raw)
+    b.getLong // magic marker precedes the packed data, as in SV indexes
+    b.getInt // totalEntries (recoverable from offsets; kept for tooling)
+    val offsets = new Array[Int](cm.totalDocs + 1)
+    var i = 0
+    while (i <= cm.totalDocs) { offsets(i) = b.getInt; i += 1 }
+    val nDocs = math.min(cm.totalDocs, maxDocs)
+    val payload = java.util.Arrays.copyOfRange(raw, b.position(), raw.length)
+    val ids = new FixedBitReader(payload, cm.bitsPerElement, offsets(nDocs)).readAll()
+    (java.util.Arrays.copyOfRange(offsets, 0, nDocs + 1), ids)
+  }
+
+  private def mvColumn[T: scala.reflect.ClassTag](name: String, maxDocs: Int)(
+      lookup: Int => T): Array[Array[T]] = {
+    val (offsets, ids) = mvIndex(name, maxDocs)
+    Array.tabulate(offsets.length - 1) { d =>
+      Array.tabulate(offsets(d + 1) - offsets(d))(j => lookup(ids(offsets(d) + j)))
+    }
+  }
+
+  def readIntMVColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Int]] = {
+    checkType(name, PinotType.PInt)
+    val PinotDictionary.Ints(dict) = dictionary(name): @unchecked
+    mvColumn(name, maxDocs)(dict(_))
+  }
+
+  def readLongMVColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Long]] = {
+    checkType(name, PinotType.PLong)
+    val PinotDictionary.Longs(dict) = dictionary(name): @unchecked
+    mvColumn(name, maxDocs)(dict(_))
+  }
+
+  def readDoubleMVColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Double]] = {
+    checkType(name, PinotType.PDouble)
+    val PinotDictionary.Doubles(dict) = dictionary(name): @unchecked
+    mvColumn(name, maxDocs)(dict(_))
+  }
+
+  def readStringMVColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Array[String]] = {
+    checkType(name, PinotType.PString)
+    val PinotDictionary.Strings(dict) = dictionary(name): @unchecked
+    mvColumn(name, maxDocs)(dict(_))
+  }
+
   /** BYTES column: dictionary-encoded (length-prefixed entries) or RAW
     * VarByteChunk V4, exactly like STRING but without UTF-8 semantics.
     */

@@ -45,6 +45,15 @@ object SegmentWriter {
   final case class BytesRawCol(name: String, values: Array[Array[Byte]],
       compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
       targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
+  /** Multi-value (array) dictionary columns — EXTENSION (MV is a reference
+    * non-goal, README.md:310). Forward index layout: 8-byte magic,
+    * i32 BE totalEntries, (totalDocs+1) i32 BE cumulative offsets, then
+    * the fixed-bit packed dict ids of all values concatenated.
+    */
+  final case class IntMVCol(name: String, values: Array[Array[Int]]) extends ColumnData { def length: Int = values.length }
+  final case class LongMVCol(name: String, values: Array[Array[Long]]) extends ColumnData { def length: Int = values.length }
+  final case class DoubleMVCol(name: String, values: Array[Array[Double]]) extends ColumnData { def length: Int = values.length }
+  final case class StringMVCol(name: String, values: Array[Array[String]]) extends ColumnData { def length: Int = values.length }
 
   private val Magic = PinotDictionary.MagicMarker
 
@@ -74,13 +83,17 @@ object SegmentWriter {
     }
 
     def colProps(name: String, dataType: String, cardinality: Int, bits: Int,
-        hasDict: Boolean, lenEach: Int): Unit = {
+        hasDict: Boolean, lenEach: Int, isSingleValue: Boolean = true,
+        totalEntries: Int = -1): Unit = {
       props ++= s"column.$name.dataType=$dataType\n"
       props ++= s"column.$name.cardinality=$cardinality\n"
       props ++= s"column.$name.bitsPerElement=$bits\n"
       props ++= s"column.$name.hasDictionary=$hasDict\n"
       props ++= s"column.$name.isSorted=false\n"
       props ++= s"column.$name.lengthOfEachEntry=$lenEach\n"
+      props ++= s"column.$name.isSingleValue=$isSingleValue\n"
+      if (totalEntries >= 0)
+        props ++= s"column.$name.totalNumberOfEntries=$totalEntries\n"
     }
 
     def bitsFor(cardinality: Int): Int =
@@ -99,6 +112,26 @@ object SegmentWriter {
       fwd.write(FixedBitReader.pack(ids, bits))
       addSection(name, "forward_index", fwd.toByteArray)
       colProps(name, dataType, distinct.length, bits, hasDict = true, lenEach)
+    }
+
+    def writeMVDict[T](name: String, dataType: String, values: Array[Array[T]],
+        distinct: Array[T], dictBytes: Array[Byte]): Unit = {
+      val pos = distinct.zipWithIndex.toMap
+      val flat = values.flatMap(_.map(pos(_)))
+      val bits = bitsFor(distinct.length)
+      addSection(name, "dictionary", dictBytes)
+      val header = ByteBuffer.allocate(8 + 4 + 4 * (values.length + 1))
+      header.putLong(Magic)
+      header.putInt(flat.length)
+      var off = 0
+      header.putInt(0)
+      values.foreach { v => off += v.length; header.putInt(off) }
+      val fwd = new ByteArrayOutputStream()
+      fwd.write(header.array())
+      fwd.write(FixedBitReader.pack(flat, bits))
+      addSection(name, "forward_index", fwd.toByteArray)
+      colProps(name, dataType, distinct.length, bits, hasDict = true, 0,
+        isSingleValue = false, totalEntries = flat.length)
     }
 
     columns.foreach {
@@ -164,6 +197,25 @@ object SegmentWriter {
           writeVarByteV4(values, compression, targetChunkSize, withMagic = true))
         colProps(name, "BYTES", values.map(java.util.Arrays.hashCode).distinct.length,
           0, hasDict = false, 0)
+      case IntMVCol(name, values) =>
+        val distinct = values.flatten.distinct.sorted
+        writeMVDict(name, "INT", values, distinct,
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putInt)))
+      case LongMVCol(name, values) =>
+        val distinct = values.flatten.distinct.sorted
+        writeMVDict(name, "LONG", values, distinct,
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)))
+      case DoubleMVCol(name, values) =>
+        val distinct = values.flatten.distinct.sorted
+        writeMVDict(name, "DOUBLE", values, distinct,
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putDouble)))
+      case StringMVCol(name, values) =>
+        val distinct = values.flatten.distinct.sorted
+        val encoded = distinct.map(_.getBytes(StandardCharsets.UTF_8))
+        writeMVDict(name, "STRING", values, distinct,
+          dictHeader(encoded.map(_.length + 4).sum) { b =>
+            encoded.foreach { e => b.putInt(e.length); b.put(e) }
+          })
     }
 
     Files.write(v3.resolve("columns.psf"), psf.toByteArray)

@@ -55,6 +55,30 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** MV fixture: one row per order, lineitem numbers/flags as PAIRED
+    * multi-value columns (order preserved via a sorted struct collect, so
+    * `arrays_zip` downstream reconstructs the original rows exactly).
+    */
+  private def mvTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("lineitemMV_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_linenumber"),
+          col("l_returnflag")))).as("sorted"))
+        .select(
+          col("l_orderkey"),
+          expr("transform(sorted, x -> x.l_linenumber)").as("lines"),
+          expr("transform(sorted, x -> x.l_returnflag)").as("flags"))
+        .repartition(2)
+        .write.format("pinot").mode("append").save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
@@ -74,6 +98,19 @@ object PinotRoundtrip {
           sum(when(col("l_returned"), 1L).otherwise(0L)).as("returned_rows"),
           sum(octet_length(col("l_payload"))).as("payload_bytes"))
         .orderBy("l_returnflag")
+    }),
+
+    // Multi-value columns through the full write→segment→scan→explode
+    // path: zip the paired MV columns back to rows and re-aggregate; the
+    // oracle aggregates the original flat lineitem — any MV offset/id/
+    // dictionary corruption breaks value pairing and the hash.
+    "q70_pinot_mv_explode" -> ((s, d) => {
+      val mv = s.read.format("pinot").load(mvTable(s, d))
+      mv.select(explode(arrays_zip(col("lines"), col("flags"))).as("z"))
+        .select(col("z.lines").as("line"), col("z.flags").as("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("cnt"), sum("line").as("sum_line"))
+        .orderBy("flag")
     })
   )
 
@@ -98,6 +135,11 @@ object PinotRoundtrip {
         |  max(ship_ts_s) AS max_ship_ts,
         |  CAST(sum(returned) AS BIGINT) AS returned_rows,
         |  CAST(sum(pbytes) AS BIGINT) AS payload_bytes
-        |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q70_pinot_mv_explode" ->
+      """SELECT l_returnflag AS flag, count(*) AS cnt,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

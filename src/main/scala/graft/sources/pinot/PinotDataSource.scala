@@ -83,8 +83,13 @@ object PinotSegments {
     */
   def schemaFor(segments: Seq[Path]): StructType = {
     val meta = SegmentMetadata.fromFile(segments.head.resolve("metadata.properties"))
-    StructType(meta.columns.values.toSeq.map(c =>
-      StructField(c.name, c.dataType.sparkType, nullable = false)))
+    StructType(meta.columns.values.toSeq.map { c =>
+      val t =
+        if (c.isSingleValue) c.dataType.sparkType
+        else org.apache.spark.sql.types.ArrayType(c.dataType.sparkType,
+          containsNull = false) // MV extension: reference non-goal
+      StructField(c.name, t, nullable = false)
+    })
   }
 }
 

@@ -115,11 +115,12 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
 
   private def isDictNumeric(col: String): Boolean =
     firstSegmentMeta.exists { m =>
-      m.columns.get(col).exists(cm => cm.hasDictionary && (cm.dataType match {
-        case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
-             PinotType.PDouble => true
-        case _ => false
-      }))
+      m.columns.get(col).exists(cm => cm.hasDictionary && cm.isSingleValue &&
+        (cm.dataType match {
+          case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+               PinotType.PDouble => true
+          case _ => false
+        }))
     }
 
   override def build(): Scan = pushedAgg match {
@@ -348,6 +349,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     val cm = try reader.metadata.column(attr)
       catch { case _: Throwable => return true }
     if (!cm.hasDictionary) return true // RAW column: cannot prune
+    if (!cm.isSingleValue) return true // MV equality has array semantics
     val dict = reader.dictionary(attr)
     values.exists(v => dictContains(dict, v))
   }
@@ -389,11 +391,33 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   private final case class BoolDirect(values: Array[Boolean]) extends ColPlan {
     def sparkType = org.apache.spark.sql.types.BooleanType
   }
+  /** Multi-value column: array offsets + a dictionary-backed CHILD vector
+    * (only the flattened int ids move per batch, same as SV columns).
+    */
+  private final case class MVBacked(tpe: PinotType, dict: Dictionary,
+      ids: Array[Int], offsets: Array[Int]) extends ColPlan {
+    def sparkType =
+      org.apache.spark.sql.types.ArrayType(tpe.sparkType, containsNull = false)
+  }
 
   private lazy val decoded: Array[ColPlan] =
     columns.map { name =>
       val cm = reader.metadata.column(name)
-      if (cm.hasDictionary) {
+      if (!cm.isSingleValue) {
+        val (offsets, ids) = reader.mvIndex(name, totalDocs)
+        val dict = reader.dictionary(name) match {
+          case PinotDictionary.Ints(v) => ArrayDictionary.ofInts(v)
+          case PinotDictionary.Longs(v) => ArrayDictionary.ofLongs(v)
+          case PinotDictionary.Floats(v) => ArrayDictionary.ofFloats(v)
+          case PinotDictionary.Doubles(v) => ArrayDictionary.ofDoubles(v)
+          case PinotDictionary.Strings(v) =>
+            ArrayDictionary.ofBinary(v.map(
+              _.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case other => throw new graft.pinot.PinotFormatException(
+            s"Unsupported MV dictionary for $name: $other")
+        }
+        MVBacked(cm.dataType, dict, ids, offsets)
+      } else if (cm.hasDictionary) {
         lazy val ids = reader.dictIds(name, totalDocs)
         (reader.dictionary(name), cm.dataType) match {
           case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
@@ -434,6 +458,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       val v = new OnHeapColumnVector(BatchSize, plan.sparkType)
       plan match {
         case DictBacked(_, dict, _) => v.setDictionary(dict)
+        case MVBacked(_, dict, _, _) => v.arrayData().setDictionary(dict)
         case _: BoolDirect => ()
       }
       v
@@ -454,6 +479,18 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         decoded(c) match {
           case DictBacked(_, _, ids) =>
             vectors(c).reserveDictionaryIds(n).putInts(0, n, ids, pos)
+          case MVBacked(_, _, ids, offsets) =>
+            val vec = vectors(c)
+            val base = offsets(pos)
+            val entries = offsets(pos + n) - base
+            vec.arrayData().reserveDictionaryIds(entries)
+              .putInts(0, entries, ids, base)
+            var i = 0
+            while (i < n) {
+              vec.putArray(i, offsets(pos + i) - base,
+                offsets(pos + i + 1) - offsets(pos + i))
+              i += 1
+            }
           case BoolDirect(values) =>
             val vec = vectors(c)
             var i = 0

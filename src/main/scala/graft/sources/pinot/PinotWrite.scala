@@ -121,6 +121,10 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     f.dataType match {
       case IntegerType | LongType | FloatType | DoubleType | StringType |
            BooleanType | TimestampType | BinaryType => ()
+      // multi-value (array) columns — extension; reference non-goal.
+      // containsNull=true is accepted (Spark over-infers it); actual null
+      // ELEMENTS are rejected per row at write time.
+      case ArrayType(IntegerType | LongType | DoubleType | StringType, _) => ()
       case other => throw new PinotFormatException(
         s"pinot write does not support column ${f.name}: ${other.simpleString}")
     }
@@ -163,6 +167,22 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         // sub-millisecond precision truncates (documented storage grain)
         case TimestampType => Math.floorDiv(row.getLong(i), 1000L)
         case BinaryType => row.getBinary(i).clone()
+        case ArrayType(et, _) =>
+          val a = row.getArray(i)
+          var j = 0
+          while (j < a.numElements()) {
+            if (a.isNullAt(j)) throw new PinotFormatException(
+              s"pinot MV values are non-nullable; null element in ${schema.fields(i).name}")
+            j += 1
+          }
+          et match {
+            case IntegerType => a.toIntArray()
+            case LongType => a.toLongArray()
+            case DoubleType => a.toDoubleArray()
+            case StringType =>
+              Array.tabulate(a.numElements())(k => a.getUTF8String(k).toString)
+            case other => throw new PinotFormatException(s"unsupported array<$other>")
+          }
         case other => throw new PinotFormatException(s"unsupported $other")
       })
       i += 1
@@ -204,6 +224,18 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
           SegmentWriter.BytesRawCol(f.name,
             buffers(i).map(_.asInstanceOf[Array[Byte]]).toArray,
             VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
+        case ArrayType(IntegerType, _) =>
+          SegmentWriter.IntMVCol(f.name,
+            buffers(i).map(_.asInstanceOf[Array[Int]]).toArray)
+        case ArrayType(LongType, _) =>
+          SegmentWriter.LongMVCol(f.name,
+            buffers(i).map(_.asInstanceOf[Array[Long]]).toArray)
+        case ArrayType(DoubleType, _) =>
+          SegmentWriter.DoubleMVCol(f.name,
+            buffers(i).map(_.asInstanceOf[Array[Double]]).toArray)
+        case ArrayType(StringType, _) =>
+          SegmentWriter.StringMVCol(f.name,
+            buffers(i).map(_.asInstanceOf[Array[String]]).toArray)
         case other => throw new PinotFormatException(s"unsupported $other")
       }
     }.toSeq

@@ -237,6 +237,30 @@ class DecoderSpec extends AnyFunSuite {
     assert(r.readBytesColumn("bd", 5).length === 5)
   }
 
+  test("multi-value (array) columns round-trip, incl. empty arrays") {
+    val n = 300
+    val rnd = new scala.util.Random(11)
+    val ints = Array.fill(n)(Array.fill(rnd.nextInt(5))(rnd.nextInt(50)))
+    val longs = Array.fill(n)(Array.fill(rnd.nextInt(3))(rnd.nextLong() % 1000))
+    val strs = Array.fill(n)(Array.fill(rnd.nextInt(4))(s"tag${rnd.nextInt(20)}"))
+    ints(0) = Array.empty; strs(1) = Array.empty // explicit empty-array docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg_mv")
+    SegmentWriter.write(dir, "t", "s", Seq(
+      SegmentWriter.IntMVCol("mi", ints),
+      SegmentWriter.LongMVCol("ml", longs),
+      SegmentWriter.StringMVCol("ms", strs)))
+    val r = SegmentReader.open(dir)
+    assert(r.metadata.column("mi").isSingleValue === false)
+    assert(r.metadata.column("mi").totalEntries === ints.map(_.length).sum)
+    assert(r.readIntMVColumn("mi").map(_.toSeq).toSeq === ints.map(_.toSeq).toSeq)
+    assert(r.readLongMVColumn("ml").map(_.toSeq).toSeq === longs.map(_.toSeq).toSeq)
+    assert(r.readStringMVColumn("ms").map(_.toSeq).toSeq === strs.map(_.toSeq).toSeq)
+    // limit pushdown caps the MV decode at the doc grain
+    val (off, ids) = r.mvIndex("mi", 7)
+    assert(off.length === 8)
+    assert(ids.length === off(7))
+  }
+
   test("type mismatches and RAW numeric columns are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seg2")
     SegmentWriter.write(dir, "t", "s", Seq(
