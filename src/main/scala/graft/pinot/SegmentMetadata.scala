@@ -23,7 +23,13 @@ final case class ColumnMetadata(
     /** Total flattened value count across docs for MV columns
       * (`totalNumberOfEntries` in Pinot metadata); == totalDocs for SV.
       */
-    totalEntries: Int = 0)
+    totalEntries: Int = 0,
+    /** Pinot's per-column `minValue`/`maxValue` metadata (stringly-typed
+      * as on disk; absent when the writer could not record them safely).
+      * Drives segment-level range pruning without touching column data.
+      */
+    minValue: Option[String] = None,
+    maxValue: Option[String] = None)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -94,7 +100,9 @@ object SegmentMetadata {
         lengthOfEachEntry = prop("lengthOfEachEntry").flatMap(_.toIntOption).getOrElse(0),
         isSingleValue = !prop("isSingleValue").contains("false"),
         totalEntries = prop("totalNumberOfEntries").flatMap(_.toIntOption)
-          .getOrElse(totalDocs))
+          .getOrElse(totalDocs),
+        minValue = prop("minValue"),
+        maxValue = prop("maxValue"))
     }
 
     SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))

@@ -84,23 +84,45 @@ object SegmentWriter {
 
     def colProps(name: String, dataType: String, cardinality: Int, bits: Int,
         hasDict: Boolean, lenEach: Int, isSingleValue: Boolean = true,
-        totalEntries: Int = -1): Unit = {
+        totalEntries: Int = -1, isSorted: Boolean = false,
+        minValue: Option[String] = None, maxValue: Option[String] = None): Unit = {
       props ++= s"column.$name.dataType=$dataType\n"
       props ++= s"column.$name.cardinality=$cardinality\n"
       props ++= s"column.$name.bitsPerElement=$bits\n"
       props ++= s"column.$name.hasDictionary=$hasDict\n"
-      props ++= s"column.$name.isSorted=false\n"
+      props ++= s"column.$name.isSorted=$isSorted\n"
       props ++= s"column.$name.lengthOfEachEntry=$lenEach\n"
       props ++= s"column.$name.isSingleValue=$isSingleValue\n"
       if (totalEntries >= 0)
         props ++= s"column.$name.totalNumberOfEntries=$totalEntries\n"
+      // only values that survive the java-properties line format verbatim
+      // (no escapes needed) are recorded — pruning treats absence as
+      // "unknown", so skipping unsafe values is always correct
+      def safe(v: String): Boolean =
+        v.nonEmpty && v.length <= 256 && v.forall(c =>
+          c >= 0x20 && c < 0x7f && c != '\\' && c != '=' && c != '#')
+      minValue.filter(safe).foreach(v => props ++= s"column.$name.minValue=$v\n")
+      maxValue.filter(safe).foreach(v => props ++= s"column.$name.maxValue=$v\n")
     }
 
     def bitsFor(cardinality: Int): Int =
       math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(cardinality - 1, 1)))
 
+    // values non-decreasing in doc order → isSorted (Pinot records this;
+    // the scan can then treat the whole segment as range-ordered)
+    def sortedAsc[T](values: Array[T])(implicit ord: Ordering[T]): Boolean = {
+      var i = 1
+      while (i < values.length) {
+        if (ord.lt(values(i), values(i - 1))) return false
+        i += 1
+      }
+      true
+    }
+
     def writeDictEncoded[T](name: String, dataType: String, values: Array[T],
-        distinct: Array[T], dictBytes: Array[Byte], lenEach: Int): Unit = {
+        distinct: Array[T], dictBytes: Array[Byte], lenEach: Int,
+        isSorted: Boolean = false, minValue: Option[String] = None,
+        maxValue: Option[String] = None): Unit = {
       val ids = {
         val pos = distinct.zipWithIndex.toMap
         values.map(pos(_))
@@ -111,7 +133,8 @@ object SegmentWriter {
       fwd.write(beLong(Magic))
       fwd.write(FixedBitReader.pack(ids, bits))
       addSection(name, "forward_index", fwd.toByteArray)
-      colProps(name, dataType, distinct.length, bits, hasDict = true, lenEach)
+      colProps(name, dataType, distinct.length, bits, hasDict = true, lenEach,
+        isSorted = isSorted, minValue = minValue, maxValue = maxValue)
     }
 
     def writeMVDict[T](name: String, dataType: String, values: Array[Array[T]],
@@ -134,43 +157,64 @@ object SegmentWriter {
         isSingleValue = false, totalEntries = flat.length)
     }
 
+    // string min/max only when every distinct value is ASCII — there the
+    // UTF-16 sort order used for the dictionary coincides with Spark's
+    // UTF8String byte order, so pruning comparisons stay sound
+    def asciiMinMax(distinct: Array[String]): (Option[String], Option[String]) =
+      if (distinct.nonEmpty && distinct.forall(_.forall(c => c >= 0x20 && c < 0x7f)))
+        (Some(distinct.head), Some(distinct.last))
+      else (None, None)
+
     columns.foreach {
       case IntCol(name, values) =>
         val distinct = values.distinct.sorted
         writeDictEncoded(name, "INT", values, distinct,
-          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putInt)), 0)
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putInt)), 0,
+          sortedAsc(values), distinct.headOption.map(_.toString),
+          distinct.lastOption.map(_.toString))
       case LongCol(name, values) =>
         val distinct = values.distinct.sorted
         writeDictEncoded(name, "LONG", values, distinct,
-          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0)
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0,
+          sortedAsc(values), distinct.headOption.map(_.toString),
+          distinct.lastOption.map(_.toString))
       case FloatCol(name, values) =>
         val distinct = values.distinct.sorted
         writeDictEncoded(name, "FLOAT", values, distinct,
-          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putFloat)), 0)
+          dictHeader(distinct.length * 4)(b => distinct.foreach(b.putFloat)), 0,
+          sortedAsc(values), distinct.headOption.map(_.toString),
+          distinct.lastOption.map(_.toString))
       case DoubleCol(name, values) =>
         val distinct = values.distinct.sorted
         writeDictEncoded(name, "DOUBLE", values, distinct,
-          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putDouble)), 0)
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putDouble)), 0,
+          sortedAsc(values), distinct.headOption.map(_.toString),
+          distinct.lastOption.map(_.toString))
       case StringDictCol(name, values, fixedLength) =>
         val distinct = values.distinct.sorted
         val encoded = distinct.map(_.getBytes(StandardCharsets.UTF_8))
+        val (mn, mx) = asciiMinMax(distinct)
         if (fixedLength) {
           val lenEach = math.max(encoded.map(_.length).max, 1)
           val dict = dictHeader(distinct.length * lenEach) { b =>
             encoded.foreach { e => b.put(e); b.put(new Array[Byte](lenEach - e.length)) }
           }
-          writeDictEncoded(name, "STRING", values, distinct, dict, lenEach)
+          writeDictEncoded(name, "STRING", values, distinct, dict, lenEach,
+            sortedAsc(values), mn, mx)
         } else {
           val dict = dictHeader(encoded.map(_.length + 4).sum) { b =>
             encoded.foreach { e => b.putInt(e.length); b.put(e) }
           }
-          writeDictEncoded(name, "STRING", values, distinct, dict, 0)
+          writeDictEncoded(name, "STRING", values, distinct, dict, 0,
+            sortedAsc(values), mn, mx)
         }
       case StringRawCol(name, values, compression, targetChunkSize, withMagic) =>
         addSection(name, "forward_index",
           writeVarByteV4(values.map(_.getBytes(StandardCharsets.UTF_8)),
             compression, targetChunkSize, withMagic))
-        colProps(name, "STRING", values.distinct.length, 0, hasDict = false, 0)
+        val (mn, mx) = asciiMinMax(values.distinct.sorted)
+        colProps(name, "STRING", values.distinct.length, 0, hasDict = false, 0,
+          isSorted = sortedAsc(values), minValue = mn, maxValue = mx)
       case BoolCol(name, values) =>
         val asInts = values.map(v => if (v) 1 else 0)
         val distinct = asInts.distinct.sorted
@@ -179,7 +223,9 @@ object SegmentWriter {
       case TimestampCol(name, millis) =>
         val distinct = millis.distinct.sorted
         writeDictEncoded(name, "TIMESTAMP", millis, distinct,
-          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0)
+          dictHeader(distinct.length * 8)(b => distinct.foreach(b.putLong)), 0,
+          sortedAsc(millis), distinct.headOption.map(_.toString),
+          distinct.lastOption.map(_.toString))
       case BytesDictCol(name, values) =>
         // distinct+sort by unsigned lexicographic order via a string key
         // (Array[Byte] has reference equality semantics in Scala)

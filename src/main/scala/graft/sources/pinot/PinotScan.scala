@@ -4,7 +4,7 @@ import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
@@ -38,17 +38,21 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (pushedAgg.isEmpty) projected = requiredSchema
 
-  /** Equality/IN filters are accepted as ADVISORY: each partition consults
-    * the segment's per-column dictionary and skips the whole segment when
-    * the value cannot occur (Pinot-style segment pruning; an extension
-    * beyond the reference, which ignores filters — table.rs:162). Every
-    * filter is also returned as residual, so Spark still evaluates it —
-    * pruning can only skip, never change results.
+  /** Equality/IN/range filters are accepted as ADVISORY: each partition
+    * consults the segment's per-column dictionary (equality/IN) and its
+    * metadata `minValue`/`maxValue` (ranges — extends A4's dictionary
+    * pruning with the min/max the writer records, ≙ the `isSorted`/range
+    * metadata the reference parses and drops, metadata.rs:166-168) and
+    * skips the whole segment when no row can match. Every filter is also
+    * returned as residual, so Spark still evaluates it — pruning can only
+    * skip, never change results.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     skipFilters = filters.filter {
       case _: EqualTo | _: In => true
+      case _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual => true
       case _ => false
     }
     filters // all residual: engine-side FilterExec remains authoritative
@@ -340,9 +344,57 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     * decoding any forward index (dictionaries are tiny vs columns).
     */
   private lazy val segmentCanMatch: Boolean = skipFilters.forall {
-    case EqualTo(attr, value) => dictMayContain(attr, Seq(value))
+    case EqualTo(attr, value) =>
+      dictMayContain(attr, Seq(value)) &&
+        rangeOpen(attr, maxSide = true, value, strict = false) && // max >= v
+        rangeOpen(attr, maxSide = false, value, strict = false) // min <= v
     case In(attr, values) => dictMayContain(attr, values.toSeq)
+    case GreaterThan(attr, value) =>
+      rangeOpen(attr, maxSide = true, value, strict = true)
+    case GreaterThanOrEqual(attr, value) =>
+      rangeOpen(attr, maxSide = true, value, strict = false)
+    case LessThan(attr, value) =>
+      rangeOpen(attr, maxSide = false, value, strict = true)
+    case LessThanOrEqual(attr, value) =>
+      rangeOpen(attr, maxSide = false, value, strict = false)
     case _ => true
+  }
+
+  /** `col > v` can match only if segment max > v (maxSide), `col < v`
+    * only if segment min < v. Unknown metadata or unsupported types →
+    * never prune. Comparisons are exact (BigDecimal for numerics; string
+    * compare is sound because recorded min/max are ASCII-only).
+    */
+  private def rangeOpen(attr: String, maxSide: Boolean, value: Any,
+      strict: Boolean): Boolean = {
+    val cm = try reader.metadata.column(attr)
+      catch { case _: Throwable => return true }
+    if (!cm.isSingleValue) return true
+    val bound = if (maxSide) cm.maxValue else cm.minValue
+    bound match {
+      case Some(b) => cmp(b, value) match {
+        case Some(c) =>
+          if (maxSide) { if (strict) c > 0 else c >= 0 }
+          else { if (strict) c < 0 else c <= 0 }
+        case None => true
+      }
+      case None => true
+    }
+  }
+
+  /** Compare a metadata bound (string form) against a pushed filter value.
+    * Some(sign) when comparable; None → cannot prune on this filter.
+    */
+  private def cmp(bound: String, value: Any): Option[Int] = value match {
+    case x: Int => bound.toIntOption.map(Integer.compare(_, x))
+    case x: Long => bound.toLongOption.map(java.lang.Long.compare(_, x))
+    case x: Float =>
+      bound.toFloatOption.map(java.lang.Float.compare(_, x))
+    case x: Double =>
+      bound.toDoubleOption.map(java.lang.Double.compare(_, x))
+    case x: String => Some(bound.compareTo(x))
+    case x: UTF8String => Some(bound.compareTo(x.toString))
+    case _ => None
   }
 
   private def dictMayContain(attr: String, values: Seq[Any]): Boolean = {

@@ -161,11 +161,19 @@ class PinotSourceSpec extends SparkTestBase {
 
   test("dictionary pruning skips segments that cannot match an equality") {
     import org.apache.spark.sql.sources.{EqualTo, In}
-    // playerID is RAW (no dictionary) → cannot prune
+    // playerID is RAW (no dictionary) → no dictionary pruning; a value
+    // inside the recorded [min,max] range must keep the segment even
+    // though it is absent from the data (only Spark's residual filter
+    // may reject it)
     val raw = new graft.sources.pinot.PinotColumnarReader(
       s"$tablePath/seg0/v3", Array("hits"),
+      Array(EqualTo("playerID", "player00000a")), None)
+    assert(raw.next(), "RAW equality within [min,max] must not prune")
+    // ... while a value outside the range prunes even on a RAW column
+    val rawOut = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
       Array(EqualTo("playerID", "nobody")), None)
-    assert(raw.next(), "RAW column filters must not prune")
+    assert(!rawOut.next(), "RAW equality outside [min,max] prunes")
     // teamID is dict-encoded; a value outside the dictionary prunes all
     val pruned = new graft.sources.pinot.PinotColumnarReader(
       s"$tablePath/seg0/v3", Array("hits"),
@@ -184,6 +192,42 @@ class PinotSourceSpec extends SparkTestBase {
       .filter(col("teamID") === teamID(0))
     val expected = teamID.count(_ == teamID(0))
     assert(one.count() === expected)
+  }
+
+  test("min/max range pruning skips segments without decoding") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, GreaterThanOrEqual}
+    // hits ∈ [0, 262]: a range above the max prunes the whole segment
+    val pruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(GreaterThan("hits", 1000)), None)
+    assert(!pruned.next(), "segment above-max range should be skipped")
+    val prunedLow = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(LessThan("hits", hits.slice(0, n / 3).min)), None)
+    assert(!prunedLow.next(), "segment below-min range should be skipped")
+    // a satisfiable range keeps the segment
+    val kept = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(GreaterThanOrEqual("hits", hits.slice(0, n / 3).max)), None)
+    assert(kept.next())
+    // equality outside [min,max] prunes even when the value parses
+    val eqPruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(org.apache.spark.sql.sources.EqualTo("hits", -5)), None)
+    assert(!eqPruned.next())
+    // string ranges prune too (ASCII min/max recorded by the writer)
+    val strPruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tablePath/seg0/v3", Array("hits"),
+      Array(GreaterThan("teamID", "ZZZ")), None)
+    assert(!strPruned.next())
+    // end-to-end: q08-shape range filter through the source stays correct
+    // (filters remain residual — pruning can only skip, never change rows)
+    val df = spark.read.format("pinot").load(tablePath)
+      .filter(col("hits") > 100 && col("hits") <= 200)
+    assert(df.count() === hits.count(h => h > 100 && h <= 200))
+    val none = spark.read.format("pinot").load(tablePath)
+      .filter(col("hits") > 1000)
+    assert(none.count() === 0)
   }
 
   test("scan reports row-count statistics from segment metadata") {
