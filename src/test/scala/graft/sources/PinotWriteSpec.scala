@@ -124,7 +124,10 @@ class PinotWriteSpec extends SparkTestBase {
     import spark.implicits._
     val dir = Files.createTempDirectory("pinot_write_mv")
       .resolve("mvTypes_OFFLINE").toString
-    val df = spark.range(0, 1000, 1, 2).select(
+    // 10k docs × ~4 entries: flattened entries cross the 8192 batch size
+    // several times over (regression: child vectors must be reserved to
+    // the batch's ENTRY count, not the doc count)
+    val df = spark.range(0, 10000, 1, 2).select(
       col("id").as("k"),
       sequence(lit(0), (col("id") % 4).cast("int")).as("nums"),
       array(concat(lit("t"), (col("id") % 10).cast("string")),
@@ -144,8 +147,8 @@ class PinotWriteSpec extends SparkTestBase {
     // explode over the segment-backed array column
     val exploded = back.select(explode(col("nums")).as("v"))
       .groupBy().agg(count(lit(1)).as("c"), sum("v").as("s")).head()
-    val expectC = (0 until 1000).map(i => i % 4 + 1).sum
-    val expectS = (0 until 1000).map(i => (0 to i % 4).sum).sum
+    val expectC = (0 until 10000).map(i => i % 4 + 1).sum
+    val expectS = (0 until 10000).map(i => (0 to i % 4).sum).sum
     assert(exploded.getLong(0) === expectC)
     assert(exploded.getLong(1) === expectS)
   }
