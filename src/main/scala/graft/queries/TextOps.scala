@@ -65,11 +65,11 @@ object TextOps {
     //    global-order window.
     "q41_dedup_ngram_jaccard" -> ((s, d) => {
       val sh0 = shingles(s, d)
-      val tau = docs(s, d).agg(
-        expr("greatest(CAST(50 AS BIGINT), count(1) DIV 10)").as("tau"))
+      // threshold resolved up front (a parquet-stats count, one tiny job)
+      // so the main plan filters on a literal — no scalar join node
+      val tau = math.max(50L, docs(s, d).count() / 10)
       val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(tau))
-        .filter(col("df") <= col("tau"))
+        .filter(col("df") <= lit(tau))
         .withColumn("sid", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("shingle")))
         .select("shingle", "sid")

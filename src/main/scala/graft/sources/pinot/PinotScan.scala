@@ -137,9 +137,62 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = projected
+
+  /** Segment-aligned partition column: a projected dict SV column whose
+    * metadata records min == max in EVERY segment — i.e. each segment
+    * holds exactly one value of it (how key-partitioned ingest lands).
+    * Reported as [[KeyGroupedPartitioning]] so an equi-join of two such
+    * tables on that column becomes a storage-partitioned join with NO
+    * Exchange on either side. Detection is metadata-only and cached per
+    * segment path.
+    */
+  private lazy val partitionInfo: Option[(String, Array[Any])] = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    if (metas.isEmpty || metas.exists(_ == null)) None
+    else {
+      val candidates = metas.head.columns.values.toSeq.filter { cm =>
+        cm.hasDictionary && cm.isSingleValue &&
+          projected.fieldNames.contains(cm.name) &&
+          (cm.dataType match {
+            case PinotType.PInt | PinotType.PLong | PinotType.PString => true
+            case _ => false
+          })
+      }
+      candidates.view.flatMap { cm =>
+        val perSeg = metas.map { m =>
+          m.columns.get(cm.name).filter(c =>
+            c.minValue.isDefined && c.minValue == c.maxValue)
+            .flatMap(c => typedKey(cm.dataType, c.minValue.get))
+        }
+        if (perSeg.forall(_.isDefined))
+          Some(cm.name -> perSeg.map(_.get).toArray)
+        else None
+      }.headOption
+    }
+  }
+
+  private def typedKey(tpe: PinotType, v: String): Option[Any] = tpe match {
+    case PinotType.PInt => v.toIntOption
+    case PinotType.PLong => v.toLongOption
+    case PinotType.PString => Some(UTF8String.fromString(v))
+    case _ => None
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    partitionInfo match {
+      case Some((col, _)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
+          segmentPaths.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          segmentPaths.length)
+    }
 
   /** Row counts come free from segment metadata (`segment.total.docs`) —
     * feeds Catalyst's CBO (e.g. auto-broadcast decisions) without
@@ -166,7 +219,16 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"limit=${limit.getOrElse(-1)})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    segmentPaths.map(p => PinotInputPartition(p): InputPartition).toArray
+    partitionInfo match {
+      case Some((_, keys)) =>
+        segmentPaths.zip(keys).map { case (p, k) =>
+          PinotKeyedPartition(p,
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array(k))): InputPartition
+        }.toArray
+      case None =>
+        segmentPaths.map(p => PinotInputPartition(p): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PinotReaderFactory(projected.fieldNames, skipFilters, limit)
@@ -296,20 +358,40 @@ object PinotScan {
   // never invalidates; new segments arrive under new paths.
   private val docCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def segmentDocs(path: String): Long =
-    docCache.computeIfAbsent(path, p => {
+  def segmentDocs(path: String): Long = {
+    val m = segmentMeta(path)
+    if (m == null) 0L else m.totalDocs.toLong
+  }
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pinot.SegmentMetadata]()
+  private val MetaMiss: graft.pinot.SegmentMetadata = null
+
+  /** Parsed metadata.properties per segment path (immutable → cacheable);
+    * null when unreadable.
+    */
+  def segmentMeta(path: String): graft.pinot.SegmentMetadata =
+    metaCache.computeIfAbsent(path, p => {
       try {
         val dir = java.nio.file.Paths.get(p)
         val root =
           if (java.nio.file.Files.exists(dir.resolve("metadata.properties"))) dir
           else dir.resolve("v3")
         graft.pinot.SegmentMetadata.fromFile(root.resolve("metadata.properties"))
-          .totalDocs.toLong
-      } catch { case _: Throwable => 0L }
-    }).longValue()
+      } catch { case _: Throwable => MetaMiss }
+    })
 }
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition
+
+/** One segment holding exactly one partition-key value — feeds Spark's
+  * storage-partitioned join (HasPartitionKey).
+  */
+case class PinotKeyedPartition(segmentPath: String,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
 
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int]) extends PartitionReaderFactory {
@@ -320,7 +402,11 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     throw new UnsupportedOperationException("columnar-only reader")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val path = partition.asInstanceOf[PinotInputPartition].segmentPath
+    val path = partition match {
+      case PinotInputPartition(p) => p
+      case PinotKeyedPartition(p, _) => p
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
     new PinotColumnarReader(path, columns, skipFilters, limit)
   }
 }

@@ -230,6 +230,62 @@ class PinotSourceSpec extends SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no Exchange") {
+    import graft.pinot.SegmentWriter
+    val root = Files.createTempDirectory("pinot_spj")
+    val rnd2 = new scala.util.Random(5)
+    // two tables, both with one segment per region_id value 0..3
+    def writeTable(table: String, rows: Int, valCol: String): Unit = {
+      val dir = root.resolve(s"${table}_OFFLINE")
+      (0 until 4).foreach { r =>
+        SegmentWriter.write(dir.resolve(s"seg$r"), table, s"seg$r", Seq(
+          SegmentWriter.IntCol("region_id", Array.fill(rows)(r)),
+          SegmentWriter.IntCol(valCol, Array.fill(rows)(rnd2.nextInt(100)))))
+      }
+    }
+    writeTable("facts", 800, "amount")
+    writeTable("dims", 200, "weight")
+
+    val conf = spark.conf
+    val prevBucketing = conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.read.format("pinot").load(s"$root/facts_OFFLINE")
+      val dims = spark.read.format("pinot").load(s"$root/dims_OFFLINE")
+      val joined = facts.join(dims, "region_id")
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("cnt"), sum("amount").as("sa"), sum("weight").as("sw"))
+      val plan = joined.queryExecution.executedPlan
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.inputPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val joinShuffles = {
+        // find the join node, count exchanges BELOW it (the final groupBy
+        // may still shuffle above — the claim is about the join inputs)
+        val join = allNodes(plan).find(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        join.toSeq.flatMap(allNodes).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      }
+      assert(joinShuffles === 0,
+        s"expected storage-partitioned join with no Exchange below the join:\n$plan")
+      // correctness: 4 regions, each 800×200 joined rows
+      val rows = joined.orderBy("region_id").collect()
+      assert(rows.length === 4)
+      assert(rows.forall(_.getLong(1) === 800L * 200))
+    } finally {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("scan reports row-count statistics from segment metadata") {
     val scan = new graft.sources.pinot.PinotScan(
       Seq(s"$tablePath/seg0/v3", s"$tablePath/seg1/v3", s"$tablePath/seg2/v3"),
