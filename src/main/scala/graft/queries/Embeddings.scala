@@ -41,6 +41,13 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-dup pairs by cosine >= 0.4, decided as 25*dot^2 >= 4*na*nb in
     // int64 (0.4^2 = 4/25) — no float threshold can flip a pair.
+    //
+    // ⚠️ ALL-PAIRS O(n²) JOIN — CORRECTNESS BASELINE ONLY. This shape
+    // exists to hash-oracle the exact pair set at test scale; it does NOT
+    // survive a large corpus (n² row blowup). Production near-dup at
+    // 100 TB goes through the bucketed scale paths: q48 (IVF), q49
+    // (MinHash+LSH), q50 (SimHash), each spec-verified for recall against
+    // this exact baseline. Do not copy this query for large n.
     "q46_cosine_pairs" -> ((s, d) => {
       val e = emb(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
