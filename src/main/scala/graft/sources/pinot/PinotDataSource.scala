@@ -106,10 +106,10 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PinotScanBuilder(segmentPaths, tableSchema)
+    new PinotScanBuilder(segmentPaths, tableSchema, tableDir)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

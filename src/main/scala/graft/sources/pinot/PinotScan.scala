@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * executors, the design parallelizes linearly — no driver-side
   * materialization anywhere.
   */
-class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
+class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
+    tableDir: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -131,16 +132,31 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType)
     case Some(agg) =>
       new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema)
     case None =>
-      new PinotScan(segmentPaths, projected, skipFilters, limit)
+      new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir)
   }
 }
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
-    skipFilters: Array[Filter], limit: Option[Int])
+    skipFilters: Array[Filter], limit: Option[Int],
+    tableDir: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
   override def readSchema(): StructType = projected
+
+  /** Streaming read: tail the table directory for newly-committed
+    * segments — each micro-batch processes exactly the segments that
+    * appeared since the last offset (segments are immutable, so a
+    * segment list IS a consistent offset). This is how a _REALTIME
+    * table's ingest is consumed incrementally; the reference is
+    * batch-only.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val dir = tableDir.getOrElse(throw new graft.pinot.PinotFormatException(
+      "streaming read requires a table directory path"))
+    new PinotMicroBatchStream(dir, projected.fieldNames, skipFilters, limit)
+  }
 
   /** Segment-aligned partition column: a projected dict SV column whose
     * metadata records min == max in EVERY segment — i.e. each segment
