@@ -35,11 +35,20 @@ class PinotDataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("pinot source requires a path"))
+    // identity partitionBy columns flow to the writer: each flush splits
+    // rows by key so every segment holds exactly ONE key value — which
+    // the read side detects (min==max metadata) and reports as
+    // KeyGroupedPartitioning, making downstream equi-joins shuffle-free
+    val partCols = partitioning.toSeq.collect {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+    }
     // existing segments win (their stored schema is authoritative); a
     // fresh directory becomes a write-only table with the query's schema
-    try PinotSegmentTable.open(path)
+    try PinotSegmentTable.open(path, partCols)
     catch { case _: PinotFormatException if schema != null =>
-      PinotSegmentTable.forWrite(path, schema)
+      PinotSegmentTable.forWrite(path, schema, partCols)
     }
   }
 
@@ -98,12 +107,17 @@ object PinotSegments {
   * beyond the read-only reference.
   */
 class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
-    tableSchema: StructType, tableDir: Option[String] = None)
+    tableSchema: StructType, tableDir: Option[String] = None,
+    partitionCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform
+    ).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
@@ -116,7 +130,8 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val dir = tableDir.getOrElse(throw new PinotFormatException(
       s"Table $tableName has no directory to write to"))
-    new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId())
+    new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
+      partitionCols)
   }
 }
 
@@ -131,24 +146,27 @@ object PinotSegmentTable {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, PinotSegmentTable)]()
 
-  def open(path: String): PinotSegmentTable = {
+  def open(path: String, partitionCols: Seq[String] = Seq.empty): PinotSegmentTable = {
     val mtime =
       try Files.getLastModifiedTime(Paths.get(path)).toMillis
       catch { case _: Throwable => -1L }
-    val cached = cache.get(path)
+    val key = if (partitionCols.isEmpty) path
+      else s"$path#${partitionCols.mkString(",")}"
+    val cached = cache.get(key)
     if (cached != null && cached._1 == mtime) return cached._2
     val segs = PinotSegments.discover(path)
     val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
     val table = new PinotSegmentTable(meta.tableName, segs.map(_.toString),
-      PinotSegments.schemaFor(segs), Some(path))
-    cache.put(path, (mtime, table))
+      PinotSegments.schemaFor(segs), Some(path), partitionCols)
+    cache.put(key, (mtime, table))
     table
   }
 
   /** A not-yet-existing table: write-only until the first commit. */
-  def forWrite(path: String, schema: StructType): PinotSegmentTable = {
+  def forWrite(path: String, schema: StructType,
+      partitionCols: Seq[String] = Seq.empty): PinotSegmentTable = {
     val name = Paths.get(path).getFileName.toString
       .stripSuffix("_OFFLINE").stripSuffix("_REALTIME")
-    new PinotSegmentTable(name, Seq.empty, schema, Some(path))
+    new PinotSegmentTable(name, Seq.empty, schema, Some(path), partitionCols)
   }
 }

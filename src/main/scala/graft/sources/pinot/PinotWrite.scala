@@ -25,11 +25,11 @@ import org.apache.spark.sql.types._
   * output is never read and abort simply deletes.
   */
 class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
-    queryId: String) extends WriteBuilder {
+    queryId: String, partitionCols: Seq[String] = Seq.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
-      schema, queryId)
+      schema, queryId, partitionCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path)
@@ -59,10 +59,10 @@ case class PinotCommitMessage(tmpDirs: Seq[String], rows: Long)
     extends WriterCommitMessage
 
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
-    queryId: String) extends BatchWrite {
+    queryId: String, partitionCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PinotWriterFactory(path, tableName, schema, queryId)
+    new PinotWriterFactory(path, tableName, schema, queryId, partitionCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -114,7 +114,8 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+    queryId: String, partitionCols: Seq[String] = Seq.empty)
+    extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
   schema.fields.foreach { f =>
@@ -131,11 +132,13 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   }
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId)
+    new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
+      partitionCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long,
+    partitionCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
@@ -194,54 +197,57 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
   private def flush(): Unit = {
     val n = buffers.headOption.map(_.length).getOrElse(0)
     if (n == 0) return
+    if (partitionCols.isEmpty) writeSegment(0 until n)
+    else {
+      // partitionBy: one segment per key value in this flush window — the
+      // segment's min==max metadata then drives storage-partitioned joins
+      // on the read side (callers co-locate keys with df.repartition(key))
+      val keyIdx = partitionCols.map(schema.fieldIndex)
+      (0 until n).groupBy(r => keyIdx.map(ci => buffers(ci)(r)).mkString(" "))
+        .toSeq.sortBy(_._1)
+        .foreach { case (_, rows) => writeSegment(rows) }
+    }
+    buffers.foreach(_.clear())
+  }
+
+  private def writeSegment(rows: Seq[Int]): Unit = {
     val suffix = f"${queryId}_$partitionId%05d_$segSeq%03d"
     val tmpDir = Paths.get(path, s"tmp_$suffix")
     // a stale tmp dir with this deterministic name is a previous attempt
     // of this same task (failed/speculative/epoch-replayed) — reclaim it
     PinotWriteUtil.deleteRecursively(tmpDir)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      def vals[T]: Seq[T] = rows.map(r => buffers(i)(r).asInstanceOf[T])
       f.dataType match {
-        case IntegerType =>
-          SegmentWriter.IntCol(f.name, buffers(i).map(_.asInstanceOf[Int]).toArray)
-        case LongType =>
-          SegmentWriter.LongCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
-        case FloatType =>
-          SegmentWriter.FloatCol(f.name, buffers(i).map(_.asInstanceOf[Float]).toArray)
-        case DoubleType =>
-          SegmentWriter.DoubleCol(f.name, buffers(i).map(_.asInstanceOf[Double]).toArray)
+        case IntegerType => SegmentWriter.IntCol(f.name, vals[Int].toArray)
+        case LongType => SegmentWriter.LongCol(f.name, vals[Long].toArray)
+        case FloatType => SegmentWriter.FloatCol(f.name, vals[Float].toArray)
+        case DoubleType => SegmentWriter.DoubleCol(f.name, vals[Double].toArray)
         case StringType =>
-          val values = buffers(i).map(_.asInstanceOf[String]).toArray
+          val values = vals[String].toArray
           // high-cardinality strings → RAW+LZ4; low-cardinality → dict
           if (values.distinct.length * 2 > values.length)
             SegmentWriter.StringRawCol(f.name, values,
               VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
           else SegmentWriter.StringDictCol(f.name, values)
-        case BooleanType =>
-          SegmentWriter.BoolCol(f.name, buffers(i).map(_.asInstanceOf[Boolean]).toArray)
-        case TimestampType =>
-          SegmentWriter.TimestampCol(f.name, buffers(i).map(_.asInstanceOf[Long]).toArray)
+        case BooleanType => SegmentWriter.BoolCol(f.name, vals[Boolean].toArray)
+        case TimestampType => SegmentWriter.TimestampCol(f.name, vals[Long].toArray)
         case BinaryType =>
-          SegmentWriter.BytesRawCol(f.name,
-            buffers(i).map(_.asInstanceOf[Array[Byte]]).toArray,
+          SegmentWriter.BytesRawCol(f.name, vals[Array[Byte]].toArray,
             VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
         case ArrayType(IntegerType, _) =>
-          SegmentWriter.IntMVCol(f.name,
-            buffers(i).map(_.asInstanceOf[Array[Int]]).toArray)
+          SegmentWriter.IntMVCol(f.name, vals[Array[Int]].toArray)
         case ArrayType(LongType, _) =>
-          SegmentWriter.LongMVCol(f.name,
-            buffers(i).map(_.asInstanceOf[Array[Long]]).toArray)
+          SegmentWriter.LongMVCol(f.name, vals[Array[Long]].toArray)
         case ArrayType(DoubleType, _) =>
-          SegmentWriter.DoubleMVCol(f.name,
-            buffers(i).map(_.asInstanceOf[Array[Double]]).toArray)
+          SegmentWriter.DoubleMVCol(f.name, vals[Array[Double]].toArray)
         case ArrayType(StringType, _) =>
-          SegmentWriter.StringMVCol(f.name,
-            buffers(i).map(_.asInstanceOf[Array[String]]).toArray)
+          SegmentWriter.StringMVCol(f.name, vals[Array[String]].toArray)
         case other => throw new PinotFormatException(s"unsupported $other")
       }
     }.toSeq
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols)
     flushed += tmpDir.toString
-    buffers.foreach(_.clear())
     segSeq += 1
   }
 

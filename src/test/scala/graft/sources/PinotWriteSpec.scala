@@ -196,6 +196,52 @@ class PinotWriteSpec extends SparkTestBase {
       .exists(_.getFileName.toString.startsWith("tmp")), "abort leaked tmp")
   }
 
+  test("partitionBy write yields key-pure segments that drive SPJ reads") {
+    import org.apache.spark.sql.execution.SparkPlan
+    val root = Files.createTempDirectory("pinot_pb")
+    def writeTable(table: String, rows: Int, valCol: String): String = {
+      val dir = root.resolve(s"${table}_OFFLINE").toString
+      spark.range(0, rows, 1, 2).select(
+        (col("id") % 4).cast("int").as("region_id"),
+        (col("id") % 97).cast("int").as(valCol))
+        .repartition(col("region_id"))
+        .write.format("pinot").partitionBy("region_id").mode("append").save(dir)
+      dir
+    }
+    val factsDir = writeTable("pbfacts", 4000, "amount")
+    val dimsDir = writeTable("pbdims", 800, "weight")
+
+    val conf = spark.conf
+    val prevBucketing = conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.read.format("pinot").load(factsDir)
+        .join(spark.read.format("pinot").load(dimsDir), "region_id")
+        .groupBy("region_id").agg(count(lit(1)).as("cnt"))
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.inputPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val join = allNodes(joined.queryExecution.executedPlan).find(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      val shufflesBelowJoin = join.toSeq.flatMap(allNodes).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(shufflesBelowJoin === 0,
+        s"written-partitioned tables should SPJ:\n${joined.queryExecution.executedPlan}")
+      val rows = joined.orderBy("region_id").collect()
+      assert(rows.length === 4)
+      assert(rows.forall(_.getLong(1) === 1000L * 200))
+    } finally {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("unsupported column types fail cleanly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pinot_write3")
