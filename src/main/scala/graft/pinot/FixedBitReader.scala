@@ -41,13 +41,28 @@ final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int, numValues: In
     * accumulator — same result as per-doc `get`, ~bitsPerValue× fewer
     * byte loads than the reference's per-doc loop, fixed_bit.rs:106-112).
     */
-  def readAll(): Array[Int] = {
-    val out = new Array[Int](numValues)
+  def readAll(): Array[Int] = readRange(0, numValues)
+
+  /** Decode dict ids for docs [start, start + count) only — values are
+    * position-addressable (doc d begins at bit d·bits), so a sub-range
+    * decode touches just its own bytes. Powers sorted-column range scans.
+    */
+  def readRange(start: Int, count: Int): Array[Int] = {
+    require(start >= 0 && count >= 0 && start + count <= numValues,
+      s"range [$start, ${start + count}) out of [0, $numValues)")
+    val out = new Array[Int](count)
+    val startBit = start.toLong * bitsPerValue
+    var byteIdx = (startBit / 8).toInt
     var acc = 0L       // bit accumulator, most-recent bits in the low end
     var accBits = 0    // number of valid bits in acc
-    var byteIdx = 0
+    val skewBits = (startBit % 8).toInt
+    if (skewBits > 0) { // preload the partial leading byte
+      acc = buffer(byteIdx) & ((1L << (8 - skewBits)) - 1)
+      accBits = 8 - skewBits
+      byteIdx += 1
+    }
     var i = 0
-    while (i < numValues) {
+    while (i < count) {
       while (accBits < bitsPerValue) {
         acc = (acc << 8) | (buffer(byteIdx) & 0xFFL)
         accBits += 8

@@ -61,12 +61,32 @@ final class SegmentReader private (
     */
   def dictIds(name: String, maxDocs: Int = Int.MaxValue): Array[Int] = {
     val cm = metadata.column(name)
+    val n = math.min(cm.totalDocs, maxDocs)
+    dictIdsRange(name, 0, n)
+  }
+
+  /** Dict ids for docs [start, start + count) — a positional sub-range
+    * read (fixed-bit values are position-addressable). Powers
+    * sorted-column range scans: only the matching slice decodes.
+    */
+  def dictIdsRange(name: String, start: Int, count: Int): Array[Int] = {
+    val cm = metadata.column(name)
     val raw = section(fwdLoc(name))
     if (raw.length < 8)
       throw new PinotFormatException("Forward index too small to contain magic marker")
     val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
-    val n = math.min(cm.totalDocs, maxDocs)
-    new FixedBitReader(payload, cm.bitsPerElement, n).readAll()
+    new FixedBitReader(payload, cm.bitsPerElement, cm.totalDocs)
+      .readRange(start, count)
+  }
+
+  /** RAW STRING/BYTES values for docs [start, start + count) — only the
+    * VarByteChunk chunks overlapping the range are decompressed.
+    */
+  def rawValuesRange(name: String, start: Int, count: Int): Array[Array[Byte]] = {
+    val cm = metadata.column(name)
+    require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
+    new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs)
+      .readRangeBytes(start, count)
   }
 
   private def requireDict(cm: ColumnMetadata): Unit =

@@ -111,6 +111,51 @@ final class VarByteChunkV4(section: Array[Byte], totalDocs: Int) {
   def readAllStrings(): Array[String] =
     readAllBytes().map(new String(_, StandardCharsets.UTF_8))
 
+  /** Decode docs [start, start + count) only, decompressing just the
+    * chunks that overlap the range (chunk located by binary search over
+    * the doc-id offsets). Powers sorted-column range scans: a time-range
+    * query over a sorted segment touches a contiguous slice of chunks.
+    */
+  def readRangeBytes(start: Int, count: Int): Array[Array[Byte]] = {
+    if (count == 0) return Array.empty
+    var lo = 0
+    var hi = numEntries - 1
+    var found = -1
+    while (lo <= hi && found < 0) {
+      val mid = (lo + hi) >>> 1
+      val (docOff, _, _) = entry(mid)
+      if (docOff < start) lo = mid + 1
+      else if (docOff > start) hi = mid - 1
+      else found = mid
+    }
+    var ci = if (found >= 0) found else math.max(lo - 1, 0)
+    val out = new Array[Array[Byte]](count)
+    var filled = 0
+    while (filled < count && ci < numEntries) {
+      val (docIdOffset, huge, _) = entry(ci)
+      val chunk = decompressed(ci)
+      if (huge) {
+        if (docIdOffset >= start) { out(filled) = chunk; filled += 1 }
+      } else {
+        val b = ByteBuffer.wrap(chunk).order(ByteOrder.LITTLE_ENDIAN)
+        val numDocs = b.getInt(0)
+        var d = math.max(0, start - docIdOffset)
+        while (d < numDocs && filled < count) {
+          val valueOff = b.getInt(4 + d * 4)
+          val valueEnd = if (d == numDocs - 1) chunk.length else b.getInt(4 + (d + 1) * 4)
+          out(filled) = java.util.Arrays.copyOfRange(chunk, valueOff, valueEnd)
+          filled += 1
+          d += 1
+        }
+      }
+      ci += 1
+    }
+    if (filled != count)
+      throw new PinotFormatException(
+        s"range [$start, ${start + count}) exceeds the stored doc count")
+    out
+  }
+
   /** Random access for one doc (binary search over chunk metadata,
     * ≙ var_byte.rs:95-123 + get_bytes).
     */

@@ -519,8 +519,99 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       case _ => true // unexpected type pairing: never prune on a guess
     }
 
-  private lazy val totalDocs: Int = {
+  /** Sub-segment range for SORTED columns (extension; the reference
+    * parses `isSorted` and drops it, metadata.rs:166-168): when a pushed
+    * range/equality filter targets a sorted numeric dict column, binary
+    * search bounds the matching doc interval and ONLY that slice of every
+    * projected column decodes (fixed-bit ids and VarByte chunks are both
+    * position-addressable). Always a superset of the matching rows —
+    * Spark's residual filter stays authoritative.
+    */
+  private lazy val docRange: (Int, Int) = {
     val n = if (segmentCanMatch) reader.totalDocs else 0
+    if (n == 0) (0, 0)
+    else {
+      val hasMV = columns.exists { c =>
+        try !reader.metadata.column(c).isSingleValue
+        catch { case _: Throwable => false }
+      }
+      val sortedCol =
+        if (hasMV || skipFilters.isEmpty) None
+        else skipFilters.iterator.flatMap(filterAttr).distinct.find { c =>
+          val cm = try reader.metadata.column(c) catch { case _: Throwable => null }
+          cm != null && cm.isSorted && cm.hasDictionary && cm.isSingleValue &&
+            (cm.dataType match {
+              case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+                   PinotType.PDouble => true
+              case _ => false
+            })
+        }
+      sortedCol.fold((0, n))(sortedDocRange)
+    }
+  }
+
+  private def filterAttr(f: Filter): Option[String] = f match {
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case EqualTo(a, _) => Some(a)
+    case _ => None
+  }
+
+  private def sortedDocRange(c: String): (Int, Int) = {
+    val n = reader.totalDocs
+    val ids = reader.dictIds(c) // bit-unpack only; dictionary is tiny
+    val dict = reader.dictionary(c)
+    // ±0.0 compares equal (Spark semantics); NaN == NaN and sorts last —
+    // both match the writer's total order, keeping the predicate monotone
+    def valCmp(doc: Int, v: Any): Option[Int] = (dict, v) match {
+      case (PinotDictionary.Ints(d), x: Int) =>
+        Some(Integer.compare(d(ids(doc)), x))
+      case (PinotDictionary.Longs(d), x: Long) =>
+        Some(java.lang.Long.compare(d(ids(doc)), x))
+      case (PinotDictionary.Floats(d), x: Float) =>
+        val a = d(ids(doc))
+        Some(if (a == x) 0 else java.lang.Float.compare(a, x))
+      case (PinotDictionary.Doubles(d), x: Double) =>
+        val a = d(ids(doc))
+        Some(if (a == x) 0 else java.lang.Double.compare(a, x))
+      case _ => None
+    }
+    // first doc where the monotone predicate flips false→true
+    def firstWhere(p: Int => Boolean): Int = {
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (p(mid)) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    var lo = 0
+    var hi = n
+    def comparable(v: Any): Boolean = valCmp(0, v).isDefined
+    skipFilters.foreach {
+      case GreaterThan(a, v) if a == c && comparable(v) =>
+        lo = math.max(lo, firstWhere(d => valCmp(d, v).exists(_ > 0)))
+      case GreaterThanOrEqual(a, v) if a == c && comparable(v) =>
+        lo = math.max(lo, firstWhere(d => valCmp(d, v).exists(_ >= 0)))
+      case EqualTo(a, v) if a == c && comparable(v) =>
+        lo = math.max(lo, firstWhere(d => valCmp(d, v).exists(_ >= 0)))
+        hi = math.min(hi, firstWhere(d => valCmp(d, v).exists(_ > 0)))
+      case LessThan(a, v) if a == c && comparable(v) =>
+        hi = math.min(hi, firstWhere(d => valCmp(d, v).exists(_ >= 0)))
+      case LessThanOrEqual(a, v) if a == c && comparable(v) =>
+        hi = math.min(hi, firstWhere(d => valCmp(d, v).exists(_ > 0)))
+      case _ => ()
+    }
+    if (lo >= hi) (0, 0) else (lo, hi)
+  }
+
+  private lazy val docStart: Int = docRange._1
+
+  private lazy val totalDocs: Int = {
+    val n = docRange._2 - docRange._1
     limit.fold(n)(math.min(n, _)) // per-partition limit cap
   }
 
@@ -558,6 +649,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     columns.map { name =>
       val cm = reader.metadata.column(name)
       if (!cm.isSingleValue) {
+        // MV columns disable sorted sub-ranging (docRange is full there)
         val (offsets, ids) = reader.mvIndex(name, totalDocs)
         val dict = reader.dictionary(name) match {
           case PinotDictionary.Ints(v) => ArrayDictionary.ofInts(v)
@@ -572,7 +664,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         }
         MVBacked(cm.dataType, dict, ids, offsets)
       } else if (cm.hasDictionary) {
-        lazy val ids = reader.dictIds(name, totalDocs)
+        lazy val ids = reader.dictIdsRange(name, docStart, totalDocs)
         (reader.dictionary(name), cm.dataType) match {
           case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
             BoolDirect(ids.map(v(_) != 0))
@@ -594,12 +686,9 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             DictBacked(cm.dataType, ArrayDictionary.ofBinary(v), ids)
         }
       } else cm.dataType match {
-        case PinotType.PString =>
-          val values = reader.readRawStringBytes(name, totalDocs)
-          DictBacked(PinotType.PString, ArrayDictionary.ofBinary(values), identityIds)
-        case PinotType.PBytes =>
-          val values = reader.readBytesColumn(name, totalDocs)
-          DictBacked(PinotType.PBytes, ArrayDictionary.ofBinary(values), identityIds)
+        case PinotType.PString | PinotType.PBytes =>
+          val values = reader.rawValuesRange(name, docStart, totalDocs)
+          DictBacked(cm.dataType, ArrayDictionary.ofBinary(values), identityIds)
         case other => throw new graft.pinot.PinotFormatException(
           s"Unsupported RAW column type for scan: ${other.name}")
       }

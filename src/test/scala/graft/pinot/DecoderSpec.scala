@@ -237,6 +237,43 @@ class DecoderSpec extends AnyFunSuite {
     assert(r.readBytesColumn("bd", 5).length === 5)
   }
 
+  test("fixed-bit readRange matches readAll slice for every width (property)") {
+    val rnd = new scala.util.Random(3)
+    for (bits <- 1 to 31) {
+      val n = 200 + rnd.nextInt(100)
+      val max = if (bits == 31) Int.MaxValue else (1 << bits)
+      val values = Array.fill(n)(rnd.nextInt(max))
+      val packed = FixedBitReader.pack(values, bits)
+      val r = new FixedBitReader(packed, bits, n)
+      val all = r.readAll()
+      assert(all.toSeq === values.toSeq)
+      for (_ <- 1 to 5) {
+        val s = rnd.nextInt(n)
+        val c = rnd.nextInt(n - s + 1)
+        assert(r.readRange(s, c).toSeq === all.slice(s, s + c).toSeq,
+          s"bits=$bits start=$s count=$c")
+      }
+    }
+  }
+
+  test("VarByteV4 readRangeBytes matches full decode slice (multi-chunk + huge)") {
+    val rnd = new scala.util.Random(9)
+    val values = Array.tabulate(500) { i =>
+      if (i % 97 == 0) Array.fill(3000)((i % 251).toByte) // huge chunk path
+      else Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+    }
+    val section = SegmentWriter.writeVarByteV4(values,
+      VarByteChunkV4.Lz4LengthPrefixed, 1024, withMagic = true)
+    val v4 = new VarByteChunkV4(section, values.length)
+    val all = v4.readAllBytes()
+    for (_ <- 1 to 20) {
+      val s = rnd.nextInt(values.length)
+      val c = rnd.nextInt(values.length - s + 1)
+      assert(v4.readRangeBytes(s, c).map(_.toSeq).toSeq ===
+        all.slice(s, s + c).map(_.toSeq).toSeq, s"start=$s count=$c")
+    }
+  }
+
   test("multi-value (array) columns round-trip, incl. empty arrays") {
     val n = 300
     val rnd = new scala.util.Random(11)
