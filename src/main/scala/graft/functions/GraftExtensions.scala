@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Tokenize(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleGen].getName, "shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingles(text) takes exactly 1 argument")
+        ShingleGen(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("array_sum_agg"),
       new ExpressionInfo(classOf[ArrayLongReduceAgg].getName, "array_sum_agg"),
       (args: Seq[Expression]) => {

@@ -59,6 +59,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Seq((0, "ab"), (1, "cd"), (2, "!"), (3, "7"), (4, "x")))
   }
 
+  test("shingles UDTF callable via SQL LATERAL VIEW, distinct 3-grams") {
+    spark.sql("SELECT 'a b c d a b c d e' AS s").createOrReplaceTempView("sh")
+    val rows = spark.sql(
+      """SELECT t.shingle FROM sh
+        |LATERAL VIEW shingles(s) t AS shingle""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a b c", "b c d", "c d a", "d a b", "c d e"))
+  }
+
   test("dot_q type errors are analysis-time failures") {
     val e = intercept[Exception](
       spark.sql("SELECT dot_q(array('a'), array('b'))").collect())
