@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the sketch-dedup hot loops. Each replaces an
+  * interpreted `transform`/`aggregate` lambda chain that ran per ROW with
+  * one expression call whose inner loop is plain JVM code — the same
+  * interpreted-HOF fix that took the q46 dot product from 49 s to 3 s
+  * (see [[LongDotProduct]]).
+  */
+
+/** `minhash_perms(s)` — the 64-permutation MinHash row for one shingle:
+  * perm i = xxhash64 of (s, i) (same two-argument fold Spark's own
+  * `xxhash64(s, i)` computes: bytes at seed 42, then the int), so the
+  * signature family is identical to the declarative original.
+  */
+case class MinHashPerms(child: Expression, numPerms: Int = 64)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_perms requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    val out = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) { out(i) = XXH64.hashInt(i, h0); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashPerms =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_perms"
+}
+
+/** `simhash_contrib(h, c)` — the weighted ±c 64-bit contribution vector of
+  * one (token-hash, count) row: element j = c · (2·((h≫j)&1) − 1).
+  */
+case class SimHashContrib(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_contrib requires (bigint, bigint), got $other")
+    }
+
+  override def nullSafeEval(h0: Any, c0: Any): Any = {
+    val h = h0.asInstanceOf[Long]
+    val c = c0.asInstanceOf[Long]
+    val out = new Array[Long](64)
+    var j = 0
+    while (j < 64) { out(j) = c * (2L * ((h >>> j) & 1L) - 1L); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SimHashContrib = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "simhash_contrib"
+}
+
+/** `sign_bits(tally)` — fold a 64-element tally into the SimHash long:
+  * bit j set iff tally(j) > 0.
+  */
+case class SignBitsToLong(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bits requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), 64)
+    var acc = 0L
+    var j = 0
+    while (j < n) { if (a.getLong(j) > 0) acc |= (1L << j); j += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitsToLong =
+    copy(child = newChild)
+  override def prettyName: String = "sign_bits"
+}
+
+object SketchExprs {
+  def minhashPerms(c: Column, n: Int = 64): Column =
+    GraftSqlBridge.toColumn(MinHashPerms(GraftSqlBridge.toExpression(c), n))
+  def simhashContrib(h: Column, c: Column): Column =
+    GraftSqlBridge.toColumn(SimHashContrib(
+      GraftSqlBridge.toExpression(h), GraftSqlBridge.toExpression(c)))
+  def signBits(tally: Column): Column =
+    GraftSqlBridge.toColumn(SignBitsToLong(GraftSqlBridge.toExpression(tally)))
+}

@@ -35,8 +35,11 @@ object SketchDedup {
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
     TextOps.shingles(s, d)
-      .withColumn("perms", expr(
-        s"transform(sequence(0, ${NumPerms - 1}), i -> xxhash64(shingle, i))"))
+      // native expression = one call per shingle; the 64-hash inner loop
+      // is plain JVM code, not an interpreted lambda (same family as the
+      // previous xxhash64(shingle, i) fold)
+      .withColumn("perms",
+        graft.functions.SketchExprs.minhashPerms(col("shingle"), NumPerms))
       .groupBy("doc_id")
       .agg(graft.functions.ArrayLongReduceAgg.arrayMinAgg(col("perms"))
         .as("sig_vec"))
@@ -92,14 +95,12 @@ object SketchDedup {
         .withColumn("h", xxhash64(col("word")))
         .groupBy("doc_id", "h")
         .agg(count(lit(1)).as("c"))
-        .withColumn("bits", expr(
-          "transform(sequence(0, 63), j -> c * CAST(2 * ((h >> j) & 1) - 1 AS BIGINT))"))
+        .withColumn("bits",
+          graft.functions.SketchExprs.simhashContrib(col("h"), col("c")))
         .groupBy("doc_id")
         .agg(graft.functions.ArrayLongReduceAgg.arraySumAgg(col("bits"))
           .as("tally"))
-        .withColumn("simhash", expr(
-          "aggregate(sequence(0, 63), 0L, (acc, j) -> " +
-            "acc + IF(element_at(tally, j + 1) > 0, shiftleft(1L, j), 0L))"))
+        .withColumn("simhash", graft.functions.SketchExprs.signBits(col("tally")))
       // 8 bands × 8 bits: by pigeonhole, any pair within hamming 7 shares
       // at least one clean band → banding loses nothing below threshold.
       val banded = sims
