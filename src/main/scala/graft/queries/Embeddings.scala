@@ -106,8 +106,8 @@ object Embeddings {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(desc("a_sim"), asc("cluster"))
         e.crossJoin(broadcast(cents))
-          .withColumn("a_sim", expr(
-            "aggregate(zip_with(qvec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)") /
+          .withColumn("a_sim", graft.functions.DoubleDotProduct.dotd(
+            col("qvec").cast("array<double>"), col("centroid")) /
             sqrt(col("dotself").cast("double")))
           .withColumn("r", row_number().over(w))
           .filter(col("r") === 1)
@@ -122,8 +122,8 @@ object Embeddings {
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(desc("c_sim"), asc("cluster"))
       val probes = q.crossJoin(broadcast(cent))
-        .withColumn("c_sim", expr(
-          "aggregate(zip_with(q_vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+        .withColumn("c_sim", graft.functions.DoubleDotProduct.dotd(
+          col("q_vec").cast("array<double>"), col("centroid")))
         .withColumn("probe_rank", row_number().over(wProbe))
         .filter(col("probe_rank") <= 3)
         .select("q_id", "cluster")

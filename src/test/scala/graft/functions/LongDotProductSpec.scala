@@ -48,4 +48,16 @@ class LongDotProductSpec extends SparkTestBase {
       .select(dotq(col("a"), col("b")).as("d"))
     assert(df.head().isNullAt(0))
   }
+
+  test("dot_d matches the aggregate(zip_with(...)) fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(50)((Array.fill(64)(rnd.nextDouble() - 0.5),
+      Array.fill(64)(rnd.nextDouble() - 0.5))).toDF("a", "b")
+    val rows = df.select(
+      DoubleDotProduct.dotd(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+        .as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
 }
