@@ -82,11 +82,17 @@ final class SegmentReader private (
   /** RAW STRING/BYTES values for docs [start, start + count) — only the
     * VarByteChunk chunks overlapping the range are decompressed.
     */
-  def rawValuesRange(name: String, start: Int, count: Int): Array[Array[Byte]] = {
+  def rawValuesRange(name: String, start: Int, count: Int): Array[Array[Byte]] =
+    rawChunkReader(name).readRangeBytes(start, count)
+
+  /** Positional V4 handle over a RAW column's compressed section — lets
+    * the scan decode value windows on demand without materializing the
+    * whole column.
+    */
+  def rawChunkReader(name: String): VarByteChunkV4 = {
     val cm = metadata.column(name)
     require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
     new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs)
-      .readRangeBytes(start, count)
   }
 
   private def requireDict(cm: ColumnMetadata): Unit =

@@ -615,10 +615,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     limit.fold(n)(math.min(n, _)) // per-partition limit cap
   }
 
-  /** Row position used as dictionary id for RAW columns (value i ↔ doc i);
-    * shared across all RAW columns of the segment.
+  /** Window-local identity ids for RAW columns (value i ↔ row i of the
+    * current batch); shared across batches and RAW columns.
     */
-  private lazy val identityIds: Array[Int] = Array.tabulate(totalDocs)(i => i)
+  private lazy val identityWindow: Array[Int] = Array.tabulate(BatchSize)(i => i)
 
   /** Per projected column: a [[Dictionary]] over the decoded distinct
     * values and the per-doc id stream. Dict columns reuse Pinot's own
@@ -635,6 +635,16 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       ids: Array[Int]) extends ColPlan { def sparkType = tpe.sparkType }
   private final case class BoolDirect(values: Array[Boolean]) extends ColPlan {
     def sparkType = org.apache.spark.sql.types.BooleanType
+  }
+  /** RAW var-byte column decoded PER WINDOW: only one 8,192-row window of
+    * values is ever materialized (the compressed section stays cached in
+    * the V4 reader) — per-task heap is O(window), not O(segment), which
+    * is what lets 1 GB segments scan under executor memory. A chunk
+    * straddling a window boundary decompresses at most twice.
+    */
+  private final class RawWindowed(val tpe: PinotType,
+      val v4: graft.pinot.VarByteChunkV4) extends ColPlan {
+    def sparkType = tpe.sparkType
   }
   /** Multi-value column: array offsets + a dictionary-backed CHILD vector
     * (only the flattened int ids move per batch, same as SV columns).
@@ -687,8 +697,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         }
       } else cm.dataType match {
         case PinotType.PString | PinotType.PBytes =>
-          val values = reader.rawValuesRange(name, docStart, totalDocs)
-          DictBacked(cm.dataType, ArrayDictionary.ofBinary(values), identityIds)
+          new RawWindowed(cm.dataType, reader.rawChunkReader(name))
         case other => throw new graft.pinot.PinotFormatException(
           s"Unsupported RAW column type for scan: ${other.name}")
       }
@@ -703,6 +712,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         case DictBacked(_, dict, _) => v.setDictionary(dict)
         case MVBacked(_, dict, _, _) => v.arrayData().setDictionary(dict)
         case _: BoolDirect => ()
+        case _: RawWindowed => () // dictionary swapped in per window
       }
       v
     }
@@ -741,6 +751,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             val vec = vectors(c)
             var i = 0
             while (i < n) { vec.putBoolean(i, values(pos + i)); i += 1 }
+          case rw: RawWindowed =>
+            val vec = vectors(c)
+            val values = rw.v4.readRangeBytes(docStart + pos, n)
+            vec.setDictionary(ArrayDictionary.ofBinary(values))
+            vec.reserveDictionaryIds(n).putInts(0, n, identityWindow, 0)
         }
         c += 1
       }
