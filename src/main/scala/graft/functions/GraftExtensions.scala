@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Tokenize(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DoubleDotProduct].getName, "dot_d"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_d(a, b) takes exactly 2 arguments")
+        DoubleDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGen].getName, "shingles"),
       (args: Seq[Expression]) => {

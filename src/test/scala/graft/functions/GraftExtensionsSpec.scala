@@ -59,6 +59,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Seq((0, "ab"), (1, "cd"), (2, "!"), (3, "7"), (4, "x")))
   }
 
+  test("dot_d callable via SQL") {
+    val r = spark.sql(
+      "SELECT dot_d(array(1.5D, 2.0D), array(2.0D, 0.5D)) AS d").head()
+    assert(r.getDouble(0) === 4.0)
+  }
+
   test("shingles UDTF callable via SQL LATERAL VIEW, distinct 3-grams") {
     spark.sql("SELECT 'a b c d a b c d e' AS s").createOrReplaceTempView("sh")
     val rows = spark.sql(
