@@ -69,14 +69,20 @@ final class SegmentReader private (
     * read (fixed-bit values are position-addressable). Powers
     * sorted-column range scans: only the matching slice decodes.
     */
-  def dictIdsRange(name: String, start: Int, count: Int): Array[Int] = {
+  def dictIdsRange(name: String, start: Int, count: Int): Array[Int] =
+    dictIdReader(name).readRange(start, count)
+
+  /** Positional fixed-bit handle over a dict column's packed id stream —
+    * lets the scan decode id windows on demand without materializing the
+    * whole stream.
+    */
+  def dictIdReader(name: String): FixedBitReader = {
     val cm = metadata.column(name)
     val raw = section(fwdLoc(name))
     if (raw.length < 8)
       throw new PinotFormatException("Forward index too small to contain magic marker")
     val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
     new FixedBitReader(payload, cm.bitsPerElement, cm.totalDocs)
-      .readRange(start, count)
   }
 
   /** RAW STRING/BYTES values for docs [start, start + count) — only the
@@ -174,20 +180,29 @@ final class SegmentReader private (
     * a prefix read is exact — limit pushdown works for MV too).
     */
   def mvIndex(name: String, maxDocs: Int = Int.MaxValue): (Array[Int], Array[Int]) = {
+    val (offsets, fbr) = mvReaders(name)
+    val nDocs = math.min(offsets.length - 1, maxDocs)
+    val ids = fbr.readRange(0, offsets(nDocs))
+    (java.util.Arrays.copyOfRange(offsets, 0, nDocs + 1), ids)
+  }
+
+  /** MV column handles: the full cumulative-offsets array (4 bytes/doc)
+    * plus a positional fixed-bit reader over the flattened entry ids —
+    * windows of entries decode on demand.
+    */
+  def mvReaders(name: String): (Array[Int], FixedBitReader) = {
     val cm = metadata.column(name)
     if (cm.isSingleValue)
       throw new PinotFormatException(s"Column $name is single-value")
     val raw = section(fwdLoc(name))
     val b = java.nio.ByteBuffer.wrap(raw)
     b.getLong // magic marker precedes the packed data, as in SV indexes
-    b.getInt // totalEntries (recoverable from offsets; kept for tooling)
+    val totalEntries = b.getInt
     val offsets = new Array[Int](cm.totalDocs + 1)
     var i = 0
     while (i <= cm.totalDocs) { offsets(i) = b.getInt; i += 1 }
-    val nDocs = math.min(cm.totalDocs, maxDocs)
     val payload = java.util.Arrays.copyOfRange(raw, b.position(), raw.length)
-    val ids = new FixedBitReader(payload, cm.bitsPerElement, offsets(nDocs)).readAll()
-    (java.util.Arrays.copyOfRange(offsets, 0, nDocs + 1), ids)
+    (offsets, new FixedBitReader(payload, cm.bitsPerElement, totalEntries))
   }
 
   private def mvColumn[T: scala.reflect.ClassTag](name: String, maxDocs: Int)(

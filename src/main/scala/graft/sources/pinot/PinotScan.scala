@@ -630,27 +630,31 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     * exception: Spark's `getBoolean` never consults a dictionary.
     * TIMESTAMP converts millis→micros once at dictionary decode.
     */
+  // Every plan decodes PER WINDOW from a cached compact form (packed id
+  // bits / compressed var-byte sections) — per-task heap is O(window +
+  // dictionaries), not O(segment), which is what lets 1 GB segments scan
+  // under executor memory.
   private sealed trait ColPlan { def sparkType: org.apache.spark.sql.types.DataType }
   private final case class DictBacked(tpe: PinotType, dict: Dictionary,
-      ids: Array[Int]) extends ColPlan { def sparkType = tpe.sparkType }
-  private final case class BoolDirect(values: Array[Boolean]) extends ColPlan {
+      idReader: graft.pinot.FixedBitReader) extends ColPlan {
+    def sparkType = tpe.sparkType
+  }
+  private final case class BoolDirect(dictInts: Array[Int],
+      idReader: graft.pinot.FixedBitReader) extends ColPlan {
     def sparkType = org.apache.spark.sql.types.BooleanType
   }
-  /** RAW var-byte column decoded PER WINDOW: only one 8,192-row window of
-    * values is ever materialized (the compressed section stays cached in
-    * the V4 reader) — per-task heap is O(window), not O(segment), which
-    * is what lets 1 GB segments scan under executor memory. A chunk
-    * straddling a window boundary decompresses at most twice.
+  /** RAW var-byte column: one window of values materializes at a time (a
+    * chunk straddling a window boundary decompresses at most twice).
     */
   private final class RawWindowed(val tpe: PinotType,
       val v4: graft.pinot.VarByteChunkV4) extends ColPlan {
     def sparkType = tpe.sparkType
   }
-  /** Multi-value column: array offsets + a dictionary-backed CHILD vector
-    * (only the flattened int ids move per batch, same as SV columns).
+  /** Multi-value column: the full offsets array (4 bytes/doc) + windowed
+    * entry-id decode into a dictionary-backed CHILD vector.
     */
   private final case class MVBacked(tpe: PinotType, dict: Dictionary,
-      ids: Array[Int], offsets: Array[Int]) extends ColPlan {
+      idReader: graft.pinot.FixedBitReader, offsets: Array[Int]) extends ColPlan {
     def sparkType =
       org.apache.spark.sql.types.ArrayType(tpe.sparkType, containsNull = false)
   }
@@ -660,7 +664,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       val cm = reader.metadata.column(name)
       if (!cm.isSingleValue) {
         // MV columns disable sorted sub-ranging (docRange is full there)
-        val (offsets, ids) = reader.mvIndex(name, totalDocs)
+        val (offsets, fbr) = reader.mvReaders(name)
         val dict = reader.dictionary(name) match {
           case PinotDictionary.Ints(v) => ArrayDictionary.ofInts(v)
           case PinotDictionary.Longs(v) => ArrayDictionary.ofLongs(v)
@@ -672,28 +676,28 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           case other => throw new graft.pinot.PinotFormatException(
             s"Unsupported MV dictionary for $name: $other")
         }
-        MVBacked(cm.dataType, dict, ids, offsets)
+        MVBacked(cm.dataType, dict, fbr, offsets)
       } else if (cm.hasDictionary) {
-        lazy val ids = reader.dictIdsRange(name, docStart, totalDocs)
+        lazy val fbr = reader.dictIdReader(name)
         (reader.dictionary(name), cm.dataType) match {
           case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
-            BoolDirect(ids.map(v(_) != 0))
+            BoolDirect(v, fbr)
           case (PinotDictionary.Ints(v), _) =>
-            DictBacked(cm.dataType, ArrayDictionary.ofInts(v), ids)
+            DictBacked(cm.dataType, ArrayDictionary.ofInts(v), fbr)
           case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
             DictBacked(cm.dataType,
-              ArrayDictionary.ofLongs(v.map(Math.multiplyExact(_, 1000L))), ids)
+              ArrayDictionary.ofLongs(v.map(Math.multiplyExact(_, 1000L))), fbr)
           case (PinotDictionary.Longs(v), _) =>
-            DictBacked(cm.dataType, ArrayDictionary.ofLongs(v), ids)
+            DictBacked(cm.dataType, ArrayDictionary.ofLongs(v), fbr)
           case (PinotDictionary.Floats(v), _) =>
-            DictBacked(cm.dataType, ArrayDictionary.ofFloats(v), ids)
+            DictBacked(cm.dataType, ArrayDictionary.ofFloats(v), fbr)
           case (PinotDictionary.Doubles(v), _) =>
-            DictBacked(cm.dataType, ArrayDictionary.ofDoubles(v), ids)
+            DictBacked(cm.dataType, ArrayDictionary.ofDoubles(v), fbr)
           case (PinotDictionary.Strings(v), _) =>
             DictBacked(cm.dataType, ArrayDictionary.ofBinary(v.map(
-              _.getBytes(java.nio.charset.StandardCharsets.UTF_8))), ids)
+              _.getBytes(java.nio.charset.StandardCharsets.UTF_8))), fbr)
           case (PinotDictionary.Bytes(v), _) =>
-            DictBacked(cm.dataType, ArrayDictionary.ofBinary(v), ids)
+            DictBacked(cm.dataType, ArrayDictionary.ofBinary(v), fbr)
         }
       } else cm.dataType match {
         case PinotType.PString | PinotType.PBytes =>
@@ -730,27 +734,30 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       var c = 0
       while (c < decoded.length) {
         decoded(c) match {
-          case DictBacked(_, _, ids) =>
-            vectors(c).reserveDictionaryIds(n).putInts(0, n, ids, pos)
-          case MVBacked(_, _, ids, offsets) =>
+          case DictBacked(_, _, fbr) =>
+            val ids = fbr.readRange(docStart + pos, n)
+            vectors(c).reserveDictionaryIds(n).putInts(0, n, ids, 0)
+          case MVBacked(_, _, fbr, offsets) =>
             val vec = vectors(c)
             val base = offsets(pos)
             val entries = offsets(pos + n) - base
+            val ids = fbr.readRange(base, entries)
             val child = vec.arrayData()
             // grow the child's own arrays (incl. nulls — isNullAt reads
             // them even though we only ever fill dictionary ids)
             child.reserve(entries)
-            child.reserveDictionaryIds(entries).putInts(0, entries, ids, base)
+            child.reserveDictionaryIds(entries).putInts(0, entries, ids, 0)
             var i = 0
             while (i < n) {
               vec.putArray(i, offsets(pos + i) - base,
                 offsets(pos + i + 1) - offsets(pos + i))
               i += 1
             }
-          case BoolDirect(values) =>
+          case BoolDirect(dictInts, fbr) =>
             val vec = vectors(c)
+            val ids = fbr.readRange(docStart + pos, n)
             var i = 0
-            while (i < n) { vec.putBoolean(i, values(pos + i)); i += 1 }
+            while (i < n) { vec.putBoolean(i, dictInts(ids(i)) != 0); i += 1 }
           case rw: RawWindowed =>
             val vec = vectors(c)
             val values = rw.v4.readRangeBytes(docStart + pos, n)
