@@ -89,8 +89,10 @@ class ControllerProvider(client: PinotControllerClient, dataDir: String)
     }.sortBy(_.toString)
     val meta = graft.pinot.SegmentMetadata.fromFile(
       paths.head.resolve("metadata.properties"))
+    // tableDir enables the streaming-read tail (and writes) through the
+    // controller catalog too — data access stays local either way
     new PinotSegmentTable(meta.tableName, paths.map(_.toString),
-      PinotSegments.schemaFor(paths))
+      PinotSegments.schemaFor(paths), Some(tableDir.toString))
   }
 }
 
