@@ -76,4 +76,56 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(mediaTable(docs).as[MediaRow])
   }
+
+  case class ResizedMedia(doc_id: Long, fmt: String, out_w: Int, out_h: Int,
+      n_bytes: Int, checksum: Long, brightness: Double)
+
+  /** STUB resize: a real codec decodes + downsamples pixels; the stand-in
+    * strides the payload bytes by `factor` (deterministic, content-
+    * dependent) and re-extracts features from the resized payload. The
+    * Spark-side shape is the real one: per-partition codec handle,
+    * payload never shuffles, only features/metadata leave the scan stage.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new DecoderStub // per-partition init (≙ codec handle)
+      rows.map { r =>
+        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        val (checksum, brightness) = decoder.decode(out)
+        ResizedMedia(r.doc_id, r.fmt, r.width / factor, r.height / factor,
+          out.length, checksum, brightness)
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, fmt: String, frame_idx: Int, n_bytes: Int,
+      code_sum: Long)
+
+  /** STUB frame sampling: the payload is treated as a "video" of
+    * `frameSize`-byte frames; every `stride`-th frame is decoded
+    * (byte-sum feature stands in for the real frame decode). One output
+    * row per SAMPLED frame — work and output are proportional to the
+    * sample, never the full payload length.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 256,
+      stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.payload.length
+        val nf = (len + frameSize - 1) / frameSize
+        Iterator.range(0, nf, stride).map { f =>
+          val from = f * frameSize
+          val until = math.min((f + 1) * frameSize, len)
+          var s = 0L
+          var i = from
+          while (i < until) { s += (r.payload(i) & 0xff); i += 1 }
+          Frame(r.doc_id, r.fmt, f, until - from, s)
+        }
+      }
+    }
+  }
 }

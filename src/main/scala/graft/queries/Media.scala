@@ -34,7 +34,41 @@ object Media {
           expr("sum(CAST(floor(brightness * 10000) AS BIGINT)) DIV count(1)")
             .as("avg_brightness_scaled"),
           countDistinct(col("checksum")).as("distinct_payloads"))
-        .orderBy("fmt"))
+        .orderBy("fmt")),
+
+    // Resize path (stride-2 byte downsample stub): features re-extracted
+    // from the resized payload, aggregated with the same exact-integer
+    // discipline as q56 — fully DuckDB-expressible, hash-oracled.
+    "q71_media_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resize(
+        Multimodal.mediaTable(Tables.load(s, d, "documents"))
+          .as[Multimodal.MediaRow]).toDF()
+        .groupBy("fmt")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("n_bytes").cast("long")).as("resized_bytes"),
+          expr("sum(CAST(floor(brightness * 10000) AS BIGINT)) DIV count(1)")
+            .as("avg_brightness_scaled"),
+          countDistinct(col("checksum")).as("distinct_resized"))
+        .orderBy("fmt")
+    }),
+
+    // Frame sampling (256-byte frames, every 4th): one row per sampled
+    // frame; per-format totals are pure integer math over payload bytes.
+    "q72_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.mediaTable(Tables.load(s, d, "documents"))
+          .as[Multimodal.MediaRow]).toDF()
+        .groupBy("fmt")
+        .agg(
+          countDistinct(col("doc_id")).as("docs"),
+          count(lit(1)).as("frames_sampled"),
+          sum(col("n_bytes").cast("long")).as("sampled_bytes"),
+          sum(col("code_sum")).as("sampled_code_sum"))
+        .orderBy("fmt")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -71,6 +105,58 @@ object Media {
         |SELECT fmt, count(*) AS cnt,
         |  CAST(sum(b_scaled) // count(*) AS BIGINT) AS avg_brightness_scaled,
         |  count(DISTINCT checksum) AS distinct_payloads
-        |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin
+        |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    // stride-2 resize: strided byte codes, then the q56 feature math
+    "q71_media_resize" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))
+        |      AS c
+        |  FROM documents),
+        |res AS (
+        |  SELECT doc_id, fmt,
+        |    list_transform(range(1, len(c) + 1, 2), i -> c[i]) AS r
+        |  FROM codes),
+        |feat AS (
+        |  SELECT doc_id, fmt, CAST(len(r) AS BIGINT) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), r),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |    CASE WHEN len(r) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(list_sum(r) AS DOUBLE) / len(r) * 10000)
+        |           AS BIGINT)
+        |    END AS b_scaled
+        |  FROM res)
+        |SELECT fmt, count(*) AS cnt,
+        |  CAST(sum(n_bytes) AS BIGINT) AS resized_bytes,
+        |  CAST(sum(b_scaled) // count(*) AS BIGINT) AS avg_brightness_scaled,
+        |  count(DISTINCT checksum) AS distinct_resized
+        |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    // 256-byte frames, every 4th sampled; per-frame byte sums over slices
+    "q72_frame_sample" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))
+        |      AS c
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, fmt,
+        |    unnest(range(0, CAST(ceil(len(c) / 256.0) AS INTEGER), 4)) AS f,
+        |    c
+        |  FROM codes),
+        |sampled AS (
+        |  SELECT doc_id, fmt, f,
+        |    least((f + 1) * 256, len(c)) - f * 256 AS n_bytes,
+        |    CAST(list_sum(c[f * 256 + 1 : least((f + 1) * 256, len(c))])
+        |      AS BIGINT) AS code_sum
+        |  FROM frames)
+        |SELECT fmt, count(DISTINCT doc_id) AS docs,
+        |  count(*) AS frames_sampled,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sampled_bytes,
+        |  CAST(sum(code_sum) AS BIGINT) AS sampled_code_sum
+        |FROM sampled GROUP BY fmt ORDER BY fmt""".stripMargin
   )
 }

@@ -30,6 +30,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(f0.n_bytes === payload.length)
   }
 
+  test("resize strides payload bytes and re-extracts features (q71)") {
+    import spark.implicits._
+    val resized = Multimodal.resize(
+      Multimodal.mediaTable(docs).as[Multimodal.MediaRow]).collect()
+    val doc0 = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    val payload = doc0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val strided = payload.indices.collect { case i if i % 2 == 0 => payload(i) }.toArray
+    val (cs, br) = new Multimodal.DecoderStub().decode(strided)
+    val r0 = resized.find(_.doc_id == 0).get
+    assert(r0.n_bytes === (payload.length + 1) / 2)
+    assert(r0.checksum === cs)
+    assert(r0.brightness === br)
+    assert(r0.out_w === (0 % 16 * 64 + 256) / 2)
+  }
+
+  test("frame sampling emits one row per sampled frame, exact sums (q72)") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(docs).as[Multimodal.MediaRow],
+      frameSize = 64, stride = 2).collect()
+    val doc0 = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    val payload = doc0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nf = (payload.length + 63) / 64
+    val expected = Range(0, nf, 2)
+    val f0 = frames.filter(_.doc_id == 0).sortBy(_.frame_idx)
+    assert(f0.map(_.frame_idx).toSeq === expected)
+    f0.foreach { f =>
+      val from = f.frame_idx * 64
+      val until = math.min(from + 64, payload.length)
+      assert(f.n_bytes === until - from)
+      assert(f.code_sum === (from until until).map(payload(_) & 0xff).map(_.toLong).sum)
+    }
+  }
+
   test("features survive relational aggregation (q56)") {
     val rows = graft.SparkEntry.queries("q56_media_features")(spark, sfDir)
       .collect()
