@@ -101,11 +101,17 @@ object SetOps {
     // carries the EXACT distinct count plus an in-query proof that the
     // sketch landed within 5% of it (rsd=0.01 ⇒ 5% = 5σ; integer-exact
     // compare). DuckDB emits the same exact count and literal TRUE.
+    // Pre-distinct once, then count + sketch over the distinct rows: HLL
+    // is duplicate-insensitive, so the estimate is identical to sketching
+    // the raw rows, and the plan is a single distinct pass — mixing
+    // countDistinct with the sketch in one aggregate would force an
+    // Expand-based multi-distinct plan (measured 8× slower at sf0.1).
     "q32_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx") - col("exact_parts")) * 20 <= col("exact_parts"))
