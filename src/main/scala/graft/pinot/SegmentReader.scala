@@ -106,26 +106,43 @@ final class SegmentReader private (
       throw new PinotFormatException(
         s"RAW ${cm.dataType.name} columns not supported")
 
+  /** Fixed-byte V4 handle over a RAW numeric column (extension; the
+    * reference rejects RAW numerics).
+    */
+  def fixedByteReader(name: String): FixedByteChunkV4 = {
+    val cm = metadata.column(name)
+    require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
+    new FixedByteChunkV4(section(fwdLoc(name)), cm.totalDocs,
+      FixedByteChunkV4.widthOf(cm.dataType))
+  }
+
+  private def cap(cm: ColumnMetadata, maxDocs: Int): Int =
+    math.min(cm.totalDocs, maxDocs)
+
   def readIntColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Int] = {
-    val cm = checkType(name, PinotType.PInt); requireDict(cm)
+    val cm = checkType(name, PinotType.PInt)
+    if (!cm.hasDictionary) return fixedByteReader(name).readRangeInts(0, cap(cm, maxDocs))
     val PinotDictionary.Ints(dict) = dictionary(name): @unchecked
     dictIds(name, maxDocs).map(dict(_))
   }
 
   def readLongColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Long] = {
-    val cm = checkType(name, PinotType.PLong); requireDict(cm)
+    val cm = checkType(name, PinotType.PLong)
+    if (!cm.hasDictionary) return fixedByteReader(name).readRangeLongs(0, cap(cm, maxDocs))
     val PinotDictionary.Longs(dict) = dictionary(name): @unchecked
     dictIds(name, maxDocs).map(dict(_))
   }
 
   def readFloatColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Float] = {
-    val cm = checkType(name, PinotType.PFloat); requireDict(cm)
+    val cm = checkType(name, PinotType.PFloat)
+    if (!cm.hasDictionary) return fixedByteReader(name).readRangeFloats(0, cap(cm, maxDocs))
     val PinotDictionary.Floats(dict) = dictionary(name): @unchecked
     dictIds(name, maxDocs).map(dict(_))
   }
 
   def readDoubleColumn(name: String, maxDocs: Int = Int.MaxValue): Array[Double] = {
-    val cm = checkType(name, PinotType.PDouble); requireDict(cm)
+    val cm = checkType(name, PinotType.PDouble)
+    if (!cm.hasDictionary) return fixedByteReader(name).readRangeDoubles(0, cap(cm, maxDocs))
     val PinotDictionary.Doubles(dict) = dictionary(name): @unchecked
     dictIds(name, maxDocs).map(dict(_))
   }

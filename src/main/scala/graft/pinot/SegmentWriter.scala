@@ -45,6 +45,22 @@ object SegmentWriter {
   final case class BytesRawCol(name: String, values: Array[Array[Byte]],
       compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
       targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
+  /** RAW (no-dictionary) NUMERIC columns in the fixed-byte V4 chunk
+    * format — EXTENSION (the reference rejects RAW numerics; real Pinot
+    * stores high-cardinality metrics this way).
+    */
+  final case class IntRawCol(name: String, values: Array[Int],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
+  final case class LongRawCol(name: String, values: Array[Long],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
+  final case class FloatRawCol(name: String, values: Array[Float],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
+  final case class DoubleRawCol(name: String, values: Array[Double],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 4096) extends ColumnData { def length: Int = values.length }
   /** Multi-value (array) dictionary columns — EXTENSION (MV is a reference
     * non-goal, README.md:310). Forward index layout: 8-byte magic,
     * i32 BE totalEntries, (totalDocs+1) i32 BE cumulative offsets, then
@@ -243,6 +259,42 @@ object SegmentWriter {
           writeVarByteV4(values, compression, targetChunkSize, withMagic = true))
         colProps(name, "BYTES", values.map(java.util.Arrays.hashCode).distinct.length,
           0, hasDict = false, 0)
+      case IntRawCol(name, values, compression, targetChunkSize) =>
+        val le = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(le.putInt)
+        addSection(name, "forward_index",
+          FixedByteChunkV4.write(le.array(), 4, compression, targetChunkSize))
+        val d = values.distinct.sorted
+        colProps(name, "INT", d.length, 0, hasDict = false, 0,
+          isSorted = sortedAsc(values), minValue = d.headOption.map(_.toString),
+          maxValue = d.lastOption.map(_.toString))
+      case LongRawCol(name, values, compression, targetChunkSize) =>
+        val le = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(le.putLong)
+        addSection(name, "forward_index",
+          FixedByteChunkV4.write(le.array(), 8, compression, targetChunkSize))
+        val d = values.distinct.sorted
+        colProps(name, "LONG", d.length, 0, hasDict = false, 0,
+          isSorted = sortedAsc(values), minValue = d.headOption.map(_.toString),
+          maxValue = d.lastOption.map(_.toString))
+      case FloatRawCol(name, values, compression, targetChunkSize) =>
+        val le = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(le.putFloat)
+        addSection(name, "forward_index",
+          FixedByteChunkV4.write(le.array(), 4, compression, targetChunkSize))
+        val d = values.distinct.sorted
+        colProps(name, "FLOAT", d.length, 0, hasDict = false, 0,
+          isSorted = sortedAsc(values), minValue = d.headOption.map(_.toString),
+          maxValue = d.lastOption.map(_.toString))
+      case DoubleRawCol(name, values, compression, targetChunkSize) =>
+        val le = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(le.putDouble)
+        addSection(name, "forward_index",
+          FixedByteChunkV4.write(le.array(), 8, compression, targetChunkSize))
+        val d = values.distinct.sorted
+        colProps(name, "DOUBLE", d.length, 0, hasDict = false, 0,
+          isSorted = sortedAsc(values), minValue = d.headOption.map(_.toString),
+          maxValue = d.lastOption.map(_.toString))
       case IntMVCol(name, values) =>
         val distinct = values.flatten.distinct.sorted
         writeMVDict(name, "INT", values, distinct,
@@ -357,20 +409,5 @@ object SegmentWriter {
   }
 
   private def compressBytes(payload: Array[Byte], compression: Int): Array[Byte] =
-    compression match {
-      case VarByteChunkV4.PassThrough => payload
-      case VarByteChunkV4.Lz4LengthPrefixed =>
-        val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
-          .fastCompressor().compress(payload)
-        ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
-          .putInt(payload.length).put(comp).array()
-      case VarByteChunkV4.Lz4 =>
-        net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(payload)
-      case VarByteChunkV4.Snappy =>
-        org.xerial.snappy.Snappy.compress(payload)
-      case VarByteChunkV4.Zstandard =>
-        com.github.luben.zstd.Zstd.compress(payload)
-      case other =>
-        throw new PinotFormatException(s"Unknown compression type: $other")
-    }
+    VarByteChunkV4.compressChunk(payload, compression)
 }

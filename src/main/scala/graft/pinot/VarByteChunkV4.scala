@@ -203,6 +203,27 @@ object VarByteChunkV4 {
 
   private lazy val lz4Factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
+  /** Compress one chunk payload (inverse of [[decompress]]; shared by the
+    * var-byte and fixed-byte segment writers).
+    */
+  def compressChunk(payload: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case PassThrough => payload
+      case Lz4LengthPrefixed =>
+        val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .fastCompressor().compress(payload)
+        ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(payload.length).put(comp).array()
+      case Lz4 =>
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(payload)
+      case Snappy =>
+        org.xerial.snappy.Snappy.compress(payload)
+      case Zstandard =>
+        com.github.luben.zstd.Zstd.compress(payload)
+      case other =>
+        throw new PinotFormatException(s"Unknown compression type: $other")
+    }
+
   def decompress(buf: Array[Byte], off: Int, len: Int, compressionType: Int,
       targetChunkSize: Int): Array[Byte] = compressionType match {
     case PassThrough =>

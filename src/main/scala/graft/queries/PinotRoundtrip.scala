@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3 // r2: RAW fixed-byte numerics in the mix
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")

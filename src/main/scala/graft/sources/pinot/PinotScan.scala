@@ -650,6 +650,14 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       val v4: graft.pinot.VarByteChunkV4) extends ColPlan {
     def sparkType = tpe.sparkType
   }
+  /** RAW fixed-byte NUMERIC column (extension — the reference rejects
+    * these): windows bulk-copy straight into the vector's primitive
+    * arrays, no dictionary at all.
+    */
+  private final class NumRawWindowed(val tpe: PinotType,
+      val fb: graft.pinot.FixedByteChunkV4) extends ColPlan {
+    def sparkType = tpe.sparkType
+  }
   /** Multi-value column: the full offsets array (4 bytes/doc) + windowed
     * entry-id decode into a dictionary-backed CHILD vector.
     */
@@ -702,6 +710,9 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       } else cm.dataType match {
         case PinotType.PString | PinotType.PBytes =>
           new RawWindowed(cm.dataType, reader.rawChunkReader(name))
+        case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+             PinotType.PDouble | PinotType.PTimestamp =>
+          new NumRawWindowed(cm.dataType, reader.fixedByteReader(name))
         case other => throw new graft.pinot.PinotFormatException(
           s"Unsupported RAW column type for scan: ${other.name}")
       }
@@ -717,6 +728,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         case MVBacked(_, dict, _, _) => v.arrayData().setDictionary(dict)
         case _: BoolDirect => ()
         case _: RawWindowed => () // dictionary swapped in per window
+        case _: NumRawWindowed => () // primitive fill, no dictionary
       }
       v
     }
@@ -763,6 +775,25 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             val values = rw.v4.readRangeBytes(docStart + pos, n)
             vec.setDictionary(ArrayDictionary.ofBinary(values))
             vec.reserveDictionaryIds(n).putInts(0, n, identityWindow, 0)
+          case nr: NumRawWindowed =>
+            val vec = vectors(c)
+            nr.tpe match {
+              case PinotType.PInt =>
+                vec.putInts(0, n, nr.fb.readRangeInts(docStart + pos, n), 0)
+              case PinotType.PLong =>
+                vec.putLongs(0, n, nr.fb.readRangeLongs(docStart + pos, n), 0)
+              case PinotType.PFloat =>
+                vec.putFloats(0, n, nr.fb.readRangeFloats(docStart + pos, n), 0)
+              case PinotType.PDouble =>
+                vec.putDoubles(0, n, nr.fb.readRangeDoubles(docStart + pos, n), 0)
+              case PinotType.PTimestamp =>
+                val ms = nr.fb.readRangeLongs(docStart + pos, n)
+                var i = 0
+                while (i < n) {
+                  vec.putLong(i, Math.multiplyExact(ms(i), 1000L)); i += 1
+                }
+              case _ => ()
+            }
         }
         c += 1
       }

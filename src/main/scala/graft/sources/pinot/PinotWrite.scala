@@ -218,11 +218,32 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     PinotWriteUtil.deleteRecursively(tmpDir)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       def vals[T]: Seq[T] = rows.map(r => buffers(i)(r).asInstanceOf[T])
+      // dictionaries pay off only when values repeat; high-cardinality
+      // numerics (metrics) go RAW fixed-byte+LZ4 like Pinot's
+      // noDictionary columns (extension: the reference rejects RAW
+      // numerics entirely)
+      def highCard(distinct: Int, n: Int): Boolean = distinct * 10 > n * 7
       f.dataType match {
-        case IntegerType => SegmentWriter.IntCol(f.name, vals[Int].toArray)
-        case LongType => SegmentWriter.LongCol(f.name, vals[Long].toArray)
-        case FloatType => SegmentWriter.FloatCol(f.name, vals[Float].toArray)
-        case DoubleType => SegmentWriter.DoubleCol(f.name, vals[Double].toArray)
+        case IntegerType =>
+          val v = vals[Int].toArray
+          if (highCard(v.distinct.length, v.length))
+            SegmentWriter.IntRawCol(f.name, v)
+          else SegmentWriter.IntCol(f.name, v)
+        case LongType =>
+          val v = vals[Long].toArray
+          if (highCard(v.distinct.length, v.length))
+            SegmentWriter.LongRawCol(f.name, v)
+          else SegmentWriter.LongCol(f.name, v)
+        case FloatType =>
+          val v = vals[Float].toArray
+          if (highCard(v.distinct.length, v.length))
+            SegmentWriter.FloatRawCol(f.name, v)
+          else SegmentWriter.FloatCol(f.name, v)
+        case DoubleType =>
+          val v = vals[Double].toArray
+          if (highCard(v.distinct.length, v.length))
+            SegmentWriter.DoubleRawCol(f.name, v)
+          else SegmentWriter.DoubleCol(f.name, v)
         case StringType =>
           val values = vals[String].toArray
           // high-cardinality strings → RAW+LZ4; low-cardinality → dict
