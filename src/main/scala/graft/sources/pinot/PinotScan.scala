@@ -539,7 +539,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         if (hasMV || skipFilters.isEmpty) None
         else skipFilters.iterator.flatMap(filterAttr).distinct.find { c =>
           val cm = try reader.metadata.column(c) catch { case _: Throwable => null }
-          cm != null && cm.isSorted && cm.hasDictionary && cm.isSingleValue &&
+          cm != null && cm.isSorted && cm.isSingleValue &&
             (cm.dataType match {
               case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
                    PinotType.PDouble => true
@@ -561,20 +561,38 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   private def sortedDocRange(c: String): (Int, Int) = {
     val n = reader.totalDocs
-    val ids = reader.dictIds(c) // bit-unpack only; dictionary is tiny
-    val dict = reader.dictionary(c)
+    val cm = reader.metadata.column(c)
+    // value accessor: dict columns bit-unpack the id stream once (ids are
+    // small, dictionary tiny); RAW numerics random-access the fixed-byte
+    // index per binary-search probe (O(log n) chunk reads, one-off)
+    val valueAt: Int => Any =
+      if (cm.hasDictionary) {
+        val ids = reader.dictIds(c)
+        reader.dictionary(c) match {
+          case PinotDictionary.Ints(d) => doc => d(ids(doc))
+          case PinotDictionary.Longs(d) => doc => d(ids(doc))
+          case PinotDictionary.Floats(d) => doc => d(ids(doc))
+          case PinotDictionary.Doubles(d) => doc => d(ids(doc))
+          case _ => _ => null
+        }
+      } else {
+        val fb = reader.fixedByteReader(c)
+        cm.dataType match {
+          case PinotType.PInt => doc => fb.readRangeInts(doc, 1)(0)
+          case PinotType.PLong => doc => fb.readRangeLongs(doc, 1)(0)
+          case PinotType.PFloat => doc => fb.readRangeFloats(doc, 1)(0)
+          case PinotType.PDouble => doc => fb.readRangeDoubles(doc, 1)(0)
+          case _ => _ => null
+        }
+      }
     // ±0.0 compares equal (Spark semantics); NaN == NaN and sorts last —
     // both match the writer's total order, keeping the predicate monotone
-    def valCmp(doc: Int, v: Any): Option[Int] = (dict, v) match {
-      case (PinotDictionary.Ints(d), x: Int) =>
-        Some(Integer.compare(d(ids(doc)), x))
-      case (PinotDictionary.Longs(d), x: Long) =>
-        Some(java.lang.Long.compare(d(ids(doc)), x))
-      case (PinotDictionary.Floats(d), x: Float) =>
-        val a = d(ids(doc))
+    def valCmp(doc: Int, v: Any): Option[Int] = (valueAt(doc), v) match {
+      case (a: Int, x: Int) => Some(Integer.compare(a, x))
+      case (a: Long, x: Long) => Some(java.lang.Long.compare(a, x))
+      case (a: Float, x: Float) =>
         Some(if (a == x) 0 else java.lang.Float.compare(a, x))
-      case (PinotDictionary.Doubles(d), x: Double) =>
-        val a = d(ids(doc))
+      case (a: Double, x: Double) =>
         Some(if (a == x) 0 else java.lang.Double.compare(a, x))
       case _ => None
     }

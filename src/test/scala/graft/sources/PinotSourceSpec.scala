@@ -330,6 +330,18 @@ class PinotSourceSpec extends SparkTestBase {
       s"$dir/seg0/v3", Array("ts"),
       Array(GreaterThan("ts", ts.last)), None)
     assert(!none.next())
+
+    // a RAW fixed-byte sorted column drives the same sub-segment ranging
+    val dirRaw = root.resolve("tsraw_OFFLINE")
+    SegmentWriter.write(dirRaw.resolve("seg0"), "tsraw", "seg0", Seq(
+      SegmentWriter.LongRawCol("ts", ts, V4.Lz4LengthPrefixed, 1024),
+      SegmentWriter.IntCol("v", vals)))
+    val rr = new graft.sources.pinot.PinotColumnarReader(
+      s"$dirRaw/seg0/v3", Array("ts", "v"),
+      Array(GreaterThan("ts", lo), LessThanOrEqual("ts", hi)), None)
+    var rawRows = 0
+    while (rr.next()) rawRows += rr.get().numRows()
+    assert(rawRows === 999, "RAW sorted column ranges the decode too")
   }
 
   test("scan reports row-count statistics from segment metadata") {
