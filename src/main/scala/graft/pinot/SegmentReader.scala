@@ -156,21 +156,9 @@ final class SegmentReader private (
       val PinotDictionary.Strings(dict) = dictionary(name): @unchecked
       dictIds(name, maxDocs).map(dict(_))
     } else {
-      val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs)
-        .readAllStrings()
-      if (maxDocs < all.length) all.take(maxDocs) else all
+      rawValuesRange(name, 0, cap(cm, maxDocs))
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
     }
-  }
-
-  /** RAW STRING column decoded straight to per-value UTF-8 byte arrays —
-    * the vectorized scan path feeds these to Spark without ever building
-    * `java.lang.String`s (no decode→re-encode round trip).
-    */
-  def readRawStringBytes(name: String, maxDocs: Int = Int.MaxValue): Array[Array[Byte]] = {
-    val cm = checkType(name, PinotType.PString)
-    require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
-    val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllBytes()
-    if (maxDocs < all.length) all.take(maxDocs) else all
   }
 
   /** BOOLEAN column (stored as INT 0/1 dictionary — extension; the
