@@ -138,8 +138,9 @@ object SegmentWriter {
     def writeDictEncoded[T](name: String, dataType: String, values: Array[T],
         distinct: Array[T], dictBytes: Array[Byte], lenEach: Int,
         isSorted: Boolean = false, minValue: Option[String] = None,
-        maxValue: Option[String] = None): Unit = {
-      val ids = {
+        maxValue: Option[String] = None,
+        precomputedIds: Option[Array[Int]] = None): Unit = {
+      val ids = precomputedIds.getOrElse {
         val pos = distinct.zipWithIndex.toMap
         values.map(pos(_))
       }
@@ -195,17 +196,33 @@ object SegmentWriter {
           sortedAsc(values), distinct.headOption.map(_.toString),
           distinct.lastOption.map(_.toString))
       case FloatCol(name, values) =>
-        val distinct = values.distinct.sorted
+        // distinct + index by BIT PATTERN: Scala's boxed == follows
+        // primitive float semantics, so NaN keys never match in a Map
+        // (lookup would throw) and -0.0/0.0 would collapse into one dict
+        // entry that then fails exact bit round-trip. floatToIntBits
+        // canonicalizes every NaN to one pattern; TotalOrdering sorts
+        // -0.0 < 0.0 < NaN, keeping the dictionary value-ordered.
+        val distinct = values.map(java.lang.Float.floatToIntBits)
+          .distinct.map(java.lang.Float.intBitsToFloat)
+          .sorted(Ordering.Float.TotalOrdering)
+        val pos = distinct.iterator.zipWithIndex
+          .map { case (v, i) => java.lang.Float.floatToIntBits(v) -> i }.toMap
         writeDictEncoded(name, "FLOAT", values, distinct,
           dictHeader(distinct.length * 4)(b => distinct.foreach(b.putFloat)), 0,
           sortedAsc(values), distinct.headOption.map(_.toString),
-          distinct.lastOption.map(_.toString))
+          distinct.lastOption.map(_.toString),
+          Some(values.map(v => pos(java.lang.Float.floatToIntBits(v)))))
       case DoubleCol(name, values) =>
-        val distinct = values.distinct.sorted
+        val distinct = values.map(java.lang.Double.doubleToLongBits)
+          .distinct.map(java.lang.Double.longBitsToDouble)
+          .sorted(Ordering.Double.TotalOrdering)
+        val pos = distinct.iterator.zipWithIndex
+          .map { case (v, i) => java.lang.Double.doubleToLongBits(v) -> i }.toMap
         writeDictEncoded(name, "DOUBLE", values, distinct,
           dictHeader(distinct.length * 8)(b => distinct.foreach(b.putDouble)), 0,
           sortedAsc(values), distinct.headOption.map(_.toString),
-          distinct.lastOption.map(_.toString))
+          distinct.lastOption.map(_.toString),
+          Some(values.map(v => pos(java.lang.Double.doubleToLongBits(v)))))
       case StringDictCol(name, values, fixedLength) =>
         val distinct = values.distinct.sorted
         val encoded = distinct.map(_.getBytes(StandardCharsets.UTF_8))

@@ -138,28 +138,47 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
 object PinotSegmentTable {
 
   // Warm-catalog cache: segment discovery + schema inference per table
-  // path, invalidated when the directory's mtime changes (a committed
-  // write creates/renames segment dirs, bumping the parent mtime). The
-  // reference benchmarks with a warm catalog (examples/benchmark.rs:43-45)
-  // — this is the DSv2 counterpart, and at 100 TB it keeps per-query
-  // planning from re-walking tens of thousands of segment dirs.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, PinotSegmentTable)]()
+  // path. The reference benchmarks with a warm catalog
+  // (examples/benchmark.rs:43-45) — this is the DSv2 counterpart, and at
+  // 100 TB it keeps per-query planning from re-walking tens of thousands
+  // of segment dirs. Invalidation key = dir mtime PLUS a fingerprint of
+  // the visible segment-dir names (one cheap readdir): mtime alone has
+  // millisecond granularity, so a write landing in the same millisecond
+  // as a prior open could serve a stale segment list. LRU-bounded so
+  // long-lived sessions over many ephemeral table dirs don't grow it
+  // without bound.
+  private val cache = new LruCache[String, ((Long, Int), PinotSegmentTable)](256)
 
   def open(path: String, partitionCols: Seq[String] = Seq.empty): PinotSegmentTable = {
+    val p = Paths.get(path)
     val mtime =
-      try Files.getLastModifiedTime(Paths.get(path)).toMillis
+      try Files.getLastModifiedTime(p).toMillis
       catch { case _: Throwable => -1L }
+    val fp: Int =
+      try {
+        val s = Files.list(p)
+        try {
+          var h = 17
+          s.iterator().forEachRemaining { e =>
+            val n = e.getFileName.toString
+            if (!n.startsWith("tmp")) h = h * 31 + n.hashCode
+          }
+          h
+        } finally s.close()
+      } catch { case _: Throwable => 0 }
+    val stamp = (mtime, fp)
     val key = if (partitionCols.isEmpty) path
       else s"$path#${partitionCols.mkString(",")}"
-    val cached = cache.get(key)
-    if (cached != null && cached._1 == mtime) return cached._2
-    val segs = PinotSegments.discover(path)
-    val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
-    val table = new PinotSegmentTable(meta.tableName, segs.map(_.toString),
-      PinotSegments.schemaFor(segs), Some(path), partitionCols)
-    cache.put(key, (mtime, table))
-    table
+    cache.get(key) match {
+      case Some((s, t)) if s == stamp => t
+      case _ =>
+        val segs = PinotSegments.discover(path)
+        val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
+        val table = new PinotSegmentTable(meta.tableName, segs.map(_.toString),
+          PinotSegments.schemaFor(segs), Some(path), partitionCols)
+        cache.put(key, (stamp, table))
+        table
+    }
   }
 
   /** A not-yet-existing table: write-only until the first commit. */

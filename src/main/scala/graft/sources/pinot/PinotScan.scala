@@ -369,25 +369,24 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
 }
 
 object PinotScan {
-  // Per-segment doc counts, metadata.properties only (no index_map, no
-  // column data). Segment dirs are immutable, so a plain concurrent map
-  // never invalidates; new segments arrive under new paths.
-  private val docCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def segmentDocs(path: String): Long = {
     val m = segmentMeta(path)
     if (m == null) 0L else m.totalDocs.toLong
   }
 
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.pinot.SegmentMetadata]()
+  // Parsed metadata.properties per segment path (immutable → cacheable;
+  // new segments arrive under new paths). LRU-BOUNDED: a long-lived
+  // session planning over many ephemeral table dirs must not grow the
+  // map without bound — eviction only costs a cheap re-parse.
+  private val metaCache = new LruCache[String, graft.pinot.SegmentMetadata](65536)
   private val MetaMiss: graft.pinot.SegmentMetadata = null
 
   /** Parsed metadata.properties per segment path (immutable → cacheable);
     * null when unreadable.
     */
   def segmentMeta(path: String): graft.pinot.SegmentMetadata =
-    metaCache.computeIfAbsent(path, p => {
+    metaCache.getOrCompute(path, p => {
       try {
         val dir = java.nio.file.Paths.get(p)
         val root =
@@ -396,6 +395,23 @@ object PinotScan {
         graft.pinot.SegmentMetadata.fromFile(root.resolve("metadata.properties"))
       } catch { case _: Throwable => MetaMiss }
     })
+}
+
+/** Minimal synchronized LRU (access-order LinkedHashMap). Driver/executor
+  * metadata caches sit on IO-dominated paths, so a lock beats unbounded
+  * growth; values must tolerate recompute-after-evict.
+  */
+private[pinot] final class LruCache[K, V](max: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size() > max
+  }
+  def getOrCompute(k: K, f: K => V): V = synchronized {
+    if (m.containsKey(k)) m.get(k)
+    else { val v = f(k); m.put(k, v); v }
+  }
+  def get(k: K): Option[V] = synchronized(Option(m.get(k)))
+  def put(k: K, v: V): Unit = synchronized { m.put(k, v); () }
 }
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition
@@ -490,10 +506,16 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   private def cmp(bound: String, value: Any): Option[Int] = value match {
     case x: Int => bound.toIntOption.map(Integer.compare(_, x))
     case x: Long => bound.toLongOption.map(java.lang.Long.compare(_, x))
+    // primitive == short-circuit first: Float/Double.compare orders
+    // -0.0 < 0.0, but Spark comparison semantics treat them as equal —
+    // a segment whose recorded max is "-0.0" must not be pruned for
+    // `x >= 0.0`
     case x: Float =>
-      bound.toFloatOption.map(java.lang.Float.compare(_, x))
+      bound.toFloatOption.map(b =>
+        if (b == x) 0 else java.lang.Float.compare(b, x))
     case x: Double =>
-      bound.toDoubleOption.map(java.lang.Double.compare(_, x))
+      bound.toDoubleOption.map(b =>
+        if (b == x) 0 else java.lang.Double.compare(b, x))
     case x: String => Some(bound.compareTo(x))
     case x: UTF8String => Some(bound.compareTo(x.toString))
     case _ => None
@@ -512,8 +534,13 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     (dict, v) match {
       case (PinotDictionary.Ints(a), x: Int) => a.contains(x)
       case (PinotDictionary.Longs(a), x: Long) => a.contains(x)
-      case (PinotDictionary.Floats(a), x: Float) => a.contains(x)
-      case (PinotDictionary.Doubles(a), x: Double) => a.contains(x)
+      // NaN needs an explicit probe (primitive NaN != NaN would always
+      // prune, while Spark's EqualTo treats NaN = NaN as true); plain ==
+      // also makes -0.0 match 0.0, aligning with Spark equality
+      case (PinotDictionary.Floats(a), x: Float) =>
+        if (x.isNaN) a.exists(_.isNaN) else a.exists(_ == x)
+      case (PinotDictionary.Doubles(a), x: Double) =>
+        if (x.isNaN) a.exists(_.isNaN) else a.exists(_ == x)
       case (PinotDictionary.Strings(a), x: String) => a.contains(x)
       case (PinotDictionary.Strings(a), x: UTF8String) => a.contains(x.toString)
       case _ => true // unexpected type pairing: never prune on a guess

@@ -55,7 +55,12 @@ class PinotStreamingWrite(path: String, tableName: String,
     delegate.abort(messages)
 }
 
-case class PinotCommitMessage(tmpDirs: Seq[String], rows: Long)
+/** (tmpDir, visibleSegName) pairs: the tmp dir is ATTEMPT-unique (carries
+  * the task id) so speculative/zombie attempts never touch each other's
+  * in-progress output, while the visible name stays deterministic per
+  * (queryId, epoch, partition, segSeq) so replayed commits deduplicate.
+  */
+case class PinotCommitMessage(segs: Seq[(String, String)], rows: Long)
     extends WriterCommitMessage
 
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
@@ -74,11 +79,10 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case PinotCommitMessage(tmps, _) =>
-        tmps.foreach { tmp =>
+      case PinotCommitMessage(segs, _) =>
+        segs.foreach { case (tmp, segName) =>
           val src = Paths.get(tmp)
-          val visible = src.resolveSibling(
-            src.getFileName.toString.replaceFirst("^tmp_", "seg_"))
+          val visible = src.resolveSibling(segName)
           if (Files.exists(visible)) PinotWriteUtil.deleteRecursively(src)
           else if (Files.exists(src)) Files.move(src, visible)
           else throw new PinotFormatException(
@@ -90,8 +94,9 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case PinotCommitMessage(tmps, _) =>
-        tmps.foreach(t => PinotWriteUtil.deleteRecursively(Paths.get(t)))
+      case PinotCommitMessage(segs, _) =>
+        segs.foreach { case (t, _) =>
+          PinotWriteUtil.deleteRecursively(Paths.get(t)) }
       case _ => ()
     }
 }
@@ -130,6 +135,16 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
         s"pinot write does not support column ${f.name}: ${other.simpleString}")
     }
   }
+  // partition keys become segment-grouping strings — binary/array values
+  // have no canonical text form, so reject them up front rather than
+  // silently degenerating to one segment per row
+  partitionCols.foreach { pc =>
+    schema(pc).dataType match {
+      case BinaryType | _: ArrayType => throw new PinotFormatException(
+        s"partitionBy column $pc: binary/array partition keys are not supported")
+      case _ => ()
+    }
+  }
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
@@ -149,7 +164,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
 
   private val buffers: Array[ArrayBuffer[Any]] =
     schema.fields.map(_ => ArrayBuffer.empty[Any])
-  private val flushed = ArrayBuffer.empty[String]
+  private val flushed = ArrayBuffer.empty[(String, String)]
   private var segSeq = 0
   private var totalRows = 0L
 
@@ -203,7 +218,13 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       // segment's min==max metadata then drives storage-partitioned joins
       // on the read side (callers co-locate keys with df.repartition(key))
       val keyIdx = partitionCols.map(schema.fieldIndex)
-      (0 until n).groupBy(r => keyIdx.map(ci => buffers(ci)(r)).mkString(" "))
+      // length-prefixed text encoding: unambiguous for any scalar key
+      // (no separator byte can collide with value content)
+      def key(r: Int): String = keyIdx.map { ci =>
+        val s = String.valueOf(buffers(ci)(r))
+        s"${s.length}:$s"
+      }.mkString(";")
+      (0 until n).groupBy(key)
         .toSeq.sortBy(_._1)
         .foreach { case (_, rows) => writeSegment(rows) }
     }
@@ -212,9 +233,11 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
 
   private def writeSegment(rows: Seq[Int]): Unit = {
     val suffix = f"${queryId}_$partitionId%05d_$segSeq%03d"
-    val tmpDir = Paths.get(path, s"tmp_$suffix")
-    // a stale tmp dir with this deterministic name is a previous attempt
-    // of this same task (failed/speculative/epoch-replayed) — reclaim it
+    // tmp dir is attempt-unique (taskId): a speculative/zombie sibling
+    // attempt can never delete or interleave with a live attempt's
+    // in-progress output; dedup happens at commit on the deterministic
+    // seg_ name. Reclaim only THIS attempt's own leftover (re-entry).
+    val tmpDir = Paths.get(path, s"tmp_${suffix}_t$taskId")
     PinotWriteUtil.deleteRecursively(tmpDir)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       def vals[T]: Seq[T] = rows.map(r => buffers(i)(r).asInstanceOf[T])
@@ -268,7 +291,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       }
     }.toSeq
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols)
-    flushed += tmpDir.toString
+    flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }
 
@@ -282,7 +305,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     * (invisible to reads — discovery skips `tmp*` — but unbounded disk).
     */
   override def abort(): Unit =
-    flushed.foreach(t => PinotWriteUtil.deleteRecursively(Paths.get(t)))
+    flushed.foreach { case (t, _) =>
+      PinotWriteUtil.deleteRecursively(Paths.get(t)) }
 
   override def close(): Unit = ()
 }

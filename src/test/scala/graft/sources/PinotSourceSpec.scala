@@ -230,6 +230,40 @@ class PinotSourceSpec extends SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so
+    // x >= 0.0 and x = 0.0 must NOT prune it (Double.compare alone would)
+    val root = Files.createTempDirectory("pinot_zero")
+    val tdir = root.resolve("zeroes_OFFLINE")
+    SegmentWriter.write(tdir.resolve("seg0"), "zeroes", "seg0", Seq(
+      SegmentWriter.IntCol("k", Array(1, 2)),
+      SegmentWriter.DoubleCol("v", Array(-0.0, -1.5))))
+    val keptGe = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("k"),
+      Array(GreaterThanOrEqual("v", 0.0)), None)
+    assert(keptGe.next(), "max=-0.0 must survive v >= 0.0")
+    val keptEq = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("k"),
+      Array(EqualTo("v", 0.0)), None)
+    assert(keptEq.next(), "dict containing -0.0 must survive v = 0.0")
+    // NaN equality: Spark's EqualTo(NaN) is true for stored NaN — the
+    // dictionary probe must not prune a segment that holds NaN
+    val ndir = root.resolve("nans_OFFLINE")
+    SegmentWriter.write(ndir.resolve("seg0"), "nans", "seg0", Seq(
+      SegmentWriter.IntCol("k", Array(1, 2)),
+      SegmentWriter.DoubleCol("v", Array(Double.NaN, 7.5))))
+    val keptNaN = new graft.sources.pinot.PinotColumnarReader(
+      s"$ndir/seg0/v3", Array("k"),
+      Array(EqualTo("v", Double.NaN)), None)
+    assert(keptNaN.next(), "dict containing NaN must survive v = NaN")
+    // ... while a NaN probe against a NaN-free dictionary still prunes
+    val prunedNaN = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("k"),
+      Array(EqualTo("v", Double.NaN)), None)
+    assert(!prunedNaN.next(), "NaN-free dict prunes v = NaN")
+  }
+
   test("storage-partitioned join: co-partitioned tables join with no Exchange") {
     import graft.pinot.SegmentWriter
     val root = Files.createTempDirectory("pinot_spj")
