@@ -140,9 +140,41 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
     tableDir: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = projected
+
+  /** Runtime (dynamic-partition-pruning) filters: Spark hands the scan
+    * the build side's join-key values after planning — whole segments
+    * whose metadata [min,max] excludes every value are dropped before a
+    * single task launches. At 100 TB this is the difference between
+    * scanning thousands of segments and the handful a selective dim
+    * join actually touches. Driver cost is one cached
+    * metadata.properties read per segment (no dictionary/column IO).
+    * Sound by construction: pruning can only skip segments that
+    * provably contain no matching rows — the join itself remains
+    * authoritative for row-level filtering.
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    projected.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+  }
+
+  /** Segments surviving runtime pruning. The storage-partitioned (keyed)
+    * case is left unpruned: KeyGroupedPartitioning's key list is fixed at
+    * planning, and SPJ tables are already co-located by the join key.
+    */
+  private def effectiveSegments: Seq[String] =
+    if (runtimeFilters.isEmpty || partitionInfo.isDefined) segmentPaths
+    else segmentPaths.filter { p =>
+      val m = PinotScan.segmentMeta(p)
+      m == null || runtimeFilters.forall(PinotScan.metaMayMatch(m, _))
+    }
 
   /** Streaming read: tail the table directory for newly-committed
     * segments — each micro-batch processes exactly the segments that
@@ -243,7 +275,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
               Array(k))): InputPartition
         }.toArray
       case None =>
-        segmentPaths.map(p => PinotInputPartition(p): InputPartition).toArray
+        effectiveSegments.map(p => PinotInputPartition(p): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -369,6 +401,50 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
 }
 
 object PinotScan {
+
+  /** Compare a metadata bound (string form) against a filter value.
+    * Some(sign) when comparable; None → cannot prune on this filter.
+    * Primitive == short-circuits first: Float/Double.compare orders
+    * -0.0 < 0.0, but Spark comparison semantics treat them as equal —
+    * a segment whose recorded max is "-0.0" must not be pruned for
+    * `x >= 0.0`.
+    */
+  private[pinot] def cmpBound(bound: String, value: Any): Option[Int] =
+    value match {
+      case x: Int => bound.toIntOption.map(Integer.compare(_, x))
+      case x: Long => bound.toLongOption.map(java.lang.Long.compare(_, x))
+      case x: Float =>
+        bound.toFloatOption.map(b =>
+          if (b == x) 0 else java.lang.Float.compare(b, x))
+      case x: Double =>
+        bound.toDoubleOption.map(b =>
+          if (b == x) 0 else java.lang.Double.compare(b, x))
+      case x: String => Some(bound.compareTo(x))
+      case x: UTF8String => Some(bound.compareTo(x.toString))
+      case _ => None
+    }
+
+  /** Driver-side may-match from cached metadata min/max ONLY — used by
+    * runtime (DPP) filtering, where opening segment dictionaries on the
+    * driver for thousands of segments would be a metadata stampede.
+    * Sound: unknown columns/bounds/types never prune.
+    */
+  private[pinot] def metaMayMatch(meta: graft.pinot.SegmentMetadata,
+      f: Filter): Boolean = f match {
+    case EqualTo(attr, v) => withinMinMax(meta, attr, v)
+    case In(attr, values) => values.exists(v => withinMinMax(meta, attr, v))
+    case _ => true
+  }
+
+  private def withinMinMax(meta: graft.pinot.SegmentMetadata, attr: String,
+      v: Any): Boolean =
+    meta.columns.get(attr) match {
+      case Some(cm) if cm.isSingleValue =>
+        val lo = cm.minValue.flatMap(cmpBound(_, v)).forall(_ <= 0)
+        val hi = cm.maxValue.flatMap(cmpBound(_, v)).forall(_ >= 0)
+        lo && hi
+      case _ => true
+    }
 
   def segmentDocs(path: String): Long = {
     val m = segmentMeta(path)
@@ -502,24 +578,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   /** Compare a metadata bound (string form) against a pushed filter value.
     * Some(sign) when comparable; None → cannot prune on this filter.
+    * (Shared with driver-side runtime pruning — see PinotScan.cmpBound.)
     */
-  private def cmp(bound: String, value: Any): Option[Int] = value match {
-    case x: Int => bound.toIntOption.map(Integer.compare(_, x))
-    case x: Long => bound.toLongOption.map(java.lang.Long.compare(_, x))
-    // primitive == short-circuit first: Float/Double.compare orders
-    // -0.0 < 0.0, but Spark comparison semantics treat them as equal —
-    // a segment whose recorded max is "-0.0" must not be pruned for
-    // `x >= 0.0`
-    case x: Float =>
-      bound.toFloatOption.map(b =>
-        if (b == x) 0 else java.lang.Float.compare(b, x))
-    case x: Double =>
-      bound.toDoubleOption.map(b =>
-        if (b == x) 0 else java.lang.Double.compare(b, x))
-    case x: String => Some(bound.compareTo(x))
-    case x: UTF8String => Some(bound.compareTo(x.toString))
-    case _ => None
-  }
+  private def cmp(bound: String, value: Any): Option[Int] =
+    PinotScan.cmpBound(bound, value)
 
   private def dictMayContain(attr: String, values: Seq[Any]): Boolean = {
     val cm = try reader.metadata.column(attr)

@@ -230,6 +230,59 @@ class PinotSourceSpec extends SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("runtime (DPP) filters prune whole segments at the driver") {
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType}
+    // playerID is tabulated and sliced per segment → the three segments
+    // have DISJOINT [min,max] ranges: a runtime In() with values from one
+    // segment's range must keep exactly that segment
+    val segs = (0 until 3).map(s => s"$tablePath/seg$s")
+    val schema = StructType(Seq(
+      StructField("playerID", StringType, nullable = false),
+      StructField("hits", IntegerType, nullable = false)))
+    def scan() = new graft.sources.pinot.PinotScan(
+      segs, schema, Array.empty, None)
+    val s0 = scan()
+    assert(s0.planInputPartitions().length === 3)
+    assert(s0.filterAttributes().map(_.fieldNames().head).toSet
+      === Set("playerID", "hits"))
+    // values inside seg1's range only (docs n/3 .. 2n/3)
+    val mid = playerID(n / 2)
+    val s1 = scan()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("playerID", Array(mid))))
+    assert(s1.planInputPartitions().length === 1, "one segment survives")
+    // a value per segment keeps all three
+    val s2 = scan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("playerID", Array(playerID(0), playerID(n / 2), playerID(n - 1)))))
+    assert(s2.planInputPartitions().length === 3)
+    // no matching value anywhere → zero partitions, no tasks at all
+    val s3 = scan()
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("playerID", Array("zzz_nobody"))))
+    assert(s3.planInputPartitions().length === 0)
+    // unprunable filter types never drop segments
+    val s4 = scan()
+    s4.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringContains("playerID", "x")))
+    assert(s4.planInputPartitions().length === 3)
+
+    // end-to-end: a selective broadcast-dim join over the DSv2 source
+    // stays correct with DPP enabled (the runtime filter is advisory —
+    // the join remains authoritative)
+    val fact = spark.read.format("pinot").load(tablePath)
+    val dim = spark.createDataFrame(
+      Seq((playerID(7), "keep"), (playerID(n - 3), "keep"))
+    ).toDF("pid", "tag")
+    val joined = fact.join(broadcast(dim), col("playerID") === col("pid"))
+      .select("playerID", "hits", "tag")
+    assert(joined.count() === 2)
+    val got = joined.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got(playerID(7)) === hits(7))
+    assert(got(playerID(n - 3)) === hits(n - 3))
+  }
+
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so
