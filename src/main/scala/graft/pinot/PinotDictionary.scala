@@ -41,7 +41,7 @@ object PinotDictionary {
         Floats(Array.fill(cardinality)(buf.getFloat))
       case PinotType.PDouble =>
         Doubles(Array.fill(cardinality)(buf.getDouble))
-      case PinotType.PString if lengthOfEachEntry > 0 =>
+      case PinotType.PString | PinotType.PJson if lengthOfEachEntry > 0 =>
         // Fixed-length entries, NUL-padded (dictionary.rs:90-104).
         Strings(Array.fill(cardinality) {
           val raw = new Array[Byte](lengthOfEachEntry)
@@ -49,8 +49,10 @@ object PinotDictionary {
           val end = raw.indexOf(0.toByte) match { case -1 => raw.length; case i => i }
           new String(raw, 0, end, StandardCharsets.UTF_8)
         })
-      case PinotType.PString =>
+      case PinotType.PString | PinotType.PJson =>
         // Var-length entries with 4-byte BE length prefix (dictionary.rs:106-121).
+        // JSON shares STRING's dictionary layout (Apache Pinot stores
+        // JSON as string payloads).
         Strings(Array.fill(cardinality) {
           val len = buf.getInt
           val raw = new Array[Byte](len)
@@ -74,6 +76,9 @@ object PinotDictionary {
       case PinotType.PTimestamp =>
         // Epoch millis as LONG (Apache Pinot's TIMESTAMP storage type).
         Longs(Array.fill(cardinality)(buf.getLong))
+      case PinotType.PBigDecimal =>
+        throw new PinotFormatException(
+          "BIG_DECIMAL columns are RAW var-byte encoded (no dictionary)")
     }
   }
 }

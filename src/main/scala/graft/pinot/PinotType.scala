@@ -25,9 +25,22 @@ object PinotType {
   case object PBytes extends PinotType("BYTES") { val sparkType: DataType = BinaryType }
   case object PBoolean extends PinotType("BOOLEAN") { val sparkType: DataType = BooleanType }
   case object PTimestamp extends PinotType("TIMESTAMP") { val sparkType: DataType = TimestampType }
+  /** JSON documents, stored exactly like STRING (Apache Pinot's JSON
+    * storage type); surfaces as StringType for Spark's json functions.
+    */
+  case object PJson extends PinotType("JSON") { val sparkType: DataType = StringType }
+  /** Arbitrary-precision decimals, stored as var-length bytes: 2-byte
+    * big-endian scale + big-endian unscaled value (Apache Pinot's
+    * BigDecimal serialization). Surfaces as DecimalType(38, 18); stored
+    * scales must be <= 18 so the widening is exact.
+    */
+  case object PBigDecimal extends PinotType("BIG_DECIMAL") {
+    val sparkType: DataType = DecimalType(38, 18)
+  }
 
   val all: Seq[PinotType] =
-    Seq(PInt, PLong, PFloat, PDouble, PString, PBytes, PBoolean, PTimestamp)
+    Seq(PInt, PLong, PFloat, PDouble, PString, PBytes, PBoolean, PTimestamp,
+      PJson, PBigDecimal)
 
   def fromString(s: String): PinotType =
     all.find(_.name == s).getOrElse(

@@ -148,10 +148,13 @@ final class SegmentReader private (
   }
 
   /** STRING supports both dictionary and RAW VarByteChunk V4 encodings
-    * (segment_reader.rs:166-255).
+    * (segment_reader.rs:166-255). JSON shares STRING's storage exactly
+    * (Apache Pinot's JSON storage type), so it reads through here too.
     */
   def readStringColumn(name: String, maxDocs: Int = Int.MaxValue): Array[String] = {
-    val cm = checkType(name, PinotType.PString)
+    val cm = metadata.column(name)
+    if (cm.dataType != PinotType.PString && cm.dataType != PinotType.PJson)
+      throw new PinotFormatException(s"Column $name is not STRING/JSON type")
     if (cm.hasDictionary) {
       val PinotDictionary.Strings(dict) = dictionary(name): @unchecked
       dictIds(name, maxDocs).map(dict(_))
@@ -255,6 +258,49 @@ final class SegmentReader private (
       if (maxDocs < all.length) all.take(maxDocs) else all
     }
   }
+
+  /** BIG_DECIMAL column (extension): RAW var-byte values of 2-byte BE
+    * scale + BE unscaled bytes (Apache Pinot's BigDecimal serialization).
+    */
+  def readBigDecimalColumn(name: String,
+      maxDocs: Int = Int.MaxValue): Array[java.math.BigDecimal] = {
+    val cm = checkType(name, PinotType.PBigDecimal)
+    rawValuesRange(name, 0, cap(cm, maxDocs)).map(PinotBigDecimal.deserialize)
+  }
+}
+
+/** Apache Pinot's BigDecimal byte serialization: 2-byte big-endian scale
+  * followed by the big-endian two's-complement unscaled value.
+  */
+object PinotBigDecimal {
+  def serialize(v: java.math.BigDecimal): Array[Byte] = {
+    val scale = v.scale()
+    if (scale < 0 || scale > 18)
+      throw new PinotFormatException(
+        s"BIG_DECIMAL scale $scale outside [0, 18]")
+    val unscaled = v.unscaledValue().toByteArray
+    val out = new Array[Byte](2 + unscaled.length)
+    out(0) = ((scale >> 8) & 0xFF).toByte
+    out(1) = (scale & 0xFF).toByte
+    System.arraycopy(unscaled, 0, out, 2, unscaled.length)
+    out
+  }
+
+  def deserialize(b: Array[Byte]): java.math.BigDecimal = {
+    if (b.length < 3)
+      throw new PinotFormatException("BIG_DECIMAL value too short")
+    val scale = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    new java.math.BigDecimal(
+      new java.math.BigInteger(java.util.Arrays.copyOfRange(b, 2, b.length)),
+      scale)
+  }
+
+  /** Unscaled bytes at the fixed read-side scale 18 — what the vectorized
+    * scan's binary dictionary holds so Spark's `getDecimal(_, 38, 18)`
+    * reconstructs the exact value. Stored scale <= 18 ⇒ widening exact.
+    */
+  def toUnscaled18(b: Array[Byte]): Array[Byte] =
+    deserialize(b).setScale(18).unscaledValue().toByteArray
 }
 
 object SegmentReader {

@@ -66,6 +66,16 @@ object SegmentWriter {
     * i32 BE totalEntries, (totalDocs+1) i32 BE cumulative offsets, then
     * the fixed-bit packed dict ids of all values concatenated.
     */
+  /** JSON columns: STRING storage with dataType JSON (≙ Apache Pinot). */
+  final case class JsonDictCol(name: String, values: Array[String]) extends ColumnData { def length: Int = values.length }
+  final case class JsonRawCol(name: String, values: Array[String],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 64 * 1024) extends ColumnData { def length: Int = values.length }
+  /** BIG_DECIMAL: RAW var-byte of 2-byte BE scale + BE unscaled bytes. */
+  final case class BigDecimalRawCol(name: String,
+      values: Array[java.math.BigDecimal],
+      compression: Int = VarByteChunkV4.Lz4LengthPrefixed,
+      targetChunkSize: Int = 64 * 1024) extends ColumnData { def length: Int = values.length }
   final case class IntMVCol(name: String, values: Array[Array[Int]]) extends ColumnData { def length: Int = values.length }
   final case class LongMVCol(name: String, values: Array[Array[Long]]) extends ColumnData { def length: Int = values.length }
   final case class DoubleMVCol(name: String, values: Array[Array[Double]]) extends ColumnData { def length: Int = values.length }
@@ -275,6 +285,24 @@ object SegmentWriter {
         addSection(name, "forward_index",
           writeVarByteV4(values, compression, targetChunkSize, withMagic = true))
         colProps(name, "BYTES", values.map(java.util.Arrays.hashCode).distinct.length,
+          0, hasDict = false, 0)
+      case JsonDictCol(name, values) =>
+        val distinct = values.distinct.sorted
+        val encoded = distinct.map(_.getBytes(StandardCharsets.UTF_8))
+        val dict = dictHeader(encoded.map(_.length + 4).sum) { b =>
+          encoded.foreach { e => b.putInt(e.length); b.put(e) }
+        }
+        writeDictEncoded(name, "JSON", values, distinct, dict, 0)
+      case JsonRawCol(name, values, compression, targetChunkSize) =>
+        addSection(name, "forward_index",
+          writeVarByteV4(values.map(_.getBytes(StandardCharsets.UTF_8)),
+            compression, targetChunkSize, withMagic = true))
+        colProps(name, "JSON", values.distinct.length, 0, hasDict = false, 0)
+      case BigDecimalRawCol(name, values, compression, targetChunkSize) =>
+        addSection(name, "forward_index",
+          writeVarByteV4(values.map(PinotBigDecimal.serialize),
+            compression, targetChunkSize, withMagic = true))
+        colProps(name, "BIG_DECIMAL", values.map(_.stripTrailingZeros).distinct.length,
           0, hasDict = false, 0)
       case IntRawCol(name, values, compression, targetChunkSize) =>
         val le = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)

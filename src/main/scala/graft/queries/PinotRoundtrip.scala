@@ -79,6 +79,32 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** JSON + BIG_DECIMAL fixture: events subset through the DSv2 writer
+    * with `jsonColumns` (props stores as Pinot JSON) and an exact
+    * integer-derived decimal column (BIG_DECIMAL storage).
+    */
+  private def jsonDecTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsPinot_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(
+          col("event_id"), col("event_type"), col("props"),
+          // exact decimal from integers: (event_id % 1000) * 0.25, scale 4
+          ((col("event_id") % 1000).cast("decimal(12,2)") *
+            lit("0.25").cast("decimal(6,2)")).as("amount"))
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("jsonColumns", "props")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
@@ -98,6 +124,21 @@ object PinotRoundtrip {
           sum(when(col("l_returned"), 1L).otherwise(0L)).as("returned_rows"),
           sum(octet_length(col("l_payload"))).as("payload_bytes"))
         .orderBy("l_returnflag")
+    }),
+
+    // JSON + BIG_DECIMAL storage types through the DSv2 writer and back:
+    // JSON payloads queried with get_json_object, decimals re-scaled to
+    // exact integers per row before summing (scale-4 values × 10^4) so
+    // the compare is integer-exact end to end.
+    "q75_pinot_json_decimal" -> ((s, d) => {
+      val p = s.read.format("pinot").load(jsonDecTable(s, d))
+      p.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          sum((col("amount") * lit(10000).cast("decimal(6,0)")).cast("long"))
+            .as("amount_e4"))
+        .orderBy("event_type")
     }),
 
     // Multi-value columns through the full write→segment→scan→explode
@@ -136,6 +177,18 @@ object PinotRoundtrip {
         |  CAST(sum(returned) AS BIGINT) AS returned_rows,
         |  CAST(sum(pbytes) AS BIGINT) AS payload_bytes
         |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q75_pinot_json_decimal" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type, props,
+        |    CAST(event_id % 1000 AS DECIMAL(12,2)) *
+        |      CAST('0.25' AS DECIMAL(6,2)) AS amount
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(amount * 10000 AS BIGINT)) AS BIGINT) AS amount_e4
+        |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q70_pinot_mv_explode" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,

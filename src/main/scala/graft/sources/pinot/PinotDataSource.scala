@@ -130,8 +130,13 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val dir = tableDir.getOrElse(throw new PinotFormatException(
       s"Table $tableName has no directory to write to"))
+    // `.option("jsonColumns", "a,b")`: listed STRING columns store with
+    // Pinot's JSON data type (same physical layout as STRING)
+    val jsonCols = Option(info.options.get("jsonColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols)
+      partitionCols, jsonCols)
   }
 }
 

@@ -815,7 +815,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             DictBacked(cm.dataType, ArrayDictionary.ofBinary(v), fbr)
         }
       } else cm.dataType match {
-        case PinotType.PString | PinotType.PBytes =>
+        // JSON shares STRING storage; BIG_DECIMAL values transform to
+        // fixed-scale unscaled bytes per window (see next())
+        case PinotType.PString | PinotType.PBytes | PinotType.PJson |
+             PinotType.PBigDecimal =>
           new RawWindowed(cm.dataType, reader.rawChunkReader(name))
         case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
              PinotType.PDouble | PinotType.PTimestamp =>
@@ -879,7 +882,14 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             while (i < n) { vec.putBoolean(i, dictInts(ids(i)) != 0); i += 1 }
           case rw: RawWindowed =>
             val vec = vectors(c)
-            val values = rw.v4.readRangeBytes(docStart + pos, n)
+            val raw = rw.v4.readRangeBytes(docStart + pos, n)
+            // BIG_DECIMAL: Spark's getDecimal(_, 38, 18) reads BINARY =
+            // unscaled bytes at the schema scale — convert the serialized
+            // (scale, unscaled) form once per window
+            val values =
+              if (rw.tpe == PinotType.PBigDecimal)
+                raw.map(graft.pinot.PinotBigDecimal.toUnscaled18)
+              else raw
             vec.setDictionary(ArrayDictionary.ofBinary(values))
             vec.reserveDictionaryIds(n).putInts(0, n, identityWindow, 0)
           case nr: NumRawWindowed =>

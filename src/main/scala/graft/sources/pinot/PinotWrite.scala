@@ -25,11 +25,12 @@ import org.apache.spark.sql.types._
   * output is never read and abort simply deletes.
   */
 class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
-    queryId: String, partitionCols: Seq[String] = Seq.empty) extends WriteBuilder {
+    queryId: String, partitionCols: Seq[String] = Seq.empty,
+    jsonCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
-      schema, queryId, partitionCols)
+      schema, queryId, partitionCols, jsonCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path)
@@ -64,10 +65,12 @@ case class PinotCommitMessage(segs: Seq[(String, String)], rows: Long)
     extends WriterCommitMessage
 
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
-    queryId: String, partitionCols: Seq[String] = Seq.empty) extends BatchWrite {
+    queryId: String, partitionCols: Seq[String] = Seq.empty,
+    jsonCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PinotWriterFactory(path, tableName, schema, queryId, partitionCols)
+    new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
+      jsonCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -119,7 +122,8 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
-    queryId: String, partitionCols: Seq[String] = Seq.empty)
+    queryId: String, partitionCols: Seq[String] = Seq.empty,
+    jsonCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -127,6 +131,9 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     f.dataType match {
       case IntegerType | LongType | FloatType | DoubleType | StringType |
            BooleanType | TimestampType | BinaryType => ()
+      // BIG_DECIMAL extension: read side surfaces DecimalType(38, 18),
+      // so stored scales must fit in 18 for the widening to stay exact
+      case d: DecimalType if d.precision <= 38 && d.scale >= 0 && d.scale <= 18 => ()
       // multi-value (array) columns — extension; reference non-goal.
       // containsNull=true is accepted (Spark over-infers it); actual null
       // ELEMENTS are rejected per row at write time.
@@ -134,6 +141,12 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       case other => throw new PinotFormatException(
         s"pinot write does not support column ${f.name}: ${other.simpleString}")
     }
+  }
+  jsonCols.foreach { jc =>
+    if (!schema.fieldNames.contains(jc) ||
+        schema(jc).dataType != StringType)
+      throw new PinotFormatException(
+        s"jsonColumns entry $jc must be an existing STRING column")
   }
   // partition keys become segment-grouping strings — binary/array values
   // have no canonical text form, so reject them up front rather than
@@ -148,12 +161,12 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols)
+      partitionCols, jsonCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
@@ -184,6 +197,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         // Catalyst timestamps are epoch MICROS; Pinot stores millis —
         // sub-millisecond precision truncates (documented storage grain)
         case TimestampType => Math.floorDiv(row.getLong(i), 1000L)
+        case dt: DecimalType =>
+          row.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal
         case BinaryType => row.getBinary(i).clone()
         case ArrayType(et, _) =>
           val a = row.getArray(i)
@@ -267,6 +282,13 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
           if (highCard(v.distinct.length, v.length))
             SegmentWriter.DoubleRawCol(f.name, v)
           else SegmentWriter.DoubleCol(f.name, v)
+        case StringType if jsonCols(f.name) =>
+          // JSON storage type (same heuristic as strings: RAW for
+          // high-cardinality payloads, dict for repeated documents)
+          val values = vals[String].toArray
+          if (values.distinct.length * 2 > values.length)
+            SegmentWriter.JsonRawCol(f.name, values)
+          else SegmentWriter.JsonDictCol(f.name, values)
         case StringType =>
           val values = vals[String].toArray
           // high-cardinality strings → RAW+LZ4; low-cardinality → dict
@@ -276,6 +298,9 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
           else SegmentWriter.StringDictCol(f.name, values)
         case BooleanType => SegmentWriter.BoolCol(f.name, vals[Boolean].toArray)
         case TimestampType => SegmentWriter.TimestampCol(f.name, vals[Long].toArray)
+        case _: DecimalType =>
+          SegmentWriter.BigDecimalRawCol(f.name,
+            vals[java.math.BigDecimal].toArray)
         case BinaryType =>
           SegmentWriter.BytesRawCol(f.name, vals[Array[Byte]].toArray,
             VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)

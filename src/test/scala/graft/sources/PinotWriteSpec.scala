@@ -34,6 +34,85 @@ class PinotWriteSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("JSON + BIG_DECIMAL columns: write, read back, query") {
+    val dir = Files.createTempDirectory("pinot_jsondec")
+      .resolve("jsondec_OFFLINE").toString
+    val df = spark.range(0, 3000, 1, 2).select(
+      col("id").as("k"),
+      // high-card JSON (RAW) and low-card JSON (dict)
+      concat(lit("""{"k":"""), (col("id") % 997).cast("string"), lit("}"))
+        .as("props"),
+      concat(lit("""{"t":"""), (col("id") % 3).cast("string"), lit("}"))
+        .as("tag"),
+      // exact decimal from integers: (id % 1000) * 0.25, scale 4
+      ((col("id") % 1000).cast("decimal(12,2)") *
+        lit("0.25").cast("decimal(6,2)")).as("amount"))
+    df.write.format("pinot").mode("append")
+      .option("jsonColumns", "props,tag").save(dir)
+
+    // stored data types are JSON / BIG_DECIMAL in segment metadata
+    val segs = graft.sources.pinot.PinotSegments.discover(dir)
+    val meta = graft.pinot.SegmentMetadata.fromFile(
+      segs.head.resolve("metadata.properties"))
+    assert(meta.column("props").dataType === graft.pinot.PinotType.PJson)
+    assert(meta.column("tag").dataType === graft.pinot.PinotType.PJson)
+    assert(meta.column("tag").hasDictionary, "low-card JSON dict-encodes")
+    assert(!meta.column("props").hasDictionary, "high-card JSON goes RAW")
+    assert(meta.column("amount").dataType === graft.pinot.PinotType.PBigDecimal)
+
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.schema("amount").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 18))
+    assert(back.schema("props").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(back.count() === 3000)
+    // decimal values survive exactly (scale widened 4 → 18)
+    val sums = back.agg(
+      sum(col("amount") * lit(10000).cast("decimal(6,0)")).as("s")).head()
+    val expect = (0 until 3000).map(i => (i % 1000) * 25L * 100).sum
+    assert(sums.getDecimal(0).longValueExact() === expect)
+    // JSON payloads query through Spark's json functions
+    val kSum = back
+      .select(get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .agg(sum("kv")).head().getLong(0)
+    assert(kSum === (0 until 3000).map(_ % 997).map(_.toLong).sum)
+    val tags = back
+      .select(get_json_object(col("tag"), "$.t").cast("int").as("t"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(tags === Seq(0, 1, 2))
+  }
+
+  test("decoder-level JSON dict/raw + BigDecimal serialization roundtrip") {
+    import graft.pinot._
+    val dir = Files.createTempDirectory("pinot_jd2").resolve("seg0")
+    val decs = Array(
+      new java.math.BigDecimal("0"),
+      new java.math.BigDecimal("-12345.6789"),
+      new java.math.BigDecimal("99999999999999.999999999999999999"),
+      new java.math.BigDecimal("0.000000000000000001"),
+      new java.math.BigDecimal("-0.01"))
+    SegmentWriter.write(dir, "jd2", "seg0", Seq(
+      SegmentWriter.JsonDictCol("jd", Array(
+        """{"a":1}""", """{"a":2}""", """{"a":1}""", """{"a":2}""", """{"a":1}""")),
+      SegmentWriter.JsonRawCol("jr", Array(
+        """{"b":1}""", """{"b":2}""", """{"b":3}""", """{"b":4}""", """{"b":5}""")),
+      SegmentWriter.BigDecimalRawCol("dec", decs)))
+    val r = SegmentReader.open(dir)
+    assert(r.readStringColumn("jd").toSeq === Seq(
+      """{"a":1}""", """{"a":2}""", """{"a":1}""", """{"a":2}""", """{"a":1}"""))
+    assert(r.readStringColumn("jr").toSeq === Seq(
+      """{"b":1}""", """{"b":2}""", """{"b":3}""", """{"b":4}""", """{"b":5}"""))
+    assert(r.readBigDecimalColumn("dec").toSeq === decs.toSeq)
+    // serialization is bit-faithful incl. scale
+    decs.foreach { d =>
+      assert(PinotBigDecimal.deserialize(PinotBigDecimal.serialize(d)) === d)
+    }
+    // scale outside [0, 18] is rejected loudly
+    intercept[PinotFormatException] {
+      PinotBigDecimal.serialize(new java.math.BigDecimal("1E+5").setScale(-2))
+    }
+  }
+
   test("append adds segments; in-flight tmp dirs are never read") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pinot_write2")
