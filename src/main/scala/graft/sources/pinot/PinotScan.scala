@@ -4,7 +4,7 @@ import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
@@ -54,6 +54,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       case _: EqualTo | _: In => true
       case _: GreaterThan | _: GreaterThanOrEqual |
            _: LessThan | _: LessThanOrEqual => true
+      // prefix filters prune by [min,max] too: LIKE 'abc%' can only
+      // match inside [abc, abd)
+      case _: StringStartsWith => true
       case _ => false
     }
     filters // all residual: engine-side FilterExec remains authoritative
@@ -424,6 +427,23 @@ object PinotScan {
       case _ => None
     }
 
+  /** Smallest string strictly greater than every string with prefix `p`
+    * (last non-maximal char incremented, suffix dropped); None when all
+    * chars are maximal (no finite upper bound).
+    */
+  private[pinot] def prefixNext(p: String): Option[String] = {
+    val cs = p.toCharArray
+    var i = cs.length - 1
+    while (i >= 0) {
+      if (cs(i) < Char.MaxValue) {
+        cs(i) = (cs(i) + 1).toChar
+        return Some(new String(cs, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
   /** Driver-side may-match from cached metadata min/max ONLY — used by
     * runtime (DPP) filtering, where opening segment dictionaries on the
     * driver for thousands of segments would be a metadata stampede.
@@ -551,6 +571,12 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       rangeOpen(attr, maxSide = false, value, strict = true)
     case LessThanOrEqual(attr, value) =>
       rangeOpen(attr, maxSide = false, value, strict = false)
+    case StringStartsWith(attr, prefix) =>
+      // every match lies in [prefix, next(prefix)): keep iff max >= prefix
+      // and min < next(prefix); next(prefix) = None means no upper bound
+      rangeOpen(attr, maxSide = true, prefix, strict = false) &&
+        PinotScan.prefixNext(prefix).forall(np =>
+          rangeOpen(attr, maxSide = false, np, strict = true))
     case _ => true
   }
 
@@ -632,6 +658,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             (cm.dataType match {
               case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
                    PinotType.PDouble => true
+              // sorted STRING columns (e.g. time-ordered ids) range the
+              // same way via the dictionary; RAW strings lack a cheap
+              // per-doc accessor, so dict-encoded only
+              case PinotType.PString => cm.hasDictionary
               case _ => false
             })
         }
@@ -645,6 +675,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     case LessThan(a, _) => Some(a)
     case LessThanOrEqual(a, _) => Some(a)
     case EqualTo(a, _) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
     case _ => None
   }
 
@@ -662,6 +693,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           case PinotDictionary.Longs(d) => doc => d(ids(doc))
           case PinotDictionary.Floats(d) => doc => d(ids(doc))
           case PinotDictionary.Doubles(d) => doc => d(ids(doc))
+          case PinotDictionary.Strings(d) => doc => d(ids(doc))
           case _ => _ => null
         }
       } else {
@@ -683,6 +715,15 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         Some(if (a == x) 0 else java.lang.Float.compare(a, x))
       case (a: Double, x: Double) =>
         Some(if (a == x) 0 else java.lang.Double.compare(a, x))
+      // sound only for ASCII bounds/probes (UTF-16 order == UTF-8 byte
+      // order there); non-ASCII probes fall back to no ranging
+      case (a: String, x: String)
+          if x.forall(ch => ch >= 0x20 && ch < 0x7f) =>
+        Some(a.compareTo(x))
+      case (a: String, x: UTF8String) =>
+        val s = x.toString
+        if (s.forall(ch => ch >= 0x20 && ch < 0x7f)) Some(a.compareTo(s))
+        else None
       case _ => None
     }
     // first doc where the monotone predicate flips false→true
@@ -710,6 +751,13 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         hi = math.min(hi, firstWhere(d => valCmp(d, v).exists(_ >= 0)))
       case LessThanOrEqual(a, v) if a == c && comparable(v) =>
         hi = math.min(hi, firstWhere(d => valCmp(d, v).exists(_ > 0)))
+      case StringStartsWith(a, prefix) if a == c && comparable(prefix) =>
+        // matches live in [prefix, next(prefix)) of the sorted order
+        lo = math.max(lo, firstWhere(d => valCmp(d, prefix).exists(_ >= 0)))
+        PinotScan.prefixNext(prefix).foreach { np =>
+          if (comparable(np))
+            hi = math.min(hi, firstWhere(d => valCmp(d, np).exists(_ >= 0)))
+        }
       case _ => ()
     }
     if (lo >= hi) (0, 0) else (lo, hi)

@@ -55,6 +55,18 @@ object EventPipelines {
         date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: `dropDuplicatesWithinWatermark`
+    * keeps per-key state only until the watermark passes the key's event
+    * time — the streaming counterpart of the batch digest dedup (q40),
+    * with state bounded by the watermark horizon instead of the corpus
+    * size. An at-least-once ingest (e.g. a replayed Kafka batch) becomes
+    * exactly-once content downstream.
+    */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom stateful operator (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -283,6 +283,44 @@ class PinotSourceSpec extends SparkTestBase {
     assert(got(playerID(n - 3)) === hits(n - 3))
   }
 
+  test("prefix filters prune segments and range sorted string columns") {
+    import org.apache.spark.sql.sources.StringStartsWith
+    val root = Files.createTempDirectory("pinot_sorted_str")
+    val tdir = root.resolve("sortedids_OFFLINE")
+    // sorted dict string column (time-ordered-id shape) + a payload col
+    val ids = Array.tabulate(5000)(i => f"id$i%05d")
+    val pay = Array.tabulate(5000)(identity)
+    SegmentWriter.write(tdir.resolve("seg0"), "sortedids", "seg0", Seq(
+      SegmentWriter.StringDictCol("sid", ids),
+      SegmentWriter.IntCol("pay", pay)))
+    // segment-level: a prefix outside [min,max] prunes without decoding
+    val pruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("pay"),
+      Array(StringStartsWith("sid", "zz")), None)
+    assert(!pruned.next(), "prefix above max prunes the segment")
+    // sorted sub-segment ranging: only the [prefix, next) doc slice decodes
+    val sliced = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("sid", "pay"),
+      Array(StringStartsWith("sid", "id001")), None)
+    var rows = 0
+    while (sliced.next()) rows += sliced.get().numRows()
+    assert(rows === 100, "exactly the id001xx slice decodes")
+    // range filters on the sorted string column slice too
+    val ranged = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("pay"),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("sid", "id04990")), None)
+    var rrows = 0
+    while (ranged.next()) rrows += ranged.get().numRows()
+    assert(rrows === 10)
+    // end-to-end correctness through the source
+    val df = spark.read.format("pinot").load(tdir.toString)
+    assert(df.filter(col("sid").startsWith("id001")).count() === 100)
+    assert(df.filter(col("sid").startsWith("id00199")).count() === 1)
+    assert(df.filter(col("sid").startsWith("zz")).count() === 0)
+    assert(df.filter(col("sid") >= "id04990").agg(sum("pay")).head().getLong(0)
+      === (4990 until 5000).sum.toLong)
+  }
+
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so

@@ -110,6 +110,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupByEventId(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // duplicate delivery inside one batch AND across batches
+      mem.addData(Event(10, ts(1), 1, "view", 1.0),
+        Event(10, ts(1), 1, "view", 1.0), Event(11, ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(3), 1, "view", 1.0)) // replayed late copy
+      q.processAllAvailable()
+      mem.addData(Event(12, ts(4), 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(10L, 11L, 12L), "each event_id exactly once")
+    } finally q.stop()
+  }
+
   test("batch sessionize over the events table matches the q53 oracle shape") {
     val df = graft.SparkEntry.queries("q53_events_sessions")(spark, sfDir)
     val rows = df.collect()
