@@ -250,6 +250,14 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     * touching column data. Totals are cached per segment path (segments
     * are immutable), so repeated queries over a many-thousand-segment
     * table do not re-read metadata on the driver each time.
+    *
+    * Per-COLUMN statistics (min/max/distinct/null) also come from the
+    * same cached metadata: distinctCount = max per-segment dictionary
+    * cardinality (a sound lower bound), min/max folded across segments
+    * in the column's own type, nullCount = 0 (Pinot columns are
+    * non-nullable). With CBO enabled these flow into Catalyst
+    * `ColumnStat` via `transformV2Stats` and sharpen join-size and
+    * filter-selectivity estimates — all driver-side metadata, no IO.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val rows: Long = segmentPaths.map(PinotScan.segmentDocs).sum
@@ -261,6 +269,49 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       java.util.OptionalLong.of(rows * width)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val metas = segmentPaths.map(PinotScan.segmentMeta)
+      if (metas.nonEmpty && !metas.exists(_ == null)) {
+        projected.fieldNames.foreach { name =>
+          val cms = metas.flatMap(_.columns.get(name))
+          if (cms.length == metas.length && cms.forall(_.isSingleValue)) {
+            val tpe = cms.head.dataType
+            val distinct = cms.map(_.cardinality.toLong).max
+            def fold(pick: graft.pinot.ColumnMetadata => Option[String],
+                wantMin: Boolean): Option[Object] = {
+              val bounds = cms.map(pick)
+              if (bounds.exists(_.isEmpty)) None
+              else bounds.flatten.reduceOption { (a, b) =>
+                PinotScan.statCompare(tpe, a, b) match {
+                  case Some(c) => if ((c <= 0) == wantMin) a else b
+                  case None => a
+                }
+              }.flatMap(s => PinotScan.typedStatValue(tpe, s))
+            }
+            val minV = fold(_.minValue, wantMin = true)
+            val maxV = fold(_.maxValue, wantMin = false)
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(distinct)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(0L)
+                override def min(): java.util.Optional[Object] =
+                  minV.fold(java.util.Optional.empty[Object]())(
+                    java.util.Optional.of[Object])
+                override def max(): java.util.Optional[Object] =
+                  maxV.fold(java.util.Optional.empty[Object]())(
+                    java.util.Optional.of[Object])
+              })
+          }
+        }
+      }
+      out
+    }
   }
   override def toBatch: Batch = this
   override def description(): String =
@@ -426,6 +477,36 @@ object PinotScan {
       case x: UTF8String => Some(bound.compareTo(x.toString))
       case _ => None
     }
+
+  /** Catalyst-typed value for a metadata bound string — what CBO column
+    * statistics carry (boxed primitives / UTF8String; timestamps to
+    * epoch micros). None when unparsable or the type has no stat form.
+    */
+  private[pinot] def typedStatValue(tpe: graft.pinot.PinotType,
+      s: String): Option[Object] = tpe match {
+    case graft.pinot.PinotType.PInt => s.toIntOption.map(Int.box)
+    case graft.pinot.PinotType.PLong => s.toLongOption.map(Long.box)
+    case graft.pinot.PinotType.PFloat => s.toFloatOption.map(Float.box)
+    case graft.pinot.PinotType.PDouble => s.toDoubleOption.map(Double.box)
+    case graft.pinot.PinotType.PString => Some(UTF8String.fromString(s))
+    case graft.pinot.PinotType.PTimestamp =>
+      s.toLongOption.map(ms => Long.box(Math.multiplyExact(ms, 1000L)))
+    case _ => None
+  }
+
+  /** Compare two metadata bound strings in the column's own type. */
+  private[pinot] def statCompare(tpe: graft.pinot.PinotType,
+      a: String, b: String): Option[Int] = tpe match {
+    case graft.pinot.PinotType.PString => Some(a.compareTo(b))
+    case graft.pinot.PinotType.PInt | graft.pinot.PinotType.PLong |
+         graft.pinot.PinotType.PTimestamp =>
+      for (x <- a.toLongOption; y <- b.toLongOption)
+        yield java.lang.Long.compare(x, y)
+    case graft.pinot.PinotType.PFloat | graft.pinot.PinotType.PDouble =>
+      for (x <- a.toDoubleOption; y <- b.toDoubleOption)
+        yield (if (x == y) 0 else java.lang.Double.compare(x, y))
+    case _ => None
+  }
 
   /** Smallest string strictly greater than every string with prefix `p`
     * (last non-maximal char incremented, suffix dropped); None when all

@@ -477,6 +477,30 @@ class PinotSourceSpec extends SparkTestBase {
     val stats = scan.estimateStatistics()
     assert(stats.numRows().getAsLong === n)
     assert(stats.sizeInBytes().getAsLong > 0)
+
+    // CBO-grade per-column statistics, all from cached metadata
+    val cs = stats.columnStats()
+    val byName = cs.entrySet().iterator()
+    var found = Map.empty[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    while (byName.hasNext) {
+      val e = byName.next()
+      found += e.getKey.fieldNames()(0) -> e.getValue
+    }
+    val h = found("hits")
+    assert(h.nullCount().getAsLong === 0L)
+    assert(h.min().get() === Int.box(hits.min))
+    assert(h.max().get() === Int.box(hits.max))
+    assert(h.distinctCount().getAsLong > 0)
+    assert(h.distinctCount().getAsLong <= 263)
+    val t = found("teamID")
+    assert(t.min().get() ===
+      org.apache.spark.unsafe.types.UTF8String.fromString(teamID.min))
+    assert(t.max().get() ===
+      org.apache.spark.unsafe.types.UTF8String.fromString(teamID.max))
+    val s = found("salary")
+    assert(s.min().get() === Double.box(salary.min))
+    assert(s.max().get() === Double.box(salary.max))
   }
 
   test("catalog: discovery, case-insensitive lookup, qualified SQL") {
