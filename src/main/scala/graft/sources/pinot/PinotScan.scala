@@ -95,9 +95,19 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     * at 100 TB the tiny dictionary reads happen on executors, not the
     * driver. MIN/MAX limited to dictionary-encoded numeric columns
     * (string ordering semantics and RAW decode costs stay engine-side).
+    *
+    * GROUP BY pushes down too when every group column is KEY-PURE (each
+    * segment's metadata records min == max — how partitionBy-written
+    * ingest lands): each segment task emits ONE (key…, partials) row
+    * straight from metadata/dictionaries, and Spark's final aggregate
+    * merges. A per-tenant COUNT over a key-partitioned 100 TB table
+    * becomes a metadata-only query — no forward index is ever read.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty || sawFilters || limit.isDefined) return false
+    if (sawFilters || limit.isDefined) return false
+    val groupCols = agg.groupByExpressions.map(fieldName)
+    if (groupCols.exists(_.isEmpty)) return false
+    if (!groupCols.flatten.forall(isKeyPure)) return false
     val ok = agg.aggregateExpressions.forall {
       case _: CountStar => true
       case c: Count => !c.isDistinct && fieldName(c.column()).isDefined
@@ -107,6 +117,20 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     }
     if (ok) pushedAgg = Some(agg)
     ok
+  }
+
+  /** min == max recorded in EVERY segment, with a typed key form. */
+  private def isKeyPure(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
+      m.columns.get(col).exists(cm =>
+        cm.isSingleValue && cm.minValue.isDefined &&
+          cm.minValue == cm.maxValue &&
+          (cm.dataType match {
+            case PinotType.PInt | PinotType.PLong | PinotType.PString => true
+            case _ => false
+          }))
+    }
   }
 
   private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -351,8 +375,14 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     complete: Boolean, fullSchema: StructType) extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
+  // group-by pushdown: key-pure columns, validated by the builder
+  private val groupCols: Array[String] = agg.groupByExpressions().map(
+    _.asInstanceOf[NamedReference].fieldNames()(0))
 
-  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+  // per the SupportsPushDownAggregates contract, group columns lead
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => StructField(c, fullSchema(c).dataType, nullable = false))
+      ++ funcs.zipWithIndex.map {
     case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
     case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
     case (m: Min, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
@@ -385,7 +415,7 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
       case m: Min => AggSpec(colName(m.column()), isCount = false, isMin = true)
       case m: Max => AggSpec(colName(m.column()), isCount = false, isMin = false)
     }
-    new PinotAggReaderFactory(specs, complete, totalRows)
+    new PinotAggReaderFactory(specs, complete, totalRows, groupCols)
   }
 }
 
@@ -393,7 +423,8 @@ case class PinotAggPartition(segmentPath: String) extends InputPartition
 case class AggSpec(column: String, isCount: Boolean, isMin: Boolean)
 
 class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
-    completeCount: Long) extends PartitionReaderFactory {
+    completeCount: Long, groupCols: Array[String] = Array.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -406,17 +437,34 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
       val path = partition.asInstanceOf[PinotAggPartition].segmentPath
       val reader = SegmentReader.open(path)
       val docs = reader.metadata.totalDocs
-      val values: Array[Any] = specs.map { s =>
-        if (s.isCount) docs.toLong
-        else if (docs == 0) null
-        else dictMinMax(reader, s.column, s.isMin)
+      if (docs == 0 && groupCols.nonEmpty) null // no key → no group row
+      else {
+        // key-pure group columns: the segment's single key value comes
+        // straight from metadata (min == max, builder-validated)
+        val keys: Array[Any] = groupCols.map { c =>
+          val cm = reader.metadata.column(c)
+          val v = cm.minValue.get
+          cm.dataType match {
+            case graft.pinot.PinotType.PInt => v.toInt
+            case graft.pinot.PinotType.PLong => v.toLong
+            case _ => UTF8String.fromString(v)
+          }
+        }
+        val values: Array[Any] = specs.map { s =>
+          if (s.isCount) docs.toLong
+          else if (docs == 0) null
+          else dictMinMax(reader, s.column, s.isMin)
+        }
+        new GenericInternalRow(keys ++ values)
       }
-      new GenericInternalRow(values)
     }
 
     new PartitionReader[InternalRow] {
       private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def next(): Boolean = {
+        if (row == null) return false
+        val r = !emitted; emitted = true; r
+      }
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
@@ -475,8 +523,25 @@ object PinotScan {
           if (b == x) 0 else java.lang.Double.compare(b, x))
       case x: String => Some(bound.compareTo(x))
       case x: UTF8String => Some(bound.compareTo(x.toString))
-      case _ => None
+      // TIMESTAMP bounds are epoch millis; compare in MICROS so a
+      // sub-millisecond filter value never rounds across the boundary
+      case _ =>
+        timestampMicros(value).flatMap(us =>
+          bound.toLongOption.map(ms =>
+            java.lang.Long.compare(Math.multiplyExact(ms, 1000L), us)))
     }
+
+  /** Epoch micros of a pushed timestamp filter value (both the legacy
+    * java.sql.Timestamp and the Java-8 Instant API forms). */
+  private[pinot] def timestampMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        (t.getNanos / 1000L) % 1000L))
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case _ => None
+  }
 
   /** Catalyst-typed value for a metadata bound string — what CBO column
     * statistics carry (boxed primitives / UTF8String; timestamps to
@@ -712,6 +777,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         if (x.isNaN) a.exists(_.isNaN) else a.exists(_ == x)
       case (PinotDictionary.Strings(a), x: String) => a.contains(x)
       case (PinotDictionary.Strings(a), x: UTF8String) => a.contains(x.toString)
+      // TIMESTAMP equality: dict holds epoch millis, probe in micros
+      case (PinotDictionary.Longs(a), x)
+          if PinotScan.timestampMicros(x).isDefined =>
+        val us = PinotScan.timestampMicros(x).get
+        a.exists(ms => Math.multiplyExact(ms, 1000L) == us)
       case _ => true // unexpected type pairing: never prune on a guess
     }
 
@@ -738,7 +808,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           cm != null && cm.isSorted && cm.isSingleValue &&
             (cm.dataType match {
               case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
-                   PinotType.PDouble => true
+                   PinotType.PDouble | PinotType.PTimestamp => true
               // sorted STRING columns (e.g. time-ordered ids) range the
               // same way via the dictionary; RAW strings lack a cheap
               // per-doc accessor, so dict-encoded only
@@ -781,7 +851,8 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         val fb = reader.fixedByteReader(c)
         cm.dataType match {
           case PinotType.PInt => doc => fb.readRangeInts(doc, 1)(0)
-          case PinotType.PLong => doc => fb.readRangeLongs(doc, 1)(0)
+          case PinotType.PLong | PinotType.PTimestamp =>
+            doc => fb.readRangeLongs(doc, 1)(0)
           case PinotType.PFloat => doc => fb.readRangeFloats(doc, 1)(0)
           case PinotType.PDouble => doc => fb.readRangeDoubles(doc, 1)(0)
           case _ => _ => null
@@ -805,6 +876,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         val s = x.toString
         if (s.forall(ch => ch >= 0x20 && ch < 0x7f)) Some(a.compareTo(s))
         else None
+      // sorted TIMESTAMP column: doc value is epoch millis (Long from
+      // the dict/raw accessor), probe converts to micros
+      case (a: Long, x) if PinotScan.timestampMicros(x).isDefined =>
+        Some(java.lang.Long.compare(Math.multiplyExact(a, 1000L),
+          PinotScan.timestampMicros(x).get))
       case _ => None
     }
     // first doc where the monotone predicate flips false→true

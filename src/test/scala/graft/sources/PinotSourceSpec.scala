@@ -109,6 +109,41 @@ class PinotSourceSpec extends SparkTestBase {
     assert(r.getLong(2) === n)
   }
 
+  test("GROUP BY on a key-pure column pushes down: metadata-only rows") {
+    // partitionBy-shaped table: each segment holds exactly one tenant
+    val root = Files.createTempDirectory("pinot_gby")
+    val tdir = root.resolve("tenants_OFFLINE")
+    val perTenant = Map("acme" -> 1200, "bix" -> 800, "cori" -> 500)
+    perTenant.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((t, cnt), i) =>
+      SegmentWriter.write(tdir.resolve(s"seg$i"), "tenants", s"seg$i", Seq(
+        SegmentWriter.StringDictCol("tenant", Array.fill(cnt)(t)),
+        SegmentWriter.IntCol("v", Array.tabulate(cnt)(identity))))
+    }
+    val df = spark.read.format("pinot").load(tdir.toString)
+    val agg = df.groupBy("tenant").count()
+    val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotAggScan(complete=false"),
+      s"group-by COUNT not pushed:\n$leaf")
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === perTenant.view.mapValues(_.toLong).toMap)
+    // MIN/MAX on a dict numeric column rides along
+    val agg2 = df.groupBy("tenant").agg(
+      count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+    val leaf2 = agg2.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf2.contains("PinotAggScan(complete=false"), leaf2)
+    val r2 = agg2.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    perTenant.foreach { case (t, cnt) =>
+      assert(r2(t) === ((cnt.toLong, 0, cnt - 1)))
+    }
+    // a NON-key-pure group column refuses pushdown (plain scan, correct)
+    val mixed = spark.read.format("pinot").load(tablePath)
+      .groupBy("teamID").count()
+    val leaf3 = mixed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf3.contains("PinotScan("), s"expected plain scan:\n$leaf3")
+    assert(mixed.collect().map(_.getLong(1)).sum === n)
+  }
+
   test("aggregate pushdown is refused when a filter is present") {
     val df = spark.read.format("pinot").load(tablePath)
       .filter(col("hits") > 100).groupBy().count()
@@ -319,6 +354,43 @@ class PinotSourceSpec extends SparkTestBase {
     assert(df.filter(col("sid").startsWith("zz")).count() === 0)
     assert(df.filter(col("sid") >= "id04990").agg(sum("pay")).head().getLong(0)
       === (4990 until 5000).sum.toLong)
+  }
+
+  test("TIMESTAMP columns prune and range like the time series they are") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    val root = Files.createTempDirectory("pinot_tscol")
+    val tdir = root.resolve("tsev_OFFLINE")
+    val base = 1704067200000L // 2024-01-01 00:00 UTC
+    // ascending event times, 1 minute apart → isSorted recorded
+    val ms = Array.tabulate(2000)(i => base + i * 60000L)
+    SegmentWriter.write(tdir.resolve("seg0"), "tsev", "seg0", Seq(
+      SegmentWriter.TimestampCol("ts", ms),
+      SegmentWriter.IntCol("v", Array.tabulate(2000)(identity))))
+    def tsv(m: Long) = new java.sql.Timestamp(m)
+    // segment-level: a range entirely after the segment prunes it
+    val pruned = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("v"),
+      Array(GreaterThan("ts", tsv(ms.last + 1))), None)
+    assert(!pruned.next(), "range above segment max prunes")
+    // sorted sub-segment ranging: only the in-window slice decodes
+    val sliced = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("ts", "v"),
+      Array(GreaterThan("ts", tsv(ms(99))), LessThan("ts", tsv(ms(200)))), None)
+    var rows = 0
+    while (sliced.next()) rows += sliced.get().numRows()
+    assert(rows === 100, "exactly docs 100..199 decode")
+    // java.time.Instant probes (Java-8 datetime API) work identically
+    val inst = new graft.sources.pinot.PinotColumnarReader(
+      s"$tdir/seg0/v3", Array("v"),
+      Array(GreaterThan("ts",
+        java.time.Instant.ofEpochMilli(ms.last + 1))), None)
+    assert(!inst.next())
+    // end-to-end through the source: time-window filters stay correct
+    val df = spark.read.format("pinot").load(tdir.toString)
+    val cnt = df.filter(col("ts") >= lit(tsv(ms(500))) &&
+      col("ts") < lit(tsv(ms(600)))).count()
+    assert(cnt === 100)
+    assert(df.filter(col("ts") > lit(tsv(ms.last))).count() === 0)
   }
 
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
