@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.SetOps.queries ++
       graft.queries.Scalar.queries ++
       graft.queries.TextOps.queries ++
+      graft.queries.CurationOps.queries ++
       graft.queries.Embeddings.queries ++
       graft.queries.SketchDedup.queries ++
       graft.queries.Events.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.queries.SetOps.oracleSql ++
       graft.queries.Scalar.oracleSql ++
       graft.queries.TextOps.oracleSql ++
+      graft.queries.CurationOps.oracleSql ++
       graft.queries.Embeddings.oracleSql ++
       graft.queries.SketchDedup.oracleSql ++
       graft.queries.Events.oracleSql ++

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond dedup/quality (q40–q50):
+  * deterministic split assignment, benchmark decontamination, domain
+  * mixture capping, and DF-based stopword scrubbing.
+  *
+  * All four are pure `functions._` plans (whole-stage codegen, no UDFs)
+  * with exact DuckDB oracles. Scale notes per query in the comments —
+  * the common theme: the document TEXT shuffles at most once, and every
+  * corpus-wide statistic (stopword set, eval shingle set) is a small
+  * aggregate broadcast back, never a driver collect.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Per-doc quality ×10000 in pure integer math — the q43/q74 formula. */
+  private def withQInt(df: DataFrame): DataFrame = df
+    .withColumn("words", split(col("text"), " "))
+    .withColumn("n_words", size(col("words")))
+    .withColumn("n_stop", expr(
+      "size(filter(words, w -> w IN ('the','a','of','and','to','in','is')))"))
+    .withColumn("chars", length(col("text")))
+    .withColumn("n_digit", col("chars") -
+      length(regexp_replace(col("text"), "[0-9]", "")))
+    .withColumn("q_int", expr(
+      "CAST(40 * least(n_words, 100)" +
+        " + (3000 * (n_words - n_stop)) div n_words" +
+        " + (3000 * (chars - n_digit)) div chars AS BIGINT)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test assignment: bucket 0..99 derived from
+    // md5(doc_id) — content-independent, stable across runs/engines, and
+    // embarrassingly parallel (a pure per-row expression; the only
+    // shuffle is the tiny per-(split, source) report). This is how a
+    // 100 TB corpus gets split: no RNG state, no global sort, any
+    // executor can re-derive any row's split.
+    "q76_split_assign" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bucket", pmod(
+          ascii(substring(col("h"), 1, 1)) * 31 +
+            ascii(substring(col("h"), 2, 1)), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_words").cast("long")).as("total_words"))
+        .orderBy("split", "source")),
+
+    // Benchmark decontamination: flag training documents sharing 3-gram
+    // shingles with a held-out eval set (doc_id % 20 == 0 stands in for
+    // the benchmark). The eval shingle set is DISTINCT'd and broadcast —
+    // eval sets are small by construction (thousands of docs), so a
+    // 100 TB training corpus is checked in ONE scan + map-side hash
+    // probe; no self-join, no shuffle of the corpus shingles beyond the
+    // per-doc overlap count. Threshold is exact integer arithmetic.
+    "q77_decontam" -> ((s, d) => {
+      val sh = TextOps.shingles(s, d)
+      val evalSh = sh.filter(col("doc_id") % 20 === 0)
+        .select("shingle").distinct()
+      val train = sh.filter(col("doc_id") % 20 =!= 0)
+      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = train.join(broadcast(evalSh), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") * 5 >= col("n_sh"))
+        .select("doc_id", "n_sh", "n_shared", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // Domain mixture capping: keep the top-8 documents per (lang, source)
+    // domain by quality score, deterministic tie-break on doc_id — the
+    // "cap each domain's contribution" step of corpus mixing. The window
+    // shuffles by domain key; at 100 TB with a mega-domain the same
+    // result comes from a partial top-K aggregate (bounded heap per
+    // partition, then merge) — rank output here keeps the oracle exact.
+    "q78_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(desc("q_int"), asc("doc_id"))
+      withQInt(docs(s, d))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 8)
+        .withColumn("quality", round(
+          col("q_int").cast("double") / lit(10000).cast("double"), 4))
+        .select("lang", "source", "rnk", "doc_id", "quality")
+        .orderBy("lang", "source", "rnk")
+    }),
+
+    // DF-based stopword scrub: infer the top-5 corpus-frequency words,
+    // remove them from every document, and rebuild the text ORDER-
+    // PRESERVING (posexplode → anti-join → sort_array(struct(pos, w)) →
+    // array_join). The stopword set is a two-stage count aggregate
+    // (map-side combinable) broadcast into an anti-join; the rebuild
+    // shuffles each document's kept words exactly once, keyed by doc_id.
+    // Output hashes the rebuilt text, so the oracle proves byte equality.
+    "q79_stopword_scrub" -> ((s, d) => {
+      val pw = docs(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val top5 = pw.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")).limit(5).select("word")
+      val rebuilt = pw.join(broadcast(top5), Seq("word"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_words"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, word))), x -> x.word), ' ')").as("clean"))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("orig_words"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("orig_words"),
+          coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+          md5(coalesce(col("clean"), lit(""))).as("clean_digest"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q76_split_assign" ->
+      """WITH b AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  len(string_split(text, ' ')) AS nw FROM documents),
+        |c AS (SELECT source, nw,
+        |  (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+        |    AS bucket FROM b)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, count(*) AS docs, CAST(sum(nw) AS BIGINT) AS total_words
+        |FROM c GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    "q77_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, len(words) - 1),
+        |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |         AS shingles
+        |       FROM w WHERE len(words) >= 3),
+        |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+        |shd AS (SELECT tr.doc_id, count(*) AS n_shared
+        |        FROM tr JOIN ev USING (shingle) GROUP BY 1)
+        |SELECT sz.doc_id, sz.n_sh,
+        |  CAST(coalesce(shd.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(shd.n_shared, 0) * 5 >= sz.n_sh AS contaminated
+        |FROM sz LEFT JOIN shd ON sz.doc_id = shd.doc_id
+        |ORDER BY sz.doc_id""".stripMargin,
+
+    "q78_domain_cap" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |            string_split(text, ' ') AS words FROM documents),
+        |m AS (SELECT doc_id, lang, source,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  CAST(len(list_filter(words, w -> list_contains(
+        |    ['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_digit
+        |  FROM t),
+        |f AS (SELECT doc_id, lang, source,
+        |  CAST(40 * least(n_words, 100)
+        |    + (3000 * (n_words - n_stop)) // n_words
+        |    + (3000 * (chars - n_digit)) // chars AS BIGINT) AS q_int
+        |  FROM m),
+        |r AS (SELECT lang, source, doc_id, q_int, row_number() OVER (
+        |        PARTITION BY lang, source
+        |        ORDER BY q_int DESC, doc_id ASC) AS rnk
+        |      FROM f)
+        |SELECT lang, source, CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  round(CAST(q_int AS DOUBLE) / CAST(10000 AS DOUBLE), 4) AS quality
+        |FROM r WHERE rnk <= 8 ORDER BY lang, source, rnk""".stripMargin,
+
+    "q79_stopword_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |pw AS (SELECT doc_id,
+        |         unnest(generate_series(1, len(words))) AS pos, words
+        |       FROM w),
+        |pw2 AS (SELECT doc_id, pos, words[pos] AS word FROM pw),
+        |top5 AS (SELECT word FROM (
+        |  SELECT word, count(*) AS c FROM pw2 GROUP BY 1
+        |  ORDER BY c DESC, word ASC LIMIT 5)),
+        |kept AS (SELECT doc_id, pos, word FROM pw2
+        |         WHERE word NOT IN (SELECT word FROM top5)),
+        |reb AS (SELECT doc_id, count(*) AS kept_words,
+        |          string_agg(word, ' ' ORDER BY pos) AS clean
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS orig_words,
+        |  CAST(coalesce(reb.kept_words, 0) AS BIGINT) AS kept_words,
+        |  md5(coalesce(reb.clean, '')) AS clean_digest
+        |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}
