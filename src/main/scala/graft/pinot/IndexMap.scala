@@ -20,6 +20,7 @@ final case class IndexMap(indexes: Map[(String, String), IndexLocation]) {
     indexes.get((column, indexType))
   def dictionary(column: String): Option[IndexLocation] = get(column, "dictionary")
   def forwardIndex(column: String): Option[IndexLocation] = get(column, "forward_index")
+  def invertedIndex(column: String): Option[IndexLocation] = get(column, "inverted_index")
 }
 
 object IndexMap {

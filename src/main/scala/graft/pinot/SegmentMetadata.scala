@@ -29,7 +29,12 @@ final case class ColumnMetadata(
       * Drives segment-level range pruning without touching column data.
       */
     minValue: Option[String] = None,
-    maxValue: Option[String] = None)
+    maxValue: Option[String] = None,
+    /** Pinot's `hasInvertedIndex` flag: a per-dictId docId bitmap section
+      * exists for this column (EXTENSION — the reference ignores all
+      * secondary indexes).
+      */
+    hasInvertedIndex: Boolean = false)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -102,7 +107,8 @@ object SegmentMetadata {
         totalEntries = prop("totalNumberOfEntries").flatMap(_.toIntOption)
           .getOrElse(totalDocs),
         minValue = prop("minValue"),
-        maxValue = prop("maxValue"))
+        maxValue = prop("maxValue"),
+        hasInvertedIndex = prop("hasInvertedIndex").contains("true"))
     }
 
     SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))

@@ -259,6 +259,29 @@ final class SegmentReader private (
     }
   }
 
+  /** Bitmap inverted index for a dict column (EXTENSION — the reference
+    * ignores secondary indexes entirely): bitmap i = ascending docIds
+    * whose value is dictId i (for MV: whose array contains it). Section
+    * layout is Pinot's BitmapInvertedIndexWriter: (cardinality+1) BE int
+    * offsets — absolute within the section — then serialized
+    * RoaringBitmaps. None when the column has no inverted index.
+    */
+  def invertedIndex(name: String)
+      : Option[Array[org.roaringbitmap.buffer.ImmutableRoaringBitmap]] =
+    indexMap.invertedIndex(name).map { loc =>
+      val cm = metadata.column(name)
+      val raw = section(loc)
+      val buf = java.nio.ByteBuffer.wrap(raw)
+      val offsets = new Array[Int](cm.cardinality + 1)
+      var i = 0
+      while (i <= cm.cardinality) { offsets(i) = buf.getInt; i += 1 }
+      Array.tabulate(cm.cardinality) { id =>
+        val slice = java.nio.ByteBuffer.wrap(raw, offsets(id),
+          offsets(id + 1) - offsets(id)).slice()
+        new org.roaringbitmap.buffer.ImmutableRoaringBitmap(slice)
+      }
+    }
+
   /** BIG_DECIMAL column (extension): RAW var-byte values of 2-byte BE
     * scale + BE unscaled bytes (Apache Pinot's BigDecimal serialization).
     */

@@ -83,9 +83,17 @@ object SegmentWriter {
 
   private val Magic = PinotDictionary.MagicMarker
 
-  /** Write a segment; returns the `v3/` directory. */
+  /** Write a segment; returns the `v3/` directory.
+    *
+    * `invertedCols` requests a bitmap inverted index for the named
+    * dictionary-encoded columns (Pinot's `invertedIndexColumns` table
+    * config): per dictId, a serialized RoaringBitmap of matching docIds
+    * behind an (cardinality+1)-int offset header — Pinot's
+    * BitmapInvertedIndexWriter layout. Requests for RAW columns are
+    * ignored (as in Pinot, where inverted indexes require a dictionary).
+    */
   def write(segmentDir: Path, tableName: String, segmentName: String,
-      columns: Seq[ColumnData]): Path = {
+      columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -145,6 +153,29 @@ object SegmentWriter {
       true
     }
 
+    // Pinot BitmapInvertedIndexWriter layout: (cardinality+1) BE int
+    // offsets (absolute within the section, header included), then the
+    // serialized RoaringBitmaps back to back — bitmap i holds the docIds
+    // whose value is dictId i (for MV: whose array CONTAINS dictId i).
+    def addInvertedSection(name: String,
+        bitmaps: Array[org.roaringbitmap.RoaringBitmap]): Unit = {
+      val header = 4 * (bitmaps.length + 1)
+      val body = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(body)
+      val offsets = new Array[Int](bitmaps.length + 1)
+      offsets(0) = header
+      bitmaps.zipWithIndex.foreach { case (bm, i) =>
+        bm.runOptimize()
+        bm.serialize(out)
+        offsets(i + 1) = header + body.size()
+      }
+      val section = ByteBuffer.allocate(header + body.size())
+      offsets.foreach(section.putInt)
+      section.put(body.toByteArray)
+      addSection(name, "inverted_index", section.array())
+      props ++= s"column.$name.hasInvertedIndex=true\n"
+    }
+
     def writeDictEncoded[T](name: String, dataType: String, values: Array[T],
         distinct: Array[T], dictBytes: Array[Byte], lenEach: Int,
         isSorted: Boolean = false, minValue: Option[String] = None,
@@ -160,6 +191,12 @@ object SegmentWriter {
       fwd.write(beLong(Magic))
       fwd.write(FixedBitReader.pack(ids, bits))
       addSection(name, "forward_index", fwd.toByteArray)
+      if (invertedCols(name)) {
+        val bitmaps = Array.fill(distinct.length)(new org.roaringbitmap.RoaringBitmap)
+        var d = 0
+        while (d < ids.length) { bitmaps(ids(d)).add(d); d += 1 }
+        addInvertedSection(name, bitmaps)
+      }
       colProps(name, dataType, distinct.length, bits, hasDict = true, lenEach,
         isSorted = isSorted, minValue = minValue, maxValue = maxValue)
     }
@@ -170,6 +207,14 @@ object SegmentWriter {
       val flat = values.flatMap(_.map(pos(_)))
       val bits = bitsFor(distinct.length)
       addSection(name, "dictionary", dictBytes)
+      if (invertedCols(name)) {
+        val bitmaps = Array.fill(distinct.length)(new org.roaringbitmap.RoaringBitmap)
+        var d = 0
+        while (d < values.length) {
+          values(d).foreach(v => bitmaps(pos(v)).add(d)); d += 1
+        }
+        addInvertedSection(name, bitmaps)
+      }
       val header = ByteBuffer.allocate(8 + 4 + 4 * (values.length + 1))
       header.putLong(Magic)
       header.putInt(flat.length)

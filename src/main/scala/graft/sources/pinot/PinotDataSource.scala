@@ -135,8 +135,14 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val jsonCols = Option(info.options.get("jsonColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("invertedIndexColumns", "a,b")`: write a per-dictId docId
+    // bitmap index for the listed columns (Pinot's invertedIndexColumns
+    // table config); the scan uses it for window skipping on EqualTo/In
+    val invCols = Option(info.options.get("invertedIndexColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols, jsonCols)
+      partitionCols, jsonCols, invCols)
   }
 }
 

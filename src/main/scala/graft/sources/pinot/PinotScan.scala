@@ -785,13 +785,95 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       case _ => true // unexpected type pairing: never prune on a guess
     }
 
+  /** Bitmap inverted-index match set (EXTENSION — Pinot's
+    * `invertedIndexColumns`; the reference ignores secondary indexes):
+    * for pushed EqualTo/In filters on single-value dict columns carrying
+    * an `inverted_index` section, OR the posting bitmaps of the matching
+    * dictIds per filter and AND across filters. The result is EXACTLY
+    * the matching doc set for those filters — used to (a) prune the
+    * segment when empty, (b) clamp the scan doc range, and (c) skip
+    * 8,192-row windows containing no match. Always a superset of the
+    * final rows (other filters stay residual), so Spark's re-evaluation
+    * keeps correctness.
+    */
+  private lazy val invBitmap
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    // limit pushdown only happens with no residual filters, so the two
+    // never coexist — but skipping docs under a limit cap would change
+    // WHICH rows count toward it, so guard anyway
+    if (limit.isDefined || skipFilters.isEmpty) None
+    else {
+      var acc: org.roaringbitmap.buffer.MutableRoaringBitmap = null
+      skipFilters.foreach { f =>
+        val fb = f match {
+          case EqualTo(a, v) => filterBitmap(a, Seq(v))
+          case In(a, vs) => filterBitmap(a, vs.toSeq)
+          case _ => None
+        }
+        fb.foreach { m => if (acc == null) acc = m else acc.and(m) }
+      }
+      Option(acc)
+    }
+  }
+
+  private def filterBitmap(attr: String, values: Seq[Any])
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    val cm = try reader.metadata.column(attr)
+      catch { case _: Throwable => return None }
+    if (!cm.hasDictionary || !cm.isSingleValue || !cm.hasInvertedIndex)
+      return None
+    reader.invertedIndex(attr).flatMap { postings =>
+      matchingDictIds(reader.dictionary(attr), values).map { ids =>
+        val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap
+        ids.foreach(id => acc.or(postings(id)))
+        acc
+      }
+    }
+  }
+
+  /** DictIds equal to any candidate value under SPARK equality (-0.0 ==
+    * 0.0, NaN = NaN true — same care as [[dictContains]]). None when any
+    * value has an unexpected type pairing: the index must then not be
+    * used for this filter at all (a wrong "no matches" would drop rows).
+    */
+  private def matchingDictIds(dict: PinotDictionary, values: Seq[Any])
+      : Option[Seq[Int]] = {
+    val perValue = values.map { v =>
+      (dict, v) match {
+        case (PinotDictionary.Ints(a), x: Int) =>
+          Some(a.indices.filter(a(_) == x))
+        case (PinotDictionary.Longs(a), x: Long) =>
+          Some(a.indices.filter(a(_) == x))
+        case (PinotDictionary.Floats(a), x: Float) =>
+          Some(if (x.isNaN) a.indices.filter(a(_).isNaN)
+               else a.indices.filter(a(_) == x))
+        case (PinotDictionary.Doubles(a), x: Double) =>
+          Some(if (x.isNaN) a.indices.filter(a(_).isNaN)
+               else a.indices.filter(a(_) == x))
+        case (PinotDictionary.Strings(a), x: String) =>
+          Some(a.indices.filter(a(_) == x))
+        case (PinotDictionary.Strings(a), x: UTF8String) =>
+          val s = x.toString
+          Some(a.indices.filter(a(_) == s))
+        case (PinotDictionary.Longs(a), x)
+            if PinotScan.timestampMicros(x).isDefined =>
+          val us = PinotScan.timestampMicros(x).get
+          Some(a.indices.filter(i => Math.multiplyExact(a(i), 1000L) == us))
+        case _ => None
+      }
+    }
+    if (perValue.exists(_.isEmpty)) None
+    else Some(perValue.flatMap(_.get).distinct)
+  }
+
   /** Sub-segment range for SORTED columns (extension; the reference
     * parses `isSorted` and drops it, metadata.rs:166-168): when a pushed
     * range/equality filter targets a sorted numeric dict column, binary
     * search bounds the matching doc interval and ONLY that slice of every
     * projected column decodes (fixed-bit ids and VarByte chunks are both
     * position-addressable). Always a superset of the matching rows —
-    * Spark's residual filter stays authoritative.
+    * Spark's residual filter stays authoritative. The inverted-index
+    * match set (when present) clamps the range further.
     */
   private lazy val docRange: (Int, Int) = {
     val n = if (segmentCanMatch) reader.totalDocs else 0
@@ -816,7 +898,21 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
               case _ => false
             })
         }
-      sortedCol.fold((0, n))(sortedDocRange)
+      val base = sortedCol.fold((0, n))(sortedDocRange)
+      invBitmap match {
+        case Some(bm) =>
+          if (bm.isEmpty) (0, 0)
+          // MV decode indexes its offsets array by ABSOLUTE doc id, so
+          // the range start must stay 0 there; window skipping in next()
+          // still applies (it advances pos, which IS the doc id then)
+          else if (hasMV) base
+          else {
+            val lo = math.max(base._1, bm.first())
+            val hi = math.min(base._2, bm.last() + 1)
+            if (lo >= hi) (0, 0) else (lo, hi)
+          }
+        case None => base
+      }
     }
   }
 
@@ -1055,6 +1151,14 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   override def next(): Boolean = {
     if (pos >= totalDocs) return false
+    // inverted-index window skip: jump straight to the next matching doc
+    // (windows are relative to pos, so the next batch STARTS at a match;
+    // runs of non-matching windows never decode)
+    invBitmap.foreach { bm =>
+      val nxt = bm.nextValue(docStart + pos)
+      if (nxt < 0 || nxt >= docStart + totalDocs) { pos = totalDocs; return false }
+      pos = math.max(pos, (nxt - docStart).toInt)
+    }
     started = true
     val n = math.min(BatchSize, totalDocs - pos)
     if (columns.nonEmpty) {

@@ -26,11 +26,12 @@ import org.apache.spark.sql.types._
   */
 class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
-    jsonCols: Set[String] = Set.empty) extends WriteBuilder {
+    jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
-      schema, queryId, partitionCols, jsonCols)
+      schema, queryId, partitionCols, jsonCols, invCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path)
@@ -66,11 +67,12 @@ case class PinotCommitMessage(segs: Seq[(String, String)], rows: Long)
 
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
-    jsonCols: Set[String] = Set.empty) extends BatchWrite {
+    jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols)
+      jsonCols, invCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -123,7 +125,8 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
-    jsonCols: Set[String] = Set.empty)
+    jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -141,6 +144,19 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       case other => throw new PinotFormatException(
         s"pinot write does not support column ${f.name}: ${other.simpleString}")
     }
+  }
+  // inverted indexes require a dictionary (as in Pinot) — these types
+  // always have a dict-capable encoding; the writer forces dict for them
+  invCols.foreach { ic =>
+    val ok = schema.fieldNames.contains(ic) && (schema(ic).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           BooleanType | TimestampType => true
+      case ArrayType(IntegerType | LongType | DoubleType | StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"invertedIndexColumns entry $ic must be an existing dictionary-" +
+        "encodable column (numeric, string, boolean, timestamp, or array)")
   }
   jsonCols.foreach { jc =>
     if (!schema.fieldNames.contains(jc) ||
@@ -161,12 +177,13 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols, jsonCols)
+      partitionCols, jsonCols, invCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
-    partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty)
+    partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
@@ -260,7 +277,9 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       // numerics (metrics) go RAW fixed-byte+LZ4 like Pinot's
       // noDictionary columns (extension: the reference rejects RAW
       // numerics entirely)
-      def highCard(distinct: Int, n: Int): Boolean = distinct * 10 > n * 7
+      // inverted columns force dictionary encoding (index needs dictIds)
+      def highCard(distinct: Int, n: Int): Boolean =
+        !invCols(f.name) && distinct * 10 > n * 7
       f.dataType match {
         case IntegerType =>
           val v = vals[Int].toArray
@@ -292,7 +311,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         case StringType =>
           val values = vals[String].toArray
           // high-cardinality strings → RAW+LZ4; low-cardinality → dict
-          if (values.distinct.length * 2 > values.length)
+          // (inverted columns always dict — the index addresses dictIds)
+          if (!invCols(f.name) && values.distinct.length * 2 > values.length)
             SegmentWriter.StringRawCol(f.name, values,
               VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
           else SegmentWriter.StringDictCol(f.name, values)
@@ -315,7 +335,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         case other => throw new PinotFormatException(s"unsupported $other")
       }
     }.toSeq
-    SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols)
+    SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

@@ -393,6 +393,58 @@ class PinotSourceSpec extends SparkTestBase {
     assert(df.filter(col("ts") > lit(tsv(ms.last))).count() === 0)
   }
 
+  test("inverted index: EqualTo/In decode only windows holding matches") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val root = Files.createTempDirectory("pinot_inv")
+    val tdir = root.resolve("tagged_OFFLINE")
+    val docs = 40000
+    // 'needle' appears at three scattered docs; everything else 'common'
+    val needleAt = Set(7, 21000, 38000)
+    val tags = Array.tabulate(docs)(i =>
+      if (needleAt(i)) "needle" else if (i % 7 == 0) "other" else "common")
+    SegmentWriter.write(tdir.resolve("seg0"), "tagged", "seg0", Seq(
+      SegmentWriter.StringDictCol("tag", tags),
+      SegmentWriter.IntCol("v", Array.tabulate(docs)(identity))),
+      invertedCols = Set("tag"))
+    // direct reader: rows decoded are bounded by matching windows, not docs
+    def decodedRows(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val r = new graft.sources.pinot.PinotColumnarReader(
+        s"$tdir/seg0/v3", Array("tag", "v"), filters, None)
+      var rows = 0
+      while (r.next()) rows += r.get().numRows()
+      rows
+    }
+    val eqRows = decodedRows(Array(EqualTo("tag", "needle")))
+    assert(eqRows <= 3 * 8192, s"expected ≤3 windows, decoded $eqRows rows")
+    assert(eqRows < docs / 2, "index should skip most of the segment")
+    // IN with a second sparse value still window-skips; AND of two
+    // indexable filters intersects (empty intersection → nothing decodes)
+    assert(decodedRows(Array(In("tag", Array("needle")))) === eqRows)
+    assert(decodedRows(Array(
+      EqualTo("tag", "needle"), EqualTo("tag", "other"))) === 0)
+    // e2e through the source: results stay exact (residual filter applies)
+    val df = spark.read.format("pinot").load(tdir.toString)
+    val got = df.filter(col("tag") === "needle").select("v").collect()
+      .map(_.getInt(0)).sorted
+    assert(got.toSeq === needleAt.toSeq.sorted)
+    assert(df.filter(col("tag").isin("needle", "other")).count() ===
+      (needleAt.size + (0 until docs).count(i => i % 7 == 0 && !needleAt(i))))
+    // DSv2 writer plumbs the option: hasInvertedIndex lands in metadata
+    val wdir = root.resolve("written_OFFLINE")
+    import spark.implicits._
+    (0 until 1000).map(i => (if (i == 500) "rare" else s"t${i % 3}", i))
+      .toDF("tag", "v")
+      .repartition(1)
+      .write.format("pinot").option("invertedIndexColumns", "tag")
+      .mode("append").save(wdir.toString)
+    val seg = Files.list(wdir).iterator().next()
+    val meta = graft.pinot.SegmentReader.open(seg).metadata
+    assert(meta.column("tag").hasInvertedIndex, "written index flag")
+    val wdf = spark.read.format("pinot").load(wdir.toString)
+    assert(wdf.filter(col("tag") === "rare").select("v").collect()
+      .map(_.getInt(0)).toSeq === Seq(500))
+  }
+
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so
