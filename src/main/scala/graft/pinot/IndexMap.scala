@@ -21,6 +21,7 @@ final case class IndexMap(indexes: Map[(String, String), IndexLocation]) {
   def dictionary(column: String): Option[IndexLocation] = get(column, "dictionary")
   def forwardIndex(column: String): Option[IndexLocation] = get(column, "forward_index")
   def invertedIndex(column: String): Option[IndexLocation] = get(column, "inverted_index")
+  def nullValueVector(column: String): Option[IndexLocation] = get(column, "nullvalue_vector")
 }
 
 object IndexMap {

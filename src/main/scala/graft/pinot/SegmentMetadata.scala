@@ -34,7 +34,16 @@ final case class ColumnMetadata(
       * exists for this column (EXTENSION — the reference ignores all
       * secondary indexes).
       */
-    hasInvertedIndex: Boolean = false)
+    hasInvertedIndex: Boolean = false,
+    /** Null-value vector present (EXTENSION — the reference rejects
+      * nullable columns): null docs hold a default in the forward index
+      * and their docIds in a `nullvalue_vector` RoaringBitmap section.
+      */
+    hasNullVector: Boolean = false,
+    /** Exact null-doc count when a null vector exists (feeds CBO
+      * nullCount statistics without opening the segment).
+      */
+    nullCount: Int = 0)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -108,7 +117,9 @@ object SegmentMetadata {
           .getOrElse(totalDocs),
         minValue = prop("minValue"),
         maxValue = prop("maxValue"),
-        hasInvertedIndex = prop("hasInvertedIndex").contains("true"))
+        hasInvertedIndex = prop("hasInvertedIndex").contains("true"),
+        hasNullVector = prop("hasNullValueVector").contains("true"),
+        nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0))
     }
 
     SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))

@@ -282,6 +282,18 @@ final class SegmentReader private (
       }
     }
 
+  /** Null-value vector (EXTENSION — the reference rejects nullable
+    * columns): the RoaringBitmap of docIds whose value is NULL. The
+    * forward index stores a default at those docs (Pinot's
+    * `defaultNullValue` model); readers overlay NULL from this bitmap.
+    */
+  def nullVector(name: String)
+      : Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
+    indexMap.nullValueVector(name).map { loc =>
+      new org.roaringbitmap.buffer.ImmutableRoaringBitmap(
+        java.nio.ByteBuffer.wrap(section(loc)))
+    }
+
   /** BIG_DECIMAL column (extension): RAW var-byte values of 2-byte BE
     * scale + BE unscaled bytes (Apache Pinot's BigDecimal serialization).
     */

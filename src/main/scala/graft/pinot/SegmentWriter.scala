@@ -92,11 +92,23 @@ object SegmentWriter {
     * BitmapInvertedIndexWriter layout. Requests for RAW columns are
     * ignored (as in Pinot, where inverted indexes require a dictionary).
     */
+  /** `nullVectors` marks docIds whose value is NULL per column (Pinot's
+    * null-value vector: a RoaringBitmap `nullvalue_vector` section; null
+    * docs still store a default value in the forward index, exactly as
+    * Pinot's `defaultNullValue` model). The reference rejects nullable
+    * columns entirely — EXTENSION.
+    */
   def write(segmentDir: Path, tableName: String, segmentName: String,
-      columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty): Path = {
+      columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty,
+      nullVectors: Map[String, Array[Int]] = Map.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
+    nullVectors.foreach { case (c, docs) =>
+      require(columns.exists(_.name == c), s"nullVectors: unknown column $c")
+      require(docs.forall(d => d >= 0 && d < totalDocs),
+        s"nullVectors: docId out of range for $c")
+    }
 
     val v3 = segmentDir.resolve("v3")
     Files.createDirectories(v3)
@@ -141,6 +153,19 @@ object SegmentWriter {
 
     def bitsFor(cardinality: Int): Int =
       math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(cardinality - 1, 1)))
+
+    // Pinot null-value vector: ONE serialized RoaringBitmap of null docIds
+    // (NullValueVectorReader wraps the buffer directly — no offset header)
+    def addNullVectors(): Unit = nullVectors.foreach { case (name, docIds) =>
+      val bm = new org.roaringbitmap.RoaringBitmap
+      docIds.foreach(bm.add)
+      bm.runOptimize()
+      val body = new ByteArrayOutputStream()
+      bm.serialize(new java.io.DataOutputStream(body))
+      addSection(name, "nullvalue_vector", body.toByteArray)
+      props ++= s"column.$name.hasNullValueVector=true\n"
+      props ++= s"column.$name.nullValueCount=${bm.getCardinality}\n"
+    }
 
     // values non-decreasing in doc order → isSorted (Pinot records this;
     // the scan can then treat the whole segment as range-ordered)
@@ -405,6 +430,8 @@ object SegmentWriter {
             encoded.foreach { e => b.putInt(e.length); b.put(e) }
           })
     }
+
+    addNullVectors()
 
     Files.write(v3.resolve("columns.psf"), psf.toByteArray)
     Files.write(v3.resolve("index_map"),

@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 3 // r2: RAW fixed-byte numerics in the mix
+  private val LayoutVersion = 4 // r3: nullable-column fixture added
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -105,6 +105,37 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Nullable-column fixture (null-value vector extension): NULLs derived
+    * deterministically from lineitem values, written through the DSv2
+    * writer with `nullableColumns`, stored as default + RoaringBitmap
+    * null vector per segment.
+    */
+  private def nullableTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("lineitemNull_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(30000)
+        .select(
+          col("l_orderkey"), col("l_returnflag"),
+          // doubles null for returned rows, ints null on 3-multiples,
+          // strings via NULLIF — three types exercise three null paths
+          when(col("l_returnflag") === "R", lit(null))
+            .otherwise(col("l_quantity")).as("n_qty"),
+          when(col("l_linenumber") % 3 === 0, lit(null))
+            .otherwise(col("l_linenumber")).as("n_line"),
+          nullif(col("l_linestatus"), lit("F")).as("n_status"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .option("nullableColumns", "n_qty,n_line,n_status")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
@@ -139,6 +170,25 @@ object PinotRoundtrip {
           sum((col("amount") * lit(10000).cast("decimal(6,0)")).cast("long"))
             .as("amount_e4"))
         .orderBy("event_type")
+    }),
+
+    // Nullable columns (null-value vector) through write→segment→scan:
+    // COUNT(col) vs COUNT(*), SUM over nulls, IS NULL filters and
+    // null-aware grouping must all see EXACTLY the planted nulls — a
+    // wrong or shifted bitmap breaks the hash.
+    "q80_pinot_nullable" -> ((s, d) => {
+      val p = s.read.format("pinot").load(nullableTable(s, d))
+      p.groupBy(coalesce(col("n_status"), lit("<null>")).as("status"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("n_qty")).as("qty_nn"),
+          count(col("n_line")).as("line_nn"),
+          round(sum("n_qty"), 2).as("sum_qty"),
+          sum("n_line").as("sum_line"),
+          sum(when(col("n_qty").isNull && col("n_line").isNull, 1L)
+            .otherwise(0L)).as("both_null"),
+          sum("l_orderkey").as("sum_okey"))
+        .orderBy("status")
     }),
 
     // Multi-value columns through the full write→segment→scan→explode
@@ -189,6 +239,27 @@ object PinotRoundtrip {
         |    AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(amount * 10000 AS BIGINT)) AS BIGINT) AS amount_e4
         |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q80_pinot_nullable" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_returnflag = 'R' THEN NULL ELSE l_quantity END
+        |      AS n_qty,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_linenumber END
+        |      AS n_line,
+        |    nullif(l_linestatus, 'F') AS n_status
+        |  FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT coalesce(n_status, '<null>') AS status, count(*) AS cnt,
+        |  count(n_qty) AS qty_nn, count(n_line) AS line_nn,
+        |  round(sum(n_qty), 2) AS sum_qty,
+        |  CAST(sum(n_line) AS BIGINT) AS sum_line,
+        |  CAST(sum(CASE WHEN n_qty IS NULL AND n_line IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM subset GROUP BY status ORDER BY status""".stripMargin,
 
     "q70_pinot_mv_explode" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,

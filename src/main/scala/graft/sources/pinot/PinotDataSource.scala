@@ -86,8 +86,11 @@ object PinotSegments {
 
   /** Schema from the first segment, assumed uniform across segments
     * (reference: table.rs:115-118). Fields are **non-nullable** — "Pinot
-    * columns are non-nullable" (schema.rs:26-31) — and ordered by the
-    * segment metadata's deterministic column order (fixes the reference's
+    * columns are non-nullable" (schema.rs:26-31) — UNLESS the column
+    * carries a null-value vector (nullable-column extension; nullability
+    * is a table-level writer config, so the first segment is
+    * authoritative like the rest of the schema). Ordered by the segment
+    * metadata's deterministic column order (fixes the reference's
     * HashMap-iteration hazard, SURVEY §2A).
     */
   def schemaFor(segments: Seq[Path]): StructType = {
@@ -97,7 +100,7 @@ object PinotSegments {
         if (c.isSingleValue) c.dataType.sparkType
         else org.apache.spark.sql.types.ArrayType(c.dataType.sparkType,
           containsNull = false) // MV extension: reference non-goal
-      StructField(c.name, t, nullable = false)
+      StructField(c.name, t, nullable = c.hasNullVector)
     })
   }
 }
@@ -141,8 +144,14 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val invCols = Option(info.options.get("invertedIndexColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("nullableColumns", "a,b")`: accept NULLs in the listed
+    // scalar columns — stored as a default + per-segment null-value
+    // vector (RoaringBitmap), surfaced as nullable fields on read
+    val nullableCols = Option(info.options.get("nullableColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols, jsonCols, invCols)
+      partitionCols, jsonCols, invCols, nullableCols)
   }
 }
 

@@ -4,7 +4,7 @@ import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
@@ -109,22 +109,37 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     if (groupCols.exists(_.isEmpty)) return false
     if (!groupCols.flatten.forall(isKeyPure)) return false
     val ok = agg.aggregateExpressions.forall {
+      // COUNT(col) skips nulls and dictionaries hold the stored DEFAULT
+      // at null docs, so nullable columns refuse the metadata answer
       case _: CountStar => true
-      case c: Count => !c.isDistinct && fieldName(c.column()).isDefined
-      case m: Min => fieldName(m.column()).exists(isDictNumeric)
-      case m: Max => fieldName(m.column()).exists(isDictNumeric)
+      case c: Count => !c.isDistinct &&
+        fieldName(c.column()).exists(n => !mayHaveNulls(n))
+      case m: Min => fieldName(m.column()).exists(n =>
+        isDictNumeric(n) && !mayHaveNulls(n))
+      case m: Max => fieldName(m.column()).exists(n =>
+        isDictNumeric(n) && !mayHaveNulls(n))
       case _ => false
     }
     if (ok) pushedAgg = Some(agg)
     ok
   }
 
+  /** Any segment records a null-value vector for this column (unreadable
+    * metadata counts as "may" — refusal is always safe).
+    */
+  private def mayHaveNulls(col: String): Boolean =
+    segmentPaths.exists { p =>
+      val m = PinotScan.segmentMeta(p)
+      m == null || m.columns.get(col).exists(_.hasNullVector)
+    }
+
   /** min == max recorded in EVERY segment, with a typed key form. */
   private def isKeyPure(col: String): Boolean = {
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
       m.columns.get(col).exists(cm =>
-        cm.isSingleValue && cm.minValue.isDefined &&
+        !cm.hasNullVector &&
+          cm.isSingleValue && cm.minValue.isDefined &&
           cm.minValue == cm.maxValue &&
           (cm.dataType match {
             case PinotType.PInt | PinotType.PLong | PinotType.PString => true
@@ -317,13 +332,16 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
             }
             val minV = fold(_.minValue, wantMin = true)
             val maxV = fold(_.maxValue, wantMin = false)
+            // exact: segments without a null vector have zero nulls;
+            // those with one record the bitmap cardinality in metadata
+            val nulls = cms.map(_.nullCount.toLong).sum
             out.put(
               org.apache.spark.sql.connector.expressions.Expressions.column(name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def distinctCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(distinct)
                 override def nullCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(0L)
+                  java.util.OptionalLong.of(nulls)
                 override def min(): java.util.Optional[Object] =
                   minV.fold(java.util.Optional.empty[Object]())(
                     java.util.Optional.of[Object])
@@ -723,8 +741,18 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       rangeOpen(attr, maxSide = true, prefix, strict = false) &&
         PinotScan.prefixNext(prefix).forall(np =>
           rangeOpen(attr, maxSide = false, np, strict = true))
+    // null-vector metadata answers IS [NOT] NULL exactly: a column
+    // without a null vector has zero null rows; one whose vector covers
+    // every doc has zero non-null rows
+    case IsNull(attr) => colMeta(attr).forall(cm =>
+      cm.hasNullVector && cm.nullCount > 0)
+    case IsNotNull(attr) => colMeta(attr).forall(cm =>
+      !cm.hasNullVector || cm.nullCount < reader.metadata.totalDocs)
     case _ => true
   }
+
+  private def colMeta(attr: String): Option[graft.pinot.ColumnMetadata] =
+    try Some(reader.metadata.column(attr)) catch { case _: Throwable => None }
 
   /** `col > v` can match only if segment max > v (maxSide), `col < v`
     * only if segment min < v. Unknown metadata or unsupported types →
@@ -1129,6 +1157,19 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       }
     }
 
+  /** Null-value vector per projected column (null = column never null).
+    * Decode overlays NULL bits per window after the value fill — null
+    * docs hold a stored default in the forward index (Pinot's model), so
+    * every decode path stays untouched and the bitmap is the only truth
+    * about nullness.
+    */
+  private lazy val nullVectors
+      : Array[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
+    columns.map { c =>
+      val cm = try reader.metadata.column(c) catch { case _: Throwable => null }
+      if (cm != null && cm.hasNullVector) reader.nullVector(c).orNull else null
+    }
+
   // Vectors and the batch are allocated ONCE and refilled per 8,192-row
   // window — only the int dict-ids move per batch (bulk System.arraycopy).
   private lazy val vectors: Array[OnHeapColumnVector] =
@@ -1220,6 +1261,19 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
                 }
               case _ => ()
             }
+        }
+        val nv = nullVectors(c)
+        if (nv != null) {
+          // reused vectors: clear stale null bits, then overlay this
+          // window's nulls straight off the bitmap (advanceIfNeeded is a
+          // container-level skip — cost tracks nulls in window, not docs)
+          val vec = vectors(c)
+          vec.putNotNulls(0, n)
+          val start = docStart + pos
+          val end = start + n
+          val it = nv.getIntIterator
+          it.advanceIfNeeded(start)
+          while (it.hasNext && it.peekNext() < end) vec.putNull(it.next() - start)
         }
         c += 1
       }

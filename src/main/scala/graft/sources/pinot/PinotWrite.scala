@@ -27,11 +27,12 @@ import org.apache.spark.sql.types._
 class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
-    invCols: Set[String] = Set.empty) extends WriteBuilder {
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
-      schema, queryId, partitionCols, jsonCols, invCols)
+      schema, queryId, partitionCols, jsonCols, invCols, nullableCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path)
@@ -68,11 +69,12 @@ case class PinotCommitMessage(segs: Seq[(String, String)], rows: Long)
 class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
-    invCols: Set[String] = Set.empty) extends BatchWrite {
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols, invCols)
+      jsonCols, invCols, nullableCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -126,7 +128,8 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
-    invCols: Set[String] = Set.empty)
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -158,6 +161,21 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       s"invertedIndexColumns entry $ic must be an existing dictionary-" +
         "encodable column (numeric, string, boolean, timestamp, or array)")
   }
+  // nullable columns (null-value vector extension): scalar SV types only
+  nullableCols.foreach { nc =>
+    val ok = schema.fieldNames.contains(nc) && (schema(nc).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           BooleanType | TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"nullableColumns entry $nc must be an existing scalar column " +
+        "(numeric, string, boolean, or timestamp)")
+  }
+  nullableCols.intersect(partitionCols.toSet).foreach { nc =>
+    throw new PinotFormatException(
+      s"partitionBy column $nc cannot be nullable")
+  }
   jsonCols.foreach { jc =>
     if (!schema.fieldNames.contains(jc) ||
         schema(jc).dataType != StringType)
@@ -177,13 +195,14 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols, jsonCols, invCols)
+      partitionCols, jsonCols, invCols, nullableCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty,
-    invCols: Set[String] = Set.empty)
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
@@ -194,16 +213,41 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
 
   private val buffers: Array[ArrayBuffer[Any]] =
     schema.fields.map(_ => ArrayBuffer.empty[Any])
+  // buffer indices (within the current flush window) whose value is NULL,
+  // per nullable column — becomes the segment's null-value vector
+  private val nullBits: Array[scala.collection.mutable.BitSet] =
+    schema.fields.map(_ => scala.collection.mutable.BitSet.empty)
   private val flushed = ArrayBuffer.empty[(String, String)]
   private var segSeq = 0
   private var totalRows = 0L
 
+  /** Stored default for a NULL row (Pinot's defaultNullValue model: the
+    * forward index keeps a default, the null vector marks the doc).
+    */
+  private def nullDefault(dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case IntegerType => 0
+      case LongType | TimestampType => 0L
+      case FloatType => 0f
+      case DoubleType => 0d
+      case StringType => ""
+      case BooleanType => false
+      case other => throw new PinotFormatException(s"no null default for $other")
+    }
+
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.fields.length) {
-      if (row.isNullAt(i))
-        throw new PinotFormatException(
-          s"pinot columns are non-nullable; null in ${schema.fields(i).name}")
+      if (row.isNullAt(i)) {
+        val f = schema.fields(i)
+        if (!nullableCols(f.name))
+          throw new PinotFormatException(
+            s"pinot columns are non-nullable; null in ${f.name} " +
+              "(list it in .option(\"nullableColumns\", ...) to allow)")
+        nullBits(i) += buffers(i).length
+        buffers(i) += nullDefault(f.dataType)
+        i += 1
+      } else {
       buffers(i) += (schema.fields(i).dataType match {
         case IntegerType => row.getInt(i)
         case LongType => row.getLong(i)
@@ -236,6 +280,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         case other => throw new PinotFormatException(s"unsupported $other")
       })
       i += 1
+      }
     }
     totalRows += 1
     if (buffers.head.length >= MaxRowsPerSegment) flush()
@@ -261,6 +306,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         .foreach { case (_, rows) => writeSegment(rows) }
     }
     buffers.foreach(_.clear())
+    nullBits.foreach(_.clear())
   }
 
   private def writeSegment(rows: Seq[Int]): Unit = {
@@ -335,7 +381,19 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         case other => throw new PinotFormatException(s"unsupported $other")
       }
     }.toSeq
-    SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols)
+    // null-value vectors: buffer-index nulls remapped to segment docIds
+    val nullVecs: Map[String, Array[Int]] =
+      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        if (nullBits(i).isEmpty) None
+        else {
+          val docs = rows.iterator.zipWithIndex.collect {
+            case (bufIdx, d) if nullBits(i)(bufIdx) => d
+          }.toArray
+          if (docs.isEmpty) None else Some(f.name -> docs)
+        }
+      }.toMap
+    SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
+      nullVecs)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

@@ -445,6 +445,47 @@ class PinotSourceSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq === Seq(500))
   }
 
+  test("nullable columns: null-value vector roundtrip, IS NULL pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_null")
+    val tdir = root.resolve("nully_OFFLINE")
+    // score is null for every 7th row; name never null
+    (0 until 5000).map(i =>
+      (i, if (i % 7 == 0) None else Some(i * 2.5), s"n${i % 40}"))
+      .toDF("id", "score", "name")
+      .repartition(2)
+      .write.format("pinot").option("nullableColumns", "score")
+      .mode("append").save(tdir.toString)
+    val df = spark.read.format("pinot").load(tdir.toString)
+    assert(df.schema("score").nullable, "null-vector column reads nullable")
+    assert(!df.schema("name").nullable)
+    // exact null semantics through aggregation and filters
+    val expNulls = (0 until 5000).count(_ % 7 == 0)
+    assert(df.filter(col("score").isNull).count() === expNulls)
+    assert(df.filter(col("score").isNotNull).count() === 5000 - expNulls)
+    val r = df.agg(count(lit(1)).as("all"), count(col("score")).as("nn"),
+      sum("score").as("s")).collect()(0)
+    assert(r.getLong(0) === 5000 && r.getLong(1) === (5000 - expNulls))
+    assert(r.getDouble(2) ===
+      (0 until 5000).filter(_ % 7 != 0).map(_ * 2.5).sum)
+    // null rows keep their OTHER columns intact
+    assert(df.filter(col("score").isNull).agg(sum("id")).collect()(0)
+      .getLong(0) === (0 until 5000 by 7).sum.toLong)
+    // COUNT(score) must NOT answer from metadata (nulls ≠ docs);
+    // COUNT(*) still may
+    val cntCol = df.agg(count(col("score"))).queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(!cntCol.contains("PinotAggScan"), cntCol)
+    val cntStar = df.groupBy().count().queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(cntStar.contains("PinotAggScan"), cntStar)
+    // IS NULL on a column with NO null vector prunes the whole segment
+    val pruned = new graft.sources.pinot.PinotColumnarReader(
+      Files.list(tdir).iterator().next().resolve("v3").toString,
+      Array("id"), Array(org.apache.spark.sql.sources.IsNull("name")), None)
+    assert(!pruned.next(), "IS NULL on never-null column prunes")
+  }
+
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so
