@@ -107,6 +107,16 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     if (sawFilters || limit.isDefined) return false
     val groupCols = agg.groupByExpressions.map(fieldName)
     if (groupCols.exists(_.isEmpty)) return false
+    // DISTINCT pushdown (no aggregate functions, one dict group column):
+    // each segment's dictionary IS its distinct value set, so the scan
+    // emits cardinality rows per segment — SELECT DISTINCT col over a
+    // 100 TB table reads dictionaries only, never a forward index
+    if (agg.aggregateExpressions.isEmpty) {
+      val ok = groupCols.flatten.length == 1 &&
+        isDictDistinctable(groupCols.flatten.head)
+      if (ok) pushedAgg = Some(agg)
+      return ok
+    }
     if (!groupCols.flatten.forall(isKeyPure)) return false
     val ok = agg.aggregateExpressions.forall {
       // COUNT(col) skips nulls and dictionaries hold the stored DEFAULT
@@ -115,13 +125,32 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       case c: Count => !c.isDistinct &&
         fieldName(c.column()).exists(n => !mayHaveNulls(n))
       case m: Min => fieldName(m.column()).exists(n =>
-        isDictNumeric(n) && !mayHaveNulls(n))
+        isMinMaxPushable(n) && !mayHaveNulls(n))
       case m: Max => fieldName(m.column()).exists(n =>
-        isDictNumeric(n) && !mayHaveNulls(n))
+        isMinMaxPushable(n) && !mayHaveNulls(n))
       case _ => false
     }
     if (ok) pushedAgg = Some(agg)
     ok
+  }
+
+  /** Dictionary-encoded single-value non-nullable column of a scalar type
+    * in EVERY segment — the preconditions for dictionary-as-distinct-set.
+    * (A null vector breaks it: the stored default sits in the dictionary
+    * whether or not any non-null row carries it.)
+    */
+  private def isDictDistinctable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
+      m.columns.get(col).exists(cm =>
+        cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
+          (cm.dataType match {
+            case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+                 PinotType.PDouble | PinotType.PString |
+                 PinotType.PBoolean | PinotType.PTimestamp => true
+            case _ => false
+          }))
+    }
   }
 
   /** Any segment records a null-value vector for this column (unreadable
@@ -155,20 +184,24 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       case _ => None
     }
 
-  private lazy val firstSegmentMeta: Option[graft.pinot.SegmentMetadata] =
-    segmentPaths.headOption.flatMap { p =>
-      try Some(SegmentReader.open(p).metadata) catch { case _: Throwable => None }
-    }
-
-  private def isDictNumeric(col: String): Boolean =
-    firstSegmentMeta.exists { m =>
-      m.columns.get(col).exists(cm => cm.hasDictionary && cm.isSingleValue &&
+  /** MIN/MAX answerable without a forward-index read in EVERY segment:
+    * numeric with a dictionary (sorted entries), or RAW numeric whose
+    * writer-recorded metadata min/max both survived (r3 — Pinot answers
+    * these from column metadata the same way).
+    */
+  private def isMinMaxPushable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
+      m.columns.get(col).exists(cm => cm.isSingleValue &&
         (cm.dataType match {
           case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
                PinotType.PDouble => true
           case _ => false
-        }))
+        }) &&
+        (cm.hasDictionary ||
+          (cm.minValue.isDefined && cm.maxValue.isDefined)))
     }
+  }
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
@@ -449,14 +482,23 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-    val row: InternalRow = if (complete) {
-      new GenericInternalRow(specs.map(_ => completeCount: Any))
+    val rows: Iterator[InternalRow] = if (complete) {
+      Iterator.single(new GenericInternalRow(specs.map(_ => completeCount: Any)))
     } else {
       val path = partition.asInstanceOf[PinotAggPartition].segmentPath
       val reader = SegmentReader.open(path)
       val docs = reader.metadata.totalDocs
-      if (docs == 0 && groupCols.nonEmpty) null // no key → no group row
-      else {
+      if (groupCols.nonEmpty && specs.isEmpty) {
+        // DISTINCT pushdown: the segment's dictionary IS its distinct
+        // value set (Pinot builds dictionaries from the segment's own
+        // values) — emit one row per entry, never touch the forward
+        // index; Spark's final aggregate dedups across segments
+        if (docs == 0) Iterator.empty
+        else dictDistinctValues(reader, groupCols(0)).iterator
+          .map(v => new GenericInternalRow(Array(v)): InternalRow)
+      } else if (docs == 0 && groupCols.nonEmpty) {
+        Iterator.empty // no key → no group row
+      } else {
         // key-pure group columns: the segment's single key value comes
         // straight from metadata (min == max, builder-validated)
         val keys: Array[Any] = groupCols.map { c =>
@@ -473,18 +515,39 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
           else if (docs == 0) null
           else dictMinMax(reader, s.column, s.isMin)
         }
-        new GenericInternalRow(keys ++ values)
+        Iterator.single(new GenericInternalRow(keys ++ values))
       }
     }
 
     new PartitionReader[InternalRow] {
-      private var emitted = false
+      private var cur: InternalRow = null
       override def next(): Boolean = {
-        if (row == null) return false
-        val r = !emitted; emitted = true; r
+        if (rows.hasNext) { cur = rows.next(); true } else false
       }
-      override def get(): InternalRow = row
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
+    }
+  }
+
+  /** The dictionary entries as Catalyst values (builder guarantees: dict,
+    * single-value, no null vector, supported type). TIMESTAMP dictionaries
+    * store epoch millis → Catalyst micros; BOOLEAN stores int 0/1.
+    */
+  private def dictDistinctValues(reader: SegmentReader, col: String): Array[Any] = {
+    val cm = reader.metadata.column(col)
+    (reader.dictionary(col), cm.dataType) match {
+      case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
+        v.map(i => (i != 0): Any)
+      case (PinotDictionary.Ints(v), _) => v.map(x => x: Any)
+      case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
+        v.map(ms => Math.multiplyExact(ms, 1000L): Any)
+      case (PinotDictionary.Longs(v), _) => v.map(x => x: Any)
+      case (PinotDictionary.Floats(v), _) => v.map(x => x: Any)
+      case (PinotDictionary.Doubles(v), _) => v.map(x => x: Any)
+      case (PinotDictionary.Strings(v), _) =>
+        v.map(s => UTF8String.fromString(s): Any)
+      case (other, _) => throw new graft.pinot.PinotFormatException(
+        s"DISTINCT pushdown on unsupported dictionary $other")
     }
   }
 
@@ -509,13 +572,23 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
       case PinotDictionary.Doubles(v) => reduceD(v)
       case other => throw new graft.pinot.PinotFormatException(
         s"MIN/MAX pushdown on unsupported dictionary $other")
-    } else cm.dataType match {
-      case PinotType.PInt => reduceI(reader.readIntColumn(col))
-      case PinotType.PLong => reduceL(reader.readLongColumn(col))
-      case PinotType.PFloat => reduceF(reader.readFloatColumn(col))
-      case PinotType.PDouble => reduceD(reader.readDoubleColumn(col))
-      case other => throw new graft.pinot.PinotFormatException(
-        s"MIN/MAX pushdown on RAW ${other.name} column $col")
+    } else {
+      // RAW numeric: writer-recorded metadata bounds answer exactly
+      // (String.valueOf → parse is a lossless roundtrip for numerics);
+      // a full decode is only the defensive fallback
+      val bound = if (isMin) cm.minValue else cm.maxValue
+      (bound, cm.dataType) match {
+        case (Some(b), PinotType.PInt) => b.toInt
+        case (Some(b), PinotType.PLong) => b.toLong
+        case (Some(b), PinotType.PFloat) => b.toFloat
+        case (Some(b), PinotType.PDouble) => b.toDouble
+        case (None, PinotType.PInt) => reduceI(reader.readIntColumn(col))
+        case (None, PinotType.PLong) => reduceL(reader.readLongColumn(col))
+        case (None, PinotType.PFloat) => reduceF(reader.readFloatColumn(col))
+        case (None, PinotType.PDouble) => reduceD(reader.readDoubleColumn(col))
+        case (_, other) => throw new graft.pinot.PinotFormatException(
+          s"MIN/MAX pushdown on RAW ${other.name} column $col")
+      }
     }
   }
 }

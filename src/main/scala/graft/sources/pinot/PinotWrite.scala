@@ -35,19 +35,25 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
-    // catalog then serve with the same batch read path)
+    // catalog then serve with the same batch read path); carries the same
+    // encoding options (json/inverted/nullable) as the batch path
     override def toStreaming: streaming.StreamingWrite =
-      new PinotStreamingWrite(path, tableName, schema, queryId)
+      new PinotStreamingWrite(path, tableName, schema, queryId,
+        jsonCols, invCols, nullableCols)
   }
 }
 
 class PinotStreamingWrite(path: String, tableName: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String,
+    jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    PinotStreamingWriterFactory(path, tableName, schema, queryId)
+    PinotStreamingWriterFactory(path, tableName, schema, queryId,
+      jsonCols, invCols, nullableCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -117,12 +123,16 @@ object PinotWriteUtil {
 }
 
 case class PinotStreamingWriterFactory(path: String, tableName: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String,
+    jsonCols: Set[String] = Set.empty,
+    invCols: Set[String] = Set.empty,
+    nullableCols: Set[String] = Set.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
-      s"${queryId}_e$epochId", partitionId, taskId)
+      s"${queryId}_e$epochId", partitionId, taskId,
+      Seq.empty, jsonCols, invCols, nullableCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,

@@ -109,6 +109,38 @@ class PinotSourceSpec extends SparkTestBase {
     assert(r.getLong(2) === n)
   }
 
+  test("DISTINCT pushes down: dictionary values only, no forward index") {
+    val df = spark.read.format("pinot").load(tablePath)
+    val dis = df.select("teamID").distinct()
+    val leaf = dis.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotAggScan(complete=false"),
+      s"DISTINCT not pushed:\n$leaf")
+    assert(dis.collect().map(_.getString(0)).sorted.toSeq ===
+      teamID.distinct.sorted.toSeq)
+    // multi-column distinct must NOT push (dict cross-product is wrong)
+    val two = df.select("teamID", "hits").distinct()
+    val leaf2 = two.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf2.contains("PinotScan("), s"expected plain scan:\n$leaf2")
+    assert(two.count() ===
+      teamID.zip(hits).map(p => (p._1, p._2)).distinct.length)
+  }
+
+  test("MIN/MAX on RAW numerics answers from recorded metadata bounds") {
+    val root = Files.createTempDirectory("pinot_rawmm")
+    val tdir = root.resolve("metrics_OFFLINE")
+    val vals = Array.tabulate(3000)(i => (i * 37) % 2999) // high-card ints
+    SegmentWriter.write(tdir.resolve("seg0"), "metrics", "seg0", Seq(
+      SegmentWriter.IntRawCol("m", vals),
+      SegmentWriter.StringDictCol("g", Array.fill(3000)("x"))))
+    val df = spark.read.format("pinot").load(tdir.toString)
+    val agg = df.agg(min("m").as("mn"), max("m").as("mx"))
+    val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PinotAggScan(complete=false"),
+      s"RAW numeric MIN/MAX not pushed:\n$leaf")
+    val r = agg.head()
+    assert(r.getInt(0) === vals.min && r.getInt(1) === vals.max)
+  }
+
   test("GROUP BY on a key-pure column pushes down: metadata-only rows") {
     // partitionBy-shaped table: each segment holds exactly one tenant
     val root = Files.createTempDirectory("pinot_gby")
