@@ -33,9 +33,10 @@ object PinotBench {
     val n = 97889
     val rnd = new scala.util.Random(42)
     val root = Files.createTempDirectory("pinot_bench")
+    val hits = Array.fill(n)(rnd.nextInt(263))
     val tableDir = root.resolve("baseballStats_OFFLINE")
     SegmentWriter.write(tableDir.resolve("seg0"), "baseballStats", "seg0", Seq(
-      SegmentWriter.IntCol("hits", Array.fill(n)(rnd.nextInt(263))),
+      SegmentWriter.IntCol("hits", hits),
       SegmentWriter.IntCol("homeRuns", Array.fill(n)(rnd.nextInt(60))),
       SegmentWriter.IntCol("strikeouts", Array.fill(n)(rnd.nextInt(200))),
       SegmentWriter.StringDictCol("teamID",
@@ -45,6 +46,29 @@ object PinotBench {
       SegmentWriter.StringRawCol("playerID",
         Array.tabulate(n)(i => f"player$i%06d"),
         VarByteChunkV4.Lz4LengthPrefixed, 4096)))
+
+    // inverted-index demo pair (extension - no reference counterpart):
+    // a 2M-row segment where decode cost is visible above the per-query
+    // floor; the same sparse equality (3 matching docs) runs against an
+    // unindexed copy (decodes all 245 windows) and an indexed one
+    // (decodes only the 3 windows holding matches)
+    val bigN = 2000000
+    val bigNeedle = Set(7, 1000000, 1999000)
+    val bigTag = Array.tabulate(bigN)(i =>
+      if (bigNeedle(i)) "needle" else "common")
+    val bigHits = Array.tabulate(bigN)(i => (i * 2654435761L % 263).toInt)
+    val plainDir = root.resolve("bigPlain_OFFLINE")
+    SegmentWriter.write(plainDir.resolve("seg0"), "bigPlain", "seg0", Seq(
+      SegmentWriter.IntCol("hits", bigHits),
+      SegmentWriter.StringDictCol("tag", bigTag)))
+    val invDir = root.resolve("bigInv_OFFLINE")
+    SegmentWriter.write(invDir.resolve("seg0"), "bigInv", "seg0", Seq(
+      SegmentWriter.IntCol("hits", bigHits),
+      SegmentWriter.StringDictCol("tag", bigTag)),
+      invertedCols = Set("tag"))
+    def plainTable: DataFrame =
+      spark.read.format("pinot").load(plainDir.toString)
+    def invTable: DataFrame = spark.read.format("pinot").load(invDir.toString)
 
     def table: DataFrame = spark.read.format("pinot").load(tableDir.toString)
 
@@ -60,7 +84,14 @@ object PinotBench {
       "group_topk_raw" -> (() => table.groupBy("playerID")
         .agg(avg("hits").as("avg_hits"))
         .orderBy(desc("avg_hits")).limit(10)),
-      "projection_limit" -> (() => table.select("playerID", "hits").limit(10)))
+      "projection_limit" -> (() => table.select("playerID", "hits").limit(10)),
+      // x-prefixed = extension shapes, excluded from the 7-shape total
+      "xfilter_sparse_scan" -> (() => plainTable
+        .filter(col("tag") === "needle")
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xfilter_sparse_inverted" -> (() => invTable
+        .filter(col("tag") === "needle")
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))))
 
     // Floor control: the same DSv2 code path over a 1-row segment — any
     // time spent here is fixed Spark per-query cost (plan, schedule, noop
@@ -92,7 +123,8 @@ object PinotBench {
     val floorAgg = median(() => floorTable.agg(sum("hits").as("s")))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.4f"
+    val total =
+      f"${results.filterNot(_._1.startsWith("x")).map(_._2).sum}%.4f"
     println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","queries":$qs,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"}}""")
     spark.stop()
   }

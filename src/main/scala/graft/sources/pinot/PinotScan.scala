@@ -909,11 +909,28 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         val fb = f match {
           case EqualTo(a, v) => filterBitmap(a, Seq(v))
           case In(a, vs) => filterBitmap(a, vs.toSeq)
+          // null-value vectors are exact doc sets too: IS NULL matches
+          // the bitmap, IS NOT NULL its complement over [0, totalDocs)
+          case IsNull(a) => nullFilterBitmap(a, wantNull = true)
+          case IsNotNull(a) => nullFilterBitmap(a, wantNull = false)
           case _ => None
         }
         fb.foreach { m => if (acc == null) acc = m else acc.and(m) }
       }
       Option(acc)
+    }
+  }
+
+  private def nullFilterBitmap(attr: String, wantNull: Boolean)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    val cm = try reader.metadata.column(attr)
+      catch { case _: Throwable => return None }
+    if (!cm.hasNullVector) return None // no nulls: IsNotNull is all-docs
+    reader.nullVector(attr).map { nv =>
+      val m = new org.roaringbitmap.buffer.MutableRoaringBitmap
+      m.or(nv)
+      if (!wantNull) m.flip(0L, reader.totalDocs.toLong)
+      m
     }
   }
 

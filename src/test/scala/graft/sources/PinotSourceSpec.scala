@@ -516,6 +516,18 @@ class PinotSourceSpec extends SparkTestBase {
       Files.list(tdir).iterator().next().resolve("v3").toString,
       Array("id"), Array(org.apache.spark.sql.sources.IsNull("name")), None)
     assert(!pruned.next(), "IS NULL on never-null column prunes")
+    // clustered nulls: IS NULL clamps the scan to the null run itself
+    val cdir = root.resolve("clustered_OFFLINE")
+    SegmentWriter.write(cdir.resolve("seg0"), "clustered", "seg0", Seq(
+      SegmentWriter.IntCol("a", Array.tabulate(10000)(identity)),
+      SegmentWriter.LongCol("b", Array.tabulate(10000)(_.toLong))),
+      nullVectors = Map("b" -> (100 until 200).toArray))
+    val rdr = new graft.sources.pinot.PinotColumnarReader(
+      cdir.resolve("seg0").resolve("v3").toString, Array("a", "b"),
+      Array(org.apache.spark.sql.sources.IsNull("b")), None)
+    var got = 0
+    while (rdr.next()) got += rdr.get().numRows()
+    assert(got === 100, s"IS NULL should decode only the null run, got $got")
   }
 
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
