@@ -136,6 +136,28 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Inverted-index fixture: events subset with a bitmap inverted index
+    * on event_type — q81's equality filter exercises posting-list window
+    * skipping inside the oracle gate.
+    */
+  private def indexedTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsIdx_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("invertedIndexColumns", "event_type")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
@@ -191,6 +213,19 @@ object PinotRoundtrip {
         .orderBy("status")
     }),
 
+    // Inverted-index read path inside the oracle gate: the equality
+    // filter resolves through posting-list bitmaps (segment pruning +
+    // window skipping) before Spark's residual filter — a bitmap that
+    // dropped or duplicated a docId would break the hash.
+    "q81_pinot_inverted" -> ((s, d) => {
+      val p = s.read.format("pinot").load(indexedTable(s, d))
+      p.filter(col("event_type") === "purchase")
+        .withColumn("bucket", col("user_id") % 100)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"))
+        .orderBy("bucket")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -239,6 +274,15 @@ object PinotRoundtrip {
         |    AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(amount * 10000 AS BIGINT)) AS BIGINT) AS amount_e4
         |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q81_pinot_inverted" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type, user_id
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT user_id % 100 AS bucket, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM subset WHERE event_type = 'purchase'
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q80_pinot_nullable" ->
       """WITH subset AS (
