@@ -96,6 +96,27 @@ object CurationOps {
         .orderBy("lang", "source", "rnk")
     }),
 
+    // Repetition detection (the C4/Gopher "most repeated n-gram" quality
+    // gate): per document, the fraction of 3-gram occurrences taken by
+    // the single most repeated 3-gram, in scaled-integer arithmetic.
+    // One explode + two map-side-combinable aggregates — a single pass
+    // over the corpus at any scale, partitioned by doc.
+    "q82_repetition" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), expr(
+          "explode(transform(sequence(0, size(words) - 3), " +
+            "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")
+          .as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_sh"), max("c").as("max_c"))
+        .withColumn("rep_e4", expr("(max_c * 10000) div n_sh"))
+        .withColumn("repetitive", col("rep_e4") >= 2000)
+        .select("doc_id", "n_sh", "max_c", "rep_e4", "repetitive")
+        .orderBy("doc_id")),
+
     // DF-based stopword scrub: infer the top-5 corpus-frequency words,
     // remove them from every document, and rebuild the text ORDER-
     // PRESERVING (posexplode → anti-join → sort_array(struct(pos, w)) →
@@ -181,6 +202,23 @@ object CurationOps {
         |SELECT lang, source, CAST(rnk AS INTEGER) AS rnk, doc_id,
         |  round(CAST(q_int AS DOUBLE) / CAST(10000 AS DOUBLE), 4) AS quality
         |FROM r WHERE rnk <= 8 ORDER BY lang, source, rnk""".stripMargin,
+
+    "q82_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |        AS sh
+        |      FROM w WHERE len(words) >= 3),
+        |c AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sh,
+        |        CAST(max(c) AS BIGINT) AS max_c
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_sh, max_c,
+        |  (max_c * 10000) // n_sh AS rep_e4,
+        |  (max_c * 10000) // n_sh >= 2000 AS repetitive
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q79_stopword_scrub" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

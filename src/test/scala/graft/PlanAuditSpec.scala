@@ -98,6 +98,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("curation ops broadcast their small corpus-statistic sides") {
+    // q77: the eval shingle set; q79: the top-5 stopword set (anti-join).
+    // Neither may shuffle the corpus against a corpus-sized side.
+    for (name <- Seq("q77_decontam", "q79_stopword_scrub")) {
+      val hasBroadcast = allNodes(finalPlan(name)).exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+      assert(hasBroadcast, s"$name: expected the small side broadcast")
+    }
+  }
+
   test("projection-only queries prune columns at the scan") {
     val df = SparkEntry.queries("q02_projection")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
