@@ -26,6 +26,17 @@ object Events {
       EventPipelines.sessionize(ev(s, d))
         .orderBy("user_id", "session_start")),
 
+    // stream-stream interval join (attribution), run in batch for the
+    // oracle; StreamingSpec drives the same code stream-stream with
+    // watermark-bounded state
+    "q83_attribution" -> ((s, d) =>
+      EventPipelines.attribution(ev(s, d))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("attributions"),
+          min("latency_ms").as("min_latency_ms"),
+          max("latency_ms").as("max_latency_ms"))
+        .orderBy("user_id")),
+
     // event-type transition matrix via window lag (stream-analytics shape)
     "q54_events_transitions" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -78,6 +89,22 @@ object Events {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // interval boundaries in integer MICROSECONDS on both engines:
+    // epoch_us(ns timestamp) truncates exactly like Spark's
+    // timestamp_micros(ns div 1000) load, so no float/precision hazard
+    "q83_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id, (pus - vus) // 1000 AS latency_ms
+        |      FROM v JOIN p ON v.user_id = p.user_id
+        |       AND pus >= vus AND pus < vus + 1800000000)
+        |SELECT user_id, count(*) AS attributions,
+        |  CAST(min(latency_ms) AS BIGINT) AS min_latency_ms,
+        |  CAST(max(latency_ms) AS BIGINT) AS max_latency_ms
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q54_events_transitions" ->
       """WITH x AS (

@@ -67,6 +67,35 @@ object EventPipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: attribute each purchase to every view
+    * by the same user within the preceding 30 minutes. Both sides carry
+    * watermarks, so under streaming execution Spark bounds the join
+    * state to interval + watermark horizon and emits in append mode as
+    * the watermark passes — the canonical streaming attribution shape
+    * (the reference has no streaming execution at all). The same code
+    * runs in batch, where q83's DuckDB oracle hash-checks it; interval
+    * boundaries compare at Spark's microsecond timestamp grain, matched
+    * exactly by epoch_us in the oracle.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+      .withWatermark("vts", "10 minutes")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("pts", "10 minutes")
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") < col("vts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"),
+        expr("(unix_micros(pts) - unix_micros(vts)) div 1000")
+          .as("latency_ms"))
+  }
+
   // ---- custom stateful operator (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

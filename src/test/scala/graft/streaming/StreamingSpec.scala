@@ -67,6 +67,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attribution: stream-stream interval join with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = attribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "purchase", 5.0), // within 30 min → attributed
+        Event(3, ts(45), 1, "purchase", 7.0), // 45 min later → NOT
+        Event(4, ts(5), 2, "purchase", 3.0)) // no prior view → NOT
+      q.processAllAvailable()
+      // advance both watermarks far past the join interval so append emits
+      mem.addData(
+        Event(5, ts(600), 8, "view", 1.0),
+        Event(6, ts(700), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_stream")
+        .select("user_id", "view_id", "purchase_id", "latency_ms")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set((1L, 1L, 2L, 600000L)))
+    } finally q.stop()
+    // the same code in batch agrees
+    val batch = attribution(eventsDf(Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(10), 1, "purchase", 5.0),
+      Event(3, ts(45), 1, "purchase", 7.0),
+      Event(4, ts(5), 2, "purchase", 3.0))))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch === Set((1L, 1L, 2L, 600000L)))
+  }
+
   test("sessionize: stream session_window matches batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
