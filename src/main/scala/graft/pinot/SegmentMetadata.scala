@@ -56,7 +56,11 @@ final case class SegmentMetadata(
     segmentName: String,
     tableName: String,
     totalDocs: Int,
-    columns: ListMap[String, ColumnMetadata]) {
+    columns: ListMap[String, ColumnMetadata],
+    /** Pinot's `segment.time.column.name` — the table's declared time
+      * column; drives hybrid OFFLINE/REALTIME time-boundary reads.
+      */
+    timeColumn: Option[String] = None) {
 
   def column(name: String): ColumnMetadata =
     columns.getOrElse(name,
@@ -122,7 +126,8 @@ object SegmentMetadata {
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0))
     }
 
-    SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*))
+    SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*),
+      timeColumn = props.get("segment.time.column.name").filter(_.nonEmpty))
   }
 
   /** Decode Java-properties escapes: \\uXXXX, \t, \n, \r, \\\\

@@ -100,10 +100,13 @@ object SegmentWriter {
     */
   def write(segmentDir: Path, tableName: String, segmentName: String,
       columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty,
-      nullVectors: Map[String, Array[Int]] = Map.empty): Path = {
+      nullVectors: Map[String, Array[Int]] = Map.empty,
+      timeColumn: Option[String] = None): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
+    timeColumn.foreach(tc => require(columns.exists(_.name == tc),
+      s"timeColumn $tc is not a written column"))
     nullVectors.foreach { case (c, docs) =>
       require(columns.exists(_.name == c), s"nullVectors: unknown column $c")
       require(docs.forall(d => d >= 0 && d < totalDocs),
@@ -120,6 +123,9 @@ object SegmentWriter {
     props ++= s"segment.table.name=$tableName\n"
     props ++= s"segment.total.docs=$totalDocs\n"
     props ++= s"columns=${columns.map(_.name).mkString(",")}\n"
+    // Pinot's time-column declaration — drives hybrid OFFLINE/REALTIME
+    // time-boundary reads (PinotHybrid)
+    timeColumn.foreach(tc => props ++= s"segment.time.column.name=$tc\n")
 
     def addSection(column: String, indexType: String, bytes: Array[Byte]): Unit = {
       val off = psf.size()

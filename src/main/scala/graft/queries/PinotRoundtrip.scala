@@ -158,6 +158,36 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Hybrid fixture: events under a synthetic strictly-increasing time
+    * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
+    * — rows 5,000–6,999 are deliberately ingested into BOTH, the
+    * realtime/offline overlap a hybrid read must dedup at the time
+    * boundary.
+    */
+  private def hybridRoot(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val offDir = root.resolve("eventsHybrid_OFFLINE")
+    if (!Files.exists(offDir)) {
+      val e = Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(10000)
+        .select(col("event_id"), col("event_type"),
+          // strictly increasing synthetic event time → tie-free boundary
+          expr("timestamp_micros(1704067200000000 + event_id * 1000000)")
+            .as("hts"))
+      e.filter(col("event_id") < 7000).repartition(2)
+        .write.format("pinot").mode("append")
+        .option("timeColumn", "hts").save(offDir.toString)
+      e.filter(col("event_id") >= 5000).repartition(2)
+        .write.format("pinot").mode("append")
+        .option("timeColumn", "hts")
+        .save(root.resolve("eventsHybrid_REALTIME").toString)
+    }
+    root.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
@@ -211,6 +241,19 @@ object PinotRoundtrip {
             .otherwise(0L)).as("both_null"),
           sum("l_orderkey").as("sum_okey"))
         .orderBy("status")
+    }),
+
+    // Hybrid OFFLINE+REALTIME read with Pinot's time-boundary dedup:
+    // 2,000 rows live in BOTH sides; the oracle aggregates the 10,000
+    // DISTINCT source rows, so any double-count (or boundary off-by-one)
+    // breaks rows AND hash.
+    "q84_pinot_hybrid" -> ((s, d) => {
+      val root = hybridRoot(s, d)
+      graft.sources.pinot.PinotHybrid.load(s, root, "eventsHybrid")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"),
+          date_format(max(col("hts")), "yyyy-MM-dd HH:mm:ss").as("max_t"))
+        .orderBy("event_type")
     }),
 
     // Inverted-index read path inside the oracle gate: the equality
@@ -273,6 +316,17 @@ object PinotRoundtrip {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(amount * 10000 AS BIGINT)) AS BIGINT) AS amount_e4
+        |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q84_pinot_hybrid" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type,
+        |    to_timestamp((1704067200000000 + event_id * 1000000) / 1000000.0)
+        |      AS hts
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 10000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  strftime(max(hts), '%Y-%m-%d %H:%M:%S') AS max_t
         |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q81_pinot_inverted" ->

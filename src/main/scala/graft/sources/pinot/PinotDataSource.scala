@@ -150,8 +150,13 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val nullableCols = Option(info.options.get("nullableColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("timeColumn", "ts")`: record Pinot's
+    // segment.time.column.name — enables hybrid OFFLINE/REALTIME
+    // time-boundary reads (PinotHybrid)
+    val timeCol = Option(info.options.get("timeColumn")).map(_.trim)
+      .filter(_.nonEmpty)
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols, jsonCols, invCols, nullableCols)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol)
   }
 }
 

@@ -28,11 +28,13 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty) extends WriteBuilder {
+    nullableCols: Set[String] = Set.empty,
+    timeCol: Option[String] = None) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
-      schema, queryId, partitionCols, jsonCols, invCols, nullableCols)
+      schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
+      timeCol)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
@@ -76,11 +78,12 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty) extends BatchWrite {
+    nullableCols: Set[String] = Set.empty,
+    timeCol: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols, invCols, nullableCols)
+      jsonCols, invCols, nullableCols, timeCol)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -139,7 +142,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     queryId: String, partitionCols: Seq[String] = Seq.empty,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty)
+    nullableCols: Set[String] = Set.empty,
+    timeCol: Option[String] = None)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -170,6 +174,16 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     if (!ok) throw new PinotFormatException(
       s"invertedIndexColumns entry $ic must be an existing dictionary-" +
         "encodable column (numeric, string, boolean, timestamp, or array)")
+  }
+  timeCol.foreach { tc =>
+    val ok = schema.fieldNames.contains(tc) && (schema(tc).dataType match {
+      case IntegerType | LongType | TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"timeColumn $tc must be an existing INT/LONG/TIMESTAMP column")
+    if (nullableCols(tc)) throw new PinotFormatException(
+      s"timeColumn $tc cannot be nullable")
   }
   // nullable columns (null-value vector extension): scalar SV types only
   nullableCols.foreach { nc =>
@@ -205,14 +219,15 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols, jsonCols, invCols, nullableCols)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty)
+    nullableCols: Set[String] = Set.empty,
+    timeCol: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
@@ -403,7 +418,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         }
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
-      nullVecs)
+      nullVecs, timeCol)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

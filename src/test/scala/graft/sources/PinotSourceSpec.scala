@@ -530,6 +530,28 @@ class PinotSourceSpec extends SparkTestBase {
     assert(got === 100, s"IS NULL should decode only the null run, got $got")
   }
 
+  test("hybrid OFFLINE+REALTIME read dedups at the time boundary") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_hybrid")
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "ts")
+    // offline ids 0..99; realtime ids 80..149 → 80..99 live in BOTH
+    mk(0 until 100).repartition(1).write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(root.resolve("ev_OFFLINE").toString)
+    mk(80 until 150).repartition(1).write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(root.resolve("ev_REALTIME").toString)
+    val df = graft.sources.pinot.PinotHybrid.load(spark, root.toString, "ev")
+    assert(df.count() === 150, "overlap rows must count exactly once")
+    assert(df.agg(sum("id")).collect()(0).getLong(0) ===
+      (0 until 150).map(_.toLong).sum)
+    // single-side fallback (reference behavior)
+    mk(0 until 5).repartition(1).write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(root.resolve("solo_OFFLINE").toString)
+    assert(graft.sources.pinot.PinotHybrid
+      .load(spark, root.toString, "solo").count() === 5)
+  }
+
   test("pruning respects Spark float semantics: -0.0 == 0.0, NaN = NaN") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     // a segment whose recorded max is -0.0: Spark treats -0.0 = 0.0, so
