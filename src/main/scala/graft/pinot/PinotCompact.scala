@@ -1,0 +1,115 @@
+package graft.pinot
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Segment compaction (EXTENSION — the maintenance op behind Pinot's
+  * minion merge/rollup task): merge a table's many small segments into
+  * one, preserving column types, null-value vectors, inverted-index
+  * requests, and the declared time column. Streaming ingest (one segment
+  * per micro-batch epoch) and partitionBy writes produce exactly the
+  * many-small-segments shape this cleans up; fewer, larger segments mean
+  * fewer scan tasks and fatter sequential reads at 100 TB.
+  *
+  * Single-process by design, like Pinot's minion: each invocation
+  * compacts ONE table directory, reading typed columns through
+  * [[SegmentReader]] and re-encoding through [[SegmentWriter]] (the
+  * writer re-applies its dictionary-vs-RAW heuristics on the merged
+  * value distribution). The swap is crash-safe: the merged segment lands
+  * under a `tmp`-prefixed dir (invisible to discovery), old segments are
+  * removed, then the merged dir is renamed visible last.
+  */
+object PinotCompact {
+
+  /** Compact every segment under `tableDir` into one merged segment.
+    * Returns the merged segment directory. No-op (returns the existing
+    * dir) when the table already has a single segment.
+    */
+  def compact(tableDir: String): Path = {
+    val root = Paths.get(tableDir)
+    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
+      .map(_.getParent) // v3 → segment dir
+    require(segDirs.nonEmpty, s"no segments under $tableDir")
+    if (segDirs.length == 1) return segDirs.head
+
+    val readers = segDirs.map(d => SegmentReader.open(d))
+    val metas = readers.map(_.metadata)
+    val first = metas.head
+    val colNames = first.columns.keys.toSeq
+    metas.foreach { m =>
+      require(m.columns.keys.toSeq == colNames,
+        s"segment ${m.segmentName} schema differs — cannot compact")
+    }
+    val totalDocs = metas.map(_.totalDocs).sum
+
+    // per-column merged data, preserving each column's logical type;
+    // the writer re-picks physical encodings from the merged values
+    val cols: Seq[SegmentWriter.ColumnData] = colNames.map { c =>
+      val cm = first.columns(c)
+      def cat[T: scala.reflect.ClassTag](read: SegmentReader => Array[T]) =
+        readers.map(read).reduce(_ ++ _)
+      if (!cm.isSingleValue) cm.dataType match {
+        case PinotType.PInt =>
+          SegmentWriter.IntMVCol(c, cat(_.readIntMVColumn(c)))
+        case PinotType.PLong =>
+          SegmentWriter.LongMVCol(c, cat(_.readLongMVColumn(c)))
+        case PinotType.PDouble =>
+          SegmentWriter.DoubleMVCol(c, cat(_.readDoubleMVColumn(c)))
+        case PinotType.PString =>
+          SegmentWriter.StringMVCol(c, cat(_.readStringMVColumn(c)))
+        case other => throw new PinotFormatException(
+          s"compact: unsupported MV type ${other.name} for $c")
+      } else cm.dataType match {
+        case PinotType.PInt => SegmentWriter.IntCol(c, cat(_.readIntColumn(c)))
+        case PinotType.PLong =>
+          SegmentWriter.LongCol(c, cat(_.readLongColumn(c)))
+        case PinotType.PFloat =>
+          SegmentWriter.FloatCol(c, cat(_.readFloatColumn(c)))
+        case PinotType.PDouble =>
+          SegmentWriter.DoubleCol(c, cat(_.readDoubleColumn(c)))
+        case PinotType.PString =>
+          SegmentWriter.StringDictCol(c, cat(_.readStringColumn(c)))
+        case PinotType.PJson =>
+          SegmentWriter.JsonDictCol(c, cat(_.readStringColumn(c)))
+        case PinotType.PBoolean =>
+          SegmentWriter.BoolCol(c, cat(_.readBooleanColumn(c)))
+        case PinotType.PTimestamp =>
+          SegmentWriter.TimestampCol(c, cat(_.readTimestampMillisColumn(c)))
+        case PinotType.PBytes =>
+          SegmentWriter.BytesRawCol(c, cat(_.readBytesColumn(c)))
+        case PinotType.PBigDecimal =>
+          SegmentWriter.BigDecimalRawCol(c, cat(_.readBigDecimalColumn(c)))
+      }
+    }
+
+    // null-value vectors: union per column with per-segment doc offsets
+    val offsets = metas.map(_.totalDocs).scanLeft(0)(_ + _)
+    val nullVectors: Map[String, Array[Int]] = colNames.flatMap { c =>
+      val merged = readers.zip(offsets).flatMap { case (r, off) =>
+        r.nullVector(c).toSeq.flatMap(bm =>
+          bm.toArray.map(_ + off))
+      }.toArray
+      if (merged.isEmpty) None else Some(c -> merged)
+    }.toMap
+
+    // inverted indexes survive when every source segment had one
+    val invertedCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasInvertedIndex)).toSet
+
+    val mergedName = s"merged_${first.tableName}_0"
+    val tmp = root.resolve(s"tmp_compact_$mergedName")
+    SegmentWriter.write(tmp, first.tableName, mergedName, cols,
+      invertedCols, nullVectors, first.timeColumn)
+    require(SegmentReader.open(tmp).totalDocs == totalDocs,
+      "compact: merged doc count mismatch") // sanity before the swap
+    segDirs.foreach(d => deleteRecursively(d))
+    val visible = root.resolve(mergedName)
+    Files.move(tmp, visible)
+    visible
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+}

@@ -96,6 +96,27 @@ object CurationOps {
         .orderBy("lang", "source", "rnk")
     }),
 
+    // Sequence packing (training-prep): concatenate the corpus in stable
+    // doc_id order and assign each document to the 4096-token training
+    // sequence its first token lands in — the bookkeeping a packed-
+    // pretraining dataloader needs. The global ordered prefix sum is the
+    // demo form; at 100 TB the same plan runs as a two-pass distributed
+    // prefix sum (per-partition subtotals broadcast back), which Spark's
+    // range-partitioned window already approximates.
+    "q85_sequence_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, d)
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum("tokens").over(w), lit(0L)))
+        .withColumn("seq_id", expr("cum_before div 4096"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("seq_id")
+    }),
+
     // Repetition detection (the C4/Gopher "most repeated n-gram" quality
     // gate): per document, the fraction of 3-gram occurrences taken by
     // the single most repeated 3-gram, in scaled-integer arithmetic.
@@ -202,6 +223,20 @@ object CurationOps {
         |SELECT lang, source, CAST(rnk AS INTEGER) AS rnk, doc_id,
         |  round(CAST(q_int AS DOUBLE) / CAST(10000 AS DOUBLE), 4) AS quality
         |FROM r WHERE rnk <= 8 ORDER BY lang, source, rnk""".stripMargin,
+
+    "q85_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT cum_before // 4096 AS seq_id, count(*) AS docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "q82_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -1,0 +1,55 @@
+package graft.pinot
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Segment compaction: many small segments (the streaming-ingest shape)
+  * merge into one with data, null vectors, inverted indexes, and the
+  * time column preserved.
+  */
+class CompactSpec extends SparkTestBase {
+
+  test("compact merges segments preserving data, nulls, indexes, time column") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_compact")
+    val tdir = root.resolve("c_OFFLINE")
+    (0 until 4000).map { i =>
+      (i.toLong,
+        if (i % 11 == 0) None else Some(i * 1.5),
+        s"t${i % 5}",
+        new java.sql.Timestamp(1704067200000L + i * 1000L))
+    }.toDF("id", "score", "tag", "ts")
+      .repartition(4) // → 4 segments
+      .write.format("pinot").mode("append")
+      .option("nullableColumns", "score")
+      .option("invertedIndexColumns", "tag")
+      .option("timeColumn", "ts")
+      .save(tdir.toString)
+    def segCount = Files.list(tdir).filter(Files.isDirectory(_)).count()
+    assert(segCount === 4)
+    val before = spark.read.format("pinot").load(tdir.toString)
+      .orderBy("id").collect().toSeq
+
+    val merged = PinotCompact.compact(tdir.toString)
+    assert(segCount === 1, "one merged segment replaces the originals")
+
+    val df = spark.read.format("pinot").load(tdir.toString)
+    assert(df.orderBy("id").collect().toSeq === before,
+      "compacted data must be byte-identical")
+    assert(df.schema("score").nullable, "null vector survives")
+    assert(df.filter(col("score").isNull).count() ===
+      (0 until 4000).count(_ % 11 == 0))
+    val meta = SegmentReader.open(merged).metadata
+    assert(meta.columns("tag").hasInvertedIndex, "inverted index rebuilt")
+    assert(meta.timeColumn === Some("ts"), "time column survives")
+    assert(meta.totalDocs === 4000)
+    // the rebuilt inverted index still drives the scan
+    assert(df.filter(col("tag") === "t3").count() ===
+      (0 until 4000).count(_ % 5 === 3))
+    // compacting a single segment is a no-op
+    assert(PinotCompact.compact(tdir.toString).getFileName.toString ===
+      merged.getFileName.toString)
+  }
+}
