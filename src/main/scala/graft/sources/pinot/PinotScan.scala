@@ -73,20 +73,32 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   }
 
   /** COUNT-only global aggregations are answered COMPLETELY from segment
-    * metadata (`segment.total.docs`, cached on the driver): no tasks touch
-    * any column data, and a single row comes back — Spark plans no final
-    * aggregate. Pinot columns are non-nullable, so `COUNT(col)` ≡
-    * `COUNT(*)` ≡ totalDocs.
+    * metadata (`segment.total.docs` + per-column `nullValueCount`, cached
+    * on the driver): no tasks touch any column data, and a single row
+    * comes back — Spark plans no final aggregate. `COUNT(col)` =
+    * totalDocs − nullCount, exact even for nullable columns because the
+    * writer records the null-vector cardinality.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
     val ok = agg.groupByExpressions.isEmpty && !sawFilters &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case c: Count => !c.isDistinct && fieldName(c.column()).isDefined
+        case c: Count => !c.isDistinct &&
+          fieldName(c.column()).exists(metaCountable)
         case _ => false
       }
     if (ok) aggComplete = true
     ok
+  }
+
+  /** COUNT(col) answerable from metadata alone: every segment's metadata
+    * is readable and carries the column (nullCount is then exact — zero
+    * without a null vector, the recorded bitmap cardinality with one).
+    */
+  private def metaCountable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) &&
+      metas.forall(_.columns.contains(col))
   }
 
   /** Partial pushdown for global COUNT/MIN/MAX: each task answers from its
@@ -119,11 +131,12 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     }
     if (!groupCols.flatten.forall(isKeyPure)) return false
     val ok = agg.aggregateExpressions.forall {
-      // COUNT(col) skips nulls and dictionaries hold the stored DEFAULT
-      // at null docs, so nullable columns refuse the metadata answer
+      // COUNT(col) = docs − nullCount per segment (exact from metadata);
+      // MIN/MAX refuse nullable columns — their dictionaries hold the
+      // stored DEFAULT at null docs
       case _: CountStar => true
       case c: Count => !c.isDistinct &&
-        fieldName(c.column()).exists(n => !mayHaveNulls(n))
+        fieldName(c.column()).exists(metaCountable)
       case m: Min => fieldName(m.column()).exists(n =>
         isMinMaxPushable(n) && !mayHaveNulls(n))
       case m: Max => fieldName(m.column()).exists(n =>
@@ -458,15 +471,28 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val totalRows: Long =
-      if (complete) segmentPaths.map(PinotScan.segmentDocs).sum else 0L
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)
       case c: Count => AggSpec(colName(c.column()), isCount = true, isMin = false)
       case m: Min => AggSpec(colName(m.column()), isCount = false, isMin = true)
       case m: Max => AggSpec(colName(m.column()), isCount = false, isMin = false)
     }
-    new PinotAggReaderFactory(specs, complete, totalRows, groupCols)
+    // complete mode: each COUNT resolves on the driver from cached
+    // metadata — COUNT(*) = Σ docs, COUNT(col) = Σ (docs − nullCount)
+    val completeVals: Array[Long] =
+      if (!complete) Array.empty
+      else {
+        val metas = segmentPaths.map(PinotScan.segmentMeta)
+        specs.map { s =>
+          metas.map { m =>
+            if (m == null) 0L
+            else if (s.column.isEmpty) m.totalDocs.toLong
+            else (m.totalDocs -
+              m.columns.get(s.column).fold(0)(_.nullCount)).toLong
+          }.sum
+        }
+      }
+    new PinotAggReaderFactory(specs, complete, completeVals, groupCols)
   }
 }
 
@@ -474,7 +500,7 @@ case class PinotAggPartition(segmentPath: String) extends InputPartition
 case class AggSpec(column: String, isCount: Boolean, isMin: Boolean)
 
 class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
-    completeCount: Long, groupCols: Array[String] = Array.empty)
+    completeVals: Array[Long], groupCols: Array[String] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
@@ -483,7 +509,8 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
     val rows: Iterator[InternalRow] = if (complete) {
-      Iterator.single(new GenericInternalRow(specs.map(_ => completeCount: Any)))
+      Iterator.single(new GenericInternalRow(
+        completeVals.map(v => v: Any)))
     } else {
       val path = partition.asInstanceOf[PinotAggPartition].segmentPath
       val reader = SegmentReader.open(path)
@@ -511,7 +538,12 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
           }
         }
         val values: Array[Any] = specs.map { s =>
-          if (s.isCount) docs.toLong
+          if (s.isCount) {
+            // COUNT(col) on a nullable column: docs − nullCount (exact)
+            if (s.column.isEmpty) docs.toLong
+            else (docs - reader.metadata.columns
+              .get(s.column).fold(0)(_.nullCount)).toLong
+          }
           else if (docs == 0) null
           else dictMinMax(reader, s.column, s.isMin)
         }

@@ -503,14 +503,21 @@ class PinotSourceSpec extends SparkTestBase {
     // null rows keep their OTHER columns intact
     assert(df.filter(col("score").isNull).agg(sum("id")).collect()(0)
       .getLong(0) === (0 until 5000 by 7).sum.toLong)
-    // COUNT(score) must NOT answer from metadata (nulls ≠ docs);
-    // COUNT(*) still may
-    val cntCol = df.agg(count(col("score"))).queryExecution.executedPlan
+    // COUNT(score) pushes down COMPLETELY and answers docs − nullCount
+    // from metadata (the writer records the null-vector cardinality)
+    val cntColDf = df.agg(count(col("score")).as("nn"))
+    val cntCol = cntColDf.queryExecution.executedPlan
       .collectLeaves().head.toString
-    assert(!cntCol.contains("PinotAggScan"), cntCol)
+    assert(cntCol.contains("PinotAggScan"), cntCol)
+    assert(cntColDf.collect()(0).getLong(0) === (5000 - expNulls).toLong)
     val cntStar = df.groupBy().count().queryExecution.executedPlan
       .collectLeaves().head.toString
     assert(cntStar.contains("PinotAggScan"), cntStar)
+    // MIN/MAX on the nullable column still refuses (dict holds defaults)
+    val mm = df.agg(min("score")).queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(!mm.contains("PinotAggScan"), mm)
+    assert(df.agg(min("score")).collect()(0).getDouble(0) === 2.5)
     // IS NULL on a column with NO null vector prunes the whole segment
     val pruned = new graft.sources.pinot.PinotColumnarReader(
       Files.list(tdir).iterator().next().resolve("v3").toString,
