@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 4 // r3: nullable-column fixture added
+  private val LayoutVersion = 5 // r3: hybrid fixture cuts relative to SF
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -177,10 +177,15 @@ object PinotRoundtrip {
           // strictly increasing synthetic event time → tie-free boundary
           expr("timestamp_micros(1704067200000000 + event_id * 1000000)")
             .as("hts"))
-      e.filter(col("event_id") < 7000).repartition(2)
+      // cuts relative to the actual subset size so BOTH sides are
+      // non-empty (and overlap) at every scale factor
+      val n = e.count()
+      val hi = n * 7 / 10
+      val lo = n / 2
+      e.filter(col("event_id") < hi).repartition(2)
         .write.format("pinot").mode("append")
         .option("timeColumn", "hts").save(offDir.toString)
-      e.filter(col("event_id") >= 5000).repartition(2)
+      e.filter(col("event_id") >= lo).repartition(2)
         .write.format("pinot").mode("append")
         .option("timeColumn", "hts")
         .save(root.resolve("eventsHybrid_REALTIME").toString)
