@@ -331,6 +331,47 @@ class DecoderSpec extends AnyFunSuite {
     assert(ids.length === off(7))
   }
 
+  test("inverted index + null vector sections round-trip (property)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 10) {
+      val n = 500 + rnd.nextInt(2000)
+      val card = 1 + rnd.nextInt(20)
+      val vals = Array.fill(n)(s"v${rnd.nextInt(card)}")
+      val nullDocs = (0 until n).filter(_ => rnd.nextInt(10) == 0).toArray
+      val dir = java.nio.file.Files.createTempDirectory(s"inv_rt_$trial")
+      SegmentWriter.write(dir, "t", "s0", Seq(
+        SegmentWriter.StringDictCol("c", vals),
+        SegmentWriter.IntCol("k", Array.tabulate(n)(identity))),
+        invertedCols = Set("c"),
+        nullVectors = if (nullDocs.isEmpty) Map.empty
+          else Map("k" -> nullDocs))
+      val r = SegmentReader.open(dir)
+      // inverted postings partition [0, n) exactly by value
+      val dict = r.dictionary("c") match {
+        case PinotDictionary.Strings(a) => a
+        case other => fail(s"unexpected dict $other")
+      }
+      val postings = r.invertedIndex("c").get
+      assert(postings.length === dict.length)
+      val byValue = vals.zipWithIndex.groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq).toMap
+      dict.zipWithIndex.foreach { case (v, id) =>
+        assert(postings(id).toArray.toSeq === byValue(v),
+          s"postings for $v")
+      }
+      assert(postings.map(_.getCardinality).sum === n)
+      // null vector reads back the exact doc set
+      if (nullDocs.nonEmpty)
+        assert(r.nullVector("k").get.toArray.toSeq === nullDocs.toSeq)
+      else assert(r.nullVector("k").isEmpty)
+      assert(r.nullVector("c").isEmpty, "no vector for non-null column")
+      assert(r.metadata.column("c").hasInvertedIndex)
+      assert(r.metadata.column("k").hasNullVector === nullDocs.nonEmpty)
+      if (nullDocs.nonEmpty)
+        assert(r.metadata.column("k").nullCount === nullDocs.length)
+    }
+  }
+
   test("type mismatches and RAW numeric columns are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seg2")
     SegmentWriter.write(dir, "t", "s", Seq(
