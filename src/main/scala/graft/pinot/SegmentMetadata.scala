@@ -60,7 +60,14 @@ final case class SegmentMetadata(
     /** Pinot's `segment.time.column.name` — the table's declared time
       * column; drives hybrid OFFLINE/REALTIME time-boundary reads.
       */
-    timeColumn: Option[String] = None) {
+    timeColumn: Option[String] = None,
+    /** Star-tree pre-aggregated index declaration (EXTENSION): dimension
+      * split order and `FUNC__column` metric pairs (Pinot's
+      * `functionColumnPairs` spelling). Empty when the segment has no
+      * star-tree. The records live in the `__startree__.startree` section.
+      */
+    starTreeDims: Seq[String] = Seq.empty,
+    starTreeMetrics: Seq[String] = Seq.empty) {
 
   def column(name: String): ColumnMetadata =
     columns.getOrElse(name,
@@ -126,8 +133,13 @@ object SegmentMetadata {
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0))
     }
 
+    def csv(key: String): Seq[String] = props.get(key).toSeq
+      .flatMap(_.split(',').map(_.trim)).filter(_.nonEmpty)
+
     SegmentMetadata(segmentName, tableName, totalDocs, ListMap(cols: _*),
-      timeColumn = props.get("segment.time.column.name").filter(_.nonEmpty))
+      timeColumn = props.get("segment.time.column.name").filter(_.nonEmpty),
+      starTreeDims = csv("startree.dimensions"),
+      starTreeMetrics = csv("startree.metrics"))
   }
 
   /** Decode Java-properties escapes: \\uXXXX, \t, \n, \r, \\\\

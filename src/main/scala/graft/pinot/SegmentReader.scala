@@ -294,6 +294,18 @@ final class SegmentReader private (
         java.nio.ByteBuffer.wrap(section(loc)))
     }
 
+  /** Star-tree pre-aggregated records (EXTENSION — see [[StarTree]]):
+    * one record per distinct dimension combination, dims as dict ids in
+    * split order, metrics as 8-byte aggregates. None when the segment
+    * carries no star-tree.
+    */
+  def starTree: Option[StarTree.Records] =
+    indexMap.get(StarTree.SectionColumn, StarTree.SectionType).map { loc =>
+      StarTree.deserialize(section(loc),
+        metadata.starTreeDims.toArray,
+        metadata.starTreeMetrics.map(StarTree.Metric.parse).toArray)
+    }
+
   /** BIG_DECIMAL column (extension): RAW var-byte values of 2-byte BE
     * scale + BE unscaled bytes (Apache Pinot's BigDecimal serialization).
     */

@@ -98,10 +98,16 @@ object SegmentWriter {
     * Pinot's `defaultNullValue` model). The reference rejects nullable
     * columns entirely — EXTENSION.
     */
+  /** `starTree` requests a star-tree-style pre-aggregated index (see
+    * [[StarTree]]): dims must be dictionary-encoded scalar columns,
+    * metrics numeric columns; neither may be nullable (Pinot's star-tree
+    * has the same constraints). COUNT is always included.
+    */
   def write(segmentDir: Path, tableName: String, segmentName: String,
       columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty,
       nullVectors: Map[String, Array[Int]] = Map.empty,
-      timeColumn: Option[String] = None): Path = {
+      timeColumn: Option[String] = None,
+      starTree: Option[StarTree.Spec] = None): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -438,6 +444,75 @@ object SegmentWriter {
     }
 
     addNullVectors()
+
+    // Star-tree: recompute each dim's dict ids with the SAME deterministic
+    // distinct+sort the column encoders above used, aggregate leaf records,
+    // and write the section + declaration properties.
+    starTree.map(_.withCount).foreach { spec =>
+      val byName = columns.map(c => c.name -> c).toMap
+      def col(role: String, n: String): ColumnData =
+        byName.getOrElse(n,
+          throw new PinotFormatException(s"starTree $role: unknown column $n"))
+      (spec.dims ++ spec.metrics.collect { case m if m.column.nonEmpty => m.column })
+        .foreach(c => if (nullVectors.contains(c))
+          throw new PinotFormatException(s"starTree column $c cannot be nullable"))
+
+      def idsOf(cd: ColumnData): Array[Int] = cd match {
+        case IntCol(_, v) =>
+          val p = v.distinct.sorted.zipWithIndex.toMap; v.map(p)
+        case LongCol(_, v) =>
+          val p = v.distinct.sorted.zipWithIndex.toMap; v.map(p)
+        case StringDictCol(_, v, _) =>
+          val p = v.distinct.sorted.zipWithIndex.toMap; v.map(p)
+        case BoolCol(_, v) =>
+          val ints = v.map(b => if (b) 1 else 0)
+          val p = ints.distinct.sorted.zipWithIndex.toMap; ints.map(p)
+        case TimestampCol(_, ms) =>
+          val p = ms.distinct.sorted.zipWithIndex.toMap; ms.map(p)
+        case other => throw new PinotFormatException(
+          s"starTree dim ${other.name} must be a dictionary-encoded scalar column")
+      }
+      def longAcc(cd: ColumnData): Int => Long = cd match {
+        case IntCol(_, v) => d => v(d).toLong
+        case LongCol(_, v) => d => v(d)
+        case IntRawCol(_, v, _, _) => d => v(d).toLong
+        case LongRawCol(_, v, _, _) => d => v(d)
+        case other => throw new PinotFormatException(
+          s"starTree metric ${other.name} is not an INT/LONG column")
+      }
+      def dblAcc(cd: ColumnData): Int => Double = cd match {
+        case FloatCol(_, v) => d => v(d).toDouble
+        case DoubleCol(_, v) => d => v(d)
+        case FloatRawCol(_, v, _, _) => d => v(d).toDouble
+        case DoubleRawCol(_, v, _, _) => d => v(d)
+        case other => throw new PinotFormatException(
+          s"starTree metric ${other.name} is not a FLOAT/DOUBLE column")
+      }
+      def isDoubleCol(cd: ColumnData): Boolean = cd match {
+        case _: FloatCol | _: DoubleCol | _: FloatRawCol | _: DoubleRawCol => true
+        case _ => false
+      }
+
+      val dimIds = spec.dims.toArray.map(d => idsOf(col("dim", d)))
+      val metrics = spec.metrics.toArray
+      val metricIsDouble = metrics.map(m =>
+        m.column.nonEmpty && isDoubleCol(col("metric", m.column)))
+      val mLong = metrics.zip(metricIsDouble).map {
+        case (m, _) if m.column.isEmpty => (_: Int) => 1L
+        case (m, false) => longAcc(col("metric", m.column))
+        case (_, true) => (_: Int) => 0L
+      }
+      val mDbl = metrics.zip(metricIsDouble).map {
+        case (m, true) => dblAcc(col("metric", m.column))
+        case _ => (_: Int) => 0d
+      }
+      val (rows, values) = StarTree.build(totalDocs, dimIds, metrics,
+        metricIsDouble, mLong, mDbl)
+      addSection(StarTree.SectionColumn, StarTree.SectionType,
+        StarTree.serialize(spec.dims.length, metrics.length, rows, values))
+      props ++= s"startree.dimensions=${spec.dims.mkString(",")}\n"
+      props ++= s"startree.metrics=${metrics.map(_.key).mkString(",")}\n"
+    }
 
     Files.write(v3.resolve("columns.psf"), psf.toByteArray)
     Files.write(v3.resolve("index_map"),

@@ -193,7 +193,49 @@ object PinotRoundtrip {
     root.toString
   }
 
+  /** Star-tree fixture: lineitem subset with a pre-aggregated index on
+    * (l_returnflag, l_linestatus). Metrics are integer-exact (long sums,
+    * double MIN/MAX) so tree pre-aggregation order can never perturb the
+    * oracle hash.
+    */
+  private def starTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("lineitemStar_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(30000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus")
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("starTree", "l_returnflag,l_linestatus:" +
+          "SUM(l_orderkey),SUM(l_linenumber),MIN(l_quantity),MAX(l_quantity)")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Star-tree-answered GROUP BY (grouping a dim SUBSET, so each task
+    // rolls pre-aggregated records up over the ungrouped dim): the scan
+    // never reads the forward index, and the oracle aggregates the
+    // original parquet — a wrong tree record, rollup merge, or dict
+    // translation breaks the hash.
+    "q86_pinot_startree" -> ((s, d) => {
+      val p = s.read.format("pinot").load(starTable(s, d))
+      p.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_okey"),
+          sum("l_linenumber").as("sum_line"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Aggregate over the segment-encoded copy; oracle aggregates the
     // original parquet — byte-exact encode→decode or the hashes differ.
     "q65_pinot_roundtrip" -> ((s, d) => {
@@ -289,6 +331,19 @@ object PinotRoundtrip {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q86_pinot_startree" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |  FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q65_pinot_roundtrip" ->
       """WITH subset AS (
         |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag,

@@ -155,8 +155,15 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     // time-boundary reads (PinotHybrid)
     val timeCol = Option(info.options.get("timeColumn")).map(_.trim)
       .filter(_.nonEmpty)
+    // `.option("starTree", "dim1,dim2:SUM(m1),MIN(m2)")`: build a
+    // star-tree-style pre-aggregated index per segment (Pinot's
+    // StarTreeIndexConfig: dimensionsSplitOrder + functionColumnPairs);
+    // the scan answers covered GROUP BYs from it without reading the
+    // forward index
+    val starTreeSpec = Option(info.options.get("starTree")).map(_.trim)
+      .filter(_.nonEmpty).map(graft.pinot.StarTree.parseSpec)
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols, jsonCols, invCols, nullableCols, timeCol)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
   }
 }
 

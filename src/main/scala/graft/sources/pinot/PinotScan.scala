@@ -2,7 +2,7 @@ package graft.sources.pinot
 
 import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -33,6 +33,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   private var limit: Option[Int] = None
   private var pushedAgg: Option[Aggregation] = None
   private var aggComplete = false
+  private var useStarTree = false
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -117,34 +118,75 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (sawFilters || limit.isDefined) return false
-    val groupCols = agg.groupByExpressions.map(fieldName)
-    if (groupCols.exists(_.isEmpty)) return false
+    val groupColsOpt = agg.groupByExpressions.map(fieldName)
+    if (groupColsOpt.exists(_.isEmpty)) return false
+    val groupCols = groupColsOpt.flatten
     // DISTINCT pushdown (no aggregate functions, one dict group column):
     // each segment's dictionary IS its distinct value set, so the scan
     // emits cardinality rows per segment — SELECT DISTINCT col over a
     // 100 TB table reads dictionaries only, never a forward index
     if (agg.aggregateExpressions.isEmpty) {
-      val ok = groupCols.flatten.length == 1 &&
-        isDictDistinctable(groupCols.flatten.head)
+      val ok = groupCols.length == 1 && isDictDistinctable(groupCols.head)
       if (ok) pushedAgg = Some(agg)
       return ok
     }
-    if (!groupCols.flatten.forall(isKeyPure)) return false
-    val ok = agg.aggregateExpressions.forall {
-      // COUNT(col) = docs − nullCount per segment (exact from metadata);
-      // MIN/MAX refuse nullable columns — their dictionaries hold the
-      // stored DEFAULT at null docs
-      case _: CountStar => true
-      case c: Count => !c.isDistinct &&
-        fieldName(c.column()).exists(metaCountable)
-      case m: Min => fieldName(m.column()).exists(n =>
-        isMinMaxPushable(n) && !mayHaveNulls(n))
-      case m: Max => fieldName(m.column()).exists(n =>
-        isMinMaxPushable(n) && !mayHaveNulls(n))
-      case _ => false
+    val keyPureOk = groupCols.forall(isKeyPure) &&
+      agg.aggregateExpressions.forall {
+        // COUNT(col) = docs − nullCount per segment (exact from metadata);
+        // MIN/MAX refuse nullable columns — their dictionaries hold the
+        // stored DEFAULT at null docs
+        case _: CountStar => true
+        case c: Count => !c.isDistinct &&
+          fieldName(c.column()).exists(metaCountable)
+        case m: Min => fieldName(m.column()).exists(n =>
+          isMinMaxPushable(n) && !mayHaveNulls(n))
+        case m: Max => fieldName(m.column()).exists(n =>
+          isMinMaxPushable(n) && !mayHaveNulls(n))
+        case _ => false
+      }
+    if (keyPureOk) { pushedAgg = Some(agg); return true }
+    // Star-tree fallback: when EVERY segment carries a star-tree whose
+    // dims cover the group columns and whose metrics cover every
+    // aggregate (COUNT/SUM/MIN/MAX incl. SUM, which no other pushdown
+    // path answers), each task rolls its pre-aggregated records up to
+    // the requested dims — a GROUP BY over a 100 TB table reads
+    // |combos| records per segment instead of the forward index.
+    if (starTreeCovers(groupCols, agg.aggregateExpressions)) {
+      pushedAgg = Some(agg)
+      useStarTree = true
+      return true
     }
-    if (ok) pushedAgg = Some(agg)
-    ok
+    false
+  }
+
+  /** Every segment has a star-tree covering the requested group columns
+    * (as dims, dict-encoded non-nullable) and every aggregate function
+    * (as `FUNC__column` metrics; COUNT(col) maps to COUNT__* only for
+    * provably non-nullable columns).
+    */
+  private def starTreeCovers(groupCols: Array[String],
+      funcs: Array[AggregateFunc]): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
+      val mets = m.starTreeMetrics.toSet
+      m.starTreeDims.nonEmpty &&
+        groupCols.forall(c => m.starTreeDims.contains(c) &&
+          m.columns.get(c).exists(cm => cm.hasDictionary &&
+            cm.isSingleValue && !cm.hasNullVector)) &&
+        funcs.forall {
+          case _: CountStar => mets.contains("COUNT__*")
+          case c: Count => !c.isDistinct && mets.contains("COUNT__*") &&
+            fieldName(c.column()).exists(col =>
+              m.columns.get(col).exists(!_.hasNullVector))
+          case s: Sum => !s.isDistinct && fieldName(s.column()).exists(col =>
+            mets.contains(s"SUM__$col"))
+          case mn: Min => fieldName(mn.column()).exists(col =>
+            mets.contains(s"MIN__$col"))
+          case mx: Max => fieldName(mx.column()).exists(col =>
+            mets.contains(s"MAX__$col"))
+          case _ => false
+        }
+    }
   }
 
   /** Dictionary-encoded single-value non-nullable column of a scalar type
@@ -218,7 +260,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
-      new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema)
+      new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir)
   }
@@ -436,12 +478,23 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
   * Spark's final aggregate merges the per-segment rows.
   */
 class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
-    complete: Boolean, fullSchema: StructType) extends Scan with Batch {
+    complete: Boolean, fullSchema: StructType,
+    starTree: Boolean = false) extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
   // group-by pushdown: key-pure columns, validated by the builder
   private val groupCols: Array[String] = agg.groupByExpressions().map(
     _.asInstanceOf[NamedReference].fieldNames()(0))
+
+  // SUM partials carry Spark's sum result type (long for integral
+  // columns, double for fractional) so the final merge is type-exact
+  private def sumType(e: org.apache.spark.sql.connector.expressions.Expression) =
+    colType(e) match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.types.DoubleType
+      case _ => LongType
+    }
 
   // per the SupportsPushDownAggregates contract, group columns lead
   override def readSchema(): StructType = StructType(
@@ -451,6 +504,7 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
     case (m: Min, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
     case (m: Max, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
+    case (s: Sum, i) => StructField(s"agg_$i", sumType(s.column()), nullable = true)
     case (f, _) => throw new IllegalStateException(s"unexpected pushed agg $f")
   })
 
@@ -463,14 +517,25 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"PinotAggScan(complete=$complete, funcs=[${funcs.mkString(", ")}], " +
-      s"segments=${segmentPaths.length})"
+    s"PinotAggScan(complete=$complete, starTree=$starTree, " +
+      s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length})"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (complete) Array(PinotAggPartition(null))
     else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (starTree) {
+      val specs = funcs.map {
+        case _: CountStar => StarAggSpec("COUNT", "")
+        case c: Count => StarAggSpec("COUNT", "") // non-nullable ⇒ = COUNT(*)
+        case s: Sum => StarAggSpec("SUM", colName(s.column()))
+        case m: Min => StarAggSpec("MIN", colName(m.column()))
+        case m: Max => StarAggSpec("MAX", colName(m.column()))
+        case f => throw new IllegalStateException(s"unexpected star agg $f")
+      }
+      return new PinotStarTreeReaderFactory(groupCols, specs)
+    }
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)
       case c: Count => AggSpec(colName(c.column()), isCount = true, isMin = false)
@@ -621,6 +686,131 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
         case (_, other) => throw new graft.pinot.PinotFormatException(
           s"MIN/MAX pushdown on RAW ${other.name} column $col")
       }
+    }
+  }
+}
+
+/** One pushed aggregate resolved against star-tree metrics: func ∈
+  * COUNT/SUM/MIN/MAX, column empty for COUNT.
+  */
+case class StarAggSpec(func: String, column: String) {
+  def metricKey: String = s"${func}__${if (column.isEmpty) "*" else column}"
+}
+
+/** Per-segment star-tree rollup: reads the pre-aggregated records, folds
+  * them to the requested group columns (dims not grouped roll up — the
+  * star-node semantics, executed in the task instead of materialized on
+  * disk), translates dict ids through the dims' dictionaries, and emits
+  * one partial row per surviving combo. Spark's final aggregate merges
+  * across segments. The forward index is NEVER read.
+  */
+class PinotStarTreeReaderFactory(groupCols: Array[String],
+    specs: Array[StarAggSpec]) extends PartitionReaderFactory {
+
+  import graft.pinot.StarTree
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+    val path = partition.asInstanceOf[PinotAggPartition].segmentPath
+    val reader = SegmentReader.open(path)
+    val rows: Iterator[InternalRow] =
+      if (reader.metadata.totalDocs == 0) Iterator.empty
+      else {
+        val tree = reader.starTree.getOrElse(
+          throw new graft.pinot.PinotFormatException(
+            s"segment $path lost its star-tree after planning"))
+        val colType: String => PinotType =
+          c => reader.metadata.column(c).dataType
+        val treeDbl = tree.metrics.map(StarTree.isDouble(_, colType))
+        val dimIdx = groupCols.map { c =>
+          val i = tree.dims.indexOf(c)
+          if (i < 0) throw new graft.pinot.PinotFormatException(
+            s"star-tree of $path lacks dim $c")
+          i
+        }
+        val metricIdx = specs.map { s =>
+          val i = tree.metrics.indexWhere(_.key == s.metricKey)
+          if (i < 0) throw new graft.pinot.PinotFormatException(
+            s"star-tree of $path lacks metric ${s.metricKey}")
+          i
+        }
+        // roll leaf records up to the requested dims
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[scala.collection.immutable.ArraySeq[Int], Array[Long]]
+        var r = 0
+        while (r < tree.dimIds.length) {
+          val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            dimIdx.map(tree.dimIds(r)(_)))
+          acc.get(key) match {
+            case None => acc(key) = metricIdx.map(tree.values(r)(_))
+            case Some(cur) =>
+              var i = 0
+              while (i < cur.length) {
+                val mi = metricIdx(i)
+                cur(i) = StarTree.mergeBits(tree.metrics(mi), treeDbl(mi),
+                  cur(i), tree.values(r)(mi))
+                i += 1
+              }
+          }
+          r += 1
+        }
+        // dict id → Catalyst value, per group column
+        val keyLookup: Array[Int => Any] = groupCols.map { c =>
+          val cm = reader.metadata.column(c)
+          (reader.dictionary(c), cm.dataType) match {
+            case (PinotDictionary.Ints(v), PinotType.PBoolean) =>
+              (id: Int) => (v(id) != 0): Any
+            case (PinotDictionary.Ints(v), _) => (id: Int) => v(id): Any
+            case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
+              (id: Int) => Math.multiplyExact(v(id), 1000L): Any
+            case (PinotDictionary.Longs(v), _) => (id: Int) => v(id): Any
+            case (PinotDictionary.Strings(v), _) =>
+              (id: Int) => UTF8String.fromString(v(id)): Any
+            case (other, _) => throw new graft.pinot.PinotFormatException(
+              s"star-tree dim $c: unsupported dictionary $other")
+          }
+        }
+        // metric bits → Catalyst value in the readSchema's field type
+        val valLookup: Array[Long => Any] = specs.zip(metricIdx).map {
+          case (s, mi) =>
+            val dbl = treeDbl(mi)
+            s.func match {
+              case "COUNT" => (bits: Long) => bits: Any
+              case "SUM" =>
+                if (dbl) (bits: Long) => java.lang.Double.longBitsToDouble(bits): Any
+                else (bits: Long) => bits: Any
+              case _ => // MIN/MAX surface in the column's own type
+                colType(s.column) match {
+                  case PinotType.PInt => (bits: Long) => bits.toInt: Any
+                  case PinotType.PLong => (bits: Long) => bits: Any
+                  case PinotType.PFloat =>
+                    (bits: Long) => java.lang.Double.longBitsToDouble(bits).toFloat: Any
+                  case PinotType.PDouble =>
+                    (bits: Long) => java.lang.Double.longBitsToDouble(bits): Any
+                  case other => throw new graft.pinot.PinotFormatException(
+                    s"star-tree MIN/MAX over ${other.name} column ${s.column}")
+                }
+            }
+        }
+        acc.iterator.map { case (key, vals) =>
+          val out = new Array[Any](key.length + vals.length)
+          var i = 0
+          while (i < key.length) { out(i) = keyLookup(i)(key(i)); i += 1 }
+          var j = 0
+          while (j < vals.length) { out(key.length + j) = valLookup(j)(vals(j)); j += 1 }
+          new GenericInternalRow(out): InternalRow
+        }
+      }
+
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = null
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 }

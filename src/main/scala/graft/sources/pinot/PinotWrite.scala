@@ -3,7 +3,7 @@ package graft.sources.pinot
 import java.nio.file.{Files, Paths}
 import scala.collection.mutable.ArrayBuffer
 
-import graft.pinot.{PinotFormatException, SegmentWriter, VarByteChunkV4}
+import graft.pinot.{PinotFormatException, SegmentWriter, StarTree, VarByteChunkV4}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
@@ -29,19 +29,20 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    timeCol: Option[String] = None) extends WriteBuilder {
+    timeCol: Option[String] = None,
+    starTreeSpec: Option[StarTree.Spec] = None) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol)
+      timeCol, starTreeSpec)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
     // encoding options (json/inverted/nullable) as the batch path
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
-        jsonCols, invCols, nullableCols)
+        jsonCols, invCols, nullableCols, starTreeSpec)
   }
 }
 
@@ -49,13 +50,14 @@ class PinotStreamingWrite(path: String, tableName: String,
     schema: StructType, queryId: String,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty)
+    nullableCols: Set[String] = Set.empty,
+    starTreeSpec: Option[StarTree.Spec] = None)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
-      jsonCols, invCols, nullableCols)
+      jsonCols, invCols, nullableCols, starTreeSpec)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -79,11 +81,12 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    timeCol: Option[String] = None) extends BatchWrite {
+    timeCol: Option[String] = None,
+    starTreeSpec: Option[StarTree.Spec] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols, invCols, nullableCols, timeCol)
+      jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -129,13 +132,14 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     schema: StructType, queryId: String,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
-    nullableCols: Set[String] = Set.empty)
+    nullableCols: Set[String] = Set.empty,
+    starTreeSpec: Option[StarTree.Spec] = None)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
-      Seq.empty, jsonCols, invCols, nullableCols)
+      Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -143,7 +147,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    timeCol: Option[String] = None)
+    timeCol: Option[String] = None,
+    starTreeSpec: Option[StarTree.Spec] = None)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -206,6 +211,33 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       throw new PinotFormatException(
         s"jsonColumns entry $jc must be an existing STRING column")
   }
+  // star-tree: dims must be dict-encodable scalars, metrics numeric;
+  // neither may be nullable (same constraints as Pinot's star-tree)
+  starTreeSpec.foreach { st =>
+    st.dims.foreach { d =>
+      val ok = schema.fieldNames.contains(d) && (schema(d).dataType match {
+        case IntegerType | LongType | StringType | BooleanType |
+             TimestampType => true
+        case _ => false
+      })
+      if (!ok) throw new PinotFormatException(
+        s"starTree dimension $d must be an existing " +
+          "INT/LONG/STRING/BOOLEAN/TIMESTAMP column")
+      if (nullableCols(d)) throw new PinotFormatException(
+        s"starTree dimension $d cannot be nullable")
+    }
+    st.metrics.filter(_.column.nonEmpty).foreach { m =>
+      val ok = schema.fieldNames.contains(m.column) &&
+        (schema(m.column).dataType match {
+          case IntegerType | LongType | FloatType | DoubleType => true
+          case _ => false
+        })
+      if (!ok) throw new PinotFormatException(
+        s"starTree metric ${m.key} must aggregate an existing numeric column")
+      if (nullableCols(m.column)) throw new PinotFormatException(
+        s"starTree metric column ${m.column} cannot be nullable")
+    }
+  }
   // partition keys become segment-grouping strings — binary/array values
   // have no canonical text form, so reject them up front rather than
   // silently degenerating to one segment per row
@@ -219,7 +251,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols, jsonCols, invCols, nullableCols, timeCol)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -227,8 +259,14 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     partitionCols: Seq[String] = Seq.empty, jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    timeCol: Option[String] = None)
+    timeCol: Option[String] = None,
+    starTreeSpec: Option[StarTree.Spec] = None)
     extends DataWriter[InternalRow] {
+
+  // star-tree dims must stay dictionary-encoded (records address dict
+  // ids), so the high-cardinality RAW heuristic skips them
+  private val starDims: Set[String] =
+    starTreeSpec.map(_.dims.toSet).getOrElse(Set.empty)
 
   /** Segment roll threshold: bounds writer memory on arbitrarily large
     * input partitions (≙ Pinot's own many-small-segments model; the
@@ -350,7 +388,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       // numerics entirely)
       // inverted columns force dictionary encoding (index needs dictIds)
       def highCard(distinct: Int, n: Int): Boolean =
-        !invCols(f.name) && distinct * 10 > n * 7
+        !invCols(f.name) && !starDims(f.name) && distinct * 10 > n * 7
       f.dataType match {
         case IntegerType =>
           val v = vals[Int].toArray
@@ -383,7 +421,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
           val values = vals[String].toArray
           // high-cardinality strings → RAW+LZ4; low-cardinality → dict
           // (inverted columns always dict — the index addresses dictIds)
-          if (!invCols(f.name) && values.distinct.length * 2 > values.length)
+          if (!invCols(f.name) && !starDims(f.name) &&
+              values.distinct.length * 2 > values.length)
             SegmentWriter.StringRawCol(f.name, values,
               VarByteChunkV4.Lz4LengthPrefixed, 64 * 1024)
           else SegmentWriter.StringDictCol(f.name, values)
@@ -418,7 +457,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         }
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
-      nullVecs, timeCol)
+      nullVecs, timeCol, starTreeSpec)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }
