@@ -163,7 +163,44 @@ object CurationOps {
           coalesce(col("kept_words"), lit(0L)).as("kept_words"),
           md5(coalesce(col("clean"), lit(""))).as("clean_digest"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Deterministic per-epoch training shuffle: each document's position
+    // for epoch E is md5("epochE:" + doc_id) — content-independent,
+    // reproducible on any engine, and different every epoch. The global
+    // order is a range-partitioned sort on a UNIFORM key (hash output),
+    // so no skew; batch assignment is the ordered row_number div batch
+    // size. Output is the per-batch manifest a dataloader consumes.
+    "q89_epoch_shuffle" -> ((s, d) => {
+      val w = Window.orderBy("pos_hash")
+      docs(s, d)
+        .withColumn("pos_hash",
+          md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("CAST((rn - 1) div 64 AS BIGINT)"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"),
+          min("pos_hash").as("first_hash"), max("pos_hash").as("last_hash"))
+        .orderBy("batch_id")
+    }),
+
+    // PII scrubbing: redact digit runs and email-shaped tokens, count
+    // the redactions, digest the scrubbed text so the oracle proves byte
+    // equality. Pure per-row regex expressions — embarrassingly
+    // parallel, single scan, no shuffle beyond the final tiny sort.
+    "q91_pii_scrub" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(expr(
+            "regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', 0)"))
+            .as("n_email"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+          md5(regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>")).as("redacted_digest"))
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -275,6 +312,28 @@ object CurationOps {
         |  CAST(coalesce(reb.kept_words, 0) AS BIGINT) AS kept_words,
         |  md5(coalesce(reb.clean, '')) AS clean_digest
         |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q89_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS pos_hash,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pos_hash) AS rn FROM h)
+        |SELECT (rn - 1) // 64 AS batch_id, count(*) AS docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  min(pos_hash) AS first_hash, max(pos_hash) AS last_hash
+        |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
+    "q91_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS redacted_digest
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -143,6 +143,36 @@ object Embeddings {
         .select(col("q_id"), col("rank"), col("n_id"),
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Int8 symmetric quantization + quantized-dot top-k: each vector
+    // quantizes independently (scale 127/max|x|) to int8 range, then
+    // similarity ranks by the INTEGER quantized dot product — the
+    // compressed-corpus ANN path (4× less IO/memory than float32; at
+    // 100 TB the quantized corpus is what the scan reads). Quantization
+    // is round(double) on identical float32 inputs in both engines and
+    // ranking is pure int64, so the oracle hash-matches exactly.
+    // |q|<=127 over 64 dims → |dot| <= 64·127² ≈ 1.03e6, no overflow.
+    "q90_quantized_ann" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("mx", expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("q8", expr(
+          "transform(embedding, x -> IF(mx = 0.0D, CAST(0 AS BIGINT), " +
+            "CAST(round(CAST(x AS DOUBLE) * 127.0D / mx) AS BIGINT)))"))
+        .select(col("vec_id"), col("q8"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q8").as("q_q8"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("qdot"), asc("n_id"))
+      broadcast(q)
+        .join(e.select(col("vec_id").as("n_id"), col("q8").as("n_q8")),
+          col("q_id") =!= col("n_id"))
+        .withColumn("qdot", dotq(col("q_q8"), col("n_q8")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "n_id", "qdot")
+        .orderBy("q_id", "rnk")
     })
   )
 
@@ -186,6 +216,27 @@ object Embeddings {
         |  FROM J)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         |  round(cos_sim, 4) AS cos_sim
-        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    "q90_quantized_ann" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN
+        |      list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |    END AS q8
+        |  FROM v),
+        |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+        |      i -> a.q8[i] * b.q8[i])) AS BIGINT) AS qdot
+        |  FROM q8 a JOIN q8 b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY qdot DESC, n_id ASC) AS rnk FROM p)
+        |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, n_id, qdot
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -47,6 +47,56 @@ object Events {
         .groupBy("prev_type", "event_type")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("prev_type", "event_type")
+    }),
+
+    // Upsert-table view (Pinot upsert semantics: primary key = user_id,
+    // comparison column = ts, tie-break event_id): the latest version of
+    // each key wins. Implemented as a map-side-combinable max_by
+    // aggregate — one shuffle of (key, small struct) — NOT a window sort
+    // over the full history; at 100 TB of versions the partial aggregate
+    // keeps one candidate per key per partition.
+    "q87_upsert_latest" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_versions"),
+          max_by(struct(col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          max("ts").as("last_ts"))
+        .select(col("user_id"), col("n_versions"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("last.event_type").as("last_type"),
+          round(col("last.value"), 2).as("last_value"))
+        .orderBy("user_id")),
+
+    // Time-series gap-fill + downsample (Pinot's GapFill FILL(PREVIOUS)):
+    // hourly buckets per event_type over the full observed range; empty
+    // buckets appear with cnt=0 and carry the previous bucket's value
+    // forward. The bucket aggregate is map-side combinable; the spine is
+    // O(hours × types) — tiny and independent of event volume — and the
+    // carry-forward window runs over the SPINE, never the raw events.
+    "q88_gapfill" -> ((s, d) => {
+      val e = ev(s, d)
+      val buck = e
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      val bounds = e.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val spine = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .crossJoin(e.select("event_type").distinct())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(buck, Seq("event_type", "h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("gap", col("sum_value").isNull)
+        .withColumn("sum_value_filled",
+          last("sum_value", ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("cnt"), col("gap"), col("sum_value_filled"))
+        .orderBy("event_type", "hour_start")
     })
   )
 
@@ -115,6 +165,46 @@ object Events {
         |SELECT prev_type, event_type, count(*) AS cnt
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
-        |ORDER BY prev_type, event_type""".stripMargin
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "q87_upsert_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, n_versions,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  event_type AS last_type, round(value, 2) AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // carry-forward without IGNORE NULLS (portable): grp = running count
+    // of non-null buckets; within each grp only its FIRST row is
+    // non-null, so max() over (type, grp) is exactly "previous value"
+    "q88_gapfill" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |        FROM bounds) g),
+        |j AS (
+        |  SELECT s.event_type, s.h, coalesce(b.cnt, 0) AS cnt,
+        |    b.sum_value IS NULL AS gap, b.sum_value,
+        |    count(b.sum_value) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.h) AS grp
+        |  FROM spine s LEFT JOIN b
+        |    ON s.event_type = b.event_type AND s.h = b.h)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(cnt AS BIGINT) AS cnt, gap,
+        |  max(sum_value) OVER (PARTITION BY event_type, grp)
+        |    AS sum_value_filled
+        |FROM j ORDER BY event_type, hour_start""".stripMargin
   )
 }
