@@ -22,6 +22,7 @@ final case class IndexMap(indexes: Map[(String, String), IndexLocation]) {
   def forwardIndex(column: String): Option[IndexLocation] = get(column, "forward_index")
   def invertedIndex(column: String): Option[IndexLocation] = get(column, "inverted_index")
   def nullValueVector(column: String): Option[IndexLocation] = get(column, "nullvalue_vector")
+  def bloomFilter(column: String): Option[IndexLocation] = get(column, "bloom_filter")
 }
 
 object IndexMap {

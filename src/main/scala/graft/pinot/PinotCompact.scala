@@ -95,10 +95,14 @@ object PinotCompact {
     val invertedCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasInvertedIndex)).toSet
 
+    // bloom filters likewise (rebuilt over the merged distinct set)
+    val bloomCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasBloomFilter)).toSet
+
     val mergedName = s"merged_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_compact_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
-      invertedCols, nullVectors, first.timeColumn)
+      invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols)
     require(SegmentReader.open(tmp).totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
     segDirs.foreach(d => deleteRecursively(d))

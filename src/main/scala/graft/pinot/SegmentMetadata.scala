@@ -43,7 +43,12 @@ final case class ColumnMetadata(
     /** Exact null-doc count when a null vector exists (feeds CBO
       * nullCount statistics without opening the segment).
       */
-    nullCount: Int = 0)
+    nullCount: Int = 0,
+    /** Bloom-filter section present (EXTENSION — Pinot's
+      * `bloomFilterColumns`): equality probes can prune this segment
+      * from a few KB of index without forward-index IO.
+      */
+    hasBloomFilter: Boolean = false)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -130,7 +135,8 @@ object SegmentMetadata {
         maxValue = prop("maxValue"),
         hasInvertedIndex = prop("hasInvertedIndex").contains("true"),
         hasNullVector = prop("hasNullValueVector").contains("true"),
-        nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0))
+        nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0),
+        hasBloomFilter = prop("hasBloomFilter").contains("true"))
     }
 
     def csv(key: String): Seq[String] = props.get(key).toSeq

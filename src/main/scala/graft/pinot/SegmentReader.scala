@@ -282,6 +282,15 @@ final class SegmentReader private (
       }
     }
 
+  /** Bloom filter over the column's distinct canonical values (EXTENSION
+    * — Pinot's `bloomFilterColumns`; see [[BloomSection]]): answers
+    * "definitely absent" for equality probes with a few KB of index
+    * reads, pruning segments where no dictionary exists (RAW columns)
+    * and min/max ranges cannot decide.
+    */
+  def bloomFilter(name: String): Option[BloomSection] =
+    indexMap.bloomFilter(name).map(loc => BloomSection.deserialize(section(loc)))
+
   /** Null-value vector (EXTENSION — the reference rejects nullable
     * columns): the RoaringBitmap of docIds whose value is NULL. The
     * forward index stores a default at those docs (Pinot's

@@ -103,11 +103,19 @@ object SegmentWriter {
     * metrics numeric columns; neither may be nullable (Pinot's star-tree
     * has the same constraints). COUNT is always included.
     */
+  /** `bloomCols` requests a bloom-filter index (Pinot's
+    * `bloomFilterColumns`) over the named single-value scalar columns —
+    * built over the column's DISTINCT canonical values so equality/IN
+    * probes can prune segments without forward-index IO (see
+    * [[BloomSection]]). Works for RAW columns too, where no dictionary
+    * exists to prune against.
+    */
   def write(segmentDir: Path, tableName: String, segmentName: String,
       columns: Seq[ColumnData], invertedCols: Set[String] = Set.empty,
       nullVectors: Map[String, Array[Int]] = Map.empty,
       timeColumn: Option[String] = None,
-      starTree: Option[StarTree.Spec] = None): Path = {
+      starTree: Option[StarTree.Spec] = None,
+      bloomCols: Set[String] = Set.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -444,6 +452,41 @@ object SegmentWriter {
     }
 
     addNullVectors()
+
+    // Bloom filters: canonical distinct values per requested column.
+    // Nullable columns store their default at null docs; that default
+    // lands in the bloom too, which can only KEEP a segment (false
+    // positives are safe — the residual filter and null overlay decide).
+    def bloomCanonical(cd: ColumnData): Option[Iterator[String]] = cd match {
+      case IntCol(_, v) => Some(v.iterator.map(String.valueOf))
+      case LongCol(_, v) => Some(v.iterator.map(String.valueOf))
+      case FloatCol(_, v) => Some(v.iterator.map(BloomSection.canonicalFloat))
+      case DoubleCol(_, v) => Some(v.iterator.map(BloomSection.canonicalDouble))
+      case StringDictCol(_, v, _) => Some(v.iterator)
+      case StringRawCol(_, v, _, _, _) => Some(v.iterator)
+      case BoolCol(_, v) => Some(v.iterator.map(String.valueOf))
+      case TimestampCol(_, ms) => Some(ms.iterator.map(String.valueOf))
+      case IntRawCol(_, v, _, _) => Some(v.iterator.map(String.valueOf))
+      case LongRawCol(_, v, _, _) => Some(v.iterator.map(String.valueOf))
+      case FloatRawCol(_, v, _, _) =>
+        Some(v.iterator.map(BloomSection.canonicalFloat))
+      case DoubleRawCol(_, v, _, _) =>
+        Some(v.iterator.map(BloomSection.canonicalDouble))
+      case JsonDictCol(_, v) => Some(v.iterator)
+      case JsonRawCol(_, v, _, _) => Some(v.iterator)
+      case _ => None // MV / BYTES / BIG_DECIMAL: no equality-pushdown surface
+    }
+    bloomCols.foreach { bc =>
+      val cd = columns.find(_.name == bc).getOrElse(
+        throw new PinotFormatException(
+          s"bloomFilterColumns: unknown column $bc"))
+      val vals = bloomCanonical(cd).getOrElse(
+        throw new PinotFormatException(
+          s"bloomFilterColumns entry $bc: single-value scalar required"))
+      addSection(bc, "bloom_filter",
+        BloomSection.build(vals.toSet).serialize())
+      props ++= s"column.$bc.hasBloomFilter=true\n"
+    }
 
     // Star-tree: recompute each dim's dict ids with the SAME deterministic
     // distinct+sort the column encoders above used, aggregate leaf records,

@@ -158,6 +158,29 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Bloom fixture: events subset with a HIGH-CARDINALITY digest column
+    * (RAW storage — no dictionary to prune against) carrying a bloom
+    * filter; point lookups exercise the bloom pruning path end-to-end.
+    */
+  private def bloomTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsBloom_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_id"), col("event_type"),
+          md5(col("event_id").cast("string")).as("payload"))
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("bloomFilterColumns", "payload")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -316,6 +339,22 @@ object PinotRoundtrip {
         .orderBy("bucket")
     }),
 
+    // Bloom-filter read path inside the oracle gate: literal IN probes on
+    // a RAW digest column resolve through per-segment blooms (segments
+    // whose bloom answers "definitely absent" never decode); the present
+    // keys must all survive — a bloom false NEGATIVE would break the hash.
+    "q92_pinot_bloom" -> ((s, d) => {
+      val p = s.read.format("pinot").load(bloomTable(s, d))
+      val keys = Seq("7", "42", "137", "no-such-digest").map {
+        case k if k.forall(_.isDigit) =>
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(k)
+        case k => k
+      }
+      p.filter(col("payload").isin(keys: _*))
+        .select("event_id", "event_type", "payload")
+        .orderBy("event_id")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -397,6 +436,16 @@ object PinotRoundtrip {
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM subset WHERE event_type = 'purchase'
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q92_pinot_bloom" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type,
+        |    md5(CAST(event_id AS VARCHAR)) AS payload
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_id, event_type, payload
+        |FROM subset
+        |WHERE payload IN (md5('7'), md5('42'), md5('137'), 'no-such-digest')
+        |ORDER BY event_id""".stripMargin,
 
     "q80_pinot_nullable" ->
       """WITH subset AS (

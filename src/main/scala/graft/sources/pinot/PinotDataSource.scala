@@ -162,8 +162,16 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     // forward index
     val starTreeSpec = Option(info.options.get("starTree")).map(_.trim)
       .filter(_.nonEmpty).map(graft.pinot.StarTree.parseSpec)
+    // `.option("bloomFilterColumns", "a,b")`: per-segment bloom filter
+    // over the column's distinct values (Pinot's bloomFilterColumns);
+    // the scan prunes segments on EqualTo/In without forward-index IO —
+    // the point-lookup path for RAW columns with no dictionary
+    val bloomCols = Option(info.options.get("bloomFilterColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
-      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
+      bloomCols)
   }
 }
 

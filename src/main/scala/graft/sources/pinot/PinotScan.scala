@@ -1019,9 +1019,12 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   private lazy val segmentCanMatch: Boolean = skipFilters.forall {
     case EqualTo(attr, value) =>
       dictMayContain(attr, Seq(value)) &&
+        bloomMayContain(attr, Seq(value)) &&
         rangeOpen(attr, maxSide = true, value, strict = false) && // max >= v
         rangeOpen(attr, maxSide = false, value, strict = false) // min <= v
-    case In(attr, values) => dictMayContain(attr, values.toSeq)
+    case In(attr, values) =>
+      dictMayContain(attr, values.toSeq) &&
+        bloomMayContain(attr, values.toSeq)
     case GreaterThan(attr, value) =>
       rangeOpen(attr, maxSide = true, value, strict = true)
     case GreaterThanOrEqual(attr, value) =>
@@ -1106,6 +1109,57 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
         val us = PinotScan.timestampMicros(x).get
         a.exists(ms => Math.multiplyExact(ms, 1000L) == us)
       case _ => true // unexpected type pairing: never prune on a guess
+    }
+
+  /** Bloom-filter pruning (EXTENSION — Pinot's `bloomFilterColumns`):
+    * EqualTo/In where the bloom answers "definitely absent" for EVERY
+    * candidate value proves the segment contributes no rows — the point-
+    * lookup pruning path for RAW (no-dictionary) columns, where
+    * [[dictMayContain]] cannot decide and min/max keeps any in-range
+    * probe. False positives only keep the segment (residual filter
+    * decides); "absent" is exact under Spark equality because writer and
+    * probe share one canonical spelling (see [[graft.pinot.BloomSection]]).
+    */
+  private def bloomMayContain(attr: String, values: Seq[Any]): Boolean = {
+    val cm = colMeta(attr) match {
+      case Some(m) if m.isSingleValue => m
+      case _ => return true
+    }
+    val bf = try reader.bloomFilter(attr) catch { case _: Throwable => None }
+    bf match {
+      case None => true
+      case Some(b) => values.exists(v => bloomProbe(cm.dataType.name, v) match {
+        case Some(c) => b.mightContain(c)
+        case None => true // type pairing we can't canonicalize: never prune
+      })
+    }
+  }
+
+  /** Probe value → the writer's canonical spelling, ONLY when the
+    * probe's runtime type matches the column's stored type (a cross-
+    * typed literal — e.g. a double probe against a FLOAT column — can
+    * be Spark-equal under widening while spelling differently, so it
+    * must never reach the bloom). TIMESTAMP columns store epoch millis;
+    * a sub-millisecond probe can equal no stored value, so it maps to a
+    * spelling no TIMESTAMP writer emits (digit strings only) and prunes.
+    */
+  private def bloomProbe(dataType: String, v: Any): Option[String] =
+    (dataType, v) match {
+      case (_, null) => None
+      case ("INT", x: Int) => Some(String.valueOf(x))
+      case ("LONG", x: Long) => Some(String.valueOf(x))
+      case ("STRING" | "JSON", x: String) => Some(x)
+      case ("STRING" | "JSON", x: UTF8String) => Some(x.toString)
+      case ("FLOAT", x: Float) =>
+        Some(graft.pinot.BloomSection.canonicalFloat(x))
+      case ("DOUBLE", x: Double) =>
+        Some(graft.pinot.BloomSection.canonicalDouble(x))
+      case ("BOOLEAN", x: Boolean) => Some(String.valueOf(x))
+      case ("TIMESTAMP", x) if PinotScan.timestampMicros(x).isDefined =>
+        val us = PinotScan.timestampMicros(x).get
+        if (us % 1000L == 0) Some(String.valueOf(us / 1000L))
+        else Some("ts:sub-milli") // not a digit string → definitely absent
+      case _ => None
     }
 
   /** Bitmap inverted-index match set (EXTENSION — Pinot's

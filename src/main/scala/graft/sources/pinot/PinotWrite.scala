@@ -30,19 +30,20 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
-    starTreeSpec: Option[StarTree.Spec] = None) extends WriteBuilder {
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol, starTreeSpec)
+      timeCol, starTreeSpec, bloomCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
     // encoding options (json/inverted/nullable) as the batch path
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
-        jsonCols, invCols, nullableCols, starTreeSpec)
+        jsonCols, invCols, nullableCols, starTreeSpec, bloomCols)
   }
 }
 
@@ -51,13 +52,14 @@ class PinotStreamingWrite(path: String, tableName: String,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    starTreeSpec: Option[StarTree.Spec] = None)
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
-      jsonCols, invCols, nullableCols, starTreeSpec)
+      jsonCols, invCols, nullableCols, starTreeSpec, bloomCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -82,11 +84,12 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
-    starTreeSpec: Option[StarTree.Spec] = None) extends BatchWrite {
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
+      jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -133,13 +136,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     jsonCols: Set[String] = Set.empty,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
-    starTreeSpec: Option[StarTree.Spec] = None)
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
-      Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec)
+      Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
+      bloomCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -148,7 +153,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
-    starTreeSpec: Option[StarTree.Spec] = None)
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -211,6 +217,18 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       throw new PinotFormatException(
         s"jsonColumns entry $jc must be an existing STRING column")
   }
+  // bloom filters: any single-value scalar column (works for RAW columns
+  // too — that is where equality pruning has no dictionary to ask)
+  bloomCols.foreach { bc =>
+    val ok = schema.fieldNames.contains(bc) && (schema(bc).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           BooleanType | TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"bloomFilterColumns entry $bc must be an existing scalar column " +
+        "(numeric, string, boolean, or timestamp)")
+  }
   // star-tree: dims must be dict-encodable scalars, metrics numeric;
   // neither may be nullable (same constraints as Pinot's star-tree)
   starTreeSpec.foreach { st =>
@@ -251,7 +269,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
-      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec)
+      partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
+      bloomCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -260,7 +279,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
-    starTreeSpec: Option[StarTree.Spec] = None)
+    starTreeSpec: Option[StarTree.Spec] = None,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -457,7 +477,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         }
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
-      nullVecs, timeCol, starTreeSpec)
+      nullVecs, timeCol, starTreeSpec, bloomCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

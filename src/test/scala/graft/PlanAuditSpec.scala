@@ -33,8 +33,14 @@ class PlanAuditSpec extends SparkTestBase {
 
   // Queries whose non-equi pair joins are nested-loop BY DESIGN (brute-
   // force similarity baselines; the scale paths are LSH/IVF).
+  // q88's cross join builds the gap-fill SPINE: a 1-row (min,max) bounds
+  // aggregate × the distinct event types — O(types) rows broadcast, by
+  // construction tiny and data-volume-independent
+  // q90 = q47's shape: a tiny broadcast probe side joined non-equi
+  // against one corpus scan — the intended KNN idiom
   private val intendedNestedLoop = Set(
-    "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf")
+    "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q88_gapfill",
+    "q90_quantized_ann")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {
