@@ -41,8 +41,60 @@ object PinotCompact {
     }
     val totalDocs = metas.map(_.totalDocs).sum
 
-    // per-column merged data, preserving each column's logical type;
-    // the writer re-picks physical encodings from the merged values
+    val (cols, nullVectors) = materialize(readers)
+
+    // inverted indexes survive when every source segment had one
+    val invertedCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasInvertedIndex)).toSet
+
+    // bloom filters likewise (rebuilt over the merged distinct set)
+    val bloomCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasBloomFilter)).toSet
+
+    val mergedName = s"merged_${first.tableName}_0"
+    val tmp = root.resolve(s"tmp_compact_$mergedName")
+    SegmentWriter.write(tmp, first.tableName, mergedName, cols,
+      invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols)
+    require(SegmentReader.open(tmp).totalDocs == totalDocs,
+      "compact: merged doc count mismatch") // sanity before the swap
+    segDirs.foreach(d => deleteRecursively(d))
+    val visible = root.resolve(mergedName)
+    Files.move(tmp, visible)
+    visible
+  }
+
+  /** Rewrite ONE segment in another on-disk format (v3 ↔ v1/v2) — the
+    * migration path for pre-v3 segments from old Pinot clusters (and
+    * back). Values, null vectors, inverted indexes, blooms, and the
+    * star-tree spec all survive; physical encodings are re-picked by the
+    * writer from the same value distribution.
+    */
+  def convert(segmentDir: String, destDir: String, formatVersion: Int): Path = {
+    val r = SegmentReader.open(Paths.get(segmentDir))
+    val meta = r.metadata
+    val (cols, nullVectors) = materialize(Seq(r))
+    val inverted = meta.columns.collect {
+      case (c, cm) if cm.hasInvertedIndex => c }.toSet
+    val blooms = meta.columns.collect {
+      case (c, cm) if cm.hasBloomFilter => c }.toSet
+    val starSpec =
+      if (meta.starTreeDims.nonEmpty)
+        Some(StarTree.Spec(meta.starTreeDims,
+          meta.starTreeMetrics.map(StarTree.Metric.parse)))
+      else None
+    SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
+      cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
+      formatVersion)
+  }
+
+  /** Per-column data + merged null vectors across `readers`, preserving
+    * each column's logical type; shared by [[compact]] and [[convert]].
+    */
+  private def materialize(readers: Seq[SegmentReader])
+      : (Seq[SegmentWriter.ColumnData], Map[String, Array[Int]]) = {
+    val metas = readers.map(_.metadata)
+    val first = metas.head
+    val colNames = first.columns.keys.toSeq
     val cols: Seq[SegmentWriter.ColumnData] = colNames.map { c =>
       val cm = first.columns(c)
       def cat[T: scala.reflect.ClassTag](read: SegmentReader => Array[T]) =
@@ -91,24 +143,7 @@ object PinotCompact {
       if (merged.isEmpty) None else Some(c -> merged)
     }.toMap
 
-    // inverted indexes survive when every source segment had one
-    val invertedCols = colNames.filter(c =>
-      metas.forall(_.columns(c).hasInvertedIndex)).toSet
-
-    // bloom filters likewise (rebuilt over the merged distinct set)
-    val bloomCols = colNames.filter(c =>
-      metas.forall(_.columns(c).hasBloomFilter)).toSet
-
-    val mergedName = s"merged_${first.tableName}_0"
-    val tmp = root.resolve(s"tmp_compact_$mergedName")
-    SegmentWriter.write(tmp, first.tableName, mergedName, cols,
-      invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols)
-    require(SegmentReader.open(tmp).totalDocs == totalDocs,
-      "compact: merged doc count mismatch") // sanity before the swap
-    segDirs.foreach(d => deleteRecursively(d))
-    val visible = root.resolve(mergedName)
-    Files.move(tmp, visible)
-    visible
+    (cols, nullVectors)
   }
 
   private def deleteRecursively(p: Path): Unit =

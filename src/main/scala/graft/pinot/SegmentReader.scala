@@ -3,26 +3,36 @@ package graft.pinot
 import java.io.RandomAccessFile
 import java.nio.file.{Files, Path, Paths}
 
-/** Reader for one Pinot v3 segment directory
-  * (reference: pinot-segment/src/segment_reader.rs).
+/** Reader for one Pinot segment directory — BOTH on-disk layouts:
   *
-  * Accepts either the `v3/` directory itself or its parent segment directory
-  * (the files live at `<segment>/v3/{metadata.properties,index_map,
-  * columns.psf}`). Whole-column decode matches the reference's eager model
-  * (README "suitable for segments < 1GB"); the Spark DSv2 layer bounds this
-  * per-partition, one segment per task.
+  *  - **v3** (reference: pinot-segment/src/segment_reader.rs): single
+  *    `columns.psf` with an `index_map` sidecar addressing sections by
+  *    offset, under `<segment>/v3/`.
+  *  - **v1/v2** (EXTENSION — the reference rejects pre-v3 segments,
+  *    var_byte.rs:68-73, README.md:313,318): every index section in its
+  *    own file in the segment dir, Pinot's original per-column-file
+  *    naming (`<col>.dict`, `<col>.sv.{sorted,unsorted,raw}.fwd`,
+  *    `<col>.mv.fwd`, `<col>.bitmap.inv`, …). The SECTION BYTES are
+  *    identical between layouts — v2 shares v1's file scheme — so every
+  *    decoder works unchanged; only section addressing differs.
+  *
+  * Accepts the `v3/` directory itself, a v3 segment's parent dir, or a
+  * v1-layout segment dir. Whole-column decode matches the reference's
+  * eager model (README "suitable for segments < 1GB"); the Spark DSv2
+  * layer bounds this per-partition, one segment per task.
   */
 final class SegmentReader private (
     val segmentDir: Path,
     val metadata: SegmentMetadata,
-    val indexMap: IndexMap) {
+    val indexMap: IndexMap,
+    v1Files: Option[Map[(String, String), Path]]) {
 
   def totalDocs: Int = metadata.totalDocs
 
   private val columnsPsf = segmentDir.resolve("columns.psf")
 
   /** Read one index section of columns.psf into memory. */
-  private def section(loc: IndexLocation): Array[Byte] = {
+  private def psfSection(loc: IndexLocation): Array[Byte] = {
     val raf = new RandomAccessFile(columnsPsf.toFile, "r")
     try {
       val out = new Array[Byte](loc.size.toInt)
@@ -32,13 +42,18 @@ final class SegmentReader private (
     } finally raf.close()
   }
 
-  private def dictLoc(name: String): IndexLocation =
-    indexMap.dictionary(name).getOrElse(
-      throw new PinotFormatException(s"No dictionary for $name"))
+  /** Bytes of one index section: v3 = columns.psf slice via the index
+    * map; v1 = the section's own file.
+    */
+  private def sectionOpt(column: String, indexType: String): Option[Array[Byte]] =
+    v1Files match {
+      case Some(files) => files.get((column, indexType)).map(Files.readAllBytes)
+      case None => indexMap.get(column, indexType).map(psfSection)
+    }
 
-  private def fwdLoc(name: String): IndexLocation =
-    indexMap.forwardIndex(name).getOrElse(
-      throw new PinotFormatException(s"No forward index for $name"))
+  private def section(column: String, indexType: String): Array[Byte] =
+    sectionOpt(column, indexType).getOrElse(
+      throw new PinotFormatException(s"No $indexType for $column"))
 
   private def checkType(name: String, expected: PinotType): ColumnMetadata = {
     val cm = metadata.column(name)
@@ -50,7 +65,7 @@ final class SegmentReader private (
   /** Decode the dictionary for a column. */
   def dictionary(name: String): PinotDictionary = {
     val cm = metadata.column(name)
-    PinotDictionary.read(section(dictLoc(name)), cm.dataType, cm.cardinality,
+    PinotDictionary.read(section(name, "dictionary"), cm.dataType, cm.cardinality,
       cm.lengthOfEachEntry)
   }
 
@@ -78,7 +93,7 @@ final class SegmentReader private (
     */
   def dictIdReader(name: String): FixedBitReader = {
     val cm = metadata.column(name)
-    val raw = section(fwdLoc(name))
+    val raw = section(name, "forward_index")
     if (raw.length < 8)
       throw new PinotFormatException("Forward index too small to contain magic marker")
     val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
@@ -98,7 +113,7 @@ final class SegmentReader private (
   def rawChunkReader(name: String): VarByteChunkV4 = {
     val cm = metadata.column(name)
     require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
-    new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs)
+    new VarByteChunkV4(section(name, "forward_index"), cm.totalDocs)
   }
 
   private def requireDict(cm: ColumnMetadata): Unit =
@@ -112,7 +127,7 @@ final class SegmentReader private (
   def fixedByteReader(name: String): FixedByteChunkV4 = {
     val cm = metadata.column(name)
     require(!cm.hasDictionary, s"$name is dictionary-encoded, not RAW")
-    new FixedByteChunkV4(section(fwdLoc(name)), cm.totalDocs,
+    new FixedByteChunkV4(section(name, "forward_index"), cm.totalDocs,
       FixedByteChunkV4.widthOf(cm.dataType))
   }
 
@@ -202,7 +217,7 @@ final class SegmentReader private (
     val cm = metadata.column(name)
     if (cm.isSingleValue)
       throw new PinotFormatException(s"Column $name is single-value")
-    val raw = section(fwdLoc(name))
+    val raw = section(name, "forward_index")
     val b = java.nio.ByteBuffer.wrap(raw)
     b.getLong // magic marker precedes the packed data, as in SV indexes
     val totalEntries = b.getInt
@@ -254,7 +269,7 @@ final class SegmentReader private (
       val PinotDictionary.Bytes(dict) = dictionary(name): @unchecked
       dictIds(name, maxDocs).map(dict(_))
     } else {
-      val all = new VarByteChunkV4(section(fwdLoc(name)), cm.totalDocs).readAllBytes()
+      val all = new VarByteChunkV4(section(name, "forward_index"), cm.totalDocs).readAllBytes()
       if (maxDocs < all.length) all.take(maxDocs) else all
     }
   }
@@ -268,9 +283,8 @@ final class SegmentReader private (
     */
   def invertedIndex(name: String)
       : Option[Array[org.roaringbitmap.buffer.ImmutableRoaringBitmap]] =
-    indexMap.invertedIndex(name).map { loc =>
+    sectionOpt(name, "inverted_index").map { raw =>
       val cm = metadata.column(name)
-      val raw = section(loc)
       val buf = java.nio.ByteBuffer.wrap(raw)
       val offsets = new Array[Int](cm.cardinality + 1)
       var i = 0
@@ -289,7 +303,7 @@ final class SegmentReader private (
     * and min/max ranges cannot decide.
     */
   def bloomFilter(name: String): Option[BloomSection] =
-    indexMap.bloomFilter(name).map(loc => BloomSection.deserialize(section(loc)))
+    sectionOpt(name, "bloom_filter").map(BloomSection.deserialize)
 
   /** Null-value vector (EXTENSION — the reference rejects nullable
     * columns): the RoaringBitmap of docIds whose value is NULL. The
@@ -298,9 +312,9 @@ final class SegmentReader private (
     */
   def nullVector(name: String)
       : Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
-    indexMap.nullValueVector(name).map { loc =>
+    sectionOpt(name, "nullvalue_vector").map { raw =>
       new org.roaringbitmap.buffer.ImmutableRoaringBitmap(
-        java.nio.ByteBuffer.wrap(section(loc)))
+        java.nio.ByteBuffer.wrap(raw))
     }
 
   /** Star-tree pre-aggregated records (EXTENSION — see [[StarTree]]):
@@ -309,8 +323,8 @@ final class SegmentReader private (
     * carries no star-tree.
     */
   def starTree: Option[StarTree.Records] =
-    indexMap.get(StarTree.SectionColumn, StarTree.SectionType).map { loc =>
-      StarTree.deserialize(section(loc),
+    sectionOpt(StarTree.SectionColumn, StarTree.SectionType).map { raw =>
+      StarTree.deserialize(raw,
         metadata.starTreeDims.toArray,
         metadata.starTreeMetrics.map(StarTree.Metric.parse).toArray)
     }
@@ -369,8 +383,41 @@ object SegmentReader {
       if (Files.exists(dir.resolve("metadata.properties"))) dir
       else if (Files.exists(v3.resolve("metadata.properties"))) v3
       else throw new PinotFormatException(s"No metadata.properties under $dir")
-    new SegmentReader(root,
-      SegmentMetadata.fromFile(root.resolve("metadata.properties")),
-      IndexMap.fromFile(root.resolve("index_map")))
+    val meta = SegmentMetadata.fromFile(root.resolve("metadata.properties"))
+    val im = root.resolve("index_map")
+    if (Files.exists(im))
+      new SegmentReader(root, meta, IndexMap.fromFile(im), None)
+    else // v1/v2 layout: no index map — sections live in per-index files
+      new SegmentReader(root, meta, IndexMap(Map.empty), Some(v1Scan(root)))
+  }
+
+  /** Map a v1/v2 segment dir's files to (column, indexType) — Pinot's
+    * `V1Constants.Indexes` file extensions. All forward-index flavors
+    * (`sv.sorted`/`sv.unsorted`/`sv.raw`/`mv`) collapse to one
+    * `forward_index` key: the flavor is re-derivable from column
+    * metadata, and the section bytes are flavor-tagged already.
+    */
+  private def v1Scan(root: Path): Map[(String, String), Path] = {
+    import scala.jdk.CollectionConverters._
+    val exts = Seq(
+      ".sv.sorted.fwd" -> "forward_index",
+      ".sv.unsorted.fwd" -> "forward_index",
+      ".sv.raw.fwd" -> "forward_index",
+      ".mv.fwd" -> "forward_index",
+      ".bitmap.inv" -> "inverted_index",
+      ".bitmap.nullvalue" -> "nullvalue_vector",
+      ".bloom.filter" -> "bloom_filter",
+      ".dict" -> "dictionary")
+    Files.list(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .flatMap { f =>
+        val n = f.getFileName.toString
+        if (n == "star_tree_index")
+          Some((StarTree.SectionColumn, StarTree.SectionType) -> f)
+        else exts.collectFirst {
+          case (ext, tpe) if n.endsWith(ext) =>
+            (n.dropRight(ext.length), tpe) -> f
+        }
+      }.toMap
   }
 }

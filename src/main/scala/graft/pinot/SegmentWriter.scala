@@ -115,7 +115,8 @@ object SegmentWriter {
       nullVectors: Map[String, Array[Int]] = Map.empty,
       timeColumn: Option[String] = None,
       starTree: Option[StarTree.Spec] = None,
-      bloomCols: Set[String] = Set.empty): Path = {
+      bloomCols: Set[String] = Set.empty,
+      formatVersion: Int = 3): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -127,11 +128,20 @@ object SegmentWriter {
         s"nullVectors: docId out of range for $c")
     }
 
+    require(formatVersion == 1 || formatVersion == 3,
+      s"formatVersion must be 1 (per-index files) or 3 (columns.psf): $formatVersion")
     val v3 = segmentDir.resolve("v3")
-    Files.createDirectories(v3)
+    Files.createDirectories(if (formatVersion == 3) v3 else segmentDir)
 
     val psf = new ByteArrayOutputStream()
     val indexMap = new StringBuilder
+    // (column, indexType, offset, size) in psf — lets the v1 finalizer
+    // slice each section back out into its own file
+    val sectionList = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Int, Int)]
+    // v1 forward-index file flavor per column (Pinot's V1Constants):
+    // sv.sorted / sv.unsorted / mv; absent → sv.raw
+    val fwdFlavor = scala.collection.mutable.Map.empty[String, String]
     val props = new StringBuilder
     props ++= s"segment.name=$segmentName\n"
     props ++= s"segment.table.name=$tableName\n"
@@ -146,6 +156,7 @@ object SegmentWriter {
       psf.write(bytes)
       indexMap ++= s"$column.$indexType.startOffset=$off\n"
       indexMap ++= s"$column.$indexType.size=${bytes.length}\n"
+      sectionList += ((column, indexType, off, bytes.length))
     }
 
     def colProps(name: String, dataType: String, cardinality: Int, bits: Int,
@@ -235,6 +246,7 @@ object SegmentWriter {
       val fwd = new ByteArrayOutputStream()
       fwd.write(beLong(Magic))
       fwd.write(FixedBitReader.pack(ids, bits))
+      fwdFlavor(name) = if (isSorted) "sv.sorted" else "sv.unsorted"
       addSection(name, "forward_index", fwd.toByteArray)
       if (invertedCols(name)) {
         val bitmaps = Array.fill(distinct.length)(new org.roaringbitmap.RoaringBitmap)
@@ -269,6 +281,7 @@ object SegmentWriter {
       val fwd = new ByteArrayOutputStream()
       fwd.write(header.array())
       fwd.write(FixedBitReader.pack(flat, bits))
+      fwdFlavor(name) = "mv"
       addSection(name, "forward_index", fwd.toByteArray)
       colProps(name, dataType, distinct.length, bits, hasDict = true, 0,
         isSingleValue = false, totalEntries = flat.length)
@@ -557,12 +570,36 @@ object SegmentWriter {
       props ++= s"startree.metrics=${metrics.map(_.key).mkString(",")}\n"
     }
 
-    Files.write(v3.resolve("columns.psf"), psf.toByteArray)
-    Files.write(v3.resolve("index_map"),
-      indexMap.toString.getBytes(StandardCharsets.UTF_8))
-    Files.write(v3.resolve("metadata.properties"),
-      props.toString.getBytes(StandardCharsets.UTF_8))
-    v3
+    if (formatVersion == 3) {
+      Files.write(v3.resolve("columns.psf"), psf.toByteArray)
+      Files.write(v3.resolve("index_map"),
+        indexMap.toString.getBytes(StandardCharsets.UTF_8))
+      Files.write(v3.resolve("metadata.properties"),
+        props.toString.getBytes(StandardCharsets.UTF_8))
+      v3
+    } else {
+      // v1/v2 layout: every section in its own file at the segment root,
+      // Pinot's V1Constants file naming; identical section bytes
+      val all = psf.toByteArray
+      sectionList.foreach { case (col, tpe, off, len) =>
+        val fname = tpe match {
+          case "dictionary" => s"$col.dict"
+          case "forward_index" =>
+            s"$col.${fwdFlavor.getOrElse(col, "sv.raw")}.fwd"
+          case "inverted_index" => s"$col.bitmap.inv"
+          case "nullvalue_vector" => s"$col.bitmap.nullvalue"
+          case "bloom_filter" => s"$col.bloom.filter"
+          case StarTree.SectionType => "star_tree_index"
+          case other =>
+            throw new PinotFormatException(s"no v1 file name for $other")
+        }
+        Files.write(segmentDir.resolve(fname),
+          java.util.Arrays.copyOfRange(all, off, off + len))
+      }
+      Files.write(segmentDir.resolve("metadata.properties"),
+        props.toString.getBytes(StandardCharsets.UTF_8))
+      segmentDir
+    }
   }
 
   private def beLong(v: Long): Array[Byte] =

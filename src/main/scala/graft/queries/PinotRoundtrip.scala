@@ -181,6 +181,31 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** v1-format fixture: the DSv2-written v3 segments CONVERTED to the
+    * per-index-file v1/v2 layout (the pre-v3 format the reference
+    * rejects) via [[graft.pinot.PinotCompact.convert]] — the migration
+    * path real v1 segments from old Pinot clusters arrive through.
+    */
+  private def v1Table(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("lineitemV1_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      val src = Paths.get(segmentTable(s, d))
+      val segs = java.nio.file.Files.list(src).iterator()
+      val tmp = root.resolve("tmp_v1build")
+      while (segs.hasNext) {
+        val seg = segs.next()
+        if (!seg.getFileName.toString.startsWith("tmp"))
+          graft.pinot.PinotCompact.convert(seg.toString,
+            tmp.resolve(seg.getFileName.toString).toString, formatVersion = 1)
+      }
+      Files.move(tmp, tableDir)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -263,6 +288,29 @@ object PinotRoundtrip {
     // original parquet — byte-exact encode→decode or the hashes differ.
     "q65_pinot_roundtrip" -> ((s, d) => {
       val pinot = s.read.format("pinot").load(segmentTable(s, d))
+      pinot
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_okey"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          min("l_shipdate_s").as("min_ship"),
+          max("l_shipdate_s").as("max_ship"),
+          date_format(max(col("l_shipts")), "yyyy-MM-dd HH:mm:ss")
+            .as("max_ship_ts"),
+          sum(when(col("l_returned"), 1L).otherwise(0L)).as("returned_rows"),
+          sum(octet_length(col("l_payload"))).as("payload_bytes"))
+        .orderBy("l_returnflag")
+    }),
+
+    // v1/v2 segment layout through the oracle gate: the same lineitem
+    // subset read from PER-INDEX-FILE segments (v3 → v1 conversion on the
+    // fixture) with the same aggregation as q65 — every decoder family
+    // plus the storage-type extensions must address sections correctly
+    // through the v1 file naming or the hash breaks.
+    "q93_pinot_v1" -> ((s, d) => {
+      val pinot = s.read.format("pinot").load(v1Table(s, d))
       pinot
         .groupBy("l_returnflag")
         .agg(
@@ -384,6 +432,30 @@ object PinotRoundtrip {
         |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q65_pinot_roundtrip" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag,
+        |    strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ship_s,
+        |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts_s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+        |    octet_length(encode(l_returnflag || CAST(l_orderkey AS VARCHAR)))
+        |      AS pbytes
+        |  FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  min(ship_s) AS min_ship, max(ship_s) AS max_ship,
+        |  max(ship_ts_s) AS max_ship_ts,
+        |  CAST(sum(returned) AS BIGINT) AS returned_rows,
+        |  CAST(sum(pbytes) AS BIGINT) AS payload_bytes
+        |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical semantics to q65 — the fixture differs (v1 layout), the
+    // data must not
+    "q93_pinot_v1" ->
       """WITH subset AS (
         |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag,
         |    strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ship_s,

@@ -81,11 +81,12 @@ class ControllerProvider(client: PinotControllerClient, dataDir: String)
       throw new graft.pinot.PinotFormatException(
         s"Table directory not found: $tableDir")
     val paths = segments.map { seg =>
-      val p = tableDir.resolve(seg).resolve("v3")
-      if (!Files.exists(p.resolve("metadata.properties")))
-        throw new graft.pinot.PinotFormatException(
-          s"Segment $seg not found locally at $p")
-      p
+      val v3 = tableDir.resolve(seg).resolve("v3")
+      val v1 = tableDir.resolve(seg)
+      if (Files.exists(v3.resolve("metadata.properties"))) v3
+      else if (Files.exists(v1.resolve("metadata.properties"))) v1 // v1/v2
+      else throw new graft.pinot.PinotFormatException(
+        s"Segment $seg not found locally at $v3")
     }.sortBy(_.toString)
     val meta = graft.pinot.SegmentMetadata.fromFile(
       paths.head.resolve("metadata.properties"))

@@ -75,12 +75,19 @@ object PinotSegments {
       .filter(Files.isDirectory(_))
       // `tmp` ≙ reference discovery; `tmp_*` = in-flight writer output
       .filterNot(_.getFileName.toString.startsWith("tmp"))
-      .filter(p => Files.exists(p.resolve("v3").resolve("metadata.properties")))
-      .map(_.resolve("v3"))
+      .flatMap { p =>
+        // v3 segment dir, or a v1/v2-layout segment (per-index files,
+        // metadata.properties at the segment root — the pre-v3 format
+        // the reference rejects)
+        if (Files.exists(p.resolve("v3").resolve("metadata.properties")))
+          Some(p.resolve("v3"))
+        else if (Files.exists(p.resolve("metadata.properties"))) Some(p)
+        else None
+      }
       .toSeq
       .sortBy(_.toString)
     if (segs.isEmpty)
-      throw new PinotFormatException(s"No v3 segments under $path")
+      throw new PinotFormatException(s"No segments under $path")
     segs
   }
 
