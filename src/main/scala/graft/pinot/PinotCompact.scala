@@ -47,14 +47,17 @@ object PinotCompact {
     val invertedCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasInvertedIndex)).toSet
 
-    // bloom filters likewise (rebuilt over the merged distinct set)
+    // bloom filters and range indexes likewise (rebuilt over merged data)
     val bloomCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasBloomFilter)).toSet
+    val rangeCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasRangeIndex)).toSet
 
     val mergedName = s"merged_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_compact_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
-      invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols)
+      invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
+      rangeCols = rangeCols)
     require(SegmentReader.open(tmp).totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
     segDirs.foreach(d => deleteRecursively(d))
@@ -77,6 +80,8 @@ object PinotCompact {
       case (c, cm) if cm.hasInvertedIndex => c }.toSet
     val blooms = meta.columns.collect {
       case (c, cm) if cm.hasBloomFilter => c }.toSet
+    val ranges = meta.columns.collect {
+      case (c, cm) if cm.hasRangeIndex => c }.toSet
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -84,7 +89,7 @@ object PinotCompact {
       else None
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
-      formatVersion)
+      formatVersion, ranges)
   }
 
   /** Per-column data + merged null vectors across `readers`, preserving

@@ -48,7 +48,12 @@ final case class ColumnMetadata(
       * `bloomFilterColumns`): equality probes can prune this segment
       * from a few KB of index without forward-index IO.
       */
-    hasBloomFilter: Boolean = false)
+    hasBloomFilter: Boolean = false,
+    /** Range-index section present (EXTENSION — Pinot's
+      * `rangeIndexColumns`): range predicates on this (unsorted) numeric
+      * column resolve to doc-bucket bitmaps for window skipping.
+      */
+    hasRangeIndex: Boolean = false)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -136,7 +141,8 @@ object SegmentMetadata {
         hasInvertedIndex = prop("hasInvertedIndex").contains("true"),
         hasNullVector = prop("hasNullValueVector").contains("true"),
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0),
-        hasBloomFilter = prop("hasBloomFilter").contains("true"))
+        hasBloomFilter = prop("hasBloomFilter").contains("true"),
+        hasRangeIndex = prop("hasRangeIndex").contains("true"))
     }
 
     def csv(key: String): Seq[String] = props.get(key).toSeq

@@ -305,6 +305,13 @@ final class SegmentReader private (
   def bloomFilter(name: String): Option[BloomSection] =
     sectionOpt(name, "bloom_filter").map(BloomSection.deserialize)
 
+  /** Range index (EXTENSION — Pinot's `rangeIndexColumns`; see
+    * [[RangeSection]]): value-ordered doc buckets with exact bounds +
+    * docId bitmaps, serving range predicates on UNSORTED numeric columns.
+    */
+  def rangeIndex(name: String): Option[RangeSection] =
+    sectionOpt(name, RangeSection.IndexType).map(RangeSection.deserialize)
+
   /** Null-value vector (EXTENSION — the reference rejects nullable
     * columns): the RoaringBitmap of docIds whose value is NULL. The
     * forward index stores a default at those docs (Pinot's
@@ -406,6 +413,7 @@ object SegmentReader {
       ".mv.fwd" -> "forward_index",
       ".bitmap.inv" -> "inverted_index",
       ".bitmap.nullvalue" -> "nullvalue_vector",
+      ".bitmap.range" -> RangeSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
       ".dict" -> "dictionary")
     Files.list(root).iterator().asScala

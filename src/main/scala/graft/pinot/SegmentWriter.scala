@@ -116,7 +116,8 @@ object SegmentWriter {
       timeColumn: Option[String] = None,
       starTree: Option[StarTree.Spec] = None,
       bloomCols: Set[String] = Set.empty,
-      formatVersion: Int = 3): Path = {
+      formatVersion: Int = 3,
+      rangeCols: Set[String] = Set.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -501,6 +502,32 @@ object SegmentWriter {
       props ++= s"column.$bc.hasBloomFilter=true\n"
     }
 
+    // Range indexes (Pinot's rangeIndexColumns): doc-order numeric values
+    // in the LONG domain (INT/LONG/TIMESTAMP millis) or DOUBLE domain
+    // (FLOAT/DOUBLE, -0.0 canonicalized) — see [[RangeSection]]
+    def rangeValues(cd: ColumnData)
+        : Option[Either[Array[Long], Array[Double]]] = cd match {
+      case IntCol(_, v) => Some(Left(v.map(_.toLong)))
+      case LongCol(_, v) => Some(Left(v))
+      case TimestampCol(_, ms) => Some(Left(ms))
+      case FloatCol(_, v) => Some(Right(v.map(_.toDouble)))
+      case DoubleCol(_, v) => Some(Right(v))
+      case IntRawCol(_, v, _, _) => Some(Left(v.map(_.toLong)))
+      case LongRawCol(_, v, _, _) => Some(Left(v))
+      case FloatRawCol(_, v, _, _) => Some(Right(v.map(_.toDouble)))
+      case DoubleRawCol(_, v, _, _) => Some(Right(v))
+      case _ => None
+    }
+    rangeCols.foreach { rc =>
+      val cd = columns.find(_.name == rc).getOrElse(
+        throw new PinotFormatException(s"rangeIndexColumns: unknown column $rc"))
+      val vals = rangeValues(cd).getOrElse(
+        throw new PinotFormatException(
+          s"rangeIndexColumns entry $rc: single-value numeric required"))
+      addSection(rc, RangeSection.IndexType, RangeSection.build(vals))
+      props ++= s"column.$rc.hasRangeIndex=true\n"
+    }
+
     // Star-tree: recompute each dim's dict ids with the SAME deterministic
     // distinct+sort the column encoders above used, aggregate leaf records,
     // and write the section + declaration properties.
@@ -589,6 +616,7 @@ object SegmentWriter {
           case "inverted_index" => s"$col.bitmap.inv"
           case "nullvalue_vector" => s"$col.bitmap.nullvalue"
           case "bloom_filter" => s"$col.bloom.filter"
+          case RangeSection.IndexType => s"$col.bitmap.range"
           case StarTree.SectionType => "star_tree_index"
           case other =>
             throw new PinotFormatException(s"no v1 file name for $other")

@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 5 // r3: hybrid fixture cuts relative to SF
+  private val LayoutVersion = 6 // r3b: bloom fixture carries value + range index
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -171,11 +171,12 @@ object PinotRoundtrip {
       Tables.load(s, d, "events")
         .orderBy("event_id")
         .limit(20000)
-        .select(col("event_id"), col("event_type"),
+        .select(col("event_id"), col("event_type"), col("value"),
           md5(col("event_id").cast("string")).as("payload"))
         .repartition(2)
         .write.format("pinot").mode("append")
         .option("bloomFilterColumns", "payload")
+        .option("rangeIndexColumns", "value")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -403,6 +404,20 @@ object PinotRoundtrip {
         .orderBy("event_id")
     }),
 
+    // Range-index read path inside the oracle gate: the selective range
+    // predicate on the UNSORTED double column resolves through
+    // value-bucket bitmaps (candidate buckets → window skipping) before
+    // Spark's residual filter; a bucket bound or bitmap off by one doc
+    // breaks the hash.
+    "q94_pinot_range" -> ((s, d) => {
+      val p = s.read.format("pinot").load(bloomTable(s, d))
+      p.filter(col("value") > 250.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -518,6 +533,15 @@ object PinotRoundtrip {
         |FROM subset
         |WHERE payload IN (md5('7'), md5('42'), md5('137'), 'no-such-digest')
         |ORDER BY event_id""".stripMargin,
+
+    "q94_pinot_range" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type, value
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM subset WHERE value > 250.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q80_pinot_nullable" ->
       """WITH subset AS (

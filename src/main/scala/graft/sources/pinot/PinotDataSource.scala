@@ -176,9 +176,15 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val bloomCols = Option(info.options.get("bloomFilterColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("rangeIndexColumns", "a,b")`: per-segment value-bucket
+    // bitmap index (Pinot's rangeIndexColumns) — range predicates on
+    // UNSORTED numeric columns skip decode windows via bucket bitmaps
+    val rangeCols = Option(info.options.get("rangeIndexColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols)
+      bloomCols, rangeCols)
   }
 }
 

@@ -1184,16 +1184,91 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       skipFilters.foreach { f =>
         val fb = f match {
           case EqualTo(a, v) => filterBitmap(a, Seq(v))
+            .orElse(rangeIdxBitmap(a, Some(v), loInc = true, Some(v), hiInc = true))
           case In(a, vs) => filterBitmap(a, vs.toSeq)
           // null-value vectors are exact doc sets too: IS NULL matches
           // the bitmap, IS NOT NULL its complement over [0, totalDocs)
           case IsNull(a) => nullFilterBitmap(a, wantNull = true)
           case IsNotNull(a) => nullFilterBitmap(a, wantNull = false)
+          // range index (unsorted numeric columns): candidate-bucket OR
+          case GreaterThan(a, v) =>
+            rangeIdxBitmap(a, Some(v), loInc = false, None, hiInc = false)
+          case GreaterThanOrEqual(a, v) =>
+            rangeIdxBitmap(a, Some(v), loInc = true, None, hiInc = false)
+          case LessThan(a, v) =>
+            rangeIdxBitmap(a, None, loInc = false, Some(v), hiInc = false)
+          case LessThanOrEqual(a, v) =>
+            rangeIdxBitmap(a, None, loInc = false, Some(v), hiInc = true)
           case _ => None
         }
         fb.foreach { m => if (acc == null) acc = m else acc.and(m) }
       }
       Option(acc)
+    }
+  }
+
+  /** Range-index match superset (EXTENSION — Pinot's `rangeIndexColumns`;
+    * see [[graft.pinot.RangeSection]]): OR of the doc buckets whose
+    * exact [min, max] intersects the probe interval. Bounds compare in
+    * the column's stored domain — LONG for INT/LONG, canonical-double
+    * bits for FLOAT/DOUBLE (Double.compare ≙ Spark's NaN-high ordering),
+    * and for TIMESTAMP the micros probe maps onto the stored-millis grid
+    * with floor-division inclusivity so no representable match is lost.
+    * A cross-typed probe never consults the index.
+    */
+  private def rangeIdxBitmap(attr: String, lo: Option[Any], loInc: Boolean,
+      hi: Option[Any], hiInc: Boolean)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    val cm = colMeta(attr) match {
+      case Some(m) if m.isSingleValue && m.hasRangeIndex => m
+      case _ => return None
+    }
+    val ri = try reader.rangeIndex(attr) catch { case _: Throwable => None }
+    ri.flatMap { idx =>
+      val tpe = cm.dataType.name
+      def plain(v: Any): Option[Long] = (tpe, v) match {
+        case ("INT", x: Int) => Some(x.toLong)
+        case ("LONG", x: Long) => Some(x)
+        case ("FLOAT", x: Float) =>
+          Some(graft.pinot.RangeSection.doubleBits(x.toDouble))
+        case ("DOUBLE", x: Double) =>
+          Some(graft.pinot.RangeSection.doubleBits(x))
+        case _ => None
+      }
+      // per-bound conversion; Left = unconvertible (do not use index)
+      def loBound: Either[Unit, (Option[Long], Boolean)] = lo match {
+        case None => Right((None, false))
+        case Some(v) if tpe == "TIMESTAMP" =>
+          PinotScan.timestampMicros(v) match {
+            case Some(us) =>
+              if (us % 1000L == 0) Right((Some(us / 1000L), loInc))
+              else Right((Some(Math.floorDiv(us, 1000L)), false)) // strict
+            case None => Left(())
+          }
+        case Some(v) => plain(v) match {
+          case Some(b) => Right((Some(b), loInc))
+          case None => Left(())
+        }
+      }
+      def hiBound: Either[Unit, (Option[Long], Boolean)] = hi match {
+        case None => Right((None, false))
+        case Some(v) if tpe == "TIMESTAMP" =>
+          PinotScan.timestampMicros(v) match {
+            case Some(us) =>
+              if (us % 1000L == 0) Right((Some(us / 1000L), hiInc))
+              else Right((Some(Math.floorDiv(us, 1000L)), true)) // inclusive
+            case None => Left(())
+          }
+        case Some(v) => plain(v) match {
+          case Some(b) => Right((Some(b), hiInc))
+          case None => Left(())
+        }
+      }
+      (loBound, hiBound) match {
+        case (Right((lb, li)), Right((hb, hi2))) =>
+          Some(idx.matchBitmap(lb, li, hb, hi2))
+        case _ => None
+      }
     }
   }
 

@@ -31,19 +31,20 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty) extends WriteBuilder {
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol, starTreeSpec, bloomCols)
+      timeCol, starTreeSpec, bloomCols, rangeCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
     // encoding options (json/inverted/nullable) as the batch path
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
-        jsonCols, invCols, nullableCols, starTreeSpec, bloomCols)
+        jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols)
   }
 }
 
@@ -53,13 +54,14 @@ class PinotStreamingWrite(path: String, tableName: String,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
-      jsonCols, invCols, nullableCols, starTreeSpec, bloomCols)
+      jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -85,11 +87,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty) extends BatchWrite {
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
-      jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols)
+      jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
+      rangeCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -137,14 +141,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     invCols: Set[String] = Set.empty,
     nullableCols: Set[String] = Set.empty,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols)
+      bloomCols, rangeCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -154,7 +159,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -229,6 +235,17 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       s"bloomFilterColumns entry $bc must be an existing scalar column " +
         "(numeric, string, boolean, or timestamp)")
   }
+  // range indexes: single-value numeric (incl. timestamp) columns only
+  rangeCols.foreach { rc =>
+    val ok = schema.fieldNames.contains(rc) && (schema(rc).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType |
+           TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"rangeIndexColumns entry $rc must be an existing numeric or " +
+        "timestamp column")
+  }
   // star-tree: dims must be dict-encodable scalars, metrics numeric;
   // neither may be nullable (same constraints as Pinot's star-tree)
   starTreeSpec.foreach { st =>
@@ -270,7 +287,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols)
+      bloomCols, rangeCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -280,7 +297,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     nullableCols: Set[String] = Set.empty,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    rangeCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -477,7 +495,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         }
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
-      nullVecs, timeCol, starTreeSpec, bloomCols)
+      nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }
