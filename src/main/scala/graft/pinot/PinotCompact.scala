@@ -52,12 +52,14 @@ object PinotCompact {
       metas.forall(_.columns(c).hasBloomFilter)).toSet
     val rangeCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasRangeIndex)).toSet
+    val textCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasTextIndex)).toSet
 
     val mergedName = s"merged_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_compact_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
-      rangeCols = rangeCols)
+      rangeCols = rangeCols, textCols = textCols)
     require(SegmentReader.open(tmp).totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
     segDirs.foreach(d => deleteRecursively(d))
@@ -82,6 +84,8 @@ object PinotCompact {
       case (c, cm) if cm.hasBloomFilter => c }.toSet
     val ranges = meta.columns.collect {
       case (c, cm) if cm.hasRangeIndex => c }.toSet
+    val texts = meta.columns.collect {
+      case (c, cm) if cm.hasTextIndex => c }.toSet
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -89,7 +93,7 @@ object PinotCompact {
       else None
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
-      formatVersion, ranges)
+      formatVersion, ranges, texts)
   }
 
   /** Per-column data + merged null vectors across `readers`, preserving

@@ -53,7 +53,12 @@ final case class ColumnMetadata(
       * `rangeIndexColumns`): range predicates on this (unsorted) numeric
       * column resolve to doc-bucket bitmaps for window skipping.
       */
-    hasRangeIndex: Boolean = false)
+    hasRangeIndex: Boolean = false,
+    /** Text-index section present (EXTENSION — Pinot's
+      * `textIndexColumns` capability): substring predicates resolve to
+      * token-posting bitmaps for window skipping.
+      */
+    hasTextIndex: Boolean = false)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -142,7 +147,8 @@ object SegmentMetadata {
         hasNullVector = prop("hasNullValueVector").contains("true"),
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0),
         hasBloomFilter = prop("hasBloomFilter").contains("true"),
-        hasRangeIndex = prop("hasRangeIndex").contains("true"))
+        hasRangeIndex = prop("hasRangeIndex").contains("true"),
+        hasTextIndex = prop("hasTextIndex").contains("true"))
     }
 
     def csv(key: String): Seq[String] = props.get(key).toSeq

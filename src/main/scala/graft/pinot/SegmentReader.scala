@@ -312,6 +312,13 @@ final class SegmentReader private (
   def rangeIndex(name: String): Option[RangeSection] =
     sectionOpt(name, RangeSection.IndexType).map(RangeSection.deserialize)
 
+  /** Text index (EXTENSION — Pinot's `textIndexColumns` capability; see
+    * [[TextIndexSection]]): token vocabulary + postings serving
+    * substring predicates (contains / startsWith / endsWith).
+    */
+  def textIndex(name: String): Option[TextIndexSection] =
+    sectionOpt(name, TextIndexSection.IndexType).map(TextIndexSection.deserialize)
+
   /** Null-value vector (EXTENSION — the reference rejects nullable
     * columns): the RoaringBitmap of docIds whose value is NULL. The
     * forward index stores a default at those docs (Pinot's
@@ -414,6 +421,7 @@ object SegmentReader {
       ".bitmap.inv" -> "inverted_index",
       ".bitmap.nullvalue" -> "nullvalue_vector",
       ".bitmap.range" -> RangeSection.IndexType,
+      ".text.inv" -> TextIndexSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
       ".dict" -> "dictionary")
     Files.list(root).iterator().asScala

@@ -117,7 +117,8 @@ object SegmentWriter {
       starTree: Option[StarTree.Spec] = None,
       bloomCols: Set[String] = Set.empty,
       formatVersion: Int = 3,
-      rangeCols: Set[String] = Set.empty): Path = {
+      rangeCols: Set[String] = Set.empty,
+      textCols: Set[String] = Set.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -528,6 +529,25 @@ object SegmentWriter {
       props ++= s"column.$rc.hasRangeIndex=true\n"
     }
 
+    // Text indexes (the capability of Pinot's textIndexColumns): token
+    // vocabulary + postings over STRING values — see [[TextIndexSection]]
+    def textValues(cd: ColumnData): Option[Iterator[String]] = cd match {
+      case StringDictCol(_, v, _) => Some(v.iterator)
+      case StringRawCol(_, v, _, _, _) => Some(v.iterator)
+      case JsonDictCol(_, v) => Some(v.iterator)
+      case JsonRawCol(_, v, _, _) => Some(v.iterator)
+      case _ => None
+    }
+    textCols.foreach { tc =>
+      val cd = columns.find(_.name == tc).getOrElse(
+        throw new PinotFormatException(s"textIndexColumns: unknown column $tc"))
+      val vals = textValues(cd).getOrElse(
+        throw new PinotFormatException(
+          s"textIndexColumns entry $tc: single-value STRING required"))
+      addSection(tc, TextIndexSection.IndexType, TextIndexSection.build(vals))
+      props ++= s"column.$tc.hasTextIndex=true\n"
+    }
+
     // Star-tree: recompute each dim's dict ids with the SAME deterministic
     // distinct+sort the column encoders above used, aggregate leaf records,
     // and write the section + declaration properties.
@@ -617,6 +637,7 @@ object SegmentWriter {
           case "nullvalue_vector" => s"$col.bitmap.nullvalue"
           case "bloom_filter" => s"$col.bloom.filter"
           case RangeSection.IndexType => s"$col.bitmap.range"
+          case TextIndexSection.IndexType => s"$col.text.inv"
           case StarTree.SectionType => "star_tree_index"
           case other =>
             throw new PinotFormatException(s"no v1 file name for $other")

@@ -207,6 +207,25 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Text-index fixture: the documents corpus through the DSv2 writer
+    * with `textIndexColumns` on the (RAW, high-cardinality) text column.
+    */
+  private def textTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("documentsText_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("textIndexColumns", "text")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -418,6 +437,20 @@ object PinotRoundtrip {
         .orderBy("event_type")
     }),
 
+    // Text-index read path inside the oracle gate: the substring
+    // predicate resolves through token-posting bitmaps (only windows
+    // holding candidate tokens decode); a posting off by one doc breaks
+    // the hash. 'dup' is a rare corpus token — the selective TEXT_MATCH
+    // shape.
+    "q95_pinot_text" -> ((s, d) => {
+      val p = s.read.format("pinot").load(textTable(s, d))
+      p.filter(col("text").contains("dup"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -542,6 +575,13 @@ object PinotRoundtrip {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM subset WHERE value > 250.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q95_pinot_text" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE contains(text, 'dup')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q80_pinot_nullable" ->
       """WITH subset AS (

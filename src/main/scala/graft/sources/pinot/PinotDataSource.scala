@@ -182,9 +182,15 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val rangeCols = Option(info.options.get("rangeIndexColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("textIndexColumns", "a,b")`: token-vocabulary postings
+    // (the capability of Pinot's textIndexColumns, sans Lucene) — the
+    // scan serves contains/startsWith/endsWith by token-posting bitmaps
+    val textCols = Option(info.options.get("textIndexColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols)
+      bloomCols, rangeCols, textCols)
   }
 }
 

@@ -4,7 +4,7 @@ import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
@@ -58,6 +58,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       // prefix filters prune by [min,max] too: LIKE 'abc%' can only
       // match inside [abc, abd)
       case _: StringStartsWith => true
+      // substring predicates: text-index token postings (advisory — a
+      // column without a text index simply ignores them)
+      case _: StringContains | _: StringEndsWith => true
       case _ => false
     }
     filters // all residual: engine-side FilterExec remains authoritative
@@ -1190,6 +1193,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           // the bitmap, IS NOT NULL its complement over [0, totalDocs)
           case IsNull(a) => nullFilterBitmap(a, wantNull = true)
           case IsNotNull(a) => nullFilterBitmap(a, wantNull = false)
+          // text index: substring predicates → token-posting OR
+          case StringContains(a, v) => textBitmap(a, v)
+          case StringStartsWith(a, v) => textBitmap(a, v)
+          case StringEndsWith(a, v) => textBitmap(a, v)
           // range index (unsorted numeric columns): candidate-bucket OR
           case GreaterThan(a, v) =>
             rangeIdxBitmap(a, Some(v), loInc = false, None, hiInc = false)
@@ -1205,6 +1212,28 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       }
       Option(acc)
     }
+  }
+
+  /** Text-index match superset (EXTENSION — Pinot's `textIndexColumns`
+    * capability; see [[graft.pinot.TextIndexSection]]): for a pushed
+    * contains/startsWith/endsWith probe, the OR of the postings of every
+    * vocabulary token containing the probe. Sound because a
+    * whitespace-free substring of the text must lie inside one token; a
+    * probe with whitespace never consults the index. startsWith/endsWith
+    * matches are contains matches, so one candidate set covers all
+    * three. Residual filters keep exactness.
+    */
+  private def textBitmap(attr: String, probe: Any)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    val ok = colMeta(attr).exists(m => m.isSingleValue && m.hasTextIndex)
+    if (!ok) return None
+    val p = probe match {
+      case s: String => s
+      case s: UTF8String => s.toString
+      case _ => return None
+    }
+    val ti = try reader.textIndex(attr) catch { case _: Throwable => None }
+    ti.flatMap(_.matchBitmap(p))
   }
 
   /** Range-index match superset (EXTENSION — Pinot's `rangeIndexColumns`;

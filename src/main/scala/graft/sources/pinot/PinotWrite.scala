@@ -32,19 +32,21 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty) extends WriteBuilder {
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol, starTreeSpec, bloomCols, rangeCols)
+      timeCol, starTreeSpec, bloomCols, rangeCols, textCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
     // encoding options (json/inverted/nullable) as the batch path
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
-        jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols)
+        jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
+        textCols)
   }
 }
 
@@ -55,13 +57,15 @@ class PinotStreamingWrite(path: String, tableName: String,
     nullableCols: Set[String] = Set.empty,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty)
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
-      jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols)
+      jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
+      textCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -88,12 +92,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty) extends BatchWrite {
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
       jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
-      rangeCols)
+      rangeCols, textCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -142,14 +147,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     nullableCols: Set[String] = Set.empty,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty)
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols, rangeCols)
+      bloomCols, rangeCols, textCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -160,7 +166,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty)
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -246,6 +253,13 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       s"rangeIndexColumns entry $rc must be an existing numeric or " +
         "timestamp column")
   }
+  // text indexes: single-value STRING columns only
+  textCols.foreach { tc =>
+    val ok = schema.fieldNames.contains(tc) &&
+      schema(tc).dataType == StringType
+    if (!ok) throw new PinotFormatException(
+      s"textIndexColumns entry $tc must be an existing STRING column")
+  }
   // star-tree: dims must be dict-encodable scalars, metrics numeric;
   // neither may be nullable (same constraints as Pinot's star-tree)
   starTreeSpec.foreach { st =>
@@ -287,7 +301,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols)
+      bloomCols, rangeCols, textCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -298,7 +312,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     timeCol: Option[String] = None,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
-    rangeCols: Set[String] = Set.empty)
+    rangeCols: Set[String] = Set.empty,
+    textCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -495,7 +510,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
         }
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
-      nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols)
+      nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols,
+      textCols = textCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }
