@@ -70,6 +70,25 @@ object PinotBench {
       spark.read.format("pinot").load(plainDir.toString)
     def invTable: DataFrame = spark.read.format("pinot").load(invDir.toString)
 
+    // range + bloom demo pair: a 2M-row UNSORTED RAW metric whose extreme
+    // values cluster in doc order (incident shape). The range probe
+    // (> 4M) matches only the incident; the bloom probe is an absent
+    // value INSIDE [min, max] — the case min/max pruning can never catch
+    val metric = Array.tabulate(bigN)(i =>
+      if (i >= 1000000 && i < 1004000) 5000000L + i
+      else i * 2654435761L % 1000000)
+    val mPlainDir = root.resolve("mPlain_OFFLINE")
+    SegmentWriter.write(mPlainDir.resolve("seg0"), "mPlain", "seg0", Seq(
+      SegmentWriter.LongRawCol("metric", metric),
+      SegmentWriter.IntCol("hits", bigHits)))
+    val mIdxDir = root.resolve("mIdx_OFFLINE")
+    SegmentWriter.write(mIdxDir.resolve("seg0"), "mIdx", "seg0", Seq(
+      SegmentWriter.LongRawCol("metric", metric),
+      SegmentWriter.IntCol("hits", bigHits)),
+      bloomCols = Set("metric"), rangeCols = Set("metric"))
+    def mPlain: DataFrame = spark.read.format("pinot").load(mPlainDir.toString)
+    def mIdx: DataFrame = spark.read.format("pinot").load(mIdxDir.toString)
+
     def table: DataFrame = spark.read.format("pinot").load(tableDir.toString)
 
     val shapes: Seq[(String, () => DataFrame)] = Seq(
@@ -91,6 +110,18 @@ object PinotBench {
         .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
       "xfilter_sparse_inverted" -> (() => invTable
         .filter(col("tag") === "needle")
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xrange_incident_scan" -> (() => mPlain
+        .filter(col("metric") > 4000000L)
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xrange_incident_indexed" -> (() => mIdx
+        .filter(col("metric") > 4000000L)
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xbloom_miss_scan" -> (() => mPlain
+        .filter(col("metric") === 4999999L)
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xbloom_miss_indexed" -> (() => mIdx
+        .filter(col("metric") === 4999999L)
         .agg(sum("hits").as("s"), count(lit(1)).as("c"))))
 
     // Floor control: the same DSv2 code path over a 1-row segment — any
