@@ -117,7 +117,31 @@ object RangeSection {
       else math.max(16, math.min(256, n / 1024))
     val ranges = math.max(1, math.min(target, n))
     val per = (n + ranges - 1) / ranges
-    val buckets = sorted.grouped(per).toArray
+    def num(d: Int): Double =
+      if (isDouble) java.lang.Double.longBitsToDouble(bits(d)) else bits(d).toDouble
+    // Equal-doc chunking, then split any bucket at a DOMINANT internal
+    // value gap (gap > half the bucket's span): a bucket straddling the
+    // void between a dense value mass and an outlier cluster would
+    // otherwise admit its scattered low-value docs to every probe aimed
+    // at the cluster — exactly the boundary-bucket leak that erases the
+    // window-skipping win. One split level bounds bucket count at 2×.
+    val buckets = sorted.grouped(per).toArray.flatMap { b =>
+      if (b.length < 8) Seq(b) // tiny buckets can't leak enough to matter
+      else {
+        var gapAt = -1
+        var gap = 0d
+        var i = 1
+        while (i < b.length) {
+          val g = num(b(i)) - num(b(i - 1))
+          if (g > gap) { gap = g; gapAt = i }
+          i += 1
+        }
+        val span = num(b(b.length - 1)) - num(b(0))
+        if (gapAt > 0 && gap * 2 > span && span > 0)
+          Seq(b.slice(0, gapAt), b.slice(gapAt, b.length))
+        else Seq(b)
+      }
+    }
     val mins = buckets.map(b => bits(b.head))
     val maxs = buckets.map(b => bits(b.last))
     val body = new ByteArrayOutputStream()

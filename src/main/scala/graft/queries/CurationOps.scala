@@ -200,7 +200,44 @@ object CurationOps {
             regexp_replace(col("text"),
               "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
             "[0-9]+", "<NUM>")).as("redacted_digest"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Unigram-frequency "surprisal" scoring (the cheap LM-free proxy for
+    // informativeness): per document, the mean corpus frequency of its
+    // tokens and the fraction of rare tokens — all exact integers. The
+    // frequency table is a two-stage count aggregate; per-token lookup is
+    // a shuffle join on the token (at 100 TB the frequency table of a
+    // natural-language vocab is small enough to BROADCAST, making this a
+    // single corpus scan — kept as a plain join here so the oracle plan
+    // is engine-neutral).
+    "q96_surprisal" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("f"))
+      tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("CAST(sum(f) div count(1) AS BIGINT)").as("mean_freq"),
+          expr("CAST(sum(CASE WHEN f * 20 <= 600 THEN 1 ELSE 0 END) " +
+            "AS BIGINT)").as("rare_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Mixture reweighting manifest: per-(lang, source) sampling weight
+    // that flattens the corpus toward a uniform domain mix —
+    // weight_e6 = round(1e6 × target_share / actual_share) in integer
+    // arithmetic. One tiny two-level aggregate; the manifest drives the
+    // sampler, the corpus itself never shuffles.
+    "q97_mixture_weights" -> ((s, d) => {
+      val by = docs(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"))
+      val tot = by.agg(sum("docs").as("total"), count(lit(1)).as("k"))
+      by.crossJoin(tot)
+        .withColumn("weight_e6",
+          expr("CAST((1000000 * total) div (k * docs) AS BIGINT)"))
+        .select("lang", "source", "docs", "weight_e6")
+        .orderBy("lang", "source")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +371,28 @@ object CurationOps {
         |  md5(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g')) AS redacted_digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(f) // count(*) AS BIGINT) AS mean_freq,
+        |  CAST(sum(CASE WHEN f * 20 <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rare_tokens
+        |FROM tok JOIN freq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q97_mixture_weights" ->
+      """WITH by_d AS (
+        |  SELECT lang, source, count(*) AS docs
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT CAST(sum(docs) AS BIGINT) AS total,
+        |               count(*) AS k FROM by_d)
+        |SELECT lang, source, docs,
+        |  CAST((1000000 * total) // (k * docs) AS BIGINT) AS weight_e6
+        |FROM by_d, tot ORDER BY lang, source""".stripMargin
   )
 }

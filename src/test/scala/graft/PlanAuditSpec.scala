@@ -37,10 +37,11 @@ class PlanAuditSpec extends SparkTestBase {
   // aggregate × the distinct event types — O(types) rows broadcast, by
   // construction tiny and data-volume-independent
   // q90 = q47's shape: a tiny broadcast probe side joined non-equi
-  // against one corpus scan — the intended KNN idiom
+  // against one corpus scan — the intended KNN idiom; q97 crosses a
+  // 1-row totals aggregate into a per-domain manifest (O(domains) rows)
   private val intendedNestedLoop = Set(
     "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q88_gapfill",
-    "q90_quantized_ann")
+    "q90_quantized_ann", "q97_mixture_weights")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {
