@@ -125,7 +125,34 @@ object Joins {
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"),
           round(avg("o_totalprice"), 2).as("avg_price"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // TPC-H Q4 shape (adapted: EXISTS probes lineitems shipped after the
+    // order date — the testdata has no commit/receipt dates): priority
+    // counts over a half-year window via a left-semi join. The semi join
+    // shuffles both sides on the order key once; no row multiplication.
+    "q98_tpch_q4" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      o.join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6: the scan-dominated filter-aggregate — every predicate
+    // pushes to the parquet scan, the aggregate is a 1-row partial+final.
+    "q99_tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .filter(col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")))
   )
 
   val extraOracleSql: Map[String, String] = Map(
@@ -145,7 +172,25 @@ object Joins {
     "q69_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
         |  count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
-        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q98_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |AND o_orderdate < TIMESTAMP '1995-07-01'
+        |AND EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q99_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |AND l_shipdate < TIMESTAMP '1996-01-01'
+        |AND l_discount >= 0.05 AND l_discount <= 0.07
+        |AND l_quantity < 24""".stripMargin
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -146,4 +146,39 @@ object EventPipelines {
           }
       }
   }
+
+  case class LatestOut(user_id: Long, last_ms: Long, last_id: Long,
+      last_type: String, last_value: Double, n_versions: Long)
+
+  /** Streaming upsert view (Pinot upsert-table semantics in motion —
+    * q87's batch aggregate as continuously-maintained state): per
+    * primary key, keep only the LATEST version by (comparison column,
+    * tie-break id); every micro-batch emits each touched key's current
+    * winner, so an update-mode sink materializes the upsert view
+    * incrementally. State is ONE small row per live key — the bound a
+    * Pinot upsert server's primary-key metadata carries.
+    */
+  def latestWins(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LatestOut]) =>
+          val batch = rows.toSeq
+          val b = batch.maxBy(e => (e.ts.getTime, e.event_id))
+          val versions = state.getOption.map(_.n_versions).getOrElse(0L)
+          val incoming = LatestOut(userId, b.ts.getTime, b.event_id,
+            b.event_type, b.value, 0L)
+          val winner = state.getOption match {
+            case Some(cur) if cur.last_ms > incoming.last_ms ||
+                (cur.last_ms == incoming.last_ms &&
+                  cur.last_id >= incoming.last_id) => cur
+            case _ => incoming
+          }
+          // n_versions counts every ingested version, winner or not
+          val next = winner.copy(n_versions = versions + batch.size)
+          state.update(next)
+          next
+      }
+  }
 }

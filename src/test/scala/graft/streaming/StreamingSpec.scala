@@ -168,6 +168,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("latestWins maintains the upsert view across batches (q87 in motion)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = latestWins(mem.toDS())
+      .writeStream.format("memory").queryName("upsert_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 2.0), // newer version of key 1
+        Event(3, ts(5), 2, "view", 3.0))
+      q.processAllAvailable()
+      // out-of-order ingest: an OLDER version must NOT displace the
+      // current winner; a newer one must
+      mem.addData(Event(4, ts(15), 1, "buy", 9.0)) // older than event 2
+      mem.addData(Event(5, ts(30), 2, "buy", 4.0)) // newer for key 2
+      q.processAllAvailable()
+      // update-mode memory sink appends each emission; the view is the
+      // LAST emission per key
+      val view = spark.table("upsert_stream")
+        .orderBy(desc("n_versions")) // last emission has the max count
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.maxBy(_.getLong(5)) }
+      assert(view(1L).getLong(2) === 2L, "key 1 winner stays event 2")
+      assert(view(1L).getString(3) === "click")
+      assert(view(1L).getLong(5) === 3L, "3 versions ingested for key 1")
+      assert(view(2L).getLong(2) === 5L, "key 2 advanced to event 5")
+      assert(view(2L).getLong(5) === 2L)
+      // agreement with the batch aggregate (q87's semantics): replaying
+      // everything in batch yields the same winners
+      val all = Seq(Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 2.0), Event(3, ts(5), 2, "view", 3.0),
+        Event(4, ts(15), 1, "buy", 9.0), Event(5, ts(30), 2, "buy", 4.0))
+      val batch = all.toDF()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          max_by(struct(col("event_id"), col("event_type")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("id"),
+          col("n_versions"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(batch(1L) === ((2L, 3L)))
+      assert(batch(2L) === ((5L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize over the events table matches the q53 oracle shape") {
     val df = graft.SparkEntry.queries("q53_events_sessions")(spark, sfDir)
     val rows = df.collect()
