@@ -96,6 +96,109 @@ object PinotCompact {
       formatVersion, ranges, texts)
   }
 
+  /** Merge-ROLLUP compaction (EXTENSION — Pinot's MergeRollupTask):
+    * compact every segment under `tableDir` into one, AGGREGATING rows
+    * that share the `dims` values — SUM over the named metric columns,
+    * first-in-dim-order wins is not needed because dims+metrics must
+    * cover the whole schema. The time-series pattern: raw events roll up
+    * to (dims, summed metrics) as they age, shrinking storage while
+    * keeping every additive query answer identical.
+    *
+    * Constraints (Pinot's, enforced here): every column is either a dim
+    * or a SUM metric; metrics are numeric; no nullable columns; dims may
+    * be any scalar type. Indexes requested on dims survive (rebuilt).
+    */
+  def rollup(tableDir: String, dims: Seq[String],
+      metrics: Seq[String]): Path = {
+    val root = Paths.get(tableDir)
+    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
+      .map(_.getParent)
+    val readers = segDirs.map(d => SegmentReader.open(d))
+    val metas = readers.map(_.metadata)
+    val first = metas.head
+    val colNames = first.columns.keys.toSeq
+    require((dims ++ metrics).toSet == colNames.toSet,
+      s"rollup: dims ++ metrics must cover exactly the schema $colNames")
+    require(metas.forall(m => colNames.forall(c => !m.columns(c).hasNullVector)),
+      "rollup: nullable columns cannot roll up")
+    val (cols, _) = materialize(readers)
+    val byName = cols.map(c => c.name -> c).toMap
+    val n = cols.head.length
+
+    def dimKey(c: SegmentWriter.ColumnData, d: Int): Any = c match {
+      case SegmentWriter.IntCol(_, v) => v(d)
+      case SegmentWriter.LongCol(_, v) => v(d)
+      case SegmentWriter.StringDictCol(_, v, _) => v(d)
+      case SegmentWriter.StringRawCol(_, v, _, _, _) => v(d)
+      case SegmentWriter.BoolCol(_, v) => v(d)
+      case SegmentWriter.TimestampCol(_, v) => v(d)
+      case other => throw new PinotFormatException(
+        s"rollup: unsupported dim column kind for ${other.name}")
+    }
+    // group doc ids by dim tuple, FIRST-SEEN order (deterministic: doc order)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[Int]]
+    val dimCols = dims.map(byName)
+    var d = 0
+    while (d < n) {
+      val key = dimCols.map(c => dimKey(c, d))
+      groups.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += d
+      d += 1
+    }
+    val order = groups.values.toArray
+
+    def take(c: SegmentWriter.ColumnData): SegmentWriter.ColumnData = c match {
+      // dims: representative value per group (identical within the group)
+      case SegmentWriter.IntCol(nm, v) if dims.contains(nm) =>
+        SegmentWriter.IntCol(nm, order.map(g => v(g.head)))
+      case SegmentWriter.LongCol(nm, v) if dims.contains(nm) =>
+        SegmentWriter.LongCol(nm, order.map(g => v(g.head)))
+      case SegmentWriter.StringDictCol(nm, v, f) if dims.contains(nm) =>
+        SegmentWriter.StringDictCol(nm, order.map(g => v(g.head)), f)
+      case SegmentWriter.StringRawCol(nm, v, cp, t, m) if dims.contains(nm) =>
+        SegmentWriter.StringRawCol(nm, order.map(g => v(g.head)), cp, t, m)
+      case SegmentWriter.BoolCol(nm, v) if dims.contains(nm) =>
+        SegmentWriter.BoolCol(nm, order.map(g => v(g.head)))
+      case SegmentWriter.TimestampCol(nm, v) if dims.contains(nm) =>
+        SegmentWriter.TimestampCol(nm, order.map(g => v(g.head)))
+      // metrics: exact SUM per group (int widens to long-safe via math)
+      case SegmentWriter.IntCol(nm, v) =>
+        SegmentWriter.IntCol(nm, order.map(g =>
+          Math.toIntExact(g.foldLeft(0L)((a, i) => a + v(i)))))
+      case SegmentWriter.LongCol(nm, v) =>
+        SegmentWriter.LongCol(nm, order.map(g =>
+          g.foldLeft(0L)((a, i) => Math.addExact(a, v(i)))))
+      case SegmentWriter.DoubleCol(nm, v) =>
+        SegmentWriter.DoubleCol(nm, order.map(g =>
+          g.foldLeft(0d)((a, i) => a + v(i))))
+      case SegmentWriter.IntRawCol(nm, v, cp, t) =>
+        SegmentWriter.IntRawCol(nm, order.map(g =>
+          Math.toIntExact(g.foldLeft(0L)((a, i) => a + v(i)))), cp, t)
+      case SegmentWriter.LongRawCol(nm, v, cp, t) =>
+        SegmentWriter.LongRawCol(nm, order.map(g =>
+          g.foldLeft(0L)((a, i) => Math.addExact(a, v(i)))), cp, t)
+      case SegmentWriter.DoubleRawCol(nm, v, cp, t) =>
+        SegmentWriter.DoubleRawCol(nm, order.map(g =>
+          g.foldLeft(0d)((a, i) => a + v(i))), cp, t)
+      case other => throw new PinotFormatException(
+        s"rollup: metric ${other.name} must be numeric")
+    }
+    val rolled = cols.map(take)
+
+    val invertedCols = colNames.filter(c =>
+      dims.contains(c) && metas.forall(_.columns(c).hasInvertedIndex)).toSet
+    val mergedName = s"rollup_${first.tableName}_0"
+    val tmp = root.resolve(s"tmp_rollup_$mergedName")
+    SegmentWriter.write(tmp, first.tableName, mergedName, rolled,
+      invertedCols, Map.empty, first.timeColumn.filter(dims.contains))
+    require(SegmentReader.open(tmp).totalDocs == order.length,
+      "rollup: merged group count mismatch")
+    segDirs.foreach(d => deleteRecursively(d))
+    val visible = root.resolve(mergedName)
+    Files.move(tmp, visible)
+    visible
+  }
+
   /** Per-column data + merged null vectors across `readers`, preserving
     * each column's logical type; shared by [[compact]] and [[convert]].
     */

@@ -226,6 +226,26 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Vector fixture: the embeddings corpus stored IN Pinot segments as
+    * multi-value double columns — float32 widens exactly, so similarity
+    * math over the read-back vectors is bit-identical to the parquet
+    * originals.
+    */
+  private def vecTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("embeddingsPinot_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .repartition(2)
+        .write.format("pinot").mode("append").save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -451,6 +471,35 @@ object PinotRoundtrip {
         .orderBy("lang")
     }),
 
+    // Vector search OVER THE CONNECTOR: embeddings live in Pinot
+    // segments (MV double forward index), KNN runs on the read-back
+    // vectors with the same int64-quantized exact scoring as q47 — an
+    // MV offset/value corruption anywhere in the write→decode chain
+    // reorders neighbors and breaks the hash.
+    "q100_pinot_vector" -> ((s, d) => {
+      import graft.functions.GraftFunctions.dotq
+      val e = s.read.format("pinot").load(vecTable(s, d))
+        .withColumn("qvec",
+          expr("transform(emb, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .withColumn("dotself", dotq(col("qvec"), col("qvec")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+          col("dotself").as("q_self"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      broadcast(q)
+        .join(e.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+          col("dotself").as("n_self")), col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
+        .withColumn("cos_sim", col("dot").cast("double") /
+          sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -582,6 +631,31 @@ object PinotRoundtrip {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE contains(text, 'dup')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q100_pinot_vector" ->
+      """WITH E AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qvec
+        |  FROM embeddings),
+        |S AS (SELECT vec_id, qvec,
+        |  list_sum(list_transform(range(1, len(qvec) + 1),
+        |    i -> qvec[i] * qvec[i])) AS dotself FROM E),
+        |J AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(q.qvec) + 1),
+        |      i -> q.qvec[i] * n.qvec[i])) AS dot,
+        |    q.dotself AS q_self, n.dotself AS n_self
+        |  FROM S q JOIN S n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+        |R AS (
+        |  SELECT q_id, n_id,
+        |    dot / sqrt(CAST(q_self AS DOUBLE) * n_self) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot / sqrt(CAST(q_self AS DOUBLE) * n_self) DESC,
+        |        n_id ASC) AS rank
+        |  FROM J)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        |  round(cos_sim, 4) AS cos_sim
+        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q80_pinot_nullable" ->
       """WITH subset AS (

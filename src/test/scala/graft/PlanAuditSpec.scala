@@ -41,7 +41,7 @@ class PlanAuditSpec extends SparkTestBase {
   // 1-row totals aggregate into a per-domain manifest (O(domains) rows)
   private val intendedNestedLoop = Set(
     "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q88_gapfill",
-    "q90_quantized_ann", "q97_mixture_weights")
+    "q90_quantized_ann", "q97_mixture_weights", "q100_pinot_vector")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {

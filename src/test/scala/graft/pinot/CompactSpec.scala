@@ -52,4 +52,49 @@ class CompactSpec extends SparkTestBase {
     assert(PinotCompact.compact(tdir.toString).getFileName.toString ===
       merged.getFileName.toString)
   }
+
+  test("rollup compacts segments while SUM-aggregating shared dim tuples") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_rollup")
+    val tdir = root.resolve("r_OFFLINE")
+    // raw events: (tenant, hour-bucket ts) dims; (hits, amount) metrics.
+    // 40 distinct dim tuples across 6000 rows in 3 segments.
+    val rows = (0 until 6000).map { i =>
+      (s"tenant${i % 8}",
+        new java.sql.Timestamp(1704067200000L + (i % 5) * 3600000L),
+        1, (i % 10) * 1.5)
+    }
+    rows.toDF("tenant", "ts", "hits", "amount")
+      .repartition(3)
+      .write.format("pinot").mode("append")
+      .option("invertedIndexColumns", "tenant")
+      .option("timeColumn", "ts")
+      .save(tdir.toString)
+
+    val merged = PinotCompact.rollup(tdir.toString,
+      dims = Seq("tenant", "ts"), metrics = Seq("hits", "amount"))
+    val meta = SegmentReader.open(merged).metadata
+    assert(meta.totalDocs === 40, "one row per distinct dim tuple")
+    assert(meta.columns("tenant").hasInvertedIndex, "dim index rebuilt")
+    assert(meta.timeColumn === Some("ts"), "time column (a dim) survives")
+
+    // every additive answer is IDENTICAL to the raw aggregate
+    val df = spark.read.format("pinot").load(tdir.toString)
+    val got = df.groupBy("tenant")
+      .agg(sum("hits").as("h"), round(sum("amount"), 2).as("a"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> ((rs.map(_._3.toLong).sum,
+        math.rint(rs.map(_._4).sum * 100) / 100))
+    }
+    assert(got === want, "rollup preserves every additive aggregate")
+    assert(df.count() === 40)
+    // swapping roles (string metric / double dim) fails loudly
+    val err = intercept[Exception] {
+      PinotCompact.rollup(tdir.toString, Seq("ts", "hits", "amount"),
+        Seq("tenant"))
+    }
+    assert(err.getMessage.contains("rollup"))
+  }
 }
