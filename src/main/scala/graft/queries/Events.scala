@@ -69,6 +69,28 @@ object Events {
           round(col("last.value"), 2).as("last_value"))
         .orderBy("user_id")),
 
+    // Partial upsert (Pinot's partialUpsertStrategies): per primary key,
+    // each column merges by its declared strategy — OVERWRITE takes the
+    // latest version's value, INCREMENT accumulates, MAX keeps the
+    // largest, APPEND unions (order-normalized). One map-side-combinable
+    // aggregate; the strategies are exactly Pinot's column configs.
+    "q101_partial_upsert" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_versions"),
+          // OVERWRITE: value of the latest (ts, event_id) version
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"),
+          // INCREMENT: running total across versions
+          round(sum("value"), 2).as("total_value"),
+          // MAX: high-water mark
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+          // APPEND: set-union of observed types, normalized for hashing
+          array_join(array_sort(collect_set("event_type")), ",")
+            .as("seen_types"))
+        .orderBy("user_id")),
+
     // Time-series gap-fill + downsample (Pinot's GapFill FILL(PREVIOUS)):
     // hourly buckets per event_type over the full observed range; empty
     // buckets appear with cnt=0 and carry the previous bucket's value
@@ -178,6 +200,21 @@ object Events {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
         |  event_type AS last_type, round(value, 2) AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q101_partial_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |  count(*) AS n_versions,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+        |  round(sum(value), 2) AS total_value,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',')
+        |    AS seen_types
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // carry-forward without IGNORE NULLS (portable): grp = running count
     // of non-null buckets; within each grp only its FIRST row is

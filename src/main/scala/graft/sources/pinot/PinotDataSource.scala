@@ -188,9 +188,14 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val textCols = Option(info.options.get("textIndexColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("sortedColumn", "c")`: physically sort each segment by
+    // the column (Pinot's sortedColumn table config) — sorted sub-
+    // segment ranging then applies to every written segment
+    val sortedCol = Option(info.options.get("sortedColumn")).map(_.trim)
+      .filter(_.nonEmpty)
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols)
+      bloomCols, rangeCols, textCols, sortedCol)
   }
 }
 

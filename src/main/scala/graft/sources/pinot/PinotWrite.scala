@@ -33,12 +33,13 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty) extends WriteBuilder {
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol, starTreeSpec, bloomCols, rangeCols, textCols)
+      timeCol, starTreeSpec, bloomCols, rangeCols, textCols, sortedCol)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
@@ -46,7 +47,7 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
         jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-        textCols)
+        textCols, sortedCol)
   }
 }
 
@@ -58,14 +59,15 @@ class PinotStreamingWrite(path: String, tableName: String,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty)
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
       jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-      textCols)
+      textCols, sortedCol)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -93,12 +95,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty) extends BatchWrite {
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
       jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
-      rangeCols, textCols)
+      rangeCols, textCols, sortedCol)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -148,14 +151,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty)
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols, rangeCols, textCols)
+      bloomCols, rangeCols, textCols, sortedCol)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -167,7 +171,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty)
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -260,6 +265,20 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     if (!ok) throw new PinotFormatException(
       s"textIndexColumns entry $tc must be an existing STRING column")
   }
+  // sorted column (Pinot's sortedColumn table config): rows are SORTED
+  // by it at write time, so every segment records isSorted=true and the
+  // scan's sorted sub-segment ranging applies by construction
+  sortedCol.foreach { sc =>
+    val ok = schema.fieldNames.contains(sc) && (schema(sc).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"sortedColumn $sc must be an existing scalar column")
+    if (nullableCols(sc)) throw new PinotFormatException(
+      s"sortedColumn $sc cannot be nullable")
+  }
   // star-tree: dims must be dict-encodable scalars, metrics numeric;
   // neither may be nullable (same constraints as Pinot's star-tree)
   starTreeSpec.foreach { st =>
@@ -301,7 +320,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols)
+      bloomCols, rangeCols, textCols, sortedCol)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -313,7 +332,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     starTreeSpec: Option[StarTree.Spec] = None,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
-    textCols: Set[String] = Set.empty)
+    textCols: Set[String] = Set.empty,
+    sortedCol: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -425,7 +445,26 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     nullBits.foreach(_.clear())
   }
 
-  private def writeSegment(rows: Seq[Int]): Unit = {
+  private def writeSegment(rowsIn: Seq[Int]): Unit = {
+    // sortedColumn: physically order the segment by the declared column
+    // (Pinot sorts offline segments the same way) — the scan's
+    // binary-searched sorted ranging then applies to EVERY segment
+    val rows: Seq[Int] = sortedCol match {
+      case None => rowsIn
+      case Some(sc) =>
+        val i = schema.fieldIndex(sc)
+        schema.fields(i).dataType match {
+          case IntegerType => rowsIn.sortBy(r => buffers(i)(r).asInstanceOf[Int])
+          case LongType | TimestampType =>
+            rowsIn.sortBy(r => buffers(i)(r).asInstanceOf[Long])
+          case FloatType => rowsIn.sortBy(r =>
+            buffers(i)(r).asInstanceOf[Float])(Ordering.Float.TotalOrdering)
+          case DoubleType => rowsIn.sortBy(r =>
+            buffers(i)(r).asInstanceOf[Double])(Ordering.Double.TotalOrdering)
+          case StringType => rowsIn.sortBy(r => buffers(i)(r).asInstanceOf[String])
+          case _ => rowsIn
+        }
+    }
     val suffix = f"${queryId}_$partitionId%05d_$segSeq%03d"
     // tmp dir is attempt-unique (taskId): a speculative/zombie sibling
     // attempt can never delete or interleave with a live attempt's

@@ -339,4 +339,32 @@ class PinotWriteSpec extends SparkTestBase {
     val df = Seq(Some(1L), None).toDF("k")
     intercept[Exception](df.write.format("pinot").mode("append").save(dir))
   }
+
+  test("sortedColumn physically orders segments and enables ranging") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pinot_write5")
+      .resolve("sorted_OFFLINE").toString
+    // deliberately SHUFFLED ingest order — without the option, isSorted
+    // would be false and sorted ranging could never apply
+    val rnd = new scala.util.Random(5)
+    val rows = rnd.shuffle((0 until 20000).toList)
+      .map(i => (i.toLong * 3, s"v$i"))
+    rows.toDF("k", "s")
+      .repartition(2)
+      .write.format("pinot").mode("append")
+      .option("sortedColumn", "k")
+      .save(dir)
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala.foreach { seg =>
+      val meta = graft.pinot.SegmentReader.open(seg).metadata
+      assert(meta.columns("k").isSorted,
+        s"segment ${seg.getFileName} must record isSorted for k")
+    }
+    // read-back correct and range filters correct through the ranged scan
+    val back = spark.read.format("pinot").load(dir)
+    assert(back.count() === 20000)
+    assert(back.filter(col("k") >= 30000L && col("k") < 30300L).count() ===
+      rows.count(r => r._1 >= 30000L && r._1 < 30300L))
+    val got = back.filter(col("k") === 2997L).select("s").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("v999"))
+  }
 }
