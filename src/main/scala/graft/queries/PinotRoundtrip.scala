@@ -246,6 +246,25 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Orders fixture for the Pinot×Pinot join: the orders subset keyed by
+    * the same o_orderkey domain as the lineitem fixture.
+    */
+  private def ordersTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("ordersPinot_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10000)
+        .repartition(2)
+        .write.format("pinot").mode("append").save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -471,6 +490,22 @@ object PinotRoundtrip {
         .orderBy("lang")
     }),
 
+    // Pinot × Pinot join: BOTH sides of an equi-join read from segments
+    // (multi-table serving, README.md:173-176 extended to joins the
+    // reference never runs). Each side prunes columns independently;
+    // the join shuffles on the key like any fact-fact join.
+    "q102_pinot_join" -> ((s, d) => {
+      val li = s.read.format("pinot").load(segmentTable(s, d))
+      val o = s.read.format("pinot").load(ordersTable(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          sum(when(col("l_returned"), 1L).otherwise(0L)).as("returned"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Vector search OVER THE CONNECTOR: embeddings live in Pinot
     // segments (MV double forward index), KNN runs on the read-back
     // vectors with the same int64-quantized exact scoring as q47 — an
@@ -631,6 +666,22 @@ object PinotRoundtrip {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE contains(text, 'dup')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q102_pinot_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000)),
+        |o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |    SELECT * FROM orders ORDER BY o_orderkey LIMIT 10000))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returned
+        |FROM li JOIN o ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q100_pinot_vector" ->
       """WITH E AS (SELECT vec_id,

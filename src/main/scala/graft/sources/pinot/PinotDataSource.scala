@@ -101,8 +101,32 @@ object PinotSegments {
     * HashMap-iteration hazard, SURVEY §2A).
     */
   def schemaFor(segments: Seq[Path]): StructType = {
-    val meta = SegmentMetadata.fromFile(segments.head.resolve("metadata.properties"))
-    StructType(meta.columns.values.toSeq.map { c =>
+    // SCHEMA EVOLUTION (EXTENSION — Apache Pinot's add-a-column model;
+    // the reference takes the first segment as authoritative,
+    // table.rs:115-118): the table schema is the UNION of every
+    // segment's columns, ordered by first appearance. Old segments
+    // missing a later-added column serve that column's TYPE DEFAULT
+    // (0 / "" / false — Pinot's defaultNullValue backfill); same-name
+    // type conflicts fail loudly.
+    val metas = segments.map(p =>
+      SegmentMetadata.fromFile(p.resolve("metadata.properties")))
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String,
+      graft.pinot.ColumnMetadata]
+    metas.foreach(_.columns.values.foreach { c =>
+      seen.get(c.name) match {
+        case None => seen(c.name) = c
+        case Some(prev) =>
+          if (prev.dataType != c.dataType ||
+              prev.isSingleValue != c.isSingleValue)
+            throw new PinotFormatException(
+              s"Column ${c.name} has conflicting types across segments: " +
+                s"${prev.dataType.name} vs ${c.dataType.name}")
+          // nullability is table-level: any segment declaring a null
+          // vector makes the field nullable
+          if (c.hasNullVector && !prev.hasNullVector) seen(c.name) = c
+      }
+    })
+    StructType(seen.values.toSeq.map { c =>
       val t =
         if (c.isSingleValue) c.dataType.sparkType
         else org.apache.spark.sql.types.ArrayType(c.dataType.sparkType,

@@ -466,7 +466,8 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PinotReaderFactory(projected.fieldNames, skipFilters, limit)
+    new PinotReaderFactory(projected.fieldNames, skipFilters, limit,
+      PinotScan.expectedTypes(projected))
 }
 
 /** Scan for a pushed-down global COUNT/MIN/MAX aggregation.
@@ -849,6 +850,27 @@ object PinotScan {
 
   /** Epoch micros of a pushed timestamp filter value (both the legacy
     * java.sql.Timestamp and the Java-8 Instant API forms). */
+  /** Spark field types → Pinot storage types for schema-evolution
+    * defaults (the reverse of PinotType.sparkType; Decimal/Array have no
+    * scalar default path and are simply absent from the map).
+    */
+  private[pinot] def expectedTypes(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, PinotType] =
+    schema.fields.flatMap { f =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType => Some(PinotType.PInt)
+        case org.apache.spark.sql.types.LongType => Some(PinotType.PLong)
+        case org.apache.spark.sql.types.FloatType => Some(PinotType.PFloat)
+        case org.apache.spark.sql.types.DoubleType => Some(PinotType.PDouble)
+        case org.apache.spark.sql.types.StringType => Some(PinotType.PString)
+        case org.apache.spark.sql.types.BooleanType => Some(PinotType.PBoolean)
+        case org.apache.spark.sql.types.TimestampType => Some(PinotType.PTimestamp)
+        case org.apache.spark.sql.types.BinaryType => Some(PinotType.PBytes)
+        case _ => None
+      }
+      t.map(f.name -> _)
+    }.toMap
+
   private[pinot] def timestampMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
       Some(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
@@ -984,7 +1006,9 @@ case class PinotKeyedPartition(segmentPath: String,
 }
 
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
-    limit: Option[Int]) extends PartitionReaderFactory {
+    limit: Option[Int],
+    expectedTypes: Map[String, PinotType] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -997,7 +1021,8 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
       case PinotKeyedPartition(p, _) => p
       case other => throw new IllegalArgumentException(s"unexpected $other")
     }
-    new PinotColumnarReader(path, columns, skipFilters, limit)
+    new PinotColumnarReader(path, columns, skipFilters, limit,
+      expectedTypes)
   }
 }
 
@@ -1007,7 +1032,8 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
   * nothing and emits row-count-only batches.
   */
 class PinotColumnarReader(segmentPath: String, columns: Array[String],
-    skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None)
+    skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None,
+    expectedTypes: Map[String, PinotType] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchSize = 8192
@@ -1575,6 +1601,36 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   private lazy val decoded: Array[ColPlan] =
     columns.map { name =>
+      // SCHEMA EVOLUTION: a column this (older) segment does not carry
+      // serves its TYPE DEFAULT for every doc — a single-entry
+      // dictionary over an all-zero id stream reuses the normal decode
+      // path untouched (Pinot's defaultNullValue backfill semantics)
+      if (!reader.metadata.columns.contains(name)) {
+        val tpe = expectedTypes.getOrElse(name,
+          throw new graft.pinot.PinotFormatException(
+            s"Column not found: $name"))
+        val zeroIds = new graft.pinot.FixedBitReader(
+          new Array[Byte](reader.totalDocs / 8 + 16), 1, reader.totalDocs)
+        tpe match {
+          case PinotType.PBoolean => BoolDirect(Array(0), zeroIds)
+          case PinotType.PInt =>
+            DictBacked(tpe, ArrayDictionary.ofInts(Array(0)), zeroIds)
+          case PinotType.PLong | PinotType.PTimestamp =>
+            DictBacked(tpe, ArrayDictionary.ofLongs(Array(0L)), zeroIds)
+          case PinotType.PFloat =>
+            DictBacked(tpe, ArrayDictionary.ofFloats(Array(0f)), zeroIds)
+          case PinotType.PDouble =>
+            DictBacked(tpe, ArrayDictionary.ofDoubles(Array(0d)), zeroIds)
+          case PinotType.PString | PinotType.PJson =>
+            DictBacked(PinotType.PString,
+              ArrayDictionary.ofBinary(Array(Array.emptyByteArray)), zeroIds)
+          case PinotType.PBytes =>
+            DictBacked(tpe,
+              ArrayDictionary.ofBinary(Array(Array.emptyByteArray)), zeroIds)
+          case other => throw new graft.pinot.PinotFormatException(
+            s"schema evolution: no default for ${other.name} column $name")
+        }
+      } else {
       val cm = reader.metadata.column(name)
       if (!cm.isSingleValue) {
         // MV columns disable sorted sub-ranging (docRange is full there)
@@ -1624,6 +1680,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           new NumRawWindowed(cm.dataType, reader.fixedByteReader(name))
         case other => throw new graft.pinot.PinotFormatException(
           s"Unsupported RAW column type for scan: ${other.name}")
+      }
       }
     }
 
