@@ -265,6 +265,38 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Schema-evolution fixture: the even half of documents written BEFORE
+    * the `n_chars` column existed (old segments), the odd half after —
+    * both through the DSv2 writer, merged into one table dir the way
+    * old segments persist through a real schema change.
+    */
+  private def evolvedTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("documentsEvo_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      val docs = Tables.load(s, d, "documents")
+      val oldDir = root.resolve("tmp_evo_old")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .repartition(1)
+        .write.format("pinot").mode("append").save(oldDir.toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(1)
+        .write.format("pinot").mode("append").save(tableDir.toString)
+      // adopt the pre-evolution segments into the evolved table
+      val it = Files.list(oldDir).iterator()
+      while (it.hasNext) {
+        val seg = it.next()
+        Files.move(seg, tableDir.resolve(s"old_${seg.getFileName}"))
+      }
+      Files.delete(oldDir)
+    }
+    tableDir.toString
+  }
+
   /** Hybrid fixture: events under a synthetic strictly-increasing time
     * column, split into OFFLINE (first 7,000) and REALTIME (rows 5,000+)
     * — rows 5,000–6,999 are deliberately ingested into BOTH, the
@@ -506,6 +538,20 @@ object PinotRoundtrip {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema evolution inside the oracle gate: pre-evolution segments
+    // serve the added column's TYPE DEFAULT (Pinot's defaultNullValue
+    // backfill); the oracle re-expresses that backfill over the original
+    // parquet. A default leaking into the wrong half — or a pushdown
+    // wrongly answering over the evolved column — breaks the hash.
+    "q103_pinot_evolved" -> ((s, d) => {
+      val p = s.read.format("pinot").load(evolvedTable(s, d))
+      p.groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(when(col("n_chars") === 0L, 1L).otherwise(0L)).as("backfilled"))
+        .orderBy("lang")
+    }),
+
     // Vector search OVER THE CONNECTOR: embeddings live in Pinot
     // segments (MV double forward index), KNN runs on the read-back
     // vectors with the same int64-quantized exact scoring as q47 — an
@@ -666,6 +712,16 @@ object PinotRoundtrip {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE contains(text, 'dup')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // n_chars of the synthetic corpus is never 0, so `backfilled` counts
+    // exactly the pre-evolution half
+    "q103_pinot_evolved" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS backfilled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q102_pinot_join" ->
       """WITH li AS (
