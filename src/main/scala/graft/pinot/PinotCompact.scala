@@ -199,6 +199,32 @@ object PinotCompact {
     visible
   }
 
+  /** Retention purge (EXTENSION — Pinot's RetentionManager): delete
+    * segments whose declared time column lies ENTIRELY before the
+    * boundary, decided from metadata alone (writer-recorded max bound) —
+    * no column IO, no scan. Segments without a declared time column or
+    * readable bounds are KEPT (refusal is always safe). Epoch-millis
+    * time grain, matching the TIMESTAMP storage type. Returns the purged
+    * segment names.
+    */
+  def purgeOlderThan(tableDir: String, boundaryMillis: Long): Seq[String] = {
+    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
+      .map(_.getParent)
+    segDirs.flatMap { d =>
+      val meta = SegmentReader.open(d).metadata
+      val expired = for {
+        tc <- meta.timeColumn
+        cm <- meta.columns.get(tc)
+        mx <- cm.maxValue
+        mxMs <- mx.toLongOption
+      } yield mxMs < boundaryMillis
+      if (expired.contains(true)) {
+        deleteRecursively(d)
+        Some(meta.segmentName)
+      } else None
+    }
+  }
+
   /** Per-column data + merged null vectors across `readers`, preserving
     * each column's logical type; shared by [[compact]] and [[convert]].
     */

@@ -1,6 +1,5 @@
 package graft.pinot
 
-import java.io.RandomAccessFile
 import java.nio.file.{Files, Path, Paths}
 
 /** Reader for one Pinot segment directory — BOTH on-disk layouts:
@@ -31,15 +30,32 @@ final class SegmentReader private (
 
   private val columnsPsf = segmentDir.resolve("columns.psf")
 
+  // one channel per reader, positional reads (pread) — no per-section
+  // open/close; a task reading k columns × (dictionary + forward index
+  // + secondary indexes) would otherwise reopen the file 3-4k times.
+  // Closed via [[close]] (the scan's PartitionReader.close calls it).
+  private var psfChannelOpt: java.nio.channels.FileChannel = null
+  private def psfChannel: java.nio.channels.FileChannel = {
+    if (psfChannelOpt == null)
+      psfChannelOpt = java.nio.channels.FileChannel.open(columnsPsf,
+        java.nio.file.StandardOpenOption.READ)
+    psfChannelOpt
+  }
+
+  def close(): Unit =
+    if (psfChannelOpt != null) { psfChannelOpt.close(); psfChannelOpt = null }
+
   /** Read one index section of columns.psf into memory. */
   private def psfSection(loc: IndexLocation): Array[Byte] = {
-    val raf = new RandomAccessFile(columnsPsf.toFile, "r")
-    try {
-      val out = new Array[Byte](loc.size.toInt)
-      raf.seek(loc.startOffset)
-      raf.readFully(out)
-      out
-    } finally raf.close()
+    val out = java.nio.ByteBuffer.allocate(loc.size.toInt)
+    var pos = loc.startOffset
+    while (out.hasRemaining) {
+      val n = psfChannel.read(out, pos)
+      if (n < 0) throw new PinotFormatException(
+        s"columns.psf truncated at $pos (wanted ${loc.size} bytes)")
+      pos += n
+    }
+    out.array()
   }
 
   /** Bytes of one index section: v3 = columns.psf slice via the index

@@ -1812,7 +1812,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = if (started) batch.close()
+  override def close(): Unit = {
+    try reader.close() catch { case _: Throwable => () }
+    if (started) batch.close()
+  }
 }
 
 /** Spark [[Dictionary]] over decoded Pinot values: the bridge that lets

@@ -97,4 +97,35 @@ class CompactSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("rollup"))
   }
+
+  test("retention purge drops fully-expired segments from metadata alone") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_retention")
+    val tdir = root.resolve("ret_OFFLINE")
+    val day = 86400000L
+    val t0 = 1700000000000L
+    // three time-disjoint segments (one write per day window)
+    (0 until 3).foreach { dayN =>
+      (0 until 500).map(i => (dayN * 500L + i,
+        new java.sql.Timestamp(t0 + dayN * day + i * 1000L)))
+        .toDF("id", "ts")
+        .repartition(1)
+        .write.format("pinot").mode("append")
+        .option("timeColumn", "ts")
+        .save(tdir.toString)
+    }
+    assert(spark.read.format("pinot").load(tdir.toString).count() === 1500)
+    // boundary inside day 1: day 0 is fully expired, days 1-2 stay
+    val purged = PinotCompact.purgeOlderThan(tdir.toString, t0 + day + 100000L)
+    assert(purged.length === 1)
+    val left = spark.read.format("pinot").load(tdir.toString)
+    assert(left.count() === 1000)
+    assert(left.agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) === 500L)
+    // a table without a declared time column refuses to purge anything
+    val plainDir = root.resolve("plain_OFFLINE")
+    Seq((1L, "a")).toDF("k", "v").repartition(1)
+      .write.format("pinot").mode("append").save(plainDir.toString)
+    assert(PinotCompact.purgeOlderThan(plainDir.toString, Long.MaxValue).isEmpty)
+  }
 }
