@@ -89,6 +89,28 @@ object PinotBench {
     def mPlain: DataFrame = spark.read.format("pinot").load(mPlainDir.toString)
     def mIdx: DataFrame = spark.read.format("pinot").load(mIdxDir.toString)
 
+    // text demo pair: 500k short docs, a rare token in 3 scattered docs —
+    // the TEXT_MATCH shape (contains pushes as a source filter; the text
+    // index narrows decode to the windows holding candidate tokens)
+    val textN = 500000
+    val needleDocs = Set(11, 250000, 499900)
+    val body = Array.tabulate(textN)(i =>
+      if (needleDocs(i)) s"common filler zebrafish$i words"
+      else s"common filler tok${i % 911} words")
+    val tPlainDir = root.resolve("tPlain_OFFLINE")
+    SegmentWriter.write(tPlainDir.resolve("seg0"), "tPlain", "seg0", Seq(
+      SegmentWriter.StringRawCol("body", body,
+        VarByteChunkV4.Lz4LengthPrefixed, 65536),
+      SegmentWriter.IntCol("hits", Array.tabulate(textN)(i => i % 263))))
+    val tIdxDir = root.resolve("tIdx_OFFLINE")
+    SegmentWriter.write(tIdxDir.resolve("seg0"), "tIdx", "seg0", Seq(
+      SegmentWriter.StringRawCol("body", body,
+        VarByteChunkV4.Lz4LengthPrefixed, 65536),
+      SegmentWriter.IntCol("hits", Array.tabulate(textN)(i => i % 263))),
+      textCols = Set("body"))
+    def tPlain: DataFrame = spark.read.format("pinot").load(tPlainDir.toString)
+    def tIdx: DataFrame = spark.read.format("pinot").load(tIdxDir.toString)
+
     def table: DataFrame = spark.read.format("pinot").load(tableDir.toString)
 
     val shapes: Seq[(String, () => DataFrame)] = Seq(
@@ -122,6 +144,12 @@ object PinotBench {
         .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
       "xbloom_miss_indexed" -> (() => mIdx
         .filter(col("metric") === 4999999L)
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xtext_match_scan" -> (() => tPlain
+        .filter(col("body").contains("zebrafish"))
+        .agg(sum("hits").as("s"), count(lit(1)).as("c"))),
+      "xtext_match_indexed" -> (() => tIdx
+        .filter(col("body").contains("zebrafish"))
         .agg(sum("hits").as("s"), count(lit(1)).as("c"))))
 
     // Floor control: the same DSv2 code path over a 1-row segment — any
