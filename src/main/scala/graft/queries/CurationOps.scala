@@ -223,6 +223,24 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window document chunking (the RAG/embedding-prep step:
+    // 64-token windows at stride 48, ragged tail kept): one explode per
+    // doc, chunk identity proven by digest. Pure per-row expressions —
+    // the corpus chunks in a single scan, no shuffle beyond the ordered
+    // output; at 100 TB each chunk row carries only (ids, digest), the
+    // chunk text itself flows straight into the downstream embedder.
+    "q104_chunking" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n", size(col("words")))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (n - 1) div 48), " +
+            "k -> slice(words, k * 48 + 1, 64))")).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_digest"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Mixture reweighting manifest: per-(lang, source) sampling weight
     // that flattens the corpus toward a uniform domain mix —
     // weight_e6 = round(1e6 × target_share / actual_share) in integer
@@ -384,6 +402,21 @@ object CurationOps {
         |    AS rare_tokens
         |FROM tok JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q104_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |k AS (SELECT doc_id, words,
+        |    unnest(range(0, ((n - 1) // 48) + 1)) AS cid
+        |  FROM w),
+        |c AS (SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |    list_slice(words, cid * 48 + 1, cid * 48 + 64) AS chunk
+        |  FROM k)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_digest
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q97_mixture_weights" ->
       """WITH by_d AS (
