@@ -25,8 +25,28 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: COLS {list(s.columns)} vs {list(d.columns)}"); fails += 1; continue
     if len(s) != len(d):
         print(f"{name}: ROWS {len(s)} vs {len(d)}"); fails += 1; continue
+    # Dtype-strict, mirroring the driver's type-sensitive hash. The driver
+    # unifies integer widths (int32 row_number vs DuckDB BIGINT passes:
+    # q20/q24 in CORRECTNESS_r03) but NOT kind — a DuckDB HUGEINT reaches
+    # pandas as float64/object and must fail here exactly like it fails
+    # there (q85 in r3). So: ints→int64, float32→float64, datetime→us;
+    # int-vs-float and object stay strict.
+    for df in (s, d):
+        for c in df.columns:
+            dt = df[c].dtype
+            if pd.api.types.is_datetime64_any_dtype(dt):
+                df[c] = df[c].astype('datetime64[us]')
+            elif pd.api.types.is_integer_dtype(dt):
+                df[c] = df[c].astype('int64')
+            elif str(dt) == 'float32':
+                df[c] = df[c].astype('float64')
+    sd = [str(s[c].dtype) for c in s.columns]
+    dd = [str(d[c].dtype) for c in d.columns]
+    if sd != dd:
+        bad = [(c, a, b) for c, a, b in zip(s.columns, sd, dd) if a != b]
+        print(f"{name}: DTYPE {bad}"); fails += 1; continue
     try:
-        pd.testing.assert_frame_equal(s.reset_index(drop=True), d.reset_index(drop=True), check_dtype=False)
+        pd.testing.assert_frame_equal(s.reset_index(drop=True), d.reset_index(drop=True), check_dtype=True)
         print(f"{name}: OK ({len(s)} rows)")
     except Exception as e:
         print(f"{name}: VALUES MISMATCH"); print('   ', str(e).split(chr(10))[:6]); fails += 1

@@ -325,7 +325,8 @@ object CurationOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_before
         |  FROM t)
-        |SELECT cum_before // 4096 AS seq_id, count(*) AS docs,
+        |SELECT CAST(cum_before // 4096 AS BIGINT) AS seq_id,
+        |  count(*) AS docs,
         |  CAST(sum(tokens) AS BIGINT) AS tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
