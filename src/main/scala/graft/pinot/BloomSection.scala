@@ -102,7 +102,7 @@ object BloomSection {
     val k = buf.getInt
     val numLongs = buf.getInt
     if (k < 1 || k > 64 || numLongs < 1 ||
-        bytes.length < 8 + 12 + numLongs * 8)
+        bytes.length < 8L + 12L + numLongs * 8L)
       throw new PinotFormatException("bloom_filter section: corrupt header")
     val bits = new Array[Long](numLongs)
     var i = 0

@@ -20,14 +20,22 @@ import java.nio.file.{Files, Path, Paths}
   */
 object PinotCompact {
 
+  /** Discovery yields `<segment>/v3` for v3-layout segments but the
+    * segment dir itself for v1/v2 layouts (no `v3/` subdir) — taking
+    * `.getParent` unconditionally would hand maintenance ops the TABLE
+    * dir for a v1 segment.
+    */
+  private def segmentDirs(tableDir: String): Seq[Path] =
+    graft.sources.pinot.PinotSegments.discover(tableDir)
+      .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
+
   /** Compact every segment under `tableDir` into one merged segment.
     * Returns the merged segment directory. No-op (returns the existing
     * dir) when the table already has a single segment.
     */
   def compact(tableDir: String): Path = {
     val root = Paths.get(tableDir)
-    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
-      .map(_.getParent) // v3 → segment dir
+    val segDirs = segmentDirs(tableDir)
     require(segDirs.nonEmpty, s"no segments under $tableDir")
     if (segDirs.length == 1) return segDirs.head
 
@@ -42,6 +50,8 @@ object PinotCompact {
     val totalDocs = metas.map(_.totalDocs).sum
 
     val (cols, nullVectors) = materialize(readers)
+    readers.foreach(_.close()) // columns are in memory; release fds before
+    // the swap so the deleted source segments don't pin disk space
 
     // inverted indexes survive when every source segment had one
     val invertedCols = colNames.filter(c =>
@@ -60,8 +70,10 @@ object PinotCompact {
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
       rangeCols = rangeCols, textCols = textCols)
-    require(SegmentReader.open(tmp).totalDocs == totalDocs,
+    val check = SegmentReader.open(tmp)
+    try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
+    finally check.close()
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
@@ -91,6 +103,7 @@ object PinotCompact {
         Some(StarTree.Spec(meta.starTreeDims,
           meta.starTreeMetrics.map(StarTree.Metric.parse)))
       else None
+    r.close()
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
       formatVersion, ranges, texts)
@@ -111,8 +124,7 @@ object PinotCompact {
   def rollup(tableDir: String, dims: Seq[String],
       metrics: Seq[String]): Path = {
     val root = Paths.get(tableDir)
-    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
-      .map(_.getParent)
+    val segDirs = segmentDirs(tableDir)
     val readers = segDirs.map(d => SegmentReader.open(d))
     val metas = readers.map(_.metadata)
     val first = metas.head
@@ -122,6 +134,7 @@ object PinotCompact {
     require(metas.forall(m => colNames.forall(c => !m.columns(c).hasNullVector)),
       "rollup: nullable columns cannot roll up")
     val (cols, _) = materialize(readers)
+    readers.foreach(_.close())
     val byName = cols.map(c => c.name -> c).toMap
     val n = cols.head.length
 
@@ -187,12 +200,21 @@ object PinotCompact {
 
     val invertedCols = colNames.filter(c =>
       dims.contains(c) && metas.forall(_.columns(c).hasInvertedIndex)).toSet
+    val bloomCols = colNames.filter(c =>
+      dims.contains(c) && metas.forall(_.columns(c).hasBloomFilter)).toSet
+    val rangeCols = colNames.filter(c =>
+      dims.contains(c) && metas.forall(_.columns(c).hasRangeIndex)).toSet
+    val textCols = colNames.filter(c =>
+      dims.contains(c) && metas.forall(_.columns(c).hasTextIndex)).toSet
     val mergedName = s"rollup_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_rollup_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, rolled,
-      invertedCols, Map.empty, first.timeColumn.filter(dims.contains))
-    require(SegmentReader.open(tmp).totalDocs == order.length,
+      invertedCols, Map.empty, first.timeColumn.filter(dims.contains),
+      bloomCols = bloomCols, rangeCols = rangeCols, textCols = textCols)
+    val check = SegmentReader.open(tmp)
+    try require(check.totalDocs == order.length,
       "rollup: merged group count mismatch")
+    finally check.close()
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
@@ -208,10 +230,10 @@ object PinotCompact {
     * segment names.
     */
   def purgeOlderThan(tableDir: String, boundaryMillis: Long): Seq[String] = {
-    val segDirs = graft.sources.pinot.PinotSegments.discover(tableDir)
-      .map(_.getParent)
+    val segDirs = segmentDirs(tableDir)
     segDirs.flatMap { d =>
-      val meta = SegmentReader.open(d).metadata
+      val r = SegmentReader.open(d)
+      val meta = try r.metadata finally r.close()
       val expired = for {
         tc <- meta.timeColumn
         cm <- meta.columns.get(tc)

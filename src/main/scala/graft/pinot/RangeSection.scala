@@ -178,7 +178,10 @@ object RangeSection {
       throw new PinotFormatException(s"range_index: unsupported version $version")
     val nr = buf.getInt
     val isDouble = buf.getInt == 1
-    if (nr < 1 || bytes.length < 8 + 12 + nr * 16 + 4 * (nr + 1))
+    // Long arithmetic: a corrupt nr like 0x20000000 overflows the Int
+    // form of nr*16 + 4*(nr+1) to a small/negative value, passing the
+    // check and then dying in allocation instead of as a format error
+    if (nr < 1 || bytes.length < 8L + 12L + nr * 16L + 4L * (nr + 1L))
       throw new PinotFormatException("range_index section: corrupt header")
     val mins = new Array[Long](nr)
     val maxs = new Array[Long](nr)

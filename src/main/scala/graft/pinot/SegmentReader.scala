@@ -440,7 +440,8 @@ object SegmentReader {
       ".text.inv" -> TextIndexSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
       ".dict" -> "dictionary")
-    Files.list(root).iterator().asScala
+    val listing = Files.list(root)
+    try listing.iterator().asScala
       .filter(Files.isRegularFile(_))
       .flatMap { f =>
         val n = f.getFileName.toString
@@ -451,5 +452,6 @@ object SegmentReader {
             (n.dropRight(ext.length), tpe) -> f
         }
       }.toMap
+    finally listing.close()
   }
 }

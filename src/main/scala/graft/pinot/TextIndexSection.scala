@@ -112,9 +112,15 @@ object TextIndexSection {
     if (version != Version)
       throw new PinotFormatException(s"text_index: unsupported version $version")
     val nt = buf.getInt
-    if (nt < 0) throw new PinotFormatException("text_index: corrupt header")
+    // each token needs ≥4 length bytes and the offset table another
+    // 4*(nt+1): bound nt against what the buffer can actually hold so a
+    // corrupt count fails as a format error, not an OOM
+    if (nt < 0 || bytes.length < 8L + 8L + nt * 4L + 4L * (nt + 1L))
+      throw new PinotFormatException("text_index: corrupt header")
     val tokens = Array.fill(nt) {
       val len = buf.getInt
+      if (len < 0 || len > buf.remaining)
+        throw new PinotFormatException("text_index: corrupt token length")
       val b = new Array[Byte](len)
       buf.get(b)
       new String(b, StandardCharsets.UTF_8)

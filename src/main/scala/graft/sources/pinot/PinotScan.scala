@@ -584,7 +584,10 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
       val path = partition.asInstanceOf[PinotAggPartition].segmentPath
       val reader = SegmentReader.open(path)
       val docs = reader.metadata.totalDocs
-      if (groupCols.nonEmpty && specs.isEmpty) {
+      // every branch below materializes eagerly (dictionary arrays,
+      // metadata scalars), so the channel can be released before the
+      // iterator is handed to Spark — no fd outlives createReader
+      try if (groupCols.nonEmpty && specs.isEmpty) {
         // DISTINCT pushdown: the segment's dictionary IS its distinct
         // value set (Pinot builds dictionaries from the segment's own
         // values) — emit one row per entry, never touch the forward
@@ -617,7 +620,7 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
           else dictMinMax(reader, s.column, s.isMin)
         }
         Iterator.single(new GenericInternalRow(keys ++ values))
-      }
+      } finally reader.close()
     }
 
     new PartitionReader[InternalRow] {
@@ -720,8 +723,11 @@ class PinotStarTreeReaderFactory(groupCols: Array[String],
 
     val path = partition.asInstanceOf[PinotAggPartition].segmentPath
     val reader = SegmentReader.open(path)
+    // the star-tree sections and dim dictionaries are fully materialized
+    // below (keyLookup closes over decoded arrays), so the channel is
+    // released before the lazy row iterator escapes
     val rows: Iterator[InternalRow] =
-      if (reader.metadata.totalDocs == 0) Iterator.empty
+      try if (reader.metadata.totalDocs == 0) Iterator.empty
       else {
         val tree = reader.starTree.getOrElse(
           throw new graft.pinot.PinotFormatException(
@@ -807,7 +813,7 @@ class PinotStarTreeReaderFactory(groupCols: Array[String],
           while (j < vals.length) { out(key.length + j) = valLookup(j)(vals(j)); j += 1 }
           new GenericInternalRow(out): InternalRow
         }
-      }
+      } finally reader.close()
 
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = null
@@ -850,14 +856,15 @@ object PinotScan {
 
   /** Epoch micros of a pushed timestamp filter value (both the legacy
     * java.sql.Timestamp and the Java-8 Instant API forms). */
-  /** Spark field types → Pinot storage types for schema-evolution
-    * defaults (the reverse of PinotType.sparkType; Decimal/Array have no
-    * scalar default path and are simply absent from the map).
+  /** Spark field types → (Pinot storage type, isSingleValue) for
+    * schema-evolution defaults (the reverse of PinotType.sparkType).
+    * Arrays map to the element's storage type with isSingleValue=false
+    * (default = empty array); DecimalType to BIG_DECIMAL (default = 0).
     */
   private[pinot] def expectedTypes(schema: org.apache.spark.sql.types.StructType)
-      : Map[String, PinotType] =
-    schema.fields.flatMap { f =>
-      val t = f.dataType match {
+      : Map[String, (PinotType, Boolean)] = {
+    def scalar(dt: org.apache.spark.sql.types.DataType): Option[PinotType] =
+      dt match {
         case org.apache.spark.sql.types.IntegerType => Some(PinotType.PInt)
         case org.apache.spark.sql.types.LongType => Some(PinotType.PLong)
         case org.apache.spark.sql.types.FloatType => Some(PinotType.PFloat)
@@ -866,10 +873,17 @@ object PinotScan {
         case org.apache.spark.sql.types.BooleanType => Some(PinotType.PBoolean)
         case org.apache.spark.sql.types.TimestampType => Some(PinotType.PTimestamp)
         case org.apache.spark.sql.types.BinaryType => Some(PinotType.PBytes)
+        case _: org.apache.spark.sql.types.DecimalType => Some(PinotType.PBigDecimal)
         case _ => None
       }
-      t.map(f.name -> _)
+    schema.fields.flatMap { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          scalar(et).map(t => f.name -> (t, false))
+        case dt => scalar(dt).map(t => f.name -> (t, true))
+      }
     }.toMap
+  }
 
   private[pinot] def timestampMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
@@ -1007,7 +1021,7 @@ case class PinotKeyedPartition(segmentPath: String,
 
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
-    expectedTypes: Map[String, PinotType] = Map.empty)
+    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1033,7 +1047,7 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
   */
 class PinotColumnarReader(segmentPath: String, columns: Array[String],
     skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None,
-    expectedTypes: Map[String, PinotType] = Map.empty)
+    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchSize = 8192
@@ -1606,12 +1620,25 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
       // dictionary over an all-zero id stream reuses the normal decode
       // path untouched (Pinot's defaultNullValue backfill semantics)
       if (!reader.metadata.columns.contains(name)) {
-        val tpe = expectedTypes.getOrElse(name,
+        val (tpe, isSV) = expectedTypes.getOrElse(name,
           throw new graft.pinot.PinotFormatException(
             s"Column not found: $name"))
         val zeroIds = new graft.pinot.FixedBitReader(
           new Array[Byte](reader.totalDocs / 8 + 16), 1, reader.totalDocs)
-        tpe match {
+        if (!isSV) {
+          // evolved MV column: every doc serves the empty array — an
+          // all-zero offsets table with no entries to decode
+          val dict = tpe match {
+            case PinotType.PInt => ArrayDictionary.ofInts(Array(0))
+            case PinotType.PLong => ArrayDictionary.ofLongs(Array(0L))
+            case PinotType.PDouble => ArrayDictionary.ofDoubles(Array(0d))
+            case PinotType.PString =>
+              ArrayDictionary.ofBinary(Array(Array.emptyByteArray))
+            case other => throw new graft.pinot.PinotFormatException(
+              s"schema evolution: no MV default for ${other.name} column $name")
+          }
+          MVBacked(tpe, dict, zeroIds, new Array[Int](reader.totalDocs + 1))
+        } else tpe match {
           case PinotType.PBoolean => BoolDirect(Array(0), zeroIds)
           case PinotType.PInt =>
             DictBacked(tpe, ArrayDictionary.ofInts(Array(0)), zeroIds)
@@ -1627,6 +1654,12 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           case PinotType.PBytes =>
             DictBacked(tpe,
               ArrayDictionary.ofBinary(Array(Array.emptyByteArray)), zeroIds)
+          case PinotType.PBigDecimal =>
+            // 0 at the schema's fixed scale 18, in the unscaled-bytes
+            // form getDecimal(_, 38, 18) reads from a binary dictionary
+            DictBacked(tpe, ArrayDictionary.ofBinary(Array(
+              java.math.BigDecimal.ZERO.setScale(18).unscaledValue.toByteArray)),
+              zeroIds)
           case other => throw new graft.pinot.PinotFormatException(
             s"schema evolution: no default for ${other.name} column $name")
         }

@@ -98,6 +98,72 @@ class CompactSpec extends SparkTestBase {
     assert(err.getMessage.contains("rollup"))
   }
 
+  test("maintenance ops handle v1-layout segments (no v3 subdir)") {
+    val root = Files.createTempDirectory("pinot_compact_v1")
+    val tdir = root.resolve("v1t_OFFLINE")
+    def seg(name: String, from: Int, to: Int): Unit =
+      SegmentWriter.write(tdir.resolve(name), "v1t", name, Seq(
+        SegmentWriter.LongCol("id", Array.range(from, to).map(_.toLong)),
+        SegmentWriter.StringDictCol("tag",
+          Array.range(from, to).map(i => s"t${i % 3}")),
+        SegmentWriter.TimestampCol("ts",
+          Array.range(from, to).map(i => 1704067200000L + i * 1000L))),
+        invertedCols = Set("tag"), timeColumn = Some("ts"),
+        formatVersion = 1)
+    seg("s0", 0, 600)
+    seg("s1", 600, 1000)
+    assert(!Files.exists(tdir.resolve("s0").resolve("v3")), "v1 layout")
+
+    val merged = PinotCompact.compact(tdir.toString)
+    val r = SegmentReader.open(merged)
+    try {
+      assert(r.metadata.totalDocs === 1000)
+      assert(r.metadata.columns("tag").hasInvertedIndex)
+    } finally r.close()
+    val df = spark.read.format("pinot").load(tdir.toString)
+    assert(df.count() === 1000)
+    assert(df.agg(sum("id")).head.getLong(0) === (0L until 1000L).sum)
+
+    // purge over a mixed v1/v3 table: a second (v3) segment a day later
+    import spark.implicits._
+    (0 until 100).map(i => (5000L + i,
+        "t9", new java.sql.Timestamp(1704067200000L + 86400000L + i * 1000L)))
+      .toDF("id", "tag", "ts").repartition(1)
+      .write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(tdir.toString)
+    val purged = PinotCompact.purgeOlderThan(tdir.toString,
+      1704067200000L + 2000000L) // after merged v1 data, before v3 seg
+    assert(purged.length === 1, s"only the merged v1 segment expires: $purged")
+    assert(spark.read.format("pinot").load(tdir.toString).count() === 100)
+  }
+
+  test("rollup rebuilds bloom/range/text indexes present on every dim") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pinot_rollup_idx")
+    val tdir = root.resolve("ri_OFFLINE")
+    (0 until 3000).map(i => (s"host${i % 6}", (i % 50).toLong, 1L))
+      .toDF("host", "shard", "hits")
+      .repartition(2)
+      .write.format("pinot").mode("append")
+      .option("invertedIndexColumns", "host")
+      .option("bloomFilterColumns", "host")
+      .option("rangeIndexColumns", "shard")
+      .option("textIndexColumns", "host")
+      .save(tdir.toString)
+    val merged = PinotCompact.rollup(tdir.toString,
+      dims = Seq("host", "shard"), metrics = Seq("hits"))
+    val r = SegmentReader.open(merged)
+    try {
+      val cols = r.metadata.columns
+      assert(cols("host").hasInvertedIndex, "inverted survives")
+      assert(cols("host").hasBloomFilter, "bloom survives")
+      assert(cols("shard").hasRangeIndex, "range survives")
+      assert(cols("host").hasTextIndex, "text survives")
+    } finally r.close()
+    assert(spark.read.format("pinot").load(tdir.toString)
+      .agg(sum("hits")).head.getLong(0) === 3000L)
+  }
+
   test("retention purge drops fully-expired segments from metadata alone") {
     import spark.implicits._
     val root = Files.createTempDirectory("pinot_retention")

@@ -9,6 +9,44 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class IndexPropertySpec extends AnyFunSuite {
 
+  test("corrupt headers fail as format errors, not allocation death") {
+    import java.nio.ByteBuffer
+    // counts chosen so the Int form of the size arithmetic overflows to
+    // a small/negative value (0x20000000 * 16 wraps) — the guard must
+    // reject in Long arithmetic BEFORE any allocation happens
+    def rangeBytes(nr: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(20)
+      b.putLong(PinotDictionary.MagicMarker)
+      b.putInt(RangeSection.Version); b.putInt(nr); b.array()
+    }
+    def textBytes(nt: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(16)
+      b.putLong(PinotDictionary.MagicMarker)
+      b.putInt(TextIndexSection.Version); b.putInt(nt); b.array()
+    }
+    def bloomBytes(numLongs: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(20)
+      b.putLong(PinotDictionary.MagicMarker)
+      b.putInt(BloomSection.Version); b.putInt(7); b.putInt(numLongs)
+      b.array()
+    }
+    Seq(0x20000000, 0x70000000, Int.MaxValue).foreach { n =>
+      intercept[PinotFormatException](RangeSection.deserialize(
+        rangeBytes(n) ++ new Array[Byte](16)))
+      intercept[PinotFormatException](TextIndexSection.deserialize(
+        textBytes(n) ++ new Array[Byte](16)))
+      intercept[PinotFormatException](BloomSection.deserialize(
+        bloomBytes(n) ++ new Array[Byte](16)))
+    }
+    // a token whose declared length exceeds the buffer fails the same way
+    val tb = ByteBuffer.allocate(16 + 4 + 8)
+    tb.putLong(PinotDictionary.MagicMarker)
+    tb.putInt(TextIndexSection.Version)
+    tb.putInt(1)              // one token
+    tb.putInt(Int.MaxValue)   // of impossible length
+    intercept[PinotFormatException](TextIndexSection.deserialize(tb.array()))
+  }
+
   test("bloom: no false negatives over random value sets (property)") {
     val rnd = new scala.util.Random(31)
     (0 until 20).foreach { round =>

@@ -54,6 +54,34 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(df.agg(count(col("team"))).head.getLong(0) === 1500)
   }
 
+  test("evolved MV and decimal columns serve defaults from old segments") {
+    val root = Files.createTempDirectory("pinot_evo_mv")
+    val tdir = root.resolve("docs_OFFLINE")
+    // old segment: scalar columns only
+    SegmentWriter.write(tdir.resolve("seg0"), "docs", "seg0", Seq(
+      SegmentWriter.LongCol("id", Array.tabulate(100)(_.toLong))))
+    // new segment adds an MV column and a BIG_DECIMAL column
+    SegmentWriter.write(tdir.resolve("seg1"), "docs", "seg1", Seq(
+      SegmentWriter.LongCol("id", Array.tabulate(50)(i => 100L + i)),
+      SegmentWriter.StringMVCol("tags",
+        Array.tabulate(50)(i => Array(s"t${i % 3}", "x"))),
+      SegmentWriter.BigDecimalRawCol("price",
+        Array.tabulate(50)(i => new java.math.BigDecimal(i).setScale(2)))))
+    val df = spark.read.format("pinot").load(tdir.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "tags", "price"))
+    assert(df.count() === 150)
+    // old rows: MV default = empty array, decimal default = 0
+    assert(df.filter(col("id") < 100 && size(col("tags")) =!= 0).count() === 0)
+    assert(df.filter(col("id") < 100)
+      .agg(sum("price")).head.getDecimal(0).signum === 0)
+    // new rows keep their stored values through the same plan
+    assert(df.filter(col("id") === 110).select(element_at(col("tags"), 1))
+      .head.getString(0) === "t1")
+    assert(df.filter(array_contains(col("tags"), "x")).count() === 50)
+    assert(df.filter(col("id") === 107).select("price")
+      .head.getDecimal(0).compareTo(new java.math.BigDecimal(7)) === 0)
+  }
+
   test("conflicting types across segments fail loudly") {
     val root = Files.createTempDirectory("pinot_evo_bad")
     val tdir = root.resolve("bad_OFFLINE")
