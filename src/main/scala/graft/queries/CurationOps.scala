@@ -19,6 +19,40 @@ object CurationOps {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Distributed global prefix sum over `order` — the two-pass form a
+    * single-partition `Window.orderBy` demo collapses to at scale:
+    * (1) per-bucket subtotals (≤ bucket-count rows, collected and turned
+    * into running offsets), (2) a PARTITIONED window within each bucket
+    * plus the broadcast bucket offset. The bucket is a PURE FUNCTION of
+    * the ordering key (not `spark_partition_id` after a sampled range
+    * shuffle), so both passes see identical assignment by construction
+    * and the plan carries no single-partition WindowExec.
+    *
+    * `bucket` must be monotone in `order` (bucket boundaries respect the
+    * global order) and Int-typed; `value` must be Long-typed.
+    */
+  private[queries] def prefixSumByBucket(df: DataFrame, bucket: org.apache.spark.sql.Column,
+      order: String, value: org.apache.spark.sql.Column, out: String): DataFrame = {
+    val s = df.sparkSession
+    val withB = df.withColumn("_bkt", bucket)
+    val subs = withB.groupBy("_bkt").agg(sum(value).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = subs.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val offDf = s.createDataFrame(
+      java.util.Arrays.asList(offs.map(p => org.apache.spark.sql.Row(p._1, p._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_bkt",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy("_bkt").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("_bkt"))
+      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + col("_off"))
+      .drop("_bkt", "_off")
+  }
+
   /** Per-doc quality ×10000 in pure integer math — the q43/q74 formula. */
   private def withQInt(df: DataFrame): DataFrame = df
     .withColumn("words", split(col("text"), " "))
@@ -99,17 +133,20 @@ object CurationOps {
     // Sequence packing (training-prep): concatenate the corpus in stable
     // doc_id order and assign each document to the 4096-token training
     // sequence its first token lands in — the bookkeeping a packed-
-    // pretraining dataloader needs. The global ordered prefix sum is the
-    // demo form; at 100 TB the same plan runs as a two-pass distributed
-    // prefix sum (per-partition subtotals broadcast back), which Spark's
-    // range-partitioned window already approximates.
+    // pretraining dataloader needs. Runs as a two-pass distributed
+    // prefix sum: doc_id range buckets (from one min/max stats job) →
+    // per-bucket subtotals → partitioned window + broadcast offsets.
+    // No single-partition WindowExec anywhere in the plan.
     "q85_sequence_packing" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs(s, d)
+      val t = docs(s, d)
         .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum_before",
-          coalesce(sum("tokens").over(w), lit(0L)))
+      val r = t.agg(min("doc_id"), max("doc_id")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val span = math.max(1L, hi - lo + 1)
+      val nb = 32
+      val bucket = least(lit(nb - 1),
+        ((col("doc_id") - lit(lo)) * nb / lit(span)).cast("int"))
+      prefixSumByBucket(t, bucket, "doc_id", col("tokens"), "cum_before")
         .withColumn("seq_id", expr("cum_before div 4096"))
         .groupBy("seq_id")
         .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"),
@@ -167,17 +204,19 @@ object CurationOps {
 
     // Deterministic per-epoch training shuffle: each document's position
     // for epoch E is md5("epochE:" + doc_id) — content-independent,
-    // reproducible on any engine, and different every epoch. The global
-    // order is a range-partitioned sort on a UNIFORM key (hash output),
-    // so no skew; batch assignment is the ordered row_number div batch
-    // size. Output is the per-batch manifest a dataloader consumes.
+    // reproducible on any engine, and different every epoch. The hash's
+    // first byte is a UNIFORM, order-preserving bucket (hex strings of
+    // equal length sort lexicographically = numerically), so the global
+    // row_number runs as the distributed two-pass prefix COUNT — no
+    // single-partition sort, no skew at any scale.
     "q89_epoch_shuffle" -> ((s, d) => {
-      val w = Window.orderBy("pos_hash")
-      docs(s, d)
+      val t = docs(s, d)
         .withColumn("pos_hash",
           md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
         .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("rn", row_number().over(w))
+      val bucket = conv(substring(col("pos_hash"), 1, 2), 16, 10).cast("int")
+      prefixSumByBucket(t, bucket, "pos_hash", lit(1L), "rn0")
+        .withColumn("rn", col("rn0") + 1)
         .withColumn("batch_id", expr("CAST((rn - 1) div 64 AS BIGINT)"))
         .groupBy("batch_id")
         .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"),

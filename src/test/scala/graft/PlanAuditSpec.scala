@@ -117,6 +117,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("no single-partition window anywhere in the declared surface") {
+    // A WindowExec with an empty partitionSpec moves ALL data to one
+    // task — fine on 60k test rows, fatal at 100 TB. The three former
+    // offenders (q85/q89 prefix sums, q41's shingle dictionary) now run
+    // as two-pass bucket prefix sums / zipWithIndex; this pins that.
+    for (name <- SparkEntry.queries.keys) {
+      val bad = allNodes(finalPlan(name)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name has a single-partition window: ${bad.headOption.map(_.nodeName)}")
+    }
+  }
+
   test("projection-only queries prune columns at the scan") {
     val df = SparkEntry.queries("q02_projection")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
