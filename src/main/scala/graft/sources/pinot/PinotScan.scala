@@ -2,7 +2,7 @@ package graft.sources.pinot
 
 import graft.pinot.{PinotDictionary, PinotType, SegmentReader}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -34,6 +34,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   private var pushedAgg: Option[Aggregation] = None
   private var aggComplete = false
   private var useStarTree = false
+  private var useHistogram = false
+  private var histFinal = false
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -68,13 +70,21 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = skipFilters
 
-  /** Per-partition row cap; Spark keeps the global limit above the scan
-    * (isPartiallyPushed defaults to true). Bounds decode work per segment.
+  /** Limit pushdown. With no filters in play the limit is FULLY pushed
+    * (`isPartiallyPushed = false` — Spark drops its Limit nodes
+    * entirely): the scan plans ONE partition that chains segments until
+    * the limit fills, so a bare `LIMIT 10` over a 100 TB table is a
+    * single task reading one window of one segment — no per-segment
+    * tasks, no CollectLimit shuffle stage (Pinot's selection
+    * short-circuit). With filters the cap stays per-partition advisory
+    * and Spark's Limit remains authoritative above the residual Filter.
     */
   override def pushLimit(l: Int): Boolean = {
     limit = Some(l)
     true
   }
+
+  override def isPartiallyPushed(): Boolean = sawFilters
 
   /** COUNT-only global aggregations are answered COMPLETELY from segment
     * metadata (`segment.total.docs` + per-column `nullValueCount`, cached
@@ -91,8 +101,20 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
           fieldName(c.column()).exists(metaCountable)
         case _ => false
       }
-    if (ok) aggComplete = true
-    ok
+    if (ok) { aggComplete = true; return true }
+    // Single-segment dict group-by: the per-segment histogram IS the
+    // final answer (exactly how a lone Pinot server answers a group-by)
+    // — Spark plans NO final aggregate and NO exchange, so the query is
+    // one stage: scan → top-k. Complete pushdown also receives AVG
+    // un-rewritten; the histogram answers it as sum/count at emit.
+    // Multi-segment tables fall back to parallel per-segment partials.
+    if (segmentPaths.length == 1 && !sawFilters &&
+        histCovers(agg.groupByExpressions.flatMap(fieldName(_)),
+          agg.aggregateExpressions, allowAvg = true, allowRawGroup = true)) {
+      histFinal = true
+      return true
+    }
+    false
   }
 
   /** COUNT(col) answerable from metadata alone: every segment's metadata
@@ -159,7 +181,65 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       useStarTree = true
       return true
     }
+    // Dictionary-id histogram fallback: GROUP BY one dict-encoded column
+    // with COUNT/SUM/MIN/MAX over numeric columns — each segment task
+    // aggregates over packed ids in one pass (cardinality-sized arrays,
+    // the id IS the hash slot) and emits per-key partials. Reads forward
+    // indexes (unlike key-pure/star-tree) but never materializes per-row
+    // keys, and only |dictionary| rows cross the scan boundary.
+    if (histCovers(groupCols, agg.aggregateExpressions,
+        allowAvg = histFinal, allowRawGroup = histFinal)) {
+      pushedAgg = Some(agg)
+      useHistogram = true
+      return true
+    }
     false
+  }
+
+  /** Histogram-aggregable: one dict group column (same preconditions as
+    * DISTINCT pushdown) with a bounded cardinality (the per-task arrays
+    * are O(card × aggs); 1M entries ≈ 8 MB — fine at any segment size),
+    * and every aggregate a COUNT over non-nullable data or SUM/MIN/MAX
+    * of a non-nullable single-value numeric column (dict or RAW
+    * fixed-byte). Nullable metrics refuse: the forward index holds
+    * stored DEFAULTS at null docs, which must not enter partials.
+    */
+  private def histCovers(groupCols: Array[String],
+      funcs: Array[AggregateFunc], allowAvg: Boolean = false,
+      allowRawGroup: Boolean = false): Boolean = {
+    if (groupCols.length != 1 || funcs.isEmpty) return false
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    if (metas.isEmpty || metas.exists(_ == null)) return false
+    // RAW string group columns qualify only for single-segment COMPLETE
+    // pushdown (slot map over decoded strings, exact writer-recorded
+    // cardinality); dict columns qualify everywhere.
+    val groupOk = isDictDistinctable(groupCols.head) ||
+      (allowRawGroup && metas.forall(_.columns.get(groupCols.head).exists(
+        cm => !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
+          cm.dataType == PinotType.PString && cm.cardinality > 0)))
+    if (!groupOk) return false
+    if (!metas.forall(_.columns.get(groupCols.head)
+        .exists(_.cardinality <= (1 << 20)))) return false
+    def numericReadable(col: String): Boolean = metas.forall { m =>
+      m.columns.get(col).exists(cm => cm.isSingleValue && !cm.hasNullVector &&
+        (cm.dataType match {
+          case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+               PinotType.PDouble => true
+          case _ => false
+        }))
+    }
+    funcs.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && fieldName(c.column()).exists(n =>
+        metaCountable(n) && !mayHaveNulls(n))
+      case s: Sum => !s.isDistinct &&
+        fieldName(s.column()).exists(numericReadable)
+      case m: Min => fieldName(m.column()).exists(numericReadable)
+      case m: Max => fieldName(m.column()).exists(numericReadable)
+      case a: Avg => allowAvg && !a.isDistinct &&
+        fieldName(a.column()).exists(numericReadable)
+      case _ => false
+    }
   }
 
   /** Every segment has a star-tree covering the requested group columns
@@ -263,15 +343,17 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
-      new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree)
+      new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree,
+        useHistogram, histFinal)
     case None =>
-      new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir)
+      new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
+        fullLimit = limit.isDefined && !sawFilters)
   }
 }
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
-    tableDir: Option[String] = None)
+    tableDir: Option[String] = None, fullLimit: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -291,7 +373,11 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    projected.fieldNames.map(
+    // a fully-pushed limit opts out of runtime filtering: Spark removed
+    // its Limit node, so the chained single partition must answer the
+    // query alone, unrestricted by join-side pruning
+    if (fullLimit) Array.empty
+    else projected.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -365,7 +451,9 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    partitionInfo match {
+    if (fullLimit)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(1)
+    else partitionInfo match {
       case Some((col, _)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
@@ -454,7 +542,9 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"limit=${limit.getOrElse(-1)})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitionInfo match {
+    if (fullLimit)
+      Array(PinotChainPartition(segmentPaths))
+    else partitionInfo match {
       case Some((_, keys)) =>
         segmentPaths.zip(keys).map { case (p, k) =>
           PinotKeyedPartition(p,
@@ -483,7 +573,9 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
   */
 class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     complete: Boolean, fullSchema: StructType,
-    starTree: Boolean = false) extends Scan with Batch {
+    starTree: Boolean = false, histogram: Boolean = false,
+    histFinal: Boolean = false)
+    extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
   // group-by pushdown: key-pure columns, validated by the builder
@@ -509,6 +601,8 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     case (m: Min, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
     case (m: Max, i) => StructField(s"agg_$i", colType(m.column()), nullable = true)
     case (s: Sum, i) => StructField(s"agg_$i", sumType(s.column()), nullable = true)
+    case (_: Avg, i) => // complete pushdown only (histFinal)
+      StructField(s"agg_$i", org.apache.spark.sql.types.DoubleType, nullable = true)
     case (f, _) => throw new IllegalStateException(s"unexpected pushed agg $f")
   })
 
@@ -522,6 +616,7 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
 
   override def description(): String =
     s"PinotAggScan(complete=$complete, starTree=$starTree, " +
+      s"histogram=$histogram, histFinal=$histFinal, " +
       s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length})"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -539,6 +634,18 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
         case f => throw new IllegalStateException(s"unexpected star agg $f")
       }
       return new PinotStarTreeReaderFactory(groupCols, specs)
+    }
+    if (histogram) {
+      val specs: Array[HistAggSpec] = funcs.map {
+        case _: CountStar => HistAggSpec.HCount
+        case _: Count => HistAggSpec.HCount // builder-validated non-null
+        case s: Sum => HistAggSpec.HSum(colName(s.column()))
+        case m: Min => HistAggSpec.HMin(colName(m.column()))
+        case m: Max => HistAggSpec.HMax(colName(m.column()))
+        case a: Avg => HistAggSpec.HAvg(colName(a.column())) // histFinal only
+        case f => throw new IllegalStateException(s"unexpected hist agg $f")
+      }
+      return new PinotHistAggReaderFactory(groupCols(0), specs)
     }
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)
@@ -1010,6 +1117,11 @@ private[pinot] final class LruCache[K, V](max: Int) {
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition
 
+/** Fully-pushed limit: ONE partition chaining segments until the limit
+  * fills (Spark planned no Limit node above).
+  */
+case class PinotChainPartition(segmentPaths: Seq[String]) extends InputPartition
+
 /** One segment holding exactly one partition-key value — feeds Spark's
   * storage-partitioned join (HasPartitionKey).
   */
@@ -1033,11 +1145,54 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     val path = partition match {
       case PinotInputPartition(p) => p
       case PinotKeyedPartition(p, _) => p
+      case PinotChainPartition(paths) =>
+        return new PinotChainedLimitReader(paths, columns,
+          limit.getOrElse(Int.MaxValue), expectedTypes)
       case other => throw new IllegalArgumentException(s"unexpected $other")
     }
     new PinotColumnarReader(path, columns, skipFilters, limit,
       expectedTypes)
   }
+}
+
+/** Chains per-segment readers until `limit` rows have been emitted —
+  * the execution side of the fully-pushed limit. Each segment reader is
+  * capped at the REMAINING budget, so the global total is exact and a
+  * small limit touches one window of one segment.
+  */
+class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
+    limit: Int, expectedTypes: Map[String, (PinotType, Boolean)])
+    extends PartitionReader[ColumnarBatch] {
+
+  private var idx = 0
+  private var remaining = limit
+  private var cur: PinotColumnarReader = null
+  private var batch: ColumnarBatch = null
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
+    if (remaining <= 0) false
+    else if (cur == null) {
+      if (idx >= paths.length) false
+      else {
+        cur = new PinotColumnarReader(paths(idx), columns, Array.empty,
+          Some(remaining), expectedTypes)
+        idx += 1
+        next()
+      }
+    } else if (cur.next()) {
+      batch = cur.get()
+      remaining -= batch.numRows()
+      true
+    } else {
+      cur.close()
+      cur = null
+      next()
+    }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Reads one segment: decodes each projected column **once** into primitive

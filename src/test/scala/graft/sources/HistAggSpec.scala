@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.pinot.SegmentWriter
+import org.apache.spark.sql.functions._
+
+/** Dictionary-id histogram GROUP BY pushdown: per-segment partials
+  * computed straight over packed dictionary ids (counts[gid]++ — the id
+  * IS the hash slot), merged by Spark's final aggregate. The group-topk
+  * shape of the reference benchmark (`SELECT teamID, count(*), sum(hits)
+  * ... GROUP BY teamID ORDER BY ... LIMIT 10`, README.md:137-148) runs
+  * through this path.
+  */
+class HistAggSpec extends SparkTestBase {
+
+  private val n = 9000
+  private val rnd = new scala.util.Random(7)
+  private val team = Array.fill(n)(s"T${rnd.nextInt(17)}")
+  private val hits = Array.fill(n)(rnd.nextInt(263))           // dict int
+  private val score = Array.fill(n)(rnd.nextDouble() * 100)    // dict double
+  private val bal = Array.fill(n)(rnd.nextLong() % 100000)     // RAW long
+  private val temp = Array.fill(n)(rnd.nextFloat() * 40 - 10)  // dict float
+
+  private lazy val tdir: String = {
+    val root = Files.createTempDirectory("pinot_hist")
+    val t = root.resolve("h_OFFLINE")
+    val per = n / 3
+    (0 until 3).foreach { s =>
+      val from = s * per
+      val to = if (s == 2) n else (s + 1) * per
+      SegmentWriter.write(t.resolve(s"seg$s"), "h", s"seg$s", Seq(
+        SegmentWriter.StringDictCol("team", team.slice(from, to)),
+        SegmentWriter.IntCol("hits", hits.slice(from, to)),
+        SegmentWriter.DoubleCol("score", score.slice(from, to)),
+        SegmentWriter.LongRawCol("bal", bal.slice(from, to)),
+        SegmentWriter.FloatCol("temp", temp.slice(from, to))))
+    }
+    t.toString
+  }
+
+  private def leafOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().head.toString
+
+  test("count/sum/min/max over dict + RAW metrics match direct computation") {
+    val df = spark.read.format("pinot").load(tdir)
+    val agg = df.groupBy("team").agg(
+      count(lit(1)).as("c"), sum("hits").as("sh"),
+      sum("score").as("ss"), sum("bal").as("sb"),
+      min("hits").as("mnh"), max("hits").as("mxh"),
+      min("temp").as("mnt"), max("score").as("mxs"))
+    assert(leafOf(agg).contains("histogram=true"), leafOf(agg))
+
+    val got = agg.collect().map(r => r.getString(0) -> r).toMap
+    val byTeam = (0 until n).groupBy(team)
+    assert(got.keySet === byTeam.keySet)
+    byTeam.foreach { case (t, is) =>
+      val r = got(t)
+      assert(r.getLong(1) === is.length.toLong, s"$t count")
+      assert(r.getLong(2) === is.map(hits(_).toLong).sum, s"$t sum hits")
+      assert(math.abs(r.getDouble(3) - is.map(score(_)).sum) < 1e-6, s"$t sum score")
+      assert(r.getLong(4) === is.map(bal(_)).sum, s"$t sum bal (RAW)")
+      assert(r.getInt(5) === is.map(hits(_)).min, s"$t min hits")
+      assert(r.getInt(6) === is.map(hits(_)).max, s"$t max hits")
+      assert(r.getFloat(7) === is.map(temp(_)).min, s"$t min temp (float)")
+      assert(r.getDouble(8) === is.map(score(_)).max, s"$t max score")
+    }
+  }
+
+  test("group-topk plan: histogram scan + final agg + fused top-k") {
+    val df = spark.read.format("pinot").load(tdir)
+    val topk = df.groupBy("team")
+      .agg(count(lit(1)).as("games"), sum("hits").as("th"))
+      .orderBy(desc("th")).limit(5)
+    assert(leafOf(topk).contains("histogram=true"))
+    val got = topk.collect().map(r => (r.getString(0), r.getLong(2)))
+    val want = (0 until n).groupBy(team).view
+      .mapValues(_.map(hits(_).toLong).sum).toSeq
+      .sortBy(-_._2).take(5)
+    assert(got.map(_._2).toSeq === want.map(_._2))
+  }
+
+  test("avg rewrites to pushed sum+count partials") {
+    val df = spark.read.format("pinot").load(tdir)
+    val a = df.groupBy("team").agg(avg("hits").as("ah"))
+    // Spark translates AVG into SUM+COUNT for partial pushdown
+    assert(leafOf(a).contains("histogram=true"), leafOf(a))
+    val got = a.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (0 until n).groupBy(team).foreach { case (t, is) =>
+      assert(math.abs(got(t) - is.map(hits(_)).sum.toDouble / is.length) < 1e-9)
+    }
+  }
+
+  test("single-segment complete pushdown: no final aggregate, AVG pushed whole") {
+    val root = Files.createTempDirectory("pinot_hist_one")
+    val t1 = root.resolve("o_OFFLINE")
+    SegmentWriter.write(t1.resolve("seg0"), "o", "seg0", Seq(
+      SegmentWriter.StringDictCol("team", team.take(3000)),
+      SegmentWriter.IntCol("hits", hits.take(3000))))
+    val df = spark.read.format("pinot").load(t1.toString)
+    val a = df.groupBy("team").agg(avg("hits").as("ah"), count(lit(1)).as("c"))
+    assert(leafOf(a).contains("histFinal=true"), leafOf(a))
+    // complete pushdown: no HashAggregate above the scan
+    val aggNodes = a.queryExecution.executedPlan.toString
+    assert(!aggNodes.contains("HashAggregate"), aggNodes)
+    val got = a.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    (0 until 3000).groupBy(team).foreach { case (t, is) =>
+      val (ah, c) = got(t)
+      assert(c === is.length.toLong)
+      assert(math.abs(ah - is.map(hits(_)).sum.toDouble / is.length) < 1e-9)
+    }
+    // the multi-segment table keeps the partial form (final agg present)
+    val multi = spark.read.format("pinot").load(tdir)
+      .groupBy("team").agg(sum("hits").as("s"))
+    assert(leafOf(multi).contains("histFinal=false"), leafOf(multi))
+    assert(multi.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
+  test("RAW string group column: slot-map histogram, single segment only") {
+    val root = Files.createTempDirectory("pinot_hist_raw")
+    val t1 = root.resolve("r_OFFLINE")
+    val m = 4000
+    val player = Array.tabulate(m)(i => f"p${i % 700}%04d") // repeats
+    val h = hits.take(m)
+    SegmentWriter.write(t1.resolve("seg0"), "r", "seg0", Seq(
+      SegmentWriter.StringRawCol("player", player,
+        graft.pinot.VarByteChunkV4.Lz4LengthPrefixed, 1024),
+      SegmentWriter.IntCol("hits", h)))
+    val df = spark.read.format("pinot").load(t1.toString)
+    val a = df.groupBy("player").agg(avg("hits").as("ah"))
+    assert(leafOf(a).contains("histFinal=true"), leafOf(a))
+    val got = a.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = (0 until m).groupBy(player).view
+      .mapValues(is => is.map(h(_)).sum.toDouble / is.length)
+    assert(got.size === want.size)
+    want.foreach { case (p, w) => assert(math.abs(got(p) - w) < 1e-9, p) }
+
+    // two segments: RAW group refuses pushdown entirely (slots are
+    // per-segment; partials would need a dictionary) — engine-side agg
+    val t2 = root.resolve("r2_OFFLINE")
+    (0 until 2).foreach { s =>
+      SegmentWriter.write(t2.resolve(s"seg$s"), "r2", s"seg$s", Seq(
+        SegmentWriter.StringRawCol("player", player.slice(s * 2000, (s + 1) * 2000),
+          graft.pinot.VarByteChunkV4.Lz4LengthPrefixed, 1024),
+        SegmentWriter.IntCol("hits", h.slice(s * 2000, (s + 1) * 2000))))
+    }
+    val df2 = spark.read.format("pinot").load(t2.toString)
+    val a2 = df2.groupBy("player").count()
+    assert(!leafOf(a2).contains("PinotAggScan"), leafOf(a2))
+    assert(a2.collect().map(_.getLong(1)).sum === m.toLong)
+  }
+
+  test("refusals: nullable metric, string metric, filters, high card stay engine-side") {
+    // nullable metric: stored defaults must not enter partials
+    val root = Files.createTempDirectory("pinot_hist_nul")
+    val t2 = root.resolve("n_OFFLINE")
+    SegmentWriter.write(t2.resolve("seg0"), "n", "seg0", Seq(
+      SegmentWriter.StringDictCol("k", Array("a", "a", "b")),
+      SegmentWriter.IntCol("v", Array(5, 0, 7))),
+      nullVectors = Map("v" -> Array(1)))
+    val dfn = spark.read.format("pinot").load(t2.toString)
+    val aggn = dfn.groupBy("k").agg(sum("v").as("s"))
+    assert(!leafOf(aggn).contains("PinotAggScan"), leafOf(aggn))
+    assert(aggn.collect().map(r => r.getString(0) -> r.get(1)).toMap
+      === Map("a" -> 5L, "b" -> 7L))
+
+    val df = spark.read.format("pinot").load(tdir)
+    // string aggregate target refuses
+    val s = df.groupBy("team").agg(max("team"))
+    assert(!leafOf(s).contains("PinotAggScan"), leafOf(s))
+    // filters keep aggregation engine-side (residual filters must see rows)
+    val f = df.filter(col("hits") > 100).groupBy("team").count()
+    assert(!leafOf(f).contains("PinotAggScan"), leafOf(f))
+    assert(f.collect().map(_.getLong(1)).sum ===
+      hits.count(_ > 100).toLong)
+  }
+}

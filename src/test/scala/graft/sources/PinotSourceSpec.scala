@@ -168,11 +168,13 @@ class PinotSourceSpec extends SparkTestBase {
     perTenant.foreach { case (t, cnt) =>
       assert(r2(t) === ((cnt.toLong, 0, cnt - 1)))
     }
-    // a NON-key-pure group column refuses pushdown (plain scan, correct)
+    // a NON-key-pure dict group column pushes via the dict-id HISTOGRAM
+    // path: per-segment (key, partial) rows from packed ids, no per-row
+    // key materialization
     val mixed = spark.read.format("pinot").load(tablePath)
       .groupBy("teamID").count()
     val leaf3 = mixed.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(leaf3.contains("PinotScan("), s"expected plain scan:\n$leaf3")
+    assert(leaf3.contains("histogram=true"), s"expected histogram agg:\n$leaf3")
     assert(mixed.collect().map(_.getLong(1)).sum === n)
   }
 

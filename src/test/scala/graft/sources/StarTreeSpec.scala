@@ -123,14 +123,16 @@ class StarTreeSpec extends SparkTestBase {
     assert(got === (0 until n).groupBy(year(_)).view.mapValues(_.size.toLong).toMap)
   }
 
-  test("uncovered shapes fall back to a full scan, same results") {
+  test("shapes the star-tree cannot cover route to the histogram path") {
     val df = spark.read.format("pinot").load(treeTable)
-    // group column not a tree dim
+    // group column not a tree dim → dict-id histogram, not tree rollup
     val byHits = df.groupBy("hits").agg(sum("year").as("sy"))
-    assert(leafOf(byHits).contains("PinotScan("), leafOf(byHits))
-    // aggregate not a tree metric (SUM over a dim column)
+    assert(leafOf(byHits).contains("histogram=true"), leafOf(byHits))
+    assert(byHits.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      (0 until n).groupBy(hits(_)).view.mapValues(_.map(year(_).toLong).sum).toMap)
+    // aggregate not a tree metric (SUM over a dim column) → histogram
     val sumYear = df.groupBy("team").agg(sum("year").as("sy"))
-    assert(leafOf(sumYear).contains("PinotScan("), leafOf(sumYear))
+    assert(leafOf(sumYear).contains("histogram=true"), leafOf(sumYear))
     assert(sumYear.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       (0 until n).groupBy(team(_)).view.mapValues(_.map(year(_).toLong).sum).toMap)
     // a filter keeps the aggregation engine-side (tree rows can't answer it)
