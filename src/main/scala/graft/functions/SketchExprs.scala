@@ -47,6 +47,53 @@ case class MinHashPerms(child: Expression, numPerms: Int = 64)
   override def prettyName: String = "minhash_perms"
 }
 
+/** `md5_minhash_perms(s)` — the ENGINE-NEUTRAL permutation family: one
+  * md5 per shingle, then perm i = a·(2i+3) + b where a/b are the first/
+  * second 13 hex chars (52 bits each — a·129 + b stays well under 2^63,
+  * so DuckDB's overflow-checked BIGINT arithmetic computes the identical
+  * value: `CAST(concat('0x', substr(md5(s),1,13)) AS BIGINT)` etc.).
+  * This is what lets the FULL MinHash+LSH pipeline be hash-oracled;
+  * [[MinHashPerms]] (xxhash64) remains the documented fast path — one
+  * 8-byte hash vs a full md5 per shingle.
+  */
+case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_minhash_perms requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    // first/second 13 hex chars = top 52 bits / next 52 bits of the digest
+    var a = 0L
+    var i = 0
+    while (i < 13) { a = (a << 4) | hexNibble(d, i); i += 1 }
+    var b = 0L
+    while (i < 26) { b = (b << 4) | hexNibble(d, i); i += 1 }
+    val out = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) { out(p) = a * (2L * p + 3L) + b; p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hex-char k of the digest as its nibble value. */
+  private def hexNibble(d: Array[Byte], k: Int): Long = {
+    val byte = d(k >> 1) & 0xff
+    (if ((k & 1) == 0) byte >> 4 else byte & 0xf).toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashPerms =
+    copy(child = newChild)
+  override def prettyName: String = "md5_minhash_perms"
+}
+
 /** `simhash_contrib(h, c)` — the weighted ±c 64-bit contribution vector of
   * one (token-hash, count) row: element j = c · (2·((h≫j)&1) − 1).
   */
@@ -107,6 +154,8 @@ case class SignBitsToLong(child: Expression)
 object SketchExprs {
   def minhashPerms(c: Column, n: Int = 64): Column =
     GraftSqlBridge.toColumn(MinHashPerms(GraftSqlBridge.toExpression(c), n))
+  def md5MinhashPerms(c: Column, n: Int = 64): Column =
+    GraftSqlBridge.toColumn(Md5MinHashPerms(GraftSqlBridge.toExpression(c), n))
   def simhashContrib(h: Column, c: Column): Column =
     GraftSqlBridge.toColumn(SimHashContrib(
       GraftSqlBridge.toExpression(h), GraftSqlBridge.toExpression(c)))

@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Sketch-based near-duplicate detection: MinHash+LSH and SimHash.
   *
-  * Both sketches use fixed-seed `xxhash64` so results are fully
-  * deterministic run-to-run, but the hash family is engine-specific →
-  * no SQL oracle; SketchDedupSpec instead proves q49 reproduces the exact
-  * n-gram-Jaccard pair set (q41) and q50 covers it.
+  * q49 (MinHash+LSH) uses an ENGINE-NEUTRAL md5-derived permutation
+  * family (one md5 per shingle; perm i = a·(2i+3)+b over its 52-bit hex
+  * slices) and an md5 band signature, so the FULL
+  * signature→band→bucket→verify pipeline is hash-oracled in DuckDB.
+  * The xxhash64 family ([[graft.functions.MinHashPerms]]) remains the
+  * documented fast path (one 8-byte hash vs a full md5 per shingle);
+  * SketchDedupSpec proves both families reproduce the exact
+  * n-gram-Jaccard pair set (q41). q50 (SimHash) keeps xxhash64 — its
+  * token hashing has no cheap SQL-neutral form — and stays spec-gated.
   *
   * Scale notes (100 TB): this is the path that replaces q41's quadratic
   * shingle self-join. Work per stage:
@@ -31,26 +36,37 @@ object SketchDedup {
   /** Per-doc 64-perm MinHash signature as ONE array row: each shingle
     * yields its 64 permutation hashes as an array; the custom
     * element-wise-min aggregate (map-side combinable) folds them — no 64×
-    * posexplode, no (doc, perm) shuffle blowup.
+    * posexplode, no (doc, perm) shuffle blowup. `neutral` picks the
+    * md5-derived DuckDB-expressible family (the oracled default) vs the
+    * xxhash64 fast path — identical pipeline shape either way.
     */
-  private def signatures(s: SparkSession, d: String): DataFrame =
+  private[queries] def signatures(s: SparkSession, d: String,
+      neutral: Boolean = true): DataFrame =
     TextOps.shingles(s, d)
-      // native expression = one call per shingle; the 64-hash inner loop
-      // is plain JVM code, not an interpreted lambda (same family as the
-      // previous xxhash64(shingle, i) fold)
+      // native expression = one call per shingle; the inner loop is
+      // plain JVM code, not an interpreted lambda chain
       .withColumn("perms",
-        graft.functions.SketchExprs.minhashPerms(col("shingle"), NumPerms))
+        if (neutral)
+          graft.functions.SketchExprs.md5MinhashPerms(col("shingle"), NumPerms)
+        else
+          graft.functions.SketchExprs.minhashPerms(col("shingle"), NumPerms))
       .groupBy("doc_id")
       .agg(graft.functions.ArrayLongReduceAgg.arrayMinAgg(col("perms"))
         .as("sig_vec"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // MinHash + LSH banding + bucket join + exact verification at J>=0.8.
-    "q49_dedup_minhash_lsh" -> ((s, d) => {
-      val bandSigs = signatures(s, d)
+  /** The full MinHash+LSH pipeline (banding → bucket join → exact
+    * verification at J>=0.8); `neutral` selects the hash family.
+    */
+  private[graft] def lshPairs(s: SparkSession, d: String,
+      neutral: Boolean): DataFrame = {
+      val bandSigs = signatures(s, d, neutral)
         .withColumn("band", explode(expr(s"sequence(0, ${Bands - 1})")))
-        .withColumn("sig", hash(expr(
-          s"slice(sig_vec, band * $RowsPerBand + 1, $RowsPerBand)")))
+        // md5 of the comma-joined band slice: engine-neutral (DuckDB:
+        // md5(string_agg(mv, ',' ORDER BY i))), still one small value
+        // per (doc, band)
+        .withColumn("sig", md5(concat_ws(",", expr(
+          s"transform(slice(sig_vec, band * $RowsPerBand + 1, $RowsPerBand)," +
+            " x -> CAST(x AS STRING))"))))
         .select("doc_id", "band", "sig")
       val cand = bandSigs.as("a")
         .join(bandSigs.as("b"),
@@ -79,7 +95,12 @@ object SketchDedup {
         .select(col("id_a"), col("id_b"),
           round(col("inter").cast("double") / col("un"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
-    }),
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash + LSH banding + bucket join + exact verification at J>=0.8,
+    // over the md5-derived engine-neutral permutation family (oracled).
+    "q49_dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d, neutral = true)),
 
     // SimHash: 64-bit sign-aggregated token hash; banded bucket join;
     // near-dups = hamming distance <= 3.
@@ -120,7 +141,47 @@ object SketchDedup {
     })
   )
 
-  // Engine-specific hash family → no SQL oracle (driver records the
-  // weaker rows-only check); determinism + recall proven in SketchDedupSpec.
-  val oracleSql: Map[String, String] = Map.empty
+  // q49's md5 permutation family is engine-neutral, so the FULL pipeline
+  // (signatures → banding → bucket join → exact verify) hash-oracles in
+  // DuckDB. q50's xxhash64 token hashing has no SQL-neutral form →
+  // spec-gated only (SketchDedupSpec).
+  val oracleSql: Map[String, String] = Map(
+    "q49_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(words) - 1),
+        |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+        |         AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |ab AS (SELECT doc_id, shingle,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 13)) AS BIGINT) AS a,
+        |         CAST(concat('0x', substr(md5(shingle), 14, 13)) AS BIGINT) AS b
+        |       FROM sh),
+        |pm AS (SELECT doc_id, i, min(a * (2 * i + 3) + b) AS mv
+        |       FROM ab CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS sig
+        |       FROM pm GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bd a JOIN bd b
+        |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |cd AS (SELECT id_a AS doc_id FROM cand
+        |       UNION SELECT id_b FROM cand),
+        |e AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |      JOIN cd ON cd.doc_id = sh.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM e a JOIN e b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |v AS (SELECT p.id_a, p.id_b, p.inter FROM p
+        |      JOIN cand ON cand.id_a = p.id_a AND cand.id_b = p.id_b)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (za.n + zb.n - inter), 4) AS jaccard
+        |FROM v JOIN sz za ON za.doc_id = id_a
+        |JOIN sz zb ON zb.doc_id = id_b
+        |WHERE inter * 10 >= (za.n + zb.n - inter) * 8
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -34,6 +34,13 @@ class PipelineOpsSpec extends SparkTestBase {
     val recall = if (exact.isEmpty) 1.0
       else lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.95, s"LSH recall $recall: missed ${exact -- lsh}")
+    // the xxhash64 fast-path family must reproduce the same pair set
+    val fast = graft.queries.SketchDedup.lshPairs(spark, sf, neutral = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.subsetOf(exact), s"fast-path false positives: ${fast -- exact}")
+    val fastRecall = if (exact.isEmpty) 1.0
+      else fast.intersect(exact).size.toDouble / exact.size
+    assert(fastRecall >= 0.95, s"fast-path recall $fastRecall")
   }
 
   test("simhash near-dups cover the jaccard near-dups") {

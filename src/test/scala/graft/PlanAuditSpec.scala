@@ -134,6 +134,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q48 queries the persisted IVF index: no k-means job in the plan") {
+    val plan = finalPlan("q48_knn_ivf").toString
+    // a per-query k-means would show as the centroid construction
+    // (posexplode + per-vector assignment window over the full corpus)
+    assert(!plan.contains("posexplode"),
+      s"q48 recomputes centroids per query:\n${plan.take(1500)}")
+    // the corpus side must come from the cluster-partitioned index
+    val leaves = finalPlan("q48_knn_ivf").collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("graft_ivf_cache")),
+      s"q48 does not read the persisted index:\n${leaves.mkString("\n").take(1000)}")
+  }
+
   test("projection-only queries prune columns at the scan") {
     val df = SparkEntry.queries("q02_projection")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
