@@ -46,6 +46,27 @@ object Bench {
   private def execute(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Fixed-work CPU calibration probe: a deterministic 64-bit mixing
+    * loop whose wall time depends only on single-core CPU availability —
+    * data-independent, allocation-free, JIT-warmed by its first run.
+    * Timed before and after the query sweep; on an idle box both land in
+    * a tight band (~0.2–0.4 s on current x86), so an elevated or skewed
+    * pair marks the RUN as contended, making environment noise
+    * attributable from the artifact alone instead of by re-measurement.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) {
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 29; h += i
+      i += 1
+    }
+    if (h == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def timed(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
     execute(df)
@@ -70,6 +91,9 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    calibrate() // JIT warm-up for the probe itself
+    val calBefore = calibrate()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // EVERY query: 1 untimed warm-up (file listing, schema, JIT), then
@@ -105,9 +129,12 @@ object Bench {
     val total = f"$headlineTotal%.4f"
     // JVM diagnostics make environment-induced outliers attributable
     // (e.g. a constrained heap or CPU set shows up right here).
+    val calAfter = calibrate()
     val rt = Runtime.getRuntime
     val env = s""""jvm":{"maxHeapMb":${rt.maxMemory() / (1 << 20)},""" +
-      s""""cpus":${rt.availableProcessors()},"master":"local[$cpus]"}"""
+      s""""cpus":${rt.availableProcessors()},"master":"local[$cpus]"},""" +
+      f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f,""" +
+      """"work":"200M-iter 64-bit mix loop, single thread"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir",$env}""".getBytes("UTF-8"))
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")

@@ -175,6 +175,23 @@ object PinotBench {
       ts(2)
     }
 
+    // same fixed-work contention probe as graft.Bench: before/after pair
+    // marks a contended run from the artifact alone
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 200000000) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+        h ^= h >>> 29; h += i
+        i += 1
+      }
+      if (h == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT warm-up
+    val calBefore = calibrate()
+
     val results = shapes.map { case (name, mk) => name -> median(mk) }
 
     // measured after the shapes so the floor numbers don't absorb JIT warmup
@@ -182,9 +199,11 @@ object PinotBench {
     val floorAgg = median(() => floorTable.agg(sum("hits").as("s")))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val calAfter = calibrate()
     val total =
       f"${results.filterNot(_._1.startsWith("x")).map(_._2).sum}%.4f"
-    println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","queries":$qs,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"}}""")
+    val cal = f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f}"""
+    println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","queries":$qs,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"},$cal}""")
     spark.stop()
   }
 }

@@ -47,8 +47,15 @@ object Embeddings {
     // survive a large corpus (n² row blowup). Production near-dup at
     // 100 TB goes through the bucketed scale paths: q48 (IVF), q49
     // (MinHash+LSH), q50 (SimHash), each spec-verified for recall against
-    // this exact baseline. Do not copy this query for large n.
+    // this exact baseline. The do-not-copy warning is ENFORCED: the
+    // baseline refuses corpora over 100k vectors at plan-build time (one
+    // parquet-stats count) instead of melting a cluster quietly.
     "q46_cosine_pairs" -> ((s, d) => {
+      val n = Tables.load(s, d, "embeddings").count()
+      require(n <= 100000L,
+        s"q46_cosine_pairs is the O(n^2) correctness baseline and refuses " +
+          s"$n vectors (max 100000); use q48 (IVF), q49 (MinHash+LSH) or " +
+          "q50 (SimHash) at scale")
       val e = emb(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))

@@ -230,11 +230,13 @@ object PinotSegmentTable {
   // (examples/benchmark.rs:43-45) — this is the DSv2 counterpart, and at
   // 100 TB it keeps per-query planning from re-walking tens of thousands
   // of segment dirs. Invalidation key = dir mtime PLUS a fingerprint of
-  // the visible segment-dir names (one cheap readdir): mtime alone has
-  // millisecond granularity, so a write landing in the same millisecond
-  // as a prior open could serve a stale segment list. LRU-bounded so
-  // long-lived sessions over many ephemeral table dirs don't grow it
-  // without bound.
+  // the visible segment-dir names AND each segment's metadata.properties
+  // (size, mtime): table-dir mtime alone has millisecond granularity and
+  // only tracks direct children, so a same-millisecond IN-PLACE segment
+  // overwrite (same dir name, new content) was previously invisible. Two
+  // stats per segment per open — still orders cheaper than re-walking
+  // discovery + schema inference. LRU-bounded so long-lived sessions
+  // over many ephemeral table dirs don't grow it without bound.
   private val cache = new LruCache[String, ((Long, Int), PinotSegmentTable)](256)
 
   def open(path: String, partitionCols: Seq[String] = Seq.empty): PinotSegmentTable = {
@@ -249,7 +251,17 @@ object PinotSegmentTable {
           var h = 17
           s.iterator().forEachRemaining { e =>
             val n = e.getFileName.toString
-            if (!n.startsWith("tmp")) h = h * 31 + n.hashCode
+            if (!n.startsWith("tmp")) {
+              h = h * 31 + n.hashCode
+              val mp0 = e.resolve("metadata.properties")
+              val mp =
+                if (Files.exists(mp0)) mp0
+                else e.resolve("v3").resolve("metadata.properties")
+              try {
+                h = h * 31 + Files.size(mp).toInt
+                h = h * 31 + Files.getLastModifiedTime(mp).toMillis.toInt
+              } catch { case _: Throwable => h = h * 31 }
+            }
           }
           h
         } finally s.close()

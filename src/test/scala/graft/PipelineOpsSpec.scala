@@ -53,6 +53,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(covered >= 0.8, s"simhash covered only $covered of exact pairs")
   }
 
+  test("q46 refuses corpora beyond its all-pairs bound") {
+    val dir = java.nio.file.Files.createTempDirectory("big_emb")
+    spark.range(100001).selectExpr("id AS vec_id", "CAST(id % 7 AS INT) AS label",
+      "array_repeat(CAST(0.5 AS FLOAT), 4) AS embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q46_cosine_pairs")(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("refuses"), e.getMessage)
+  }
+
   test("cosine pair detection is symmetric-free and thresholded") {
     val rows = run("q46_cosine_pairs").collect()
     rows.foreach { r =>
