@@ -37,8 +37,12 @@ object HistAggSpec {
   final case class HAvg(column: String) extends HistAggSpec
 }
 
-class PinotHistAggReaderFactory(groupCol: String, specs: Array[HistAggSpec])
-    extends PartitionReaderFactory {
+/** `groupCol = None` is the GLOBAL-aggregate case: one synthetic group
+  * (card 1, all-zero ids), one partial row per segment — the path that
+  * pushes global SUM/AVG, which metadata alone can never answer.
+  */
+class PinotHistAggReaderFactory(groupCol: Option[String],
+    specs: Array[HistAggSpec]) extends PartitionReaderFactory {
 
   import HistAggSpec._
 
@@ -110,19 +114,25 @@ class PinotHistAggReaderFactory(groupCol: String, specs: Array[HistAggSpec])
       val docs = reader.metadata.totalDocs
       if (docs == 0) Iterator.empty
       else {
-        val gcm = reader.metadata.column(groupCol)
+        val gcm = groupCol.map(reader.metadata.column).orNull
         // Group-id window source: dictionary ids directly, or — for a
         // RAW string group column (single-segment complete pushdown
         // only) — slots assigned on first sight from the decoded
         // strings, pre-sized by the writer-recorded exact cardinality.
+        // No group column at all = the global aggregate: one synthetic
+        // group, all ids zero.
         var rawNames: Array[String] = null
+        lazy val zeroWindow = new Array[Int](Window)
         val (card, gWindow): (Int, (Int, Int) => Array[Int]) =
-          if (gcm.hasDictionary) {
-            val gFbr = reader.dictIdReader(groupCol)
-            (reader.dictionary(groupCol).size,
+          if (gcm == null) {
+            (1, (_: Int, n: Int) =>
+              if (n == Window) zeroWindow else new Array[Int](n))
+          } else if (gcm.hasDictionary) {
+            val gFbr = reader.dictIdReader(groupCol.get)
+            (reader.dictionary(groupCol.get).size,
               (p: Int, n: Int) => gFbr.readRange(p, n))
           } else {
-            val chunk = reader.rawChunkReader(groupCol)
+            val chunk = reader.rawChunkReader(groupCol.get)
             val c = gcm.cardinality
             if (c <= 0) throw new graft.pinot.PinotFormatException(
               s"histogram agg: no recorded cardinality for RAW $groupCol")
@@ -150,7 +160,6 @@ class PinotHistAggReaderFactory(groupCol: String, specs: Array[HistAggSpec])
               ids
             })
           }
-        val gType = gcm.dataType
         val counts = new Array[Long](card)
 
         val metricType: Map[String, org.apache.spark.sql.types.DataType] =
@@ -254,10 +263,13 @@ class PinotHistAggReaderFactory(groupCol: String, specs: Array[HistAggSpec])
         }
 
         // dictionary id / slot → Catalyst group key (same translations
-        // as the DISTINCT pushdown path)
-        val key: Int => Any = if (!gcm.hasDictionary) {
+        // as the DISTINCT pushdown path); absent entirely for the
+        // global-aggregate case
+        val key: Int => Any = if (gcm == null) {
+          _ => null // never emitted — row arity below excludes the key
+        } else if (!gcm.hasDictionary) {
           id => UTF8String.fromString(rawNames(id))
-        } else (reader.dictionary(groupCol), gType) match {
+        } else (reader.dictionary(groupCol.get), gcm.dataType) match {
           case (PinotDictionary.Ints(v), PinotType.PBoolean) => id => v(id) != 0
           case (PinotDictionary.Ints(v), _) => id => v(id)
           case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
@@ -270,11 +282,12 @@ class PinotHistAggReaderFactory(groupCol: String, specs: Array[HistAggSpec])
           case (other, t) => throw new graft.pinot.PinotFormatException(
             s"histogram agg: unsupported group dictionary $other for $groupCol:${t.name}")
         }
+        val keyArity = if (gcm == null) 0 else 1
         Iterator.range(0, card).filter(counts(_) > 0).map { g =>
-          val out = new Array[Any](1 + accs.length)
-          out(0) = key(g)
+          val out = new Array[Any](keyArity + accs.length)
+          if (keyArity == 1) out(0) = key(g)
           var a = 0
-          while (a < accs.length) { out(1 + a) = accs(a).result(g); a += 1 }
+          while (a < accs.length) { out(keyArity + a) = accs(a).result(g); a += 1 }
           new GenericInternalRow(out): InternalRow
         }
       }

@@ -108,9 +108,10 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // one stage: scan → top-k. Complete pushdown also receives AVG
     // un-rewritten; the histogram answers it as sum/count at emit.
     // Multi-segment tables fall back to parallel per-segment partials.
-    if (segmentPaths.length == 1 && !sawFilters &&
-        histCovers(agg.groupByExpressions.flatMap(fieldName(_)),
-          agg.aggregateExpressions, allowAvg = true, allowRawGroup = true)) {
+    val gOpt = agg.groupByExpressions.map(fieldName(_))
+    if (segmentPaths.length == 1 && !sawFilters && !gOpt.exists(_.isEmpty) &&
+        histCovers(gOpt.flatten, agg.aggregateExpressions,
+          allowAvg = true, allowRawGroup = true)) {
       histFinal = true
       return true
     }
@@ -196,29 +197,32 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     false
   }
 
-  /** Histogram-aggregable: one dict group column (same preconditions as
-    * DISTINCT pushdown) with a bounded cardinality (the per-task arrays
-    * are O(card × aggs); 1M entries ≈ 8 MB — fine at any segment size),
-    * and every aggregate a COUNT over non-nullable data or SUM/MIN/MAX
-    * of a non-nullable single-value numeric column (dict or RAW
-    * fixed-byte). Nullable metrics refuse: the forward index holds
+  /** Histogram-aggregable: at most one dict group column (same
+    * preconditions as DISTINCT pushdown) with a bounded cardinality (the
+    * per-task arrays are O(card × aggs); 1M entries ≈ 8 MB — fine at any
+    * segment size), and every aggregate a COUNT over non-nullable data
+    * or SUM/MIN/MAX of a non-nullable single-value numeric column (dict
+    * or RAW fixed-byte). An EMPTY group list is the global-aggregate
+    * case: one synthetic group, one partial row per segment — this is
+    * what pushes global SUM/AVG (metadata can only ever answer
+    * COUNT/MIN/MAX). Nullable metrics refuse: the forward index holds
     * stored DEFAULTS at null docs, which must not enter partials.
     */
   private def histCovers(groupCols: Array[String],
       funcs: Array[AggregateFunc], allowAvg: Boolean = false,
       allowRawGroup: Boolean = false): Boolean = {
-    if (groupCols.length != 1 || funcs.isEmpty) return false
+    if (groupCols.length > 1 || funcs.isEmpty) return false
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     if (metas.isEmpty || metas.exists(_ == null)) return false
     // RAW string group columns qualify only for single-segment COMPLETE
     // pushdown (slot map over decoded strings, exact writer-recorded
     // cardinality); dict columns qualify everywhere.
-    val groupOk = isDictDistinctable(groupCols.head) ||
+    val groupOk = groupCols.isEmpty || isDictDistinctable(groupCols.head) ||
       (allowRawGroup && metas.forall(_.columns.get(groupCols.head).exists(
         cm => !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
           cm.dataType == PinotType.PString && cm.cardinality > 0)))
     if (!groupOk) return false
-    if (!metas.forall(_.columns.get(groupCols.head)
+    if (groupCols.nonEmpty && !metas.forall(_.columns.get(groupCols.head)
         .exists(_.cardinality <= (1 << 20)))) return false
     def numericReadable(col: String): Boolean = metas.forall { m =>
       m.columns.get(col).exists(cm => cm.isSingleValue && !cm.hasNullVector &&
@@ -645,7 +649,7 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
         case a: Avg => HistAggSpec.HAvg(colName(a.column())) // histFinal only
         case f => throw new IllegalStateException(s"unexpected hist agg $f")
       }
-      return new PinotHistAggReaderFactory(groupCols(0), specs)
+      return new PinotHistAggReaderFactory(groupCols.headOption, specs)
     }
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)

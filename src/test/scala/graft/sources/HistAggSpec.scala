@@ -92,6 +92,39 @@ class HistAggSpec extends SparkTestBase {
     }
   }
 
+  test("GLOBAL SUM/AVG/MIN/MAX push via the synthetic single group") {
+    val df = spark.read.format("pinot").load(tdir)
+    // multi-segment: one partial row per segment, merged by Spark
+    val g = df.agg(sum("hits").as("s"), sum("score").as("ss"),
+      min("bal").as("mn"), max("bal").as("mx"), count(lit(1)).as("c"))
+    assert(leafOf(g).contains("histogram=true"), leafOf(g))
+    val r = g.head()
+    assert(r.getLong(0) === hits.map(_.toLong).sum)
+    assert(math.abs(r.getDouble(1) - score.sum) < 1e-6)
+    assert(r.getLong(2) === bal.min)
+    assert(r.getLong(3) === bal.max)
+    assert(r.getLong(4) === n.toLong)
+
+    // single segment: COMPLETE — no HashAggregate at all, AVG whole
+    val root = Files.createTempDirectory("pinot_hist_g1")
+    val t1 = root.resolve("g_OFFLINE")
+    SegmentWriter.write(t1.resolve("seg0"), "g", "seg0", Seq(
+      SegmentWriter.IntCol("hits", hits.take(4000)),
+      SegmentWriter.DoubleCol("score", score.take(4000))))
+    val df1 = spark.read.format("pinot").load(t1.toString)
+    val a1 = df1.agg(sum("hits").as("s"), avg("score").as("a"))
+    assert(leafOf(a1).contains("histFinal=true"), leafOf(a1))
+    assert(!a1.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val r1 = a1.head()
+    assert(r1.getLong(0) === hits.take(4000).map(_.toLong).sum)
+    assert(math.abs(r1.getDouble(1) - score.take(4000).sum / 4000) < 1e-9)
+
+    // empty table: no partial rows → Spark's default values
+    val rEmpty = spark.read.format("pinot").load(tdir)
+      .filter(lit(false)).agg(count(lit(1))).head()
+    assert(rEmpty.getLong(0) === 0L)
+  }
+
   test("single-segment complete pushdown: no final aggregate, AVG pushed whole") {
     val root = Files.createTempDirectory("pinot_hist_one")
     val t1 = root.resolve("o_OFFLINE")
