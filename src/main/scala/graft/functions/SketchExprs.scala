@@ -70,7 +70,9 @@ case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val md = Md5MinHashPerms.digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
     // first/second 13 hex chars = top 52 bits / next 52 bits of the digest
     var a = 0L
     var i = 0
@@ -92,6 +94,15 @@ case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
   override protected def withNewChildInternal(newChild: Expression): Md5MinHashPerms =
     copy(child = newChild)
   override def prettyName: String = "md5_minhash_perms"
+}
+
+object Md5MinHashPerms {
+  /** MessageDigest is stateful and not thread-safe; per-instance
+    * allocation in eval costs more than the hash itself on short
+    * shingles. One digest per task thread, reset per call.
+    */
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** `simhash_contrib(h, c)` — the weighted ±c 64-bit contribution vector of

@@ -395,6 +395,22 @@ object PinotRoundtrip {
         .orderBy("l_returnflag")
     }),
 
+    // The reference benchmark's group-topk shape (README.md:297,
+    // benchmark_cases.rs:33) through the connector's dict-id HISTOGRAM
+    // aggregation pushdown: 3 segments each emit per-key partials
+    // computed over packed dictionary ids (never materializing group
+    // keys per row), Spark's final aggregate merges, top-k fuses. The
+    // oracle hash proves the pushdown path end-to-end.
+    "q105_pinot_group_topk" -> ((s, d) => {
+      val pinot = s.read.format("pinot").load(segmentTable(s, d))
+      pinot.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_okey"),
+          min("l_linenumber").as("mn_ln"),
+          max("l_linenumber").as("mx_ln"))
+        .orderBy(desc("sum_okey"), asc("l_returnflag")).limit(2)
+    }),
+
     // v1/v2 segment layout through the oracle gate: the same lineitem
     // subset read from PER-INDEX-FILE segments (v3 → v1 conversion on the
     // fixture) with the same aggregation as q65 — every decoder family
@@ -630,6 +646,19 @@ object PinotRoundtrip {
         |  CAST(sum(returned) AS BIGINT) AS returned_rows,
         |  CAST(sum(pbytes) AS BIGINT) AS payload_bytes
         |FROM subset GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q105_pinot_group_topk" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(min(l_linenumber) AS INTEGER) AS mn_ln,
+        |  CAST(max(l_linenumber) AS INTEGER) AS mx_ln
+        |FROM subset GROUP BY l_returnflag
+        |ORDER BY sum_okey DESC, l_returnflag LIMIT 2""".stripMargin,
 
     // identical semantics to q65 — the fixture differs (v1 layout), the
     // data must not

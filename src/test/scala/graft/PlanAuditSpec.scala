@@ -134,6 +134,11 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q105 rides the dict-id histogram aggregation pushdown") {
+    val leaf = finalPlan("q105_pinot_group_topk").collectLeaves().head.toString
+    assert(leaf.contains("histogram=true"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction
