@@ -226,6 +226,22 @@ class PinotSourceSpec extends SparkTestBase {
     assert(r.next())
     assert(r.get().numRows() === 5)
     assert(!r.next())
+    // FULLY-pushed limit: one chained partition, Spark's Limit gone
+    val full = spark.read.format("pinot").load(tablePath)
+      .select("playerID").limit(7)
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit") && !plan.contains("GlobalLimit"),
+      s"limit not fully pushed:\n$plan")
+    assert(full.count() === 7)
+    // a limit LARGER than the first segment chains into the next ones
+    // (exactly `limit` rows total, distinct because playerID is unique)
+    val chain = spark.read.format("pinot").load(tablePath)
+      .select("playerID").limit(n / 3 + 500)
+    assert(chain.count() === n / 3 + 500)
+    assert(chain.distinct().count() === n / 3 + 500)
+    // and a limit beyond the table returns every row, once
+    assert(spark.read.format("pinot").load(tablePath)
+      .select("playerID").limit(n + 999).count() === n)
   }
 
   test("dictionary pruning skips segments that cannot match an equality") {
