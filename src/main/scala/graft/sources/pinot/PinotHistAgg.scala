@@ -37,11 +37,12 @@ object HistAggSpec {
   final case class HAvg(column: String) extends HistAggSpec
 }
 
-/** `groupCol = None` is the GLOBAL-aggregate case: one synthetic group
+/** `groupCols` empty is the GLOBAL-aggregate case: one synthetic group
   * (card 1, all-zero ids), one partial row per segment — the path that
   * pushes global SUM/AVG, which metadata alone can never answer.
+  * Multiple dict columns compose into one id by stride arithmetic.
   */
-class PinotHistAggReaderFactory(groupCol: Option[String],
+class PinotHistAggReaderFactory(groupCols: Array[String],
     specs: Array[HistAggSpec]) extends PartitionReaderFactory {
 
   import HistAggSpec._
@@ -114,28 +115,28 @@ class PinotHistAggReaderFactory(groupCol: Option[String],
       val docs = reader.metadata.totalDocs
       if (docs == 0) Iterator.empty
       else {
-        val gcm = groupCol.map(reader.metadata.column).orNull
-        // Group-id window source: dictionary ids directly, or — for a
-        // RAW string group column (single-segment complete pushdown
-        // only) — slots assigned on first sight from the decoded
-        // strings, pre-sized by the writer-recorded exact cardinality.
-        // No group column at all = the global aggregate: one synthetic
-        // group, all ids zero.
+        // Group-id window source. One composite id per row:
+        // - no group column = the global aggregate (one synthetic group,
+        //   all ids zero);
+        // - one RAW string column (single-segment complete pushdown
+        //   only) = slots assigned on first sight from decoded strings,
+        //   pre-sized by the writer-recorded exact cardinality;
+        // - N dict columns = stride arithmetic over their id streams
+        //   (id = ((id_0 · card_1) + id_1) · card_2 + …), product capped
+        //   by the builder.
+        val firstCm = groupCols.headOption.map(reader.metadata.column)
+        val rawGroup = firstCm.exists(!_.hasDictionary)
         var rawNames: Array[String] = null
         lazy val zeroWindow = new Array[Int](Window)
         val (card, gWindow): (Int, (Int, Int) => Array[Int]) =
-          if (gcm == null) {
+          if (groupCols.isEmpty) {
             (1, (_: Int, n: Int) =>
               if (n == Window) zeroWindow else new Array[Int](n))
-          } else if (gcm.hasDictionary) {
-            val gFbr = reader.dictIdReader(groupCol.get)
-            (reader.dictionary(groupCol.get).size,
-              (p: Int, n: Int) => gFbr.readRange(p, n))
-          } else {
-            val chunk = reader.rawChunkReader(groupCol.get)
-            val c = gcm.cardinality
+          } else if (rawGroup) {
+            val chunk = reader.rawChunkReader(groupCols.head)
+            val c = firstCm.get.cardinality
             if (c <= 0) throw new graft.pinot.PinotFormatException(
-              s"histogram agg: no recorded cardinality for RAW $groupCol")
+              s"histogram agg: no recorded cardinality for RAW ${groupCols.head}")
             val slotOf = new java.util.HashMap[String, Integer](c * 2)
             rawNames = new Array[String](c)
             var next = 0
@@ -148,7 +149,7 @@ class PinotHistAggReaderFactory(groupCol: Option[String],
                 var slot = slotOf.get(s)
                 if (slot == null) {
                   if (next >= c) throw new graft.pinot.PinotFormatException(
-                    s"histogram agg: $groupCol exceeds recorded cardinality $c")
+                    s"histogram agg: ${groupCols.head} exceeds recorded cardinality $c")
                   slot = Integer.valueOf(next)
                   slotOf.put(s, slot)
                   rawNames(next) = s
@@ -159,6 +160,28 @@ class PinotHistAggReaderFactory(groupCol: Option[String],
               }
               ids
             })
+          } else {
+            val fbrs = groupCols.map(reader.dictIdReader)
+            val cards = groupCols.map(c => reader.dictionary(c).size)
+            val prod = cards.foldLeft(1L)(_ * _)
+            if (prod > (1L << 20)) throw new graft.pinot.PinotFormatException(
+              s"histogram agg: group cardinality product $prod over cap")
+            if (fbrs.length == 1) {
+              (cards(0), (p: Int, n: Int) => fbrs(0).readRange(p, n))
+            } else {
+              (prod.toInt, (p: Int, n: Int) => {
+                val ids = fbrs(0).readRange(p, n)
+                var j = 1
+                while (j < fbrs.length) {
+                  val next = fbrs(j).readRange(p, n)
+                  val cj = cards(j)
+                  var i = 0
+                  while (i < n) { ids(i) = ids(i) * cj + next(i); i += 1 }
+                  j += 1
+                }
+                ids
+              })
+            }
           }
         val counts = new Array[Long](card)
 
@@ -262,30 +285,45 @@ class PinotHistAggReaderFactory(groupCol: Option[String],
           pos += n
         }
 
-        // dictionary id / slot → Catalyst group key (same translations
-        // as the DISTINCT pushdown path); absent entirely for the
-        // global-aggregate case
-        val key: Int => Any = if (gcm == null) {
-          _ => null // never emitted — row arity below excludes the key
-        } else if (!gcm.hasDictionary) {
-          id => UTF8String.fromString(rawNames(id))
-        } else (reader.dictionary(groupCol.get), gcm.dataType) match {
-          case (PinotDictionary.Ints(v), PinotType.PBoolean) => id => v(id) != 0
-          case (PinotDictionary.Ints(v), _) => id => v(id)
-          case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
-            id => Math.multiplyExact(v(id), 1000L)
-          case (PinotDictionary.Longs(v), _) => id => v(id)
-          case (PinotDictionary.Floats(v), _) => id => v(id)
-          case (PinotDictionary.Doubles(v), _) => id => v(id)
-          case (PinotDictionary.Strings(v), _) =>
-            id => UTF8String.fromString(v(id))
-          case (other, t) => throw new graft.pinot.PinotFormatException(
-            s"histogram agg: unsupported group dictionary $other for $groupCol:${t.name}")
+        // dictionary id / slot → Catalyst group key per column (same
+        // translations as the DISTINCT pushdown path); composite ids
+        // decompose back through the same strides
+        def dictKeyFn(c: String): Int => Any = {
+          val t = reader.metadata.column(c).dataType
+          (reader.dictionary(c), t) match {
+            case (PinotDictionary.Ints(v), PinotType.PBoolean) => id => v(id) != 0
+            case (PinotDictionary.Ints(v), _) => id => v(id)
+            case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
+              id => Math.multiplyExact(v(id), 1000L)
+            case (PinotDictionary.Longs(v), _) => id => v(id)
+            case (PinotDictionary.Floats(v), _) => id => v(id)
+            case (PinotDictionary.Doubles(v), _) => id => v(id)
+            case (PinotDictionary.Strings(v), _) =>
+              id => UTF8String.fromString(v(id))
+            case (other, tt) => throw new graft.pinot.PinotFormatException(
+              s"histogram agg: unsupported group dictionary $other for $c:${tt.name}")
+          }
         }
-        val keyArity = if (gcm == null) 0 else 1
+        val keyArity = groupCols.length
+        // per-column (divisor, modulus, translate): column j's id =
+        // (g / Π cards(j+1..)) % cards(j)
+        val keyParts: Array[(Int, Int, Int => Any)] =
+          if (rawGroup) Array((1, card, (id: Int) => UTF8String.fromString(rawNames(id))))
+          else {
+            val cards = groupCols.map(c => reader.dictionary(c).size)
+            groupCols.zipWithIndex.map { case (c, j) =>
+              val divisor = cards.drop(j + 1).foldLeft(1)(_ * _)
+              (divisor, cards(j), dictKeyFn(c))
+            }.toArray
+          }
         Iterator.range(0, card).filter(counts(_) > 0).map { g =>
           val out = new Array[Any](keyArity + accs.length)
-          if (keyArity == 1) out(0) = key(g)
+          var k = 0
+          while (k < keyArity) {
+            val (div, mod, fn) = keyParts(k)
+            out(k) = fn((g / div) % mod)
+            k += 1
+          }
           var a = 0
           while (a < accs.length) { out(keyArity + a) = accs(a).result(g); a += 1 }
           new GenericInternalRow(out): InternalRow

@@ -211,19 +211,29 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   private def histCovers(groupCols: Array[String],
       funcs: Array[AggregateFunc], allowAvg: Boolean = false,
       allowRawGroup: Boolean = false): Boolean = {
-    if (groupCols.length > 1 || funcs.isEmpty) return false
+    if (funcs.isEmpty) return false
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     if (metas.isEmpty || metas.exists(_ == null)) return false
-    // RAW string group columns qualify only for single-segment COMPLETE
-    // pushdown (slot map over decoded strings, exact writer-recorded
+    // Multiple group columns compose into one dict-id key (stride
+    // arithmetic) — all must be dict columns then. A single RAW string
+    // group column qualifies only for single-segment COMPLETE pushdown
+    // (slot map over decoded strings, exact writer-recorded
     // cardinality); dict columns qualify everywhere.
-    val groupOk = groupCols.isEmpty || isDictDistinctable(groupCols.head) ||
-      (allowRawGroup && metas.forall(_.columns.get(groupCols.head).exists(
-        cm => !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
-          cm.dataType == PinotType.PString && cm.cardinality > 0)))
+    val groupOk =
+      groupCols.forall(isDictDistinctable) ||
+      (groupCols.length == 1 && allowRawGroup &&
+        metas.forall(_.columns.get(groupCols.head).exists(
+          cm => !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
+            cm.dataType == PinotType.PString && cm.cardinality > 0)))
     if (!groupOk) return false
-    if (groupCols.nonEmpty && !metas.forall(_.columns.get(groupCols.head)
-        .exists(_.cardinality <= (1 << 20)))) return false
+    // per-task arrays are O(Π cardinalities × aggs): cap the PRODUCT in
+    // every segment (1M entries ≈ 8 MB)
+    val cardOk = metas.forall { m =>
+      val prod = groupCols.foldLeft(1L)((acc, c) =>
+        acc * math.max(1, m.columns.get(c).fold(Int.MaxValue)(_.cardinality)))
+      prod <= (1L << 20)
+    }
+    if (groupCols.nonEmpty && !cardOk) return false
     def numericReadable(col: String): Boolean = metas.forall { m =>
       m.columns.get(col).exists(cm => cm.isSingleValue && !cm.hasNullVector &&
         (cm.dataType match {
@@ -649,7 +659,7 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
         case a: Avg => HistAggSpec.HAvg(colName(a.column())) // histFinal only
         case f => throw new IllegalStateException(s"unexpected hist agg $f")
       }
-      return new PinotHistAggReaderFactory(groupCols.headOption, specs)
+      return new PinotHistAggReaderFactory(groupCols, specs)
     }
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)

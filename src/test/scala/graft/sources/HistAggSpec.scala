@@ -184,6 +184,56 @@ class HistAggSpec extends SparkTestBase {
     assert(a2.collect().map(_.getLong(1)).sum === m.toLong)
   }
 
+  test("multi-column GROUP BY composes dict ids by stride arithmetic") {
+    val df = spark.read.format("pinot").load(tdir)
+    // second group key: hits % buckets — hits itself is a dict int col;
+    // group directly by (team, hits) to keep both keys dictionary-backed
+    val a = df.groupBy("team", "hits")
+      .agg(count(lit(1)).as("c"), sum("bal").as("s"))
+    assert(leafOf(a).contains("histogram=true"), leafOf(a))
+    val got = a.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = (0 until n).groupBy(i => (team(i), hits(i)))
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, is) =>
+      assert(got(k) === ((is.length.toLong, is.map(bal(_)).sum)), s"$k")
+    }
+    // a RAW (non-dict) column in a multi-column group refuses pushdown
+    // (composite ids need dictionaries on every key) — engine-side agg
+    // stays correct
+    val big = df.groupBy("team", "bal").count()
+    assert(!leafOf(big).contains("PinotAggScan"), leafOf(big))
+    assert(big.collect().map(_.getLong(2)).sum === n.toLong)
+  }
+
+  test("BOOLEAN and TIMESTAMP group keys translate through the histogram") {
+    val root = Files.createTempDirectory("pinot_hist_bt")
+    val t1 = root.resolve("bt_OFFLINE")
+    val m = 3000
+    val flag = Array.tabulate(m)(i => i % 3 == 0)
+    val ts = Array.tabulate(m)(i => 1704067200000L + (i % 4) * 3600000L)
+    val v = Array.tabulate(m)(i => i % 100)
+    SegmentWriter.write(t1.resolve("seg0"), "bt", "seg0", Seq(
+      SegmentWriter.BoolCol("flag", flag),
+      SegmentWriter.TimestampCol("ts", ts),
+      SegmentWriter.IntCol("v", v)))
+    val df = spark.read.format("pinot").load(t1.toString)
+    val byFlag = df.groupBy("flag").agg(sum("v").as("s"))
+    assert(leafOf(byFlag).contains("histogram=true"), leafOf(byFlag))
+    val gotF = byFlag.collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    (0 until m).groupBy(flag).foreach { case (f, is) =>
+      assert(gotF(f) === is.map(v(_).toLong).sum, s"flag=$f")
+    }
+    val byTs = df.groupBy("ts").agg(count(lit(1)).as("c"))
+    assert(leafOf(byTs).contains("histogram=true"), leafOf(byTs))
+    val gotT = byTs.collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    (0 until m).groupBy(ts).foreach { case (t, is) =>
+      assert(gotT(t) === is.length.toLong, s"ts=$t")
+    }
+  }
+
   test("refusals: nullable metric, string metric, filters, high card stay engine-side") {
     // nullable metric: stored defaults must not enter partials
     val root = Files.createTempDirectory("pinot_hist_nul")
