@@ -109,13 +109,39 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // un-rewritten; the histogram answers it as sum/count at emit.
     // Multi-segment tables fall back to parallel per-segment partials.
     val gOpt = agg.groupByExpressions.map(fieldName(_))
-    if (segmentPaths.length == 1 && !sawFilters && !gOpt.exists(_.isEmpty) &&
-        histCovers(gOpt.flatten, agg.aggregateExpressions,
-          allowAvg = true, allowRawGroup = true)) {
+    if (gOpt.exists(_.isEmpty) || segmentPaths.length != 1 || sawFilters)
+      return false
+    val groupCols = gOpt.flatten
+    // single-segment DISTINCT is final by construction: the dictionary
+    // (single col) / the occupied composite-id set (multi col) each
+    // emit every present key exactly once — Spark plans no dedup
+    if (agg.aggregateExpressions.isEmpty && groupCols.nonEmpty) {
+      if (groupCols.length == 1 && isDictDistinctable(groupCols.head))
+        return true
+      if (groupCols.forall(isDictDistinctable) && cardProductOk(groupCols)) {
+        histFinal = true
+        return true
+      }
+      return false
+    }
+    if (histCovers(groupCols, agg.aggregateExpressions,
+        allowAvg = true, allowRawGroup = true)) {
       histFinal = true
       return true
     }
     false
+  }
+
+  /** Π segment cardinalities of `cols` stays within the per-task
+    * histogram array cap in EVERY segment (1M entries ≈ 8 MB).
+    */
+  private def cardProductOk(cols: Array[String]): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
+      cols.foldLeft(1L)((acc, c) =>
+        acc * math.max(1, m.columns.get(c).fold(Int.MaxValue)(_.cardinality))
+      ) <= (1L << 20)
+    }
   }
 
   /** COUNT(col) answerable from metadata alone: every segment's metadata
@@ -152,9 +178,20 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // emits cardinality rows per segment — SELECT DISTINCT col over a
     // 100 TB table reads dictionaries only, never a forward index
     if (agg.aggregateExpressions.isEmpty) {
-      val ok = groupCols.length == 1 && isDictDistinctable(groupCols.head)
-      if (ok) pushedAgg = Some(agg)
-      return ok
+      if (groupCols.length == 1 && isDictDistinctable(groupCols.head)) {
+        pushedAgg = Some(agg)
+        return true
+      }
+      // multi-column DISTINCT: dictionaries alone cannot answer it (a
+      // key PAIR must actually co-occur), but the composite-id
+      // histogram can — each segment emits its occupied id set
+      if (groupCols.length > 1 && groupCols.forall(isDictDistinctable) &&
+          cardProductOk(groupCols)) {
+        pushedAgg = Some(agg)
+        useHistogram = true
+        return true
+      }
+      return false
     }
     val keyPureOk = groupCols.forall(isKeyPure) &&
       agg.aggregateExpressions.forall {
@@ -228,12 +265,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     if (!groupOk) return false
     // per-task arrays are O(Π cardinalities × aggs): cap the PRODUCT in
     // every segment (1M entries ≈ 8 MB)
-    val cardOk = metas.forall { m =>
-      val prod = groupCols.foldLeft(1L)((acc, c) =>
-        acc * math.max(1, m.columns.get(c).fold(Int.MaxValue)(_.cardinality)))
-      prod <= (1L << 20)
-    }
-    if (groupCols.nonEmpty && !cardOk) return false
+    if (groupCols.nonEmpty && !cardProductOk(groupCols)) return false
     def numericReadable(col: String): Boolean = metas.forall { m =>
       m.columns.get(col).exists(cm => cm.isSingleValue && !cm.hasNullVector &&
         (cm.dataType match {

@@ -207,6 +207,20 @@ class HistAggSpec extends SparkTestBase {
     assert(big.collect().map(_.getLong(2)).sum === n.toLong)
   }
 
+  test("multi-column DISTINCT pushes via occupied composite ids") {
+    val df = spark.read.format("pinot").load(tdir)
+    val d = df.select("team", "hits").distinct()
+    assert(leafOf(d).contains("histogram=true"), leafOf(d))
+    val got = d.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = (0 until n).map(i => (team(i), hits(i))).toSet
+    assert(got === want, "composite DISTINCT must emit exactly the co-occurring pairs")
+    // single-column DISTINCT keeps the dictionary-only path (no
+    // forward-index read)
+    val d1 = spark.read.format("pinot").load(tdir).select("team").distinct()
+    assert(leafOf(d1).contains("histogram=false"), leafOf(d1))
+    assert(d1.count() === team.distinct.length.toLong)
+  }
+
   test("BOOLEAN and TIMESTAMP group keys translate through the histogram") {
     val root = Files.createTempDirectory("pinot_hist_bt")
     val t1 = root.resolve("bt_OFFLINE")

@@ -117,10 +117,12 @@ class PinotSourceSpec extends SparkTestBase {
       s"DISTINCT not pushed:\n$leaf")
     assert(dis.collect().map(_.getString(0)).sorted.toSeq ===
       teamID.distinct.sorted.toSeq)
-    // multi-column distinct must NOT push (dict cross-product is wrong)
+    // multi-column distinct pushes via the composite-id HISTOGRAM (the
+    // dictionary cross-product alone would be wrong — pairs must
+    // actually co-occur; the histogram proves occupancy)
     val two = df.select("teamID", "hits").distinct()
     val leaf2 = two.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(leaf2.contains("PinotScan("), s"expected plain scan:\n$leaf2")
+    assert(leaf2.contains("histogram=true"), s"expected histogram:\n$leaf2")
     assert(two.count() ===
       teamID.zip(hits).map(p => (p._1, p._2)).distinct.length)
   }
