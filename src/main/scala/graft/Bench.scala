@@ -46,26 +46,7 @@ object Bench {
   private def execute(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** Fixed-work CPU calibration probe: a deterministic 64-bit mixing
-    * loop whose wall time depends only on single-core CPU availability —
-    * data-independent, allocation-free, JIT-warmed by its first run.
-    * Timed before and after the query sweep; on an idle box both land in
-    * a tight band (~0.2–0.4 s on current x86), so an elevated or skewed
-    * pair marks the RUN as contended, making environment noise
-    * attributable from the artifact alone instead of by re-measurement.
-    */
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
-    var h = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < 200000000) {
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 29; h += i
-      i += 1
-    }
-    if (h == 42L) System.err.println("") // defeat dead-code elimination
-    (System.nanoTime() - t0) / 1e9
-  }
+  private def calibrate(): Double = Calibrate.run()
 
   private def timed(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
@@ -134,7 +115,7 @@ object Bench {
     val env = s""""jvm":{"maxHeapMb":${rt.maxMemory() / (1 << 20)},""" +
       s""""cpus":${rt.availableProcessors()},"master":"local[$cpus]"},""" +
       f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f,""" +
-      """"work":"200M-iter 64-bit mix loop, single thread"}"""
+      s""""work":"${Calibrate.WorkDescription}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir",$env}""".getBytes("UTF-8"))
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")

@@ -175,22 +175,10 @@ object PinotBench {
       ts(2)
     }
 
-    // same fixed-work contention probe as graft.Bench: before/after pair
-    // marks a contended run from the artifact alone
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      var h = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < 200000000) {
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-        h ^= h >>> 29; h += i
-        i += 1
-      }
-      if (h == 42L) System.err.println("")
-      (System.nanoTime() - t0) / 1e9
-    }
-    calibrate() // JIT warm-up
-    val calBefore = calibrate()
+    // shared fixed-work contention probe ([[Calibrate]]): before/after
+    // pair marks a contended run from the artifact alone
+    Calibrate.run() // JIT warm-up
+    val calBefore = Calibrate.run()
 
     val results = shapes.map { case (name, mk) => name -> median(mk) }
 
@@ -199,7 +187,7 @@ object PinotBench {
     val floorAgg = median(() => floorTable.agg(sum("hits").as("s")))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val calAfter = calibrate()
+    val calAfter = Calibrate.run()
     val total =
       f"${results.filterNot(_._1.startsWith("x")).map(_._2).sum}%.4f"
     val cal = f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f}"""

@@ -141,7 +141,11 @@ object CurationOps {
       val t = docs(s, d)
         .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
       val r = t.agg(min("doc_id"), max("doc_id")).head
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      // empty corpus: null bounds — any bucket constant keeps the plan
+      // valid and the result correctly empty (the old global-window form
+      // also returned empty)
+      val (lo, hi) =
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       val span = math.max(1L, hi - lo + 1)
       val nb = 32
       val bucket = least(lit(nb - 1),

@@ -63,6 +63,12 @@ object IvfIndex {
     if (Files.exists(dir.resolve("_SUCCESS"))) return dir
     Files.createDirectories(cacheRoot)
     val tmp = Files.createTempDirectory(cacheRoot, "build_")
+    try buildInto(s, emb, tmp, dir)
+    catch { case e: Throwable => deleteRecursively(tmp); throw e }
+  }
+
+  private def buildInto(s: SparkSession, emb: DataFrame, tmp: Path,
+      dir: Path): Path = {
 
     def centroidsOf(assigned: DataFrame, key: String): DataFrame = assigned
       .select(col(key), posexplode(col("qvec")).as(Seq("pos", "v")))
@@ -110,12 +116,6 @@ object IvfIndex {
   def assignments(s: SparkSession, dir: Path): DataFrame =
     s.read.parquet(dir.resolve("assignments").toString)
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val listing = Files.list(p)
-      try listing.iterator().asScala.foreach(deleteRecursively)
-      finally listing.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.pinot.PinotCompact.deleteRecursively(p)
 }

@@ -163,9 +163,14 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
           } else {
             val fbrs = groupCols.map(reader.dictIdReader)
             val cards = groupCols.map(c => reader.dictionary(c).size)
-            val prod = cards.foldLeft(1L)(_ * _)
-            if (prod > (1L << 20)) throw new graft.pinot.PinotFormatException(
-              s"histogram agg: group cardinality product $prod over cap")
+            // saturating fold — a corrupt cardinality must not wrap Long
+            // into accidental acceptance (cap 2^20 × card < 2^31 cannot
+            // overflow before saturating)
+            val cap = 1L << 20
+            val prod = cards.foldLeft(1L)((acc, c) =>
+              if (acc > cap) acc else acc * math.max(1, c))
+            if (prod > cap) throw new graft.pinot.PinotFormatException(
+              s"histogram agg: group cardinality product over cap")
             if (fbrs.length == 1) {
               (cards(0), (p: Int, n: Int) => fbrs(0).readRange(p, n))
             } else {

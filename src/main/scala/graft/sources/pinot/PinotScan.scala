@@ -126,6 +126,14 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     }
     if (histCovers(groupCols, agg.aggregateExpressions,
         allowAvg = true, allowRawGroup = true)) {
+      // an empty segment emits NO partial rows, but a GLOBAL aggregate
+      // must still return its mandatory single row (SUM = NULL,
+      // COUNT = 0) — only Spark's final aggregate can produce it, so
+      // complete pushdown refuses and the partial path takes over.
+      // (Group-by over an empty segment is correctly empty either way.)
+      if (groupCols.isEmpty &&
+          Option(PinotScan.segmentMeta(segmentPaths.head))
+            .forall(_.totalDocs == 0)) return false
       histFinal = true
       return true
     }
@@ -133,14 +141,18 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   }
 
   /** Π segment cardinalities of `cols` stays within the per-task
-    * histogram array cap in EVERY segment (1M entries ≈ 8 MB).
+    * histogram array cap in EVERY segment (1M entries ≈ 8 MB). The fold
+    * saturates at the cap instead of multiplying on — a 3×2^21 product
+    * must not wrap Long into accidental acceptance.
     */
   private def cardProductOk(cols: Array[String]): Boolean = {
+    val cap = 1L << 20
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     metas.nonEmpty && !metas.exists(_ == null) && metas.forall { m =>
-      cols.foldLeft(1L)((acc, c) =>
-        acc * math.max(1, m.columns.get(c).fold(Int.MaxValue)(_.cardinality))
-      ) <= (1L << 20)
+      cols.foldLeft(1L) { (acc, c) =>
+        val card = math.max(1, m.columns.get(c).fold(Int.MaxValue)(_.cardinality))
+        if (acc > cap) acc else acc * card
+      } <= cap
     }
   }
 

@@ -11,6 +11,17 @@ class CurationOpsSpec extends SparkTestBase {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q85/q89 prefix sums handle an EMPTY corpus (no NPE on null bounds)") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_docs")
+    spark.range(0).selectExpr("id AS doc_id", "'x' AS text",
+      "'en' AS lang", "'web' AS source", "id AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q85_sequence_packing")(spark, dir.toString)
+      .collect().isEmpty)
+    assert(SparkEntry.queries("q89_epoch_shuffle")(spark, dir.toString)
+      .collect().isEmpty)
+  }
+
   test("split assignment partitions every document exactly once") {
     val rows = run("q76_split_assign").collect()
     val total = Tables.load(spark, sf, "documents").count()

@@ -207,6 +207,21 @@ class HistAggSpec extends SparkTestBase {
     assert(big.collect().map(_.getLong(2)).sum === n.toLong)
   }
 
+  test("global aggregate over an empty single segment returns its mandatory row") {
+    val root = Files.createTempDirectory("pinot_hist_empty")
+    val t1 = root.resolve("e_OFFLINE")
+    SegmentWriter.write(t1.resolve("seg0"), "e", "seg0", Seq(
+      SegmentWriter.IntCol("v", Array.empty[Int])))
+    val df = spark.read.format("pinot").load(t1.toString)
+    // SQL semantics: one row, SUM = NULL, COUNT = 0 — complete pushdown
+    // must refuse here (no partial rows would mean no row at all)
+    val r = df.agg(sum("v").as("s"), count(lit(1)).as("c")).head()
+    assert(r.isNullAt(0), "SUM over empty input must be NULL")
+    assert(r.getLong(1) === 0L)
+    // group-by over the empty segment is correctly empty
+    assert(df.groupBy("v").count().collect().isEmpty)
+  }
+
   test("multi-column DISTINCT pushes via occupied composite ids") {
     val df = spark.read.format("pinot").load(tdir)
     val d = df.select("team", "hits").distinct()
