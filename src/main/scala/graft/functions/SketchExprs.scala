@@ -105,6 +105,42 @@ object Md5MinHashPerms {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** `md5_hash64(s)` — the ENGINE-NEUTRAL 64-bit token hash: the first 16
+  * hex chars of md5 as an (unsigned-parsed) long. DuckDB reproduces it
+  * as two 32-bit halves (`CAST(concat('0x', substr(md5(s),1,8)) AS
+  * BIGINT)` = bits 63..32, next 8 chars = bits 31..0), which is what
+  * lets the SimHash pipeline be hash-oracled; `xxhash64` remains the
+  * fast path.
+  */
+case class Md5Hash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash64 requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val md = Md5MinHashPerms.digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 8 digest bytes, big-endian = first 16 hex chars
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash64 =
+    copy(child = newChild)
+  override def prettyName: String = "md5_hash64"
+}
+
 /** `simhash_contrib(h, c)` — the weighted ±c 64-bit contribution vector of
   * one (token-hash, count) row: element j = c · (2·((h≫j)&1) − 1).
   */
@@ -167,6 +203,8 @@ object SketchExprs {
     GraftSqlBridge.toColumn(MinHashPerms(GraftSqlBridge.toExpression(c), n))
   def md5MinhashPerms(c: Column, n: Int = 64): Column =
     GraftSqlBridge.toColumn(Md5MinHashPerms(GraftSqlBridge.toExpression(c), n))
+  def md5Hash64(c: Column): Column =
+    GraftSqlBridge.toColumn(Md5Hash64(GraftSqlBridge.toExpression(c)))
   def simhashContrib(h: Column, c: Column): Column =
     GraftSqlBridge.toColumn(SimHashContrib(
       GraftSqlBridge.toExpression(h), GraftSqlBridge.toExpression(c)))

@@ -103,8 +103,15 @@ object SketchDedup {
     "q49_dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d, neutral = true)),
 
     // SimHash: 64-bit sign-aggregated token hash; banded bucket join;
-    // near-dups = hamming distance <= 3.
-    "q50_dedup_simhash" -> ((s, d) => {
+    // near-dups = hamming distance <= 7. Token hashes come from the
+    // md5-derived engine-neutral family (oracled); xxhash64 fast path
+    // via simhashPairs(neutral = false).
+    "q50_dedup_simhash" -> ((s, d) => simhashPairs(s, d, neutral = true))
+  )
+
+  /** The full SimHash pipeline; `neutral` selects the token-hash family. */
+  private[graft] def simhashPairs(s: SparkSession, d: String,
+      neutral: Boolean): DataFrame = {
       val docs = graft.Tables.load(s, d, "documents")
       // Weighted-by-count ±1 bit arrays folded by the element-wise-sum
       // aggregate (map-side combinable — replaces a 64× posexplode
@@ -113,7 +120,9 @@ object SketchDedup {
       // per occurrence — 10× fewer lambda evaluations on repetitive text.
       val sims = docs
         .withColumn("word", explode(split(col("text"), " ")))
-        .withColumn("h", xxhash64(col("word")))
+        .withColumn("h",
+          if (neutral) graft.functions.SketchExprs.md5Hash64(col("word"))
+          else xxhash64(col("word")))
         .groupBy("doc_id", "h")
         .agg(count(lit(1)).as("c"))
         .withColumn("bits",
@@ -138,14 +147,53 @@ object SketchDedup {
         .filter(col("hamming") <= 7)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
-    })
-  )
+  }
 
-  // q49's md5 permutation family is engine-neutral, so the FULL pipeline
-  // (signatures → banding → bucket join → exact verify) hash-oracles in
-  // DuckDB. q50's xxhash64 token hashing has no SQL-neutral form →
-  // spec-gated only (SketchDedupSpec).
+  // Both sketch pipelines hash-oracle in DuckDB: q49 via the md5
+  // permutation family, q50 via md5-derived 64-bit token hashes
+  // reconstructed as two 32-bit halves (a 16-hex-char unsigned value
+  // cannot cast to DuckDB's signed BIGINT, but its halves can — bit j
+  // reads from the lo half for j<32, hi otherwise, and hamming is the
+  // sum of the halves' bit_counts).
   val oracleSql: Map[String, String] = Map(
+    "q50_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, c,
+        |         CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+        |         CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS lo
+        |       FROM tc),
+        |tl AS (SELECT doc_id, j,
+        |         sum(c * (2 * ((CASE WHEN j < 32 THEN lo >> j
+        |                        ELSE hi >> (j - 32) END) & 1) - 1)) AS s
+        |       FROM hh CROSS JOIN range(64) t(j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN j < 32 AND s > 0
+        |           THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |           ELSE 0 END) AS BIGINT) AS lo_b,
+        |         CAST(sum(CASE WHEN j >= 32 AND s > 0
+        |           THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER)
+        |           ELSE 0 END) AS BIGINT) AS hi_b
+        |       FROM tl GROUP BY 1),
+        |bd AS (SELECT doc_id, lo_b, hi_b, k,
+        |         CASE WHEN k < 4
+        |           THEN (lo_b >> CAST(8 * k AS INTEGER)) & 255
+        |           ELSE (hi_b >> CAST(8 * (k - 4) AS INTEGER)) & 255
+        |         END AS band_val
+        |       FROM sh CROSS JOIN range(8) t(k)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           a.lo_b AS lo_a, a.hi_b AS hi_a,
+        |           b.lo_b AS lo_z, b.hi_b AS hi_z
+        |         FROM bd a JOIN bd b
+        |         ON a.k = b.k AND a.band_val = b.band_val
+        |           AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(lo_a, lo_z)) + bit_count(xor(hi_a, hi_z))
+        |    AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(lo_a, lo_z)) + bit_count(xor(hi_a, hi_z)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     "q49_dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |           FROM documents),

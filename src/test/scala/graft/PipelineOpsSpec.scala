@@ -43,7 +43,7 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fastRecall >= 0.95, s"fast-path recall $fastRecall")
   }
 
-  test("simhash near-dups cover the jaccard near-dups") {
+  test("simhash near-dups cover the jaccard near-dups (both hash families)") {
     val exact = run("q41_dedup_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = run("q50_dedup_simhash").collect()
@@ -51,6 +51,11 @@ class PipelineOpsSpec extends SparkTestBase {
     val covered = if (exact.isEmpty) 1.0
       else sim.intersect(exact).size.toDouble / exact.size
     assert(covered >= 0.8, s"simhash covered only $covered of exact pairs")
+    val fast = graft.queries.SketchDedup.simhashPairs(spark, sf, neutral = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastCov = if (exact.isEmpty) 1.0
+      else fast.intersect(exact).size.toDouble / exact.size
+    assert(fastCov >= 0.8, s"fast-path simhash covered only $fastCov")
   }
 
   test("q46 refuses corpora beyond its all-pairs bound") {

@@ -17,13 +17,12 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
-  // Queries that legitimately have no DuckDB oracle: q48 is approximate
-  // by construction (IVF probes), q50's xxhash64 token hashing has no
-  // SQL-neutral form. Each is the scale path for an oracle-checked exact
-  // counterpart and is spec-verified against it (recall/subset proofs) —
-  // see COVERAGE.md. q32/q56 graduated to full hash oracles in round 2;
-  // q49 graduated in round 4 (md5-derived engine-neutral minhash family).
-  private val rowsOnly = Set("q48_knn_ivf", "q50_dedup_simhash")
+  // The one query legitimately without a DuckDB oracle: q48 is
+  // approximate BY CONSTRUCTION (IVF probe pruning) — its quality
+  // contract is the spec-checked recall vs hash-oracled q47. q32/q56
+  // graduated to full hash oracles in round 2; q49 AND q50 in round 4
+  // (md5-derived engine-neutral hash families).
+  private val rowsOnly = Set("q48_knn_ivf")
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
