@@ -147,7 +147,11 @@ object CurationOps {
       val (lo, hi) =
         if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       val span = math.max(1L, hi - lo + 1)
-      val nb = 32
+      // bucket count scales with the cluster, not a constant: a fixed 32
+      // would cap the window stage at 32 tasks on a 1000-executor
+      // cluster. Offsets stay driver-tiny (one row per bucket).
+      val nb = math.min(span,
+        math.max(32, s.sparkContext.defaultParallelism * 2L)).toInt
       val bucket = least(lit(nb - 1),
         ((col("doc_id") - lit(lo)) * nb / lit(span)).cast("int"))
       prefixSumByBucket(t, bucket, "doc_id", col("tokens"), "cum_before")
