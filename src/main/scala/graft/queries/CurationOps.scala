@@ -146,14 +146,26 @@ object CurationOps {
       // also returned empty)
       val (lo, hi) =
         if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-      val span = math.max(1L, hi - lo + 1)
+      // span in BigInt: hi - lo + 1 overflows Long for full-range ids
+      val spanBig = (BigInt(hi) - BigInt(lo) + 1).max(1)
       // bucket count scales with the cluster, not a constant: a fixed 32
       // would cap the window stage at 32 tasks on a 1000-executor
       // cluster. Offsets stay driver-tiny (one row per bucket).
-      val nb = math.min(span,
-        math.max(32, s.sparkContext.defaultParallelism * 2L)).toInt
-      val bucket = least(lit(nb - 1),
-        ((col("doc_id") - lit(lo)) * nb / lit(span)).cast("int"))
+      val nb = spanBig.min(BigInt(
+        math.max(32, s.sparkContext.defaultParallelism * 2L))).toInt
+      // divide FIRST: width = ceil(span/nb), bucket = (doc_id-lo) div
+      // width. The old (doc_id-lo)*nb/span form overflowed Long for
+      // snowflake/hash-style id spans (span > 2^63/nb) and went through
+      // a double division (53-bit mantissa) — both silently non-monotone.
+      val width = ((spanBig + nb - 1) / nb).max(1)
+      val bucket =
+        if (spanBig <= BigInt(Long.MaxValue))
+          least(lit(nb - 1),
+            expr(s"int((doc_id - (${lo}L)) div ${width.toLong}L)"))
+        else // full 64-bit span: even the subtraction wraps — exact in
+          // decimal(38,0), still a pure per-row expression
+          least(lit(nb - 1), expr(
+            s"int(floor((cast(doc_id as decimal(38,0)) - (${lo})) / ${width}))"))
       prefixSumByBucket(t, bucket, "doc_id", col("tokens"), "cum_before")
         .withColumn("seq_id", expr("cum_before div 4096"))
         .groupBy("seq_id")

@@ -32,8 +32,21 @@ object IvfIndex {
   /** Query-side fanout: each query searches its 3 nearest clusters. */
   val NProbe = 3
 
+  // per-user cache dir: a shared tmpdir root would hit permission
+  // failures across OS users and trust any pre-existing _SUCCESS dir
+  // regardless of who wrote it
   private def cacheRoot: Path =
-    Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_cache")
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivf_cache_${sys.props.getOrElse("user.name", "unknown")}")
+
+  /** Reuse only index dirs this user owns (or ownership is unreadable on
+    * this filesystem — the per-user path already isolates in that case).
+    */
+  private def ownedByUs(dir: Path): Boolean =
+    try {
+      val owner = Files.getOwner(dir).getName
+      owner == sys.props.getOrElse("user.name", owner)
+    } catch { case _: Exception => true }
 
   /** Corpus version key from file metadata (immutable-file convention,
     * same basis as the driver's parquet fixtures): names, sizes, mtimes.
@@ -60,7 +73,7 @@ object IvfIndex {
     */
   def ensure(s: SparkSession, d: String, emb: DataFrame): Path = synchronized {
     val dir = cacheRoot.resolve(fingerprint(d))
-    if (Files.exists(dir.resolve("_SUCCESS"))) return dir
+    if (Files.exists(dir.resolve("_SUCCESS")) && ownedByUs(dir)) return dir
     Files.createDirectories(cacheRoot)
     val tmp = Files.createTempDirectory(cacheRoot, "build_")
     try buildInto(s, emb, tmp, dir)

@@ -36,6 +36,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   private var useStarTree = false
   private var useHistogram = false
   private var histFinal = false
+  // single-segment single-col DISTINCT accepted as COMPLETE (dictionary
+  // is the final answer) — tracked so the plan description is truthful
+  private var distinctFinal = false
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -78,8 +81,16 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     * tasks, no CollectLimit shuffle stage (Pinot's selection
     * short-circuit). With filters the cap stays per-partition advisory
     * and Spark's Limit remains authoritative above the residual Filter.
+    *
+    * REFUSED outright when an aggregation was already pushed: Spark
+    * 4.1.2's pushDownLimit has no pushedAggregate guard, so accepting
+    * here (with `isPartiallyPushed = false`) would make Spark DELETE its
+    * Limit node above a complete aggregate scan — e.g.
+    * `distinct().limit(2)` returning every distinct value. Aggregate
+    * pushdown runs before limit pushdown, so `pushedAgg` is final here.
     */
   override def pushLimit(l: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
     limit = Some(l)
     true
   }
@@ -116,8 +127,10 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // (single col) / the occupied composite-id set (multi col) each
     // emit every present key exactly once — Spark plans no dedup
     if (agg.aggregateExpressions.isEmpty && groupCols.nonEmpty) {
-      if (groupCols.length == 1 && isDictDistinctable(groupCols.head))
+      if (groupCols.length == 1 && isDictDistinctable(groupCols.head)) {
+        distinctFinal = true
         return true
+      }
       if (groupCols.forall(isDictDistinctable) && cardProductOk(groupCols)) {
         histFinal = true
         return true
@@ -402,7 +415,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree,
-        useHistogram, histFinal)
+        useHistogram, histFinal, distinctFinal)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = limit.isDefined && !sawFilters)
@@ -632,7 +645,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     complete: Boolean, fullSchema: StructType,
     starTree: Boolean = false, histogram: Boolean = false,
-    histFinal: Boolean = false)
+    histFinal: Boolean = false, distinctFinal: Boolean = false)
     extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
@@ -672,8 +685,12 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
 
   override def toBatch: Batch = this
 
+  // "complete" in the description means ANY path Spark planned with no
+  // final aggregate above the scan (metadata COUNT, histFinal histogram,
+  // single-segment single-col DISTINCT) — truthful for plan audits
   override def description(): String =
-    s"PinotAggScan(complete=$complete, starTree=$starTree, " +
+    s"PinotAggScan(complete=${complete || histFinal || distinctFinal}, " +
+      s"metaComplete=$complete, starTree=$starTree, " +
       s"histogram=$histogram, histFinal=$histFinal, " +
       s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length})"
 

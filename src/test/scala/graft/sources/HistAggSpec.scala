@@ -263,6 +263,30 @@ class HistAggSpec extends SparkTestBase {
     }
   }
 
+  test("limit above a pushed COMPLETE aggregate is preserved") {
+    // Spark 4.1.2's pushDownLimit has no pushedAggregate guard: for a
+    // complete pushdown the plan is Limit(Project(holder)), and if
+    // pushLimit accepted with isPartiallyPushed=false Spark would DELETE
+    // its Limit node while the agg scan ignores the limit — so pushLimit
+    // must refuse whenever an aggregation was pushed.
+    val root = Files.createTempDirectory("pinot_hist_lim")
+    val t1 = root.resolve("l_OFFLINE")
+    SegmentWriter.write(t1.resolve("seg0"), "l", "seg0", Seq(
+      SegmentWriter.StringDictCol("team", Array("a", "b", "c", "d", "e", "a", "b")),
+      SegmentWriter.IntCol("hits", Array(1, 2, 3, 4, 5, 6, 7))))
+    val df = spark.read.format("pinot").load(t1.toString)
+    // single-col DISTINCT complete (dictionary is the final answer)
+    assert(df.select("team").distinct().limit(2).collect().length === 2)
+    // histFinal complete group-by
+    assert(df.groupBy("team").count().limit(2).collect().length === 2)
+    assert(df.groupBy("team").agg(sum("hits").as("s")).limit(3)
+      .collect().length === 3)
+    // multi-column DISTINCT (composite-id histogram, complete)
+    assert(df.select("team", "hits").distinct().limit(4).collect().length === 4)
+    // plain scan limit still fully pushes (unchanged fast path)
+    assert(df.limit(2).collect().length === 2)
+  }
+
   test("refusals: nullable metric, string metric, filters, high card stay engine-side") {
     // nullable metric: stored defaults must not enter partials
     val root = Files.createTempDirectory("pinot_hist_nul")
