@@ -58,14 +58,28 @@ object Joins {
         .orderBy("c_custkey")),
 
     // Left-outer: per-nation customer counts including customer-less rows.
-    "q17_join_outer" -> ((s, d) =>
-      broadcast(t(s, d, "nation"))
-        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"), "left_outer")
-        .groupBy("n_name")
-        .agg(
-          count(col("c_custkey")).as("cnt"),
-          round(coalesce(sum("c_acctbal"), lit(0.0)), 2).as("sum_bal"))
-        .orderBy("n_name")),
+    // Scale-safe plan: AGGREGATE the fact side FIRST — map-side combine
+    // means each scan task emits ≤|nations| partial rows, so the only
+    // shuffle carries ~25 tiny partials instead of the full customer
+    // table hashed onto 25 skewed keys — then broadcast the 25-row
+    // aggregate to nation, preserving customer-less nations. (The naive
+    // form, broadcast(nation).join(customer, "left_outer"), hints
+    // broadcast on the build-left side, which Spark cannot honor for a
+    // left outer: the hint is silently dropped and the whole fact table
+    // shuffles on n_nationkey.)
+    "q17_join_outer" -> ((s, d) => {
+      val perNation = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(col("c_custkey")).as("cnt_raw"),
+          sum("c_acctbal").as("sb_raw"))
+      t(s, d, "nation")
+        .join(broadcast(perNation),
+          col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .select(col("n_name"),
+          coalesce(col("cnt_raw"), lit(0L)).as("cnt"),
+          round(coalesce(col("sb_raw"), lit(0.0)), 2).as("sum_bal"))
+        .orderBy("n_name")
+    }),
 
     // TPC-H Q3 shape: two fact joins (shuffle on the keys) + top-k revenue.
     "q18_tpch_q3" -> ((s, d) =>

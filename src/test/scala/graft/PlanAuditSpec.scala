@@ -134,6 +134,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q17 aggregates the fact side before its broadcast outer join") {
+    val nodes = allNodes(finalPlan("q17_join_outer"))
+    // the fact table must never shuffle on the 25-value nation key —
+    // no sort-merge join may appear
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "q17 shuffle-joins the fact side")
+    // every shuffle moves aggregated partials, not raw customer rows:
+    // each exchange's subtree must contain a HashAggregate below it
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      assert(allNodes(e.child).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _ => false
+      }, s"q17 shuffles raw fact rows: ${e.child.nodeName}")
+    }
+  }
+
   test("q105 rides the dict-id histogram aggregation pushdown") {
     val leaf = finalPlan("q105_pinot_group_topk").collectLeaves().head.toString
     assert(leaf.contains("histogram=true"), leaf)
