@@ -10,7 +10,8 @@ package graft.pinot
   * `buffer` is the bit-packed payload WITHOUT the 8-byte magic marker — the
   * caller (SegmentReader) strips it.
   */
-final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int, numValues: Int) {
+final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int,
+    numValues: Int, byteBase: Int = 0) {
   require(bitsPerValue > 0 && bitsPerValue <= 31,
     s"bitsPerValue must be in [1,31], got $bitsPerValue")
 
@@ -21,7 +22,7 @@ final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int, numValues: In
     if (docId < 0 || docId >= numValues)
       throw new PinotFormatException(s"doc_id $docId out of range (numValues=$numValues)")
     val bitOffset = docId.toLong * bitsPerValue
-    var byteOffset = (bitOffset / 8).toInt
+    var byteOffset = byteBase + (bitOffset / 8).toInt
     val bitInFirst = (bitOffset % 8).toInt
     var value = (buffer(byteOffset) & (0xFF >>> bitInFirst))
     var bitsLeft = bitsPerValue - (8 - bitInFirst)
@@ -52,7 +53,7 @@ final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int, numValues: In
       s"range [$start, ${start + count}) out of [0, $numValues)")
     val out = new Array[Int](count)
     val startBit = start.toLong * bitsPerValue
-    var byteIdx = (startBit / 8).toInt
+    var byteIdx = byteBase + (startBit / 8).toInt
     var acc = 0L       // bit accumulator, most-recent bits in the low end
     var accBits = 0    // number of valid bits in acc
     val skewBits = (startBit % 8).toInt

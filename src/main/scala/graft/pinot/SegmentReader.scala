@@ -45,25 +45,46 @@ final class SegmentReader private (
   def close(): Unit =
     if (psfChannelOpt != null) { psfChannelOpt.close(); psfChannelOpt = null }
 
-  /** Read one index section of columns.psf into memory. */
-  private def psfSection(loc: IndexLocation): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(loc.size.toInt)
-    var pos = loc.startOffset
-    while (out.hasRemaining) {
-      val n = psfChannel.read(out, pos)
-      if (n < 0) throw new PinotFormatException(
-        s"columns.psf truncated at $pos (wanted ${loc.size} bytes)")
-      pos += n
-    }
-    out.array()
-  }
+  // Cache identity for this segment's psf: path + size + mtime. Segment
+  // files are immutable by convention, but compaction can rewrite a
+  // path — the stamp makes stale reuse impossible at the cost of one
+  // stat per reader.
+  private lazy val psfStamp: String =
+    try s"$columnsPsf:${Files.size(columnsPsf)}:" +
+      s"${Files.getLastModifiedTime(columnsPsf).toMillis}"
+    catch { case _: Throwable => columnsPsf.toString }
+
+  /** Read one index section of columns.psf into memory — via the
+    * JVM-wide [[SegmentReader.sectionCache]], so concurrent sub-segment
+    * slice tasks of the same segment load each section ONCE per
+    * executor instead of once per task.
+    */
+  private def psfSection(loc: IndexLocation): Array[Byte] =
+    SegmentReader.sectionCache.get((psfStamp, loc.startOffset, loc.size), () => {
+      val out = java.nio.ByteBuffer.allocate(loc.size.toInt)
+      var pos = loc.startOffset
+      while (out.hasRemaining) {
+        val n = psfChannel.read(out, pos)
+        if (n < 0) throw new PinotFormatException(
+          s"columns.psf truncated at $pos (wanted ${loc.size} bytes)")
+        pos += n
+      }
+      out.array()
+    })
 
   /** Bytes of one index section: v3 = columns.psf slice via the index
-    * map; v1 = the section's own file.
+    * map; v1 = the section's own file (cached with the same stamp
+    * discipline).
     */
   private def sectionOpt(column: String, indexType: String): Option[Array[Byte]] =
     v1Files match {
-      case Some(files) => files.get((column, indexType)).map(Files.readAllBytes)
+      case Some(files) => files.get((column, indexType)).map { f =>
+        val stamp =
+          try s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+          catch { case _: Throwable => f.toString }
+        SegmentReader.sectionCache.get((stamp, 0L, 0L),
+          () => Files.readAllBytes(f))
+      }
       case None => indexMap.get(column, indexType).map(psfSection)
     }
 
@@ -112,8 +133,9 @@ final class SegmentReader private (
     val raw = section(name, "forward_index")
     if (raw.length < 8)
       throw new PinotFormatException("Forward index too small to contain magic marker")
-    val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
-    new FixedBitReader(payload, cm.bitsPerElement, cm.totalDocs)
+    // byteBase skips the 8-byte magic without copying the payload — the
+    // section array is shared via the JVM-wide cache across slice tasks
+    new FixedBitReader(raw, cm.bitsPerElement, cm.totalDocs, byteBase = 8)
   }
 
   /** RAW STRING/BYTES values for docs [start, start + count) — only the
@@ -405,7 +427,68 @@ object PinotBigDecimal {
 
 object SegmentReader {
 
+  /** JVM-wide byte-bounded cache of raw index-section bytes, keyed by
+    * (file stamp, offset, size). Sub-segment slicing schedules many
+    * tasks against one segment; without this every task re-reads (and
+    * re-allocates) whole sections — 62 slices × a 16 MB RAW column is
+    * 1 GB of redundant IO. Values are immutable byte arrays shared
+    * read-only across tasks. `computeIfAbsent` gives per-key load
+    * dedup (concurrent slices block only on the section they all
+    * want); LRU eviction keeps the total under
+    * `-Dgraft.pinot.sectionCacheBytes` (default 512 MB). Oversized
+    * sections bypass the cache entirely.
+    */
+  private[pinot] object sectionCache {
+    private val maxBytes: Long =
+      java.lang.Long.getLong("graft.pinot.sectionCacheBytes", 512L << 20)
+    private val values =
+      new java.util.concurrent.ConcurrentHashMap[AnyRef, Array[Byte]]()
+    private val order =
+      new java.util.LinkedHashMap[AnyRef, java.lang.Long](256, 0.75f, true)
+    private var total = 0L
+
+    def get(key: AnyRef, load: () => Array[Byte]): Array[Byte] = {
+      val cached = values.get(key)
+      if (cached != null) { touch(key, cached.length); return cached }
+      val v = load()
+      if (v.length.toLong >= maxBytes) return v // monster: don't cache
+      val prev = values.putIfAbsent(key, v)
+      val kept = if (prev != null) prev else v
+      touch(key, kept.length)
+      kept
+    }
+
+    private def touch(key: AnyRef, len: Long): Unit = synchronized {
+      if (!order.containsKey(key)) total += len
+      order.put(key, len) // access-order bump
+      val it = order.entrySet().iterator()
+      while (total > maxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          total -= e.getValue
+          values.remove(e.getKey)
+          it.remove()
+        }
+      }
+    }
+  }
+
   def open(dir: String): SegmentReader = open(Paths.get(dir))
+
+  // Parsed metadata.properties / index_map per file stamp: sub-segment
+  // slicing opens the same segment from many tasks — both artifacts are
+  // immutable values, so one parse per (file, version) serves them all.
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def stampOf(p: Path): String =
+    try s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    catch { case _: Throwable => p.toString }
+
+  private def cachedParse[T <: AnyRef](p: Path, parse: Path => T): T = {
+    if (parsedCache.size() > 65536) parsedCache.clear() // crude bound
+    parsedCache.computeIfAbsent(stampOf(p), _ => parse(p)).asInstanceOf[T]
+  }
 
   def open(dir: Path): SegmentReader = {
     val v3 = dir.resolve("v3")
@@ -413,10 +496,11 @@ object SegmentReader {
       if (Files.exists(dir.resolve("metadata.properties"))) dir
       else if (Files.exists(v3.resolve("metadata.properties"))) v3
       else throw new PinotFormatException(s"No metadata.properties under $dir")
-    val meta = SegmentMetadata.fromFile(root.resolve("metadata.properties"))
+    val meta = cachedParse(root.resolve("metadata.properties"),
+      SegmentMetadata.fromFile)
     val im = root.resolve("index_map")
     if (Files.exists(im))
-      new SegmentReader(root, meta, IndexMap.fromFile(im), None)
+      new SegmentReader(root, meta, cachedParse(im, IndexMap.fromFile), None)
     else // v1/v2 layout: no index map — sections live in per-index files
       new SegmentReader(root, meta, IndexMap(Map.empty), Some(v1Scan(root)))
   }

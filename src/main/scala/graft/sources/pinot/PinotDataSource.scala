@@ -157,7 +157,12 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PinotScanBuilder(segmentPaths, tableSchema, tableDir)
+    // `.option("splitTargetBytes", n)`: per-task size target for
+    // sub-segment splits / small-segment grouping; 0 = strict
+    // one-task-per-segment planning
+    new PinotScanBuilder(segmentPaths, tableSchema, tableDir,
+      splitTargetBytes = options.getLong("splitTargetBytes",
+        PinotScan.DefaultSplitTargetBytes))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

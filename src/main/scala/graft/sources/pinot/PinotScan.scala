@@ -10,19 +10,23 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Scan pipeline: one [[InputPartition]] per segment (the segment is the
-  * unit of parallelism, reference: exec.rs:41,52), column pruning pushed
+/** Scan pipeline: the segment is the base unit of parallelism
+  * (reference: exec.rs:41,52), refined by sub-segment task planning —
+  * large segments split into window-aligned doc-range slices, tiny
+  * segments group into shared tasks ([[PinotScan.planSplits]]; SURVEY
+  * §4's "per-segment splits grouped into tasks"). Column pruning pushes
   * down (reference accepts projection indices, table.rs:161), and an
-  * empty-projection row-count path for `COUNT(*)`
+  * empty projection takes a row-count path for `COUNT(*)`
   * (reference: exec.rs:92-95,157-162).
   *
-  * Scale note: at 100 TB a table is many thousands of segments; since each
-  * partition maps to one segment and Spark schedules partitions across
-  * executors, the design parallelizes linearly — no driver-side
-  * materialization anywhere.
+  * Scale note: at 100 TB a table is many thousands of segments; Spark
+  * schedules the split/grouped partitions across executors, so the design
+  * parallelizes linearly in data volume AND saturates a cluster even when
+  * segment sizes are skewed — no driver-side materialization anywhere.
   */
 class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
-    tableDir: Option[String] = None)
+    tableDir: Option[String] = None,
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -418,13 +422,15 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         useHistogram, histFinal, distinctFinal)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
-        fullLimit = limit.isDefined && !sawFilters)
+        fullLimit = limit.isDefined && !sawFilters,
+        splitTargetBytes = splitTargetBytes)
   }
 }
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
-    tableDir: Option[String] = None, fullLimit: Boolean = false)
+    tableDir: Option[String] = None, fullLimit: Boolean = false,
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -610,20 +616,22 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     s"PinotScan(segments=${segmentPaths.length}, " +
       s"columns=${projected.fieldNames.mkString(",")}, " +
       s"skipFilters=[${skipFilters.mkString(",")}], " +
-      s"limit=${limit.getOrElse(-1)})"
+      s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes)"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (fullLimit)
       Array(PinotChainPartition(segmentPaths))
     else partitionInfo match {
       case Some((_, keys)) =>
+        // storage-partitioned join: the 1-segment == 1-key contract is
+        // load-bearing (HasPartitionKey) — never split or group here
         segmentPaths.zip(keys).map { case (p, k) =>
           PinotKeyedPartition(p,
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array(k))): InputPartition
         }.toArray
       case None =>
-        effectiveSegments.map(p => PinotInputPartition(p): InputPartition).toArray
+        PinotScan.planSplits(effectiveSegments, splitTargetBytes)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1171,6 +1179,99 @@ object PinotScan {
         graft.pinot.SegmentMetadata.fromFile(root.resolve("metadata.properties"))
       } catch { case _: Throwable => MetaMiss }
     })
+
+  /** Default task sizing target (Spark's files.maxPartitionBytes). Set
+    * the `splitTargetBytes` read option to 0 to force the legacy strict
+    * 1-task == 1-segment planning.
+    */
+  val DefaultSplitTargetBytes: Long = 128L << 20
+
+  /** Rows per decode window — split boundaries align to it. */
+  private[pinot] val WindowRows = 8192
+
+  private val sizeCache = new LruCache[String, java.lang.Long](65536)
+
+  /** Total on-disk bytes of a segment dir (immutable → cacheable). */
+  def segmentBytes(path: String): Long =
+    sizeCache.getOrCompute(path, p => {
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case _: Throwable => 0L }
+    })
+
+  /** Sub-segment task planning (SURVEY §4's 100 TB mapping: "per-segment
+    * splits grouped into tasks"). Large segments split into doc-range
+    * slices on window boundaries so one huge segment saturates the
+    * cluster instead of running as ONE task; tiny segments group into
+    * shared tasks so a million-segment table doesn't pay a million task
+    * launches. The effective per-task size target adapts downward (to
+    * ≥1 MB) when the table is small relative to the cluster, so a
+    * single 16 MB segment still fans out across idle cores; it never
+    * exceeds `targetBytes`. All sizing inputs are driver-cached
+    * metadata — no column IO at planning time.
+    */
+  def planSplits(segs: Seq[String], targetBytes: Long): Array[InputPartition] = {
+    if (targetBytes <= 0 || segs.isEmpty)
+      return segs.map(p => PinotInputPartition(p): InputPartition).toArray
+    val infos = segs.map(p => (p, segmentMeta(p), segmentBytes(p)))
+    val totalBytes = infos.map(_._3).sum
+    val totalRows = infos.map { case (_, m, _) =>
+      if (m == null) 0L else m.totalDocs.toLong }.sum
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Throwable => 8 }
+    // ~3 task waves per core when data allows; floor 1 MB keeps tiny
+    // tables from shattering into window-sized tasks
+    val effTarget = math.max(1L << 20,
+      math.min(targetBytes, totalBytes / math.max(1L, 3L * parallelism)))
+    // decode cost scales with ROWS, not on-disk bytes (bit-packed dict
+    // ids compress a 2M-row segment to ~2 MB) — a rows target keeps
+    // CPU-bound scans parallel even when the bytes look tiny. Floor of
+    // 16 windows (~131k rows ≈ a few ms of decode) keeps each task's
+    // work well above launch overhead.
+    val effRowTarget = math.max(16L * WindowRows,
+      totalRows / math.max(1L, 3L * parallelism))
+    val out = Array.newBuilder[InputPartition]
+    val group = scala.collection.mutable.ArrayBuffer.empty[String]
+    var groupBytes = 0L
+    var groupRows = 0L
+    def flush(): Unit = {
+      if (group.length == 1) out += PinotInputPartition(group.head)
+      else if (group.nonEmpty) out += PinotGroupPartition(group.toList)
+      group.clear(); groupBytes = 0L; groupRows = 0L
+    }
+    infos.foreach { case (p, m, bytes) =>
+      val docs = if (m == null) 0 else m.totalDocs
+      val nSplits =
+        if (m == null || docs <= WindowRows) 1
+        else math.min(
+          math.max((bytes + effTarget - 1) / effTarget,
+            (docs + effRowTarget - 1) / effRowTarget),
+          (docs.toLong + WindowRows - 1) / WindowRows).toInt
+      if (nSplits > 1) {
+        flush()
+        val rowsRaw = (docs + nSplits - 1) / nSplits
+        val rows = ((rowsRaw + WindowRows - 1) / WindowRows) * WindowRows
+        var s0 = 0
+        while (s0 < docs) {
+          out += PinotSlicePartition(p, s0, math.min(docs, s0 + rows))
+          s0 += rows
+        }
+      } else {
+        if (group.nonEmpty &&
+            (groupBytes + bytes > effTarget ||
+             groupRows + docs > effRowTarget)) flush()
+        group += p
+        groupBytes += bytes
+        groupRows += docs
+      }
+    }
+    flush()
+    out.result()
+  }
 }
 
 /** Minimal synchronized LRU (access-order LinkedHashMap). Driver/executor
@@ -1191,6 +1292,22 @@ private[pinot] final class LruCache[K, V](max: Int) {
 }
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition
+
+/** A doc-range SLICE of one segment (sub-segment parallelism): several
+  * tasks scan disjoint `[start, end)` windows of the same large segment
+  * concurrently. Boundaries are multiples of the 8,192-row batch window,
+  * and every decode path is position-addressable (fixed-bit ids, raw
+  * chunks, MV offsets), so a slice reads only its own windows.
+  */
+case class PinotSlicePartition(segmentPath: String, start: Int, end: Int)
+    extends InputPartition
+
+/** Several TINY segments share one task (small-segment grouping): the
+  * reader chains full per-segment readers, each still applying its own
+  * pruning/index logic. At 100 TB a table with millions of small
+  * segments must not pay one task launch per segment.
+  */
+case class PinotGroupPartition(segmentPaths: Seq[String]) extends InputPartition
 
 /** Fully-pushed limit: ONE partition chaining segments until the limit
   * fills (Spark planned no Limit node above).
@@ -1220,6 +1337,12 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     val path = partition match {
       case PinotInputPartition(p) => p
       case PinotKeyedPartition(p, _) => p
+      case PinotSlicePartition(p, s, e) =>
+        return new PinotColumnarReader(p, columns, skipFilters, limit,
+          expectedTypes, slice = Some((s, e)))
+      case PinotGroupPartition(paths) =>
+        return new PinotSegmentChainReader(paths, columns, skipFilters,
+          limit, expectedTypes)
       case PinotChainPartition(paths) =>
         return new PinotChainedLimitReader(paths, columns,
           limit.getOrElse(Int.MaxValue), expectedTypes)
@@ -1228,6 +1351,38 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     new PinotColumnarReader(path, columns, skipFilters, limit,
       expectedTypes)
   }
+}
+
+/** Chains full per-segment readers for a [[PinotGroupPartition]]. Each
+  * sub-reader runs its own segment pruning / sorted-ranging / index
+  * logic and applies the same per-partition advisory limit it would
+  * have applied as its own partition.
+  */
+class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
+    skipFilters: Array[Filter], limit: Option[Int],
+    expectedTypes: Map[String, (PinotType, Boolean)])
+    extends PartitionReader[ColumnarBatch] {
+
+  private var idx = 0
+  private var cur: PinotColumnarReader = null
+  private var batch: ColumnarBatch = null
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
+    if (cur == null) {
+      if (idx >= paths.length) false
+      else {
+        cur = new PinotColumnarReader(paths(idx), columns, skipFilters,
+          limit, expectedTypes)
+        idx += 1
+        next()
+      }
+    } else if (cur.next()) { batch = cur.get(); true }
+    else { cur.close(); cur = null; next() }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Chains per-segment readers until `limit` rows have been emitted —
@@ -1277,7 +1432,8 @@ class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
   */
 class PinotColumnarReader(segmentPath: String, columns: Array[String],
     skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None,
-    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty)
+    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
+    slice: Option[(Int, Int)] = None)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchSize = 8192
@@ -1667,12 +1823,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             })
         }
       val base = sortedCol.fold((0, n))(sortedDocRange)
-      invBitmap match {
+      val ranged = invBitmap match {
         case Some(bm) =>
           if (bm.isEmpty) (0, 0)
-          // MV decode indexes its offsets array by ABSOLUTE doc id, so
-          // the range start must stay 0 there; window skipping in next()
-          // still applies (it advances pos, which IS the doc id then)
+          // MV window skipping in next() still applies (it advances pos
+          // relative to docStart; decode indexes offsets absolutely)
           else if (hasMV) base
           else {
             val lo = math.max(base._1, bm.first())
@@ -1680,6 +1835,12 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             if (lo >= hi) (0, 0) else (lo, hi)
           }
         case None => base
+      }
+      // sub-segment slice: intersect with this task's doc window
+      slice.fold(ranged) { case (s, e) =>
+        val lo = math.max(ranged._1, s)
+        val hi = math.min(ranged._2, math.min(e, n))
+        if (lo >= hi) (0, 0) else (lo, hi)
       }
     }
   }
@@ -1697,18 +1858,19 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   private def sortedDocRange(c: String): (Int, Int) = {
     val n = reader.totalDocs
     val cm = reader.metadata.column(c)
-    // value accessor: dict columns bit-unpack the id stream once (ids are
-    // small, dictionary tiny); RAW numerics random-access the fixed-byte
-    // index per binary-search probe (O(log n) chunk reads, one-off)
+    // value accessor: dict columns random-access the packed id stream
+    // per binary-search probe (O(log n) bit reads — a full id-stream
+    // decode per task would defeat sub-segment slicing); RAW numerics
+    // random-access the fixed-byte index the same way
     val valueAt: Int => Any =
       if (cm.hasDictionary) {
-        val ids = reader.dictIds(c)
+        val fbr = reader.dictIdReader(c)
         reader.dictionary(c) match {
-          case PinotDictionary.Ints(d) => doc => d(ids(doc))
-          case PinotDictionary.Longs(d) => doc => d(ids(doc))
-          case PinotDictionary.Floats(d) => doc => d(ids(doc))
-          case PinotDictionary.Doubles(d) => doc => d(ids(doc))
-          case PinotDictionary.Strings(d) => doc => d(ids(doc))
+          case PinotDictionary.Ints(d) => doc => d(fbr.get(doc))
+          case PinotDictionary.Longs(d) => doc => d(fbr.get(doc))
+          case PinotDictionary.Floats(d) => doc => d(fbr.get(doc))
+          case PinotDictionary.Doubles(d) => doc => d(fbr.get(doc))
+          case PinotDictionary.Strings(d) => doc => d(fbr.get(doc))
           case _ => _ => null
         }
       } else {
@@ -2001,8 +2163,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             vectors(c).reserveDictionaryIds(n).putInts(0, n, ids, 0)
           case MVBacked(_, _, fbr, offsets) =>
             val vec = vectors(c)
-            val base = offsets(pos)
-            val entries = offsets(pos + n) - base
+            // offsets are indexed by ABSOLUTE doc id — docStart-aware so
+            // sub-segment slices decode only their own windows
+            val abs = docStart + pos
+            val base = offsets(abs)
+            val entries = offsets(abs + n) - base
             val ids = fbr.readRange(base, entries)
             val child = vec.arrayData()
             // grow the child's own arrays (incl. nulls — isNullAt reads
@@ -2011,8 +2176,8 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             child.reserveDictionaryIds(entries).putInts(0, entries, ids, 0)
             var i = 0
             while (i < n) {
-              vec.putArray(i, offsets(pos + i) - base,
-                offsets(pos + i + 1) - offsets(pos + i))
+              vec.putArray(i, offsets(abs + i) - base,
+                offsets(abs + i + 1) - offsets(abs + i))
               i += 1
             }
           case BoolDirect(dictInts, fbr) =>

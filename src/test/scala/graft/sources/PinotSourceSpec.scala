@@ -137,7 +137,9 @@ class PinotSourceSpec extends SparkTestBase {
     val df = spark.read.format("pinot").load(tdir.toString)
     val agg = df.agg(min("m").as("mn"), max("m").as("mx"))
     val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(leaf.contains("PinotAggScan(complete=false"),
+    // single segment: the histogram answers it COMPLETELY (histFinal);
+    // metaComplete=false records that the metadata COUNT path did not
+    assert(leaf.contains("PinotAggScan(") && leaf.contains("metaComplete=false"),
       s"RAW numeric MIN/MAX not pushed:\n$leaf")
     val r = agg.head()
     assert(r.getInt(0) === vals.min && r.getInt(1) === vals.max)
@@ -206,9 +208,16 @@ class PinotSourceSpec extends SparkTestBase {
     assert(rows === n / 3)
   }
 
-  test("one partition per segment") {
+  test("tiny segments group into one task; splitTargetBytes=0 restores 1:1") {
+    // three KB-sized segments share a task under default planning (the
+    // 100 TB story: a million tiny segments must not launch a million
+    // tasks) — strict per-segment planning stays available
     val df = spark.read.format("pinot").load(tablePath)
-    assert(df.rdd.getNumPartitions === 3)
+    assert(df.rdd.getNumPartitions === 1, "tiny segments should group")
+    assert(df.count() === n)
+    val strict = spark.read.format("pinot")
+      .option("splitTargetBytes", "0").load(tablePath)
+    assert(strict.rdd.getNumPartitions === 3, "strict mode: 1 per segment")
   }
 
   test("single-segment path load works") {
@@ -327,8 +336,10 @@ class PinotSourceSpec extends SparkTestBase {
     val schema = StructType(Seq(
       StructField("playerID", StringType, nullable = false),
       StructField("hits", IntegerType, nullable = false)))
+    // strict per-segment planning so partition counts read as segment
+    // counts (DPP pruning happens before split/group planning)
     def scan() = new graft.sources.pinot.PinotScan(
-      segs, schema, Array.empty, None)
+      segs, schema, Array.empty, None, splitTargetBytes = 0)
     val s0 = scan()
     assert(s0.planInputPartitions().length === 3)
     assert(s0.filterAttributes().map(_.fieldNames().head).toSet

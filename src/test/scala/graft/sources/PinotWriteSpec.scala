@@ -25,8 +25,10 @@ class PinotWriteSpec extends SparkTestBase {
     df.write.format("pinot").mode("append").save(dir)
 
     val back = spark.read.format("pinot").load(dir)
-    // one segment per input partition
-    assert(back.rdd.getNumPartitions === 3)
+    // one segment per input partition (strict planning surfaces the
+    // segment count; default planning may group the tiny segments)
+    assert(spark.read.format("pinot").option("splitTargetBytes", "0")
+      .load(dir).rdd.getNumPartitions === 3)
     assert(back.count() === 5000)
     val a = df.orderBy("k").collect().toSeq
     val b = back.orderBy("k").select("k", "i", "f", "d", "dict_str", "raw_str")
@@ -140,7 +142,10 @@ class PinotWriteSpec extends SparkTestBase {
       .select(col("id").as("k"), (col("id") % 1000).cast("int").as("v"))
       .write.format("pinot").mode("append").save(dir)
     val back = spark.read.format("pinot").load(dir)
-    assert(back.rdd.getNumPartitions === 3, "expected 3 rolled segments")
+    assert(spark.read.format("pinot").option("splitTargetBytes", "0")
+      .load(dir).rdd.getNumPartitions === 3, "expected 3 rolled segments")
+    // default planning SPLITS the 1M-row segments into doc-range slices
+    assert(back.rdd.getNumPartitions > 3, "large segments should split")
     assert(back.count() === 2500000L)
     assert(back.agg(sum("k")).head().getLong(0) ===
       (0L until 2500000L).sum)
