@@ -47,14 +47,22 @@ case class MinHashPerms(child: Expression, numPerms: Int = 64)
   override def prettyName: String = "minhash_perms"
 }
 
-/** `md5_minhash_perms(s)` — the ENGINE-NEUTRAL permutation family: one
-  * md5 per shingle, then perm i = a·(2i+3) + b where a/b are the first/
-  * second 13 hex chars (52 bits each — a·129 + b stays well under 2^63,
-  * so DuckDB's overflow-checked BIGINT arithmetic computes the identical
-  * value: `CAST(concat('0x', substr(md5(s),1,13)) AS BIGINT)` etc.).
-  * This is what lets the FULL MinHash+LSH pipeline be hash-oracled;
-  * [[MinHashPerms]] (xxhash64) remains the documented fast path — one
-  * 8-byte hash vs a full md5 per shingle.
+/** `md5_minhash_perms(s)` — the ENGINE-NEUTRAL permutation family:
+  * one md5 per shingle gives x = (a + b) mod p (a/b = the first/second
+  * 13 hex chars, p = 2^31−1), then perm i is the classic Carter–Wegman
+  * affine hash
+  * {{{ h_i(x) = (A_i · x + B_i) mod p
+  *     A_i = 1 + ((i + 1) · 1013904223) mod (p − 1)
+  *     B_i = (i · 2654435761) mod p }}}
+  * Every intermediate stays under 2^63 (A_i, x < 2^31 ⇒ product
+  * < 2^62), so DuckDB's overflow-checked BIGINT computes the identical
+  * values — that is what lets the FULL MinHash+LSH pipeline be
+  * hash-oracled. The mod-p wraparound makes the 64 permutations
+  * effectively independent; the r4 family (a·(2i+3)+b, no mod) was
+  * LINEAR in i, its band minima were correlated across permutations,
+  * and LSH candidates exploded 68× with false positives (17,432 vs 256
+  * at sf0.1) — the verify join, not md5, was q49's real cost.
+  * [[MinHashPerms]] (xxhash64) remains the documented fast path.
   */
 case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
     extends UnaryExpression with CodegenFallback {
@@ -70,18 +78,36 @@ case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val md = Md5MinHashPerms.digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    // first/second 13 hex chars = top 52 bits / next 52 bits of the digest
-    var a = 0L
-    var i = 0
-    while (i < 13) { a = (a << 4) | hexNibble(d, i); i += 1 }
-    var b = 0L
-    while (i < 26) { b = (b << 4) | hexNibble(d, i); i += 1 }
+    // md5 dominates this expression and shingle VALUES repeat heavily
+    // (natural text is Zipfian; each distinct shingle hashes to the same
+    // (a, b)) — a bounded per-thread memo turns ~N-occurrence md5 work
+    // into ~N-distinct. The 64-perm fill from (a, b) is ~50 ns and runs
+    // per row either way.
+    val memo = Md5MinHashPerms.memos.get()
+    val key = s.toString
+    var xv = memo.get(key)
+    if (xv == null) {
+      val md = Md5MinHashPerms.digests.get()
+      md.reset()
+      val d = md.digest(s.getBytes)
+      // first/second 13 hex chars = top 52 / next 52 bits of the digest
+      var a = 0L
+      var i = 0
+      while (i < 13) { a = (a << 4) | hexNibble(d, i); i += 1 }
+      var b = 0L
+      while (i < 26) { b = (b << 4) | hexNibble(d, i); i += 1 }
+      xv = java.lang.Long.valueOf((a + b) % Md5MinHashPerms.P)
+      memo.put(key, xv)
+    }
+    val x = xv.longValue()
     val out = new Array[Long](numPerms)
     var p = 0
-    while (p < numPerms) { out(p) = a * (2L * p + 3L) + b; p += 1 }
+    while (p < numPerms) {
+      val ai = 1L + ((p + 1L) * 1013904223L) % (Md5MinHashPerms.P - 1L)
+      val bi = (p * 2654435761L) % Md5MinHashPerms.P
+      out(p) = (ai * x + bi) % Md5MinHashPerms.P
+      p += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -97,12 +123,28 @@ case class Md5MinHashPerms(child: Expression, numPerms: Int = 64)
 }
 
 object Md5MinHashPerms {
+  /** Mersenne prime 2^31 − 1 — the Carter–Wegman modulus. */
+  val P: Long = 2147483647L
+
   /** MessageDigest is stateful and not thread-safe; per-instance
     * allocation in eval costs more than the hash itself on short
     * shingles. One digest per task thread, reset per call.
     */
   private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-thread LRU memo shingle → x. 32k entries — bounded regardless
+    * of corpus vocabulary; a miss just pays the md5 it would have paid
+    * anyway.
+    */
+  private[functions] val memos
+      : ThreadLocal[java.util.LinkedHashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 32768
+      })
 }
 
 /** `md5_hash64(s)` — the ENGINE-NEUTRAL 64-bit token hash: the first 16

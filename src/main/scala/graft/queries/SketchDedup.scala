@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Sketch-based near-duplicate detection: MinHash+LSH and SimHash.
   *
-  * q49 (MinHash+LSH) uses an ENGINE-NEUTRAL md5-derived permutation
-  * family (one md5 per shingle; perm i = a·(2i+3)+b over its 52-bit hex
-  * slices) and an md5 band signature, so the FULL
-  * signature→band→bucket→verify pipeline is hash-oracled in DuckDB.
-  * The xxhash64 family ([[graft.functions.MinHashPerms]]) remains the
-  * documented fast path (one 8-byte hash vs a full md5 per shingle);
-  * SketchDedupSpec proves both families reproduce the exact
-  * n-gram-Jaccard pair set (q41). q50 (SimHash) keeps xxhash64 — its
-  * token hashing has no cheap SQL-neutral form — and stays spec-gated.
+  * BOTH pipelines are hash-oracled end-to-end in DuckDB via
+  * engine-neutral md5-derived hash families:
+  * - q49 (MinHash+LSH): one md5 per shingle → x mod p (p = 2^31−1),
+  *   then the Carter–Wegman affine family h_i = (A_i·x + B_i) mod p
+  *   ([[graft.functions.Md5MinHashPerms]] documents the constants and
+  *   the overflow-safety argument) and an md5 band signature. The
+  *   permutations are INDEPENDENT — an earlier linear-in-i family
+  *   (a·(2i+3)+b) produced correlated band minima and a 68× LSH
+  *   candidate blowup.
+  * - q50 (SimHash): md5 token hashes split into two 32-bit halves
+  *   ([[graft.functions.Md5Hash64]]).
+  * The xxhash64 families (`MinHashPerms`, `xxhash64`) remain the
+  * documented fast paths; SketchDedupSpec proves both families
+  * reproduce the exact n-gram-Jaccard pair set (q41).
   *
   * Scale notes (100 TB): this is the path that replaces q41's quadratic
   * shingle self-join. Work per stage:
@@ -203,10 +208,13 @@ object SketchDedup {
         |         AS shingle
         |       FROM w WHERE len(words) >= 3),
         |ab AS (SELECT doc_id, shingle,
-        |         CAST(concat('0x', substr(md5(shingle), 1, 13)) AS BIGINT) AS a,
-        |         CAST(concat('0x', substr(md5(shingle), 14, 13)) AS BIGINT) AS b
+        |         (CAST(concat('0x', substr(md5(shingle), 1, 13)) AS BIGINT)
+        |          + CAST(concat('0x', substr(md5(shingle), 14, 13)) AS BIGINT))
+        |           % 2147483647 AS x
         |       FROM sh),
-        |pm AS (SELECT doc_id, i, min(a * (2 * i + 3) + b) AS mv
+        |pm AS (SELECT doc_id, i,
+        |         min(((1 + ((i + 1) * 1013904223) % 2147483646) * x
+        |              + (i * 2654435761) % 2147483647) % 2147483647) AS mv
         |       FROM ab CROSS JOIN range(64) t(i) GROUP BY 1, 2),
         |bd AS (SELECT doc_id, i // 4 AS band,
         |         md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS sig
