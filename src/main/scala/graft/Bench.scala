@@ -75,12 +75,20 @@ object Bench {
 
     calibrate() // JIT warm-up for the probe itself
     val calBefore = calibrate()
+    val nProbeThreads = Runtime.getRuntime.availableProcessors()
+    val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query start offsets (seconds from the sweep start) — lets a
+    // contended WINDOW be localized to specific queries from the
+    // artifact alone
+    val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sweepT0 = System.nanoTime()
     // EVERY query: 1 untimed warm-up (file listing, schema, JIT), then
     // median of 3 — no number in the output is a single cold sample.
     def bench(name: String, fn: (SparkSession, String) => DataFrame): Unit =
       try {
+        starts(name) = (System.nanoTime() - sweepT0) / 1e9
         execute(fn(spark, sfDir))
         val ts = (1 to 3).map(_ => timed(fn(spark, sfDir))).sorted
         results(name) = ts(1)
@@ -111,13 +119,19 @@ object Bench {
     // JVM diagnostics make environment-induced outliers attributable
     // (e.g. a constrained heap or CPU set shows up right here).
     val calAfter = calibrate()
+    val calMtAfter = Calibrate.runParallel(nProbeThreads)
     val rt = Runtime.getRuntime
     val env = s""""jvm":{"maxHeapMb":${rt.maxMemory() / (1 << 20)},""" +
       s""""cpus":${rt.availableProcessors()},"master":"local[$cpus]"},""" +
       f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f,""" +
+      f""""mt_before_sec":$calMtBefore%.3f,"mt_after_sec":$calMtAfter%.3f,""" +
+      s""""mt_threads":$nProbeThreads,""" +
       s""""work":"${Calibrate.WorkDescription}"}"""
+    val startsJson = starts.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir",$env}""".getBytes("UTF-8"))
+      (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""query_start_offsets_sec":$startsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }

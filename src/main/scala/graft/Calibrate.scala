@@ -14,8 +14,7 @@ object Calibrate {
 
   val WorkDescription = "200M-iter 64-bit mix loop, single thread"
 
-  def run(): Double = {
-    val t0 = System.nanoTime()
+  private def mix(): Long = {
     var h = 0x9e3779b97f4a7c15L
     var i = 0
     while (i < 200000000) {
@@ -23,7 +22,34 @@ object Calibrate {
       h ^= h >>> 29; h += i
       i += 1
     }
+    h
+  }
+
+  def run(): Double = {
+    val t0 = System.nanoTime()
+    val h = mix()
     if (h == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** SATURATING probe: the same fixed work on every core at once. A
+    * single-thread probe provably misses multi-core contention (r4: a
+    * clean 0.52/0.55 pair coexisted with 4-6× per-query inflation) —
+    * when all cores run the loop simultaneously, any external load MUST
+    * steal cycles from some thread and the max-thread wall time
+    * stretches. Idle box: ≈ the single-thread time (each core runs its
+    * own loop); contended: proportionally elevated.
+    */
+  def runParallel(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { sink.addAndGet(mix()); () })
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    if (sink.get() == 42L) System.err.println("") // defeat DCE
     (System.nanoTime() - t0) / 1e9
   }
 }

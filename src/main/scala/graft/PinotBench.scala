@@ -179,6 +179,8 @@ object PinotBench {
     // pair marks a contended run from the artifact alone
     Calibrate.run() // JIT warm-up
     val calBefore = Calibrate.run()
+    val nProbeThreads = Runtime.getRuntime.availableProcessors()
+    val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
     val results = shapes.map { case (name, mk) => name -> median(mk) }
 
@@ -188,9 +190,12 @@ object PinotBench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val calAfter = Calibrate.run()
+    val calMtAfter = Calibrate.runParallel(nProbeThreads)
     val total =
       f"${results.filterNot(_._1.startsWith("x")).map(_._2).sum}%.4f"
-    val cal = f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f}"""
+    val cal = f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f,""" +
+      f""""mt_before_sec":$calMtBefore%.3f,"mt_after_sec":$calMtAfter%.3f,""" +
+      s""""mt_threads":$nProbeThreads}"""
     println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","queries":$qs,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"},$cal}""")
     spark.stop()
   }
