@@ -118,29 +118,53 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
         // Group-id window source. One composite id per row:
         // - no group column = the global aggregate (one synthetic group,
         //   all ids zero);
-        // - one RAW string column (single-segment complete pushdown
-        //   only) = slots assigned on first sight from decoded strings,
-        //   pre-sized by the writer-recorded exact cardinality;
-        // - N dict columns = stride arithmetic over their id streams
+        // - any MIX of dict and RAW-string columns: dict ids come off
+        //   the packed stream; RAW strings get per-SEGMENT slots
+        //   assigned on first sight (pre-sized by the writer-recorded
+        //   exact cardinality). Partial rows carry the decoded VALUES,
+        //   so per-segment slot numbering merges correctly in Spark's
+        //   final aggregate across any number of segments.
+        // - N columns compose by stride arithmetic
         //   (id = ((id_0 · card_1) + id_1) · card_2 + …), product capped
         //   by the builder.
-        val firstCm = groupCols.headOption.map(reader.metadata.column)
-        val rawGroup = firstCm.exists(!_.hasDictionary)
-        var rawNames: Array[String] = null
-        lazy val zeroWindow = new Array[Int](Window)
-        val (card, gWindow): (Int, (Int, Int) => Array[Int]) =
-          if (groupCols.isEmpty) {
-            (1, (_: Int, n: Int) =>
-              if (n == Window) zeroWindow else new Array[Int](n))
-          } else if (rawGroup) {
-            val chunk = reader.rawChunkReader(groupCols.head)
-            val c = firstCm.get.cardinality
-            if (c <= 0) throw new graft.pinot.PinotFormatException(
-              s"histogram agg: no recorded cardinality for RAW ${groupCols.head}")
-            val slotOf = new java.util.HashMap[String, Integer](c * 2)
-            rawNames = new Array[String](c)
+        // per group column: cardinality, id window source, id → key
+        final case class GroupPart(card: Int,
+            idWindow: (Int, Int) => Array[Int], keyOf: Int => Any)
+
+        // dictionary id → Catalyst group key (same translations as the
+        // DISTINCT pushdown path)
+        def dictKeyFn(c: String): Int => Any = {
+          val t = reader.metadata.column(c).dataType
+          (reader.dictionary(c), t) match {
+            case (PinotDictionary.Ints(v), PinotType.PBoolean) => id => v(id) != 0
+            case (PinotDictionary.Ints(v), _) => id => v(id)
+            case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
+              id => Math.multiplyExact(v(id), 1000L)
+            case (PinotDictionary.Longs(v), _) => id => v(id)
+            case (PinotDictionary.Floats(v), _) => id => v(id)
+            case (PinotDictionary.Doubles(v), _) => id => v(id)
+            case (PinotDictionary.Strings(v), _) =>
+              id => UTF8String.fromString(v(id))
+            case (other, tt) => throw new graft.pinot.PinotFormatException(
+              s"histogram agg: unsupported group dictionary $other for $c:${tt.name}")
+          }
+        }
+
+        def groupPart(c: String): GroupPart = {
+          val cm = reader.metadata.column(c)
+          if (cm.hasDictionary) {
+            val fbr = reader.dictIdReader(c)
+            GroupPart(reader.dictionary(c).size,
+              (p, n) => fbr.readRange(p, n), dictKeyFn(c))
+          } else {
+            val chunk = reader.rawChunkReader(c)
+            val cc = cm.cardinality
+            if (cc <= 0) throw new graft.pinot.PinotFormatException(
+              s"histogram agg: no recorded cardinality for RAW $c")
+            val slotOf = new java.util.HashMap[String, Integer](cc * 2)
+            val names = new Array[String](cc)
             var next = 0
-            (c, (p: Int, n: Int) => {
+            GroupPart(cc, (p, n) => {
               val raw = chunk.readRangeBytes(p, n)
               val ids = new Array[Int](n)
               var i = 0
@@ -148,21 +172,29 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 val s = new String(raw(i), java.nio.charset.StandardCharsets.UTF_8)
                 var slot = slotOf.get(s)
                 if (slot == null) {
-                  if (next >= c) throw new graft.pinot.PinotFormatException(
-                    s"histogram agg: ${groupCols.head} exceeds recorded cardinality $c")
+                  if (next >= cc) throw new graft.pinot.PinotFormatException(
+                    s"histogram agg: $c exceeds recorded cardinality $cc")
                   slot = Integer.valueOf(next)
                   slotOf.put(s, slot)
-                  rawNames(next) = s
+                  names(next) = s
                   next += 1
                 }
                 ids(i) = slot.intValue()
                 i += 1
               }
               ids
-            })
+            }, id => UTF8String.fromString(names(id)))
+          }
+        }
+
+        lazy val zeroWindow = new Array[Int](Window)
+        val parts: Array[GroupPart] = groupCols.map(groupPart)
+        val (card, gWindow): (Int, (Int, Int) => Array[Int]) =
+          if (parts.isEmpty) {
+            (1, (_: Int, n: Int) =>
+              if (n == Window) zeroWindow else new Array[Int](n))
           } else {
-            val fbrs = groupCols.map(reader.dictIdReader)
-            val cards = groupCols.map(c => reader.dictionary(c).size)
+            val cards = parts.map(_.card)
             // saturating fold — a corrupt cardinality must not wrap Long
             // into accidental acceptance (cap 2^20 × card < 2^31 cannot
             // overflow before saturating)
@@ -171,14 +203,14 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
               if (acc > cap) acc else acc * math.max(1, c))
             if (prod > cap) throw new graft.pinot.PinotFormatException(
               s"histogram agg: group cardinality product over cap")
-            if (fbrs.length == 1) {
-              (cards(0), (p: Int, n: Int) => fbrs(0).readRange(p, n))
+            if (parts.length == 1) {
+              (cards(0), parts(0).idWindow)
             } else {
               (prod.toInt, (p: Int, n: Int) => {
-                val ids = fbrs(0).readRange(p, n)
+                val ids = parts(0).idWindow(p, n)
                 var j = 1
-                while (j < fbrs.length) {
-                  val next = fbrs(j).readRange(p, n)
+                while (j < parts.length) {
+                  val next = parts(j).idWindow(p, n)
                   val cj = cards(j)
                   var i = 0
                   while (i < n) { ids(i) = ids(i) * cj + next(i); i += 1 }
@@ -290,36 +322,14 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
           pos += n
         }
 
-        // dictionary id / slot → Catalyst group key per column (same
-        // translations as the DISTINCT pushdown path); composite ids
-        // decompose back through the same strides
-        def dictKeyFn(c: String): Int => Any = {
-          val t = reader.metadata.column(c).dataType
-          (reader.dictionary(c), t) match {
-            case (PinotDictionary.Ints(v), PinotType.PBoolean) => id => v(id) != 0
-            case (PinotDictionary.Ints(v), _) => id => v(id)
-            case (PinotDictionary.Longs(v), PinotType.PTimestamp) =>
-              id => Math.multiplyExact(v(id), 1000L)
-            case (PinotDictionary.Longs(v), _) => id => v(id)
-            case (PinotDictionary.Floats(v), _) => id => v(id)
-            case (PinotDictionary.Doubles(v), _) => id => v(id)
-            case (PinotDictionary.Strings(v), _) =>
-              id => UTF8String.fromString(v(id))
-            case (other, tt) => throw new graft.pinot.PinotFormatException(
-              s"histogram agg: unsupported group dictionary $other for $c:${tt.name}")
-          }
-        }
         val keyArity = groupCols.length
         // per-column (divisor, modulus, translate): column j's id =
-        // (g / Π cards(j+1..)) % cards(j)
+        // (g / Π cards(j+1..)) % cards(j) — composite ids decompose back
+        // through the same strides, dict and RAW slots alike
         val keyParts: Array[(Int, Int, Int => Any)] =
-          if (rawGroup) Array((1, card, (id: Int) => UTF8String.fromString(rawNames(id))))
-          else {
-            val cards = groupCols.map(c => reader.dictionary(c).size)
-            groupCols.zipWithIndex.map { case (c, j) =>
-              val divisor = cards.drop(j + 1).foldLeft(1)(_ * _)
-              (divisor, cards(j), dictKeyFn(c))
-            }.toArray
+          parts.zipWithIndex.map { case (gp, j) =>
+            val divisor = parts.drop(j + 1).map(_.card).foldLeft(1)(_ * _)
+            (divisor, gp.card, gp.keyOf)
           }
         Iterator.range(0, card).filter(counts(_) > 0).map { g =>
           val out = new Array[Any](keyArity + accs.length)

@@ -135,14 +135,16 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         distinctFinal = true
         return true
       }
-      if (groupCols.forall(isDictDistinctable) && cardProductOk(groupCols)) {
+      // composite-id / RAW-slot histogram: occupied keys are final
+      if (groupCols.forall(c =>
+            isDictDistinctable(c) || isRawStringGroupable(c)) &&
+          cardProductOk(groupCols)) {
         histFinal = true
         return true
       }
       return false
     }
-    if (histCovers(groupCols, agg.aggregateExpressions,
-        allowAvg = true, allowRawGroup = true)) {
+    if (histCovers(groupCols, agg.aggregateExpressions, allowAvg = true)) {
       // an empty segment emits NO partial rows, but a GLOBAL aggregate
       // must still return its mandatory single row (SUM = NULL,
       // COUNT = 0) — only Spark's final aggregate can produce it, so
@@ -211,10 +213,13 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         pushedAgg = Some(agg)
         return true
       }
-      // multi-column DISTINCT: dictionaries alone cannot answer it (a
-      // key PAIR must actually co-occur), but the composite-id
-      // histogram can — each segment emits its occupied id set
-      if (groupCols.length > 1 && groupCols.forall(isDictDistinctable) &&
+      // multi-column or RAW DISTINCT: dictionaries alone cannot answer
+      // it (a key PAIR must actually co-occur; RAW columns have no
+      // dictionary), but the composite-id/slot histogram can — each
+      // segment emits its occupied key set and Spark dedups the merge
+      if (groupCols.nonEmpty &&
+          groupCols.forall(c =>
+            isDictDistinctable(c) || isRawStringGroupable(c)) &&
           cardProductOk(groupCols)) {
         pushedAgg = Some(agg)
         useHistogram = true
@@ -255,7 +260,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // indexes (unlike key-pure/star-tree) but never materializes per-row
     // keys, and only |dictionary| rows cross the scan boundary.
     if (histCovers(groupCols, agg.aggregateExpressions,
-        allowAvg = histFinal, allowRawGroup = histFinal)) {
+        allowAvg = histFinal)) {
       pushedAgg = Some(agg)
       useHistogram = true
       return true
@@ -275,22 +280,17 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     * stored DEFAULTS at null docs, which must not enter partials.
     */
   private def histCovers(groupCols: Array[String],
-      funcs: Array[AggregateFunc], allowAvg: Boolean = false,
-      allowRawGroup: Boolean = false): Boolean = {
+      funcs: Array[AggregateFunc], allowAvg: Boolean = false): Boolean = {
     if (funcs.isEmpty) return false
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     if (metas.isEmpty || metas.exists(_ == null)) return false
-    // Multiple group columns compose into one dict-id key (stride
-    // arithmetic) — all must be dict columns then. A single RAW string
-    // group column qualifies only for single-segment COMPLETE pushdown
-    // (slot map over decoded strings, exact writer-recorded
-    // cardinality); dict columns qualify everywhere.
-    val groupOk =
-      groupCols.forall(isDictDistinctable) ||
-      (groupCols.length == 1 && allowRawGroup &&
-        metas.forall(_.columns.get(groupCols.head).exists(
-          cm => !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
-            cm.dataType == PinotType.PString && cm.cardinality > 0)))
+    // Group columns compose into one id key by stride arithmetic. Each
+    // may be dict-encoded (ids off the packed stream) OR a RAW string
+    // with a writer-recorded exact cardinality (per-SEGMENT slot map
+    // over decoded values — partial rows carry the VALUES, so slots
+    // merge correctly across segments in Spark's final aggregate).
+    val groupOk = groupCols.forall(c =>
+      isDictDistinctable(c) || isRawStringGroupable(c))
     if (!groupOk) return false
     // per-task arrays are O(Π cardinalities × aggs): cap the PRODUCT in
     // every segment (1M entries ≈ 8 MB)
@@ -345,6 +345,18 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
           case _ => false
         }
     }
+  }
+
+  /** RAW (dictionary-less) single-value non-nullable STRING column with
+    * a writer-recorded exact cardinality in EVERY segment — the
+    * preconditions for the per-segment slot-map group path.
+    */
+  private def isRawStringGroupable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) && metas.forall(
+      _.columns.get(col).exists(cm =>
+        !cm.hasDictionary && cm.isSingleValue && !cm.hasNullVector &&
+          cm.dataType == PinotType.PString && cm.cardinality > 0))
   }
 
   /** Dictionary-encoded single-value non-nullable column of a scalar type

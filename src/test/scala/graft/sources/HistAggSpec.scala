@@ -150,7 +150,7 @@ class HistAggSpec extends SparkTestBase {
     assert(multi.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
-  test("RAW string group column: slot-map histogram, single segment only") {
+  test("RAW string group column: slot-map histogram, single- and multi-segment") {
     val root = Files.createTempDirectory("pinot_hist_raw")
     val t1 = root.resolve("r_OFFLINE")
     val m = 4000
@@ -169,8 +169,8 @@ class HistAggSpec extends SparkTestBase {
     assert(got.size === want.size)
     want.foreach { case (p, w) => assert(math.abs(got(p) - w) < 1e-9, p) }
 
-    // two segments: RAW group refuses pushdown entirely (slots are
-    // per-segment; partials would need a dictionary) — engine-side agg
+    // two segments: per-segment slots emit VALUES, so partials merge in
+    // Spark's final aggregate — a 100 TB table is never one segment
     val t2 = root.resolve("r2_OFFLINE")
     (0 until 2).foreach { s =>
       SegmentWriter.write(t2.resolve(s"seg$s"), "r2", s"seg$s", Seq(
@@ -179,9 +179,56 @@ class HistAggSpec extends SparkTestBase {
         SegmentWriter.IntCol("hits", h.slice(s * 2000, (s + 1) * 2000))))
     }
     val df2 = spark.read.format("pinot").load(t2.toString)
-    val a2 = df2.groupBy("player").count()
-    assert(!leafOf(a2).contains("PinotAggScan"), leafOf(a2))
-    assert(a2.collect().map(_.getLong(1)).sum === m.toLong)
+    val a2 = df2.groupBy("player").agg(
+      count(lit(1)).as("c"), sum("hits").as("sh"))
+    assert(leafOf(a2).contains("histogram=true"), leafOf(a2))
+    assert(leafOf(a2).contains("histFinal=false"), leafOf(a2))
+    val got2 = a2.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want2 = (0 until m).groupBy(player)
+    assert(got2.keySet === want2.keySet)
+    want2.foreach { case (p, is) =>
+      assert(got2(p) === ((is.length.toLong, is.map(h(_).toLong).sum)), p)
+    }
+
+    // RAW DISTINCT pushes through the same slot histogram
+    val d2 = df2.select("player").distinct()
+    assert(leafOf(d2).contains("histogram=true"), leafOf(d2))
+    assert(d2.count() === player.distinct.length.toLong)
+  }
+
+  test("mixed dict + RAW group keys compose slots into composite ids") {
+    val root = Files.createTempDirectory("pinot_hist_mixed")
+    val t = root.resolve("mx_OFFLINE")
+    val m = 6000
+    val player = Array.tabulate(m)(i => f"p${i % 97}%03d") // RAW string
+    val tm = Array.tabulate(m)(i => s"T${i % 11}")         // dict string
+    val h = hits.take(m)
+    (0 until 2).foreach { s =>
+      val from = s * (m / 2); val to = (s + 1) * (m / 2)
+      SegmentWriter.write(t.resolve(s"seg$s"), "mx", s"seg$s", Seq(
+        SegmentWriter.StringDictCol("team", tm.slice(from, to)),
+        SegmentWriter.StringRawCol("player", player.slice(from, to),
+          graft.pinot.VarByteChunkV4.Lz4LengthPrefixed, 1024),
+        SegmentWriter.IntCol("hits", h.slice(from, to))))
+    }
+    val df = spark.read.format("pinot").load(t.toString)
+    val a = df.groupBy("team", "player")
+      .agg(count(lit(1)).as("c"), sum("hits").as("sh"),
+        min("hits").as("mn"), max("hits").as("mx"))
+    assert(leafOf(a).contains("histogram=true"), leafOf(a))
+    val got = a.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    val want = (0 until m).groupBy(i => (tm(i), player(i)))
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, is) =>
+      assert(got(k) === ((is.length.toLong, is.map(h(_).toLong).sum,
+        is.map(h(_)).min, is.map(h(_)).max)), s"$k")
+    }
+    // mixed-key DISTINCT rides the same path
+    val d = df.select("team", "player").distinct()
+    assert(leafOf(d).contains("histogram=true"), leafOf(d))
+    assert(d.count() === (0 until m).map(i => (tm(i), player(i))).distinct.length.toLong)
   }
 
   test("multi-column GROUP BY composes dict ids by stride arithmetic") {
