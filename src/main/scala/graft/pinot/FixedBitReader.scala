@@ -7,8 +7,10 @@ package graft.pinot
   * (reference: pinot-segment/src/forward_index/fixed_bit.rs:8-103, itself
   * based on Apache Pinot's public PinotDataBitSet.java).
   *
-  * `buffer` is the bit-packed payload WITHOUT the 8-byte magic marker — the
-  * caller (SegmentReader) strips it.
+  * The payload starts at `buffer(byteBase)`: callers may pass the raw
+  * unstripped section with `byteBase = 8` (skipping the magic marker) so
+  * concurrent sub-segment slices can share one cached section array, or a
+  * pre-stripped payload with the default `byteBase = 0`.
   */
 final class FixedBitReader(buffer: Array[Byte], bitsPerValue: Int,
     numValues: Int, byteBase: Int = 0) {

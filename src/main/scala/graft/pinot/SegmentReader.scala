@@ -450,15 +450,26 @@ object SegmentReader {
     def get(key: AnyRef, load: () => Array[Byte]): Array[Byte] = {
       val cached = values.get(key)
       if (cached != null) { touch(key, cached.length); return cached }
-      val v = load()
-      if (v.length.toLong >= maxBytes) return v // monster: don't cache
-      val prev = values.putIfAbsent(key, v)
-      val kept = if (prev != null) prev else v
-      touch(key, kept.length)
-      kept
+      // computeIfAbsent blocks concurrent loaders of the SAME key on one
+      // read — 16 slice tasks first touching a 16 MB section do one IO,
+      // not 16. Oversized sections return via `monster` without recording
+      // a mapping (CHM drops null mappings), so they stay uncached.
+      var monster: Array[Byte] = null
+      val v = values.computeIfAbsent(key, _ => {
+        val x = load()
+        if (x.length.toLong >= maxBytes) { monster = x; null } else x
+      })
+      if (v == null) return monster
+      touch(key, v.length)
+      v
     }
 
     private def touch(key: AnyRef, len: Long): Unit = synchronized {
+      // A concurrent eviction may have dropped this key between the
+      // values read and here; re-inserting it into `order` would count
+      // non-resident bytes and evict live entries early. The caller's
+      // array reference stays valid either way.
+      if (!values.containsKey(key)) return
       if (!order.containsKey(key)) total += len
       order.put(key, len) // access-order bump
       val it = order.entrySet().iterator()

@@ -158,8 +158,13 @@ object CurationOps {
       // snowflake/hash-style id spans (span > 2^63/nb) and went through
       // a double division (53-bit mantissa) — both silently non-monotone.
       val width = ((spanBig + nb - 1) / nb).max(1)
+      // lo == Long.MinValue must take the decimal branch even when the
+      // span fits in Long: the interpolated "-9223372036854775808L" is
+      // tokenized by Spark's parser as unary minus + an overflowing
+      // bigint literal and fails at parse time (oversized bare integral
+      // literals in the decimal branch parse as decimal and are exact).
       val bucket =
-        if (spanBig <= BigInt(Long.MaxValue))
+        if (spanBig <= BigInt(Long.MaxValue) && lo != Long.MinValue)
           least(lit(nb - 1),
             expr(s"int((doc_id - (${lo}L)) div ${width.toLong}L)"))
         else // full 64-bit span: even the subtraction wraps — exact in

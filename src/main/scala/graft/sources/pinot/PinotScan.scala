@@ -1265,11 +1265,15 @@ object PinotScan {
           (docs.toLong + WindowRows - 1) / WindowRows).toInt
       if (nSplits > 1) {
         flush()
-        val rowsRaw = (docs + nSplits - 1) / nSplits
+        // Long arithmetic throughout: docs near Int.MaxValue would wrap
+        // the +nSplits-1 rounding (and s0+rows) in Int, making `rows`
+        // non-positive and the loop spin or mis-slice.
+        val rowsRaw = (docs.toLong + nSplits - 1) / nSplits
         val rows = ((rowsRaw + WindowRows - 1) / WindowRows) * WindowRows
-        var s0 = 0
+        var s0 = 0L
         while (s0 < docs) {
-          out += PinotSlicePartition(p, s0, math.min(docs, s0 + rows))
+          out += PinotSlicePartition(p, s0.toInt,
+            math.min(docs.toLong, s0 + rows).toInt)
           s0 += rows
         }
       } else {
