@@ -357,6 +357,31 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Single-segment fixture for the pushdown-INTERACTION shapes
+    * (q106–q108): only a lone segment takes the COMPLETE paths
+    * (distinctFinal / histFinal, where Spark plans no final aggregate)
+    * — exactly the plan shape where r4's pushed-limit bug (Spark
+    * 4.1.2's pushDownLimit deleting its own Limit above a complete
+    * aggregate scan, so `distinct().limit(2)` returned every value)
+    * shipped undetected because no declared query combined pushdowns.
+    */
+  private def singleSegTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("lineitemSingle_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(30000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus")
+        .repartition(1)
+        .write.format("pinot").mode("append").save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Star-tree-answered GROUP BY (grouping a dim SUBSET, so each task
     // rolls pre-aggregated records up over the ungrouped dim): the scan
@@ -597,6 +622,66 @@ object PinotRoundtrip {
         .orderBy("q_id", "rank")
     }),
 
+    // Pushdown INTERACTION: LIMIT over complete DISTINCT pushdown — the
+    // exact r4 wrong-results shape (pushLimit must REFUSE once an
+    // aggregate pushed, or Spark 4.1.2 deletes its own Limit and every
+    // distinct value comes back). Only 3 flags exist, so LIMIT 10
+    // returns all of them deterministically; a regression returns the
+    // same rows only by luck of the bug being absent.
+    "q106_pinot_distinct_limit" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.select("l_returnflag").distinct().limit(10).orderBy("l_returnflag")
+    }),
+
+    // Pushdown INTERACTION: LIMIT over complete (histFinal) multi-column
+    // histogram GROUP BY — no final aggregate exists, so the Limit sits
+    // directly above the scan, the shape where Spark's pushDownLimit
+    // fires. 3×2 = 6 groups < LIMIT 50 keeps the result deterministic
+    // while still exercising the refusal path.
+    "q107_pinot_hist_limit" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_okey"),
+          min("l_linenumber").as("mn_ln"),
+          max("l_linenumber").as("mx_ln"))
+        .limit(50)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Pushdown INTERACTION: HAVING filter ABOVE a complete (histFinal)
+    // pushed aggregate — the filter references aggregate OUTPUT columns,
+    // so it must stay residual above the scan (sawFilters never set);
+    // a pushdown that mistook it for a data filter would either refuse
+    // the aggregate or filter the wrong thing. l_linenumber counts are
+    // structurally skewed (P(line=k) ∝ 8−k), so a subset_size/7
+    // threshold keeps the low line numbers and drops the high ones at
+    // EVERY scale factor — the filter always filters. The threshold
+    // count() is itself a metadata-only pushed COUNT.
+    "q108_pinot_having_over_agg" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      val threshold = p.count() / 7
+      p.groupBy("l_linenumber")
+        .agg(count(lit(1)).as("cnt"), sum("l_orderkey").as("sum_okey"))
+        .filter(col("cnt") > threshold)
+        .orderBy("l_linenumber")
+    }),
+
+    // Pushdown INTERACTION: multi-segment GROUP BY over MIXED dict
+    // (l_returnflag) + RAW-string (l_shipdate_s, RAW+LZ4) key columns —
+    // the r5 PinotHistAgg slot-map path that had spec coverage but no
+    // CORRECTNESS row. Each of the 3 segments builds its own slot map
+    // and emits decoded key VALUES in partials; Spark's final aggregate
+    // merges across segments. A slot/dict mix-up breaks ~7k group rows.
+    "q109_pinot_mixed_group" -> ((s, d) => {
+      val p = s.read.format("pinot").load(segmentTable(s, d))
+      p.groupBy("l_returnflag", "l_shipdate_s")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_okey"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag", "l_shipdate_s")
+    }),
+
     // Multi-value columns through the full write→segment→scan→explode
     // path: zip the paired MV columns back to rows and re-aggregate; the
     // oracle aggregates the original flat lineitem — any MV offset/id/
@@ -813,6 +898,58 @@ object PinotRoundtrip {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
         |FROM subset GROUP BY status ORDER BY status""".stripMargin,
+
+    "q106_pinot_distinct_limit" ->
+      """WITH subset AS (
+        |  SELECT l_returnflag FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT * FROM (
+        |  SELECT DISTINCT l_returnflag FROM subset LIMIT 10)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q107_pinot_hist_limit" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |  FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT * FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |    CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |    CAST(min(l_linenumber) AS INTEGER) AS mn_ln,
+        |    CAST(max(l_linenumber) AS INTEGER) AS mx_ln
+        |  FROM subset GROUP BY l_returnflag, l_linestatus LIMIT 50)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q108_pinot_having_over_agg" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_linenumber FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_linenumber, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM subset GROUP BY l_linenumber
+        |HAVING count(*) > (SELECT count(*) // 7 FROM subset)
+        |ORDER BY l_linenumber""".stripMargin,
+
+    "q109_pinot_mixed_group" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag,
+        |    strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+        |      AS l_shipdate_s
+        |  FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_returnflag, l_shipdate_s, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM subset GROUP BY l_returnflag, l_shipdate_s
+        |ORDER BY l_returnflag, l_shipdate_s""".stripMargin,
 
     "q70_pinot_mv_explode" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,
