@@ -156,6 +156,52 @@ final class VarByteChunkV4(section: Array[Byte], totalDocs: Int) {
     out
   }
 
+  /** Visit docs `[start, start + count)` as `(buffer, offset, length)`
+    * slices of each decompressed chunk — the zero-copy sibling of
+    * [[readRangeBytes]] for consumers that hash/compare in place (the
+    * histogram GROUP BY slot path): no per-value `copyOfRange`, one
+    * chunk decompression per overlapped chunk. `f` must not retain the
+    * buffer reference past the call.
+    */
+  def foreachRange(start: Int, count: Int)(
+      f: (Array[Byte], Int, Int) => Unit): Unit = {
+    if (count == 0) return
+    var lo = 0
+    var hi = numEntries - 1
+    var found = -1
+    while (lo <= hi && found < 0) {
+      val mid = (lo + hi) >>> 1
+      val (docOff, _, _) = entry(mid)
+      if (docOff < start) lo = mid + 1
+      else if (docOff > start) hi = mid - 1
+      else found = mid
+    }
+    var ci = if (found >= 0) found else math.max(lo - 1, 0)
+    var filled = 0
+    while (filled < count && ci < numEntries) {
+      val (docIdOffset, huge, _) = entry(ci)
+      val chunk = decompressed(ci)
+      if (huge) {
+        if (docIdOffset >= start) { f(chunk, 0, chunk.length); filled += 1 }
+      } else {
+        val b = ByteBuffer.wrap(chunk).order(ByteOrder.LITTLE_ENDIAN)
+        val numDocs = b.getInt(0)
+        var d = math.max(0, start - docIdOffset)
+        while (d < numDocs && filled < count) {
+          val valueOff = b.getInt(4 + d * 4)
+          val valueEnd = if (d == numDocs - 1) chunk.length else b.getInt(4 + (d + 1) * 4)
+          f(chunk, valueOff, valueEnd - valueOff)
+          filled += 1
+          d += 1
+        }
+      }
+      ci += 1
+    }
+    if (filled != count)
+      throw new PinotFormatException(
+        s"range [$start, ${start + count}) exceeds the stored doc count")
+  }
+
   /** Random access for one doc (binary search over chunk metadata,
     * ≙ var_byte.rs:95-123 + get_bytes).
     */

@@ -109,11 +109,18 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[PinotAggPartition].segmentPath
+    // A slice partition aggregates docs [lo, hi) only — its partials
+    // merge with sibling slices' in Spark's final aggregate. Decoders
+    // are slice-addressable (absolute doc positions), and concurrent
+    // slices of one segment share sections through the JVM-wide cache.
+    val (path, lo, hiReq) = partition match {
+      case PinotAggSlicePartition(p, s0, s1) => (p, s0, s1)
+      case p: PinotAggPartition => (p.segmentPath, 0, Int.MaxValue)
+    }
     val reader = SegmentReader.open(path)
     val rows: Iterator[InternalRow] = try {
-      val docs = reader.metadata.totalDocs
-      if (docs == 0) Iterator.empty
+      val docs = math.min(reader.metadata.totalDocs, hiReq)
+      if (docs <= lo) Iterator.empty
       else {
         // Group-id window source. One composite id per row:
         // - no group column = the global aggregate (one synthetic group,
@@ -161,29 +168,58 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
             val cc = cm.cardinality
             if (cc <= 0) throw new graft.pinot.PinotFormatException(
               s"histogram agg: no recorded cardinality for RAW $c")
-            val slotOf = new java.util.HashMap[String, Integer](cc * 2)
-            val names = new Array[String](cc)
+            // Byte-slice interning over the decompressed chunks: group
+            // ids come straight off (buffer, offset, length) slices —
+            // no per-row byte[] copy, no String allocation, no boxed
+            // HashMap probe. An open-addressed table (2× cardinality,
+            // power of two) holds FNV-1a hash + one interned copy per
+            // DISTINCT value; per-row cost is a hash over the value
+            // bytes and usually one probe.
+            val tcap = Integer.highestOneBit(math.max(4, cc * 2 - 1)) << 1
+            val mask = tcap - 1
+            val slotAt = new Array[Int](tcap) // slot + 1; 0 = empty
+            val hashAt = new Array[Int](tcap)
+            val keyAt = new Array[Array[Byte]](tcap)
+            val keys = new Array[UTF8String](cc)
             var next = 0
-            GroupPart(cc, (p, n) => {
-              val raw = chunk.readRangeBytes(p, n)
-              val ids = new Array[Int](n)
-              var i = 0
-              while (i < n) {
-                val s = new String(raw(i), java.nio.charset.StandardCharsets.UTF_8)
-                var slot = slotOf.get(s)
-                if (slot == null) {
+            def slotOf(buf: Array[Byte], off: Int, len: Int): Int = {
+              var h = -2128831035 // FNV-1a
+              var i = off
+              val end = off + len
+              while (i < end) { h = (h ^ buf(i)) * 16777619; i += 1 }
+              var pos = h & mask
+              while (true) {
+                val s = slotAt(pos)
+                if (s == 0) {
                   if (next >= cc) throw new graft.pinot.PinotFormatException(
                     s"histogram agg: $c exceeds recorded cardinality $cc")
-                  slot = Integer.valueOf(next)
-                  slotOf.put(s, slot)
-                  names(next) = s
+                  val copy = java.util.Arrays.copyOfRange(buf, off, end)
+                  slotAt(pos) = next + 1
+                  hashAt(pos) = h
+                  keyAt(pos) = copy
+                  keys(next) = UTF8String.fromBytes(copy)
                   next += 1
+                  return next - 1
                 }
-                ids(i) = slot.intValue()
+                if (hashAt(pos) == h) {
+                  val k = keyAt(pos)
+                  if (k.length == len &&
+                      java.util.Arrays.equals(k, 0, len, buf, off, end))
+                    return s - 1
+                }
+                pos = (pos + 1) & mask
+              }
+              -1 // unreachable
+            }
+            GroupPart(cc, (p, n) => {
+              val ids = new Array[Int](n)
+              var i = 0
+              chunk.foreachRange(p, n) { (buf, off, len) =>
+                ids(i) = slotOf(buf, off, len)
                 i += 1
               }
               ids
-            }, id => UTF8String.fromString(names(id)))
+            }, id => keys(id))
           }
         }
 
@@ -311,7 +347,7 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
           }
         }
 
-        var pos = 0
+        var pos = lo
         while (pos < docs) {
           val n = math.min(Window, docs - pos)
           val gIds = gWindow(pos, n)

@@ -127,6 +127,16 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     if (gOpt.exists(_.isEmpty) || segmentPaths.length != 1 || sawFilters)
       return false
     val groupCols = gOpt.flatten
+    // Complete histogram paths read the lone segment's FORWARD INDEXES
+    // in ONE task (no final aggregate exists to merge slices). Past
+    // `completeAggMaxDocs` the decode is long enough that partial mode
+    // + doc-range slices win despite the extra merge stage — refuse so
+    // pushAggregation takes over and planInputPartitions slices. The
+    // dictionary-only single-col DISTINCT below stays size-independent.
+    val loneTooBigToFinal = splitTargetBytes > 0 && {
+      val m = PinotScan.segmentMeta(segmentPaths.head)
+      m != null && m.totalDocs > PinotScan.CompleteAggMaxDocs
+    }
     // single-segment DISTINCT is final by construction: the dictionary
     // (single col) / the occupied composite-id set (multi col) each
     // emit every present key exactly once — Spark plans no dedup
@@ -136,7 +146,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         return true
       }
       // composite-id / RAW-slot histogram: occupied keys are final
-      if (groupCols.forall(c =>
+      if (!loneTooBigToFinal &&
+          groupCols.forall(c =>
             isDictDistinctable(c) || isRawStringGroupable(c)) &&
           cardProductOk(groupCols)) {
         histFinal = true
@@ -144,7 +155,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       }
       return false
     }
-    if (histCovers(groupCols, agg.aggregateExpressions, allowAvg = true)) {
+    if (!loneTooBigToFinal &&
+        histCovers(groupCols, agg.aggregateExpressions, allowAvg = true)) {
       // an empty segment emits NO partial rows, but a GLOBAL aggregate
       // must still return its mandatory single row (SUM = NULL,
       // COUNT = 0) — only Spark's final aggregate can produce it, so
@@ -431,7 +443,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree,
-        useHistogram, histFinal, distinctFinal)
+        useHistogram, histFinal, distinctFinal, splitTargetBytes)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = limit.isDefined && !sawFilters,
@@ -665,7 +677,8 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     complete: Boolean, fullSchema: StructType,
     starTree: Boolean = false, histogram: Boolean = false,
-    histFinal: Boolean = false, distinctFinal: Boolean = false)
+    histFinal: Boolean = false, distinctFinal: Boolean = false,
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
     extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
@@ -714,8 +727,18 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
       s"histogram=$histogram, histFinal=$histFinal, " +
       s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length})"
 
+  /** Histogram PARTIAL tasks read forward indexes, so they slice into
+    * doc ranges like the plain scan (each slice emits its own partials;
+    * Spark's final aggregate merges) — a huge lone-segment GROUP BY
+    * saturates the cluster instead of decoding on one core. The
+    * complete paths (metadata COUNT, histFinal, distinctFinal) plan no
+    * final aggregate, so they must stay one task; metadata/dictionary/
+    * star-tree paths never read the forward index — nothing to slice.
+    */
   override def planInputPartitions(): Array[InputPartition] =
     if (complete) Array(PinotAggPartition(null))
+    else if (histogram && !histFinal && splitTargetBytes > 0)
+      PinotScan.planAggSlices(segmentPaths)
     else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -768,6 +791,13 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
 }
 
 case class PinotAggPartition(segmentPath: String) extends InputPartition
+
+/** Doc range `[startDoc, endDoc)` of one segment for a sliced histogram
+  * partial task — window-aligned start, exclusive end.
+  */
+case class PinotAggSlicePartition(segmentPath: String, startDoc: Int,
+    endDoc: Int) extends InputPartition
+
 case class AggSpec(column: String, isCount: Boolean, isMin: Boolean)
 
 class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
@@ -1200,6 +1230,64 @@ object PinotScan {
 
   /** Rows per decode window — split boundaries align to it. */
   private[pinot] val WindowRows = 8192
+
+  /** Lone-segment doc count past which the COMPLETE histogram pushdown
+    * (one task, no final aggregate) yields to partial mode + doc-range
+    * slices. Measured on the 97,889-row PinotBench segment: partial
+    * mode's extra merge stage + shuffle costs MORE than the saved
+    * decode (~2× slower), so the cutover sits where one-task decode
+    * unambiguously dominates a stage launch — ~1M rows (hundreds of ms
+    * of decode vs ~30 ms of stage overhead). A `def` so tests can
+    * override the sys prop per-case.
+    */
+  private[pinot] def CompleteAggMaxDocs: Int =
+    Integer.getInteger("graft.pinot.completeAggMaxDocs", 128 * WindowRows)
+
+  /** Minimum rows per sliced histogram-aggregate task. Aggregate tasks
+    * emit only O(cardinality) partial rows however many docs they scan,
+    * so slices can be finer than plain-scan splits (2 windows ≈ 16k
+    * rows ≈ the point where decode cost clears task-launch overhead).
+    */
+  private[pinot] def AggSliceRows: Int =
+    Integer.getInteger("graft.pinot.aggSliceRows", 2 * WindowRows)
+
+  /** Doc-range slices for forward-index-reading aggregate (histogram)
+    * partial tasks. Row-targeted only — on-disk bytes are irrelevant
+    * because these tasks read just the group/metric columns and their
+    * cost is decode CPU per row. ~3 task waves per core when the table
+    * is large enough; the `AggSliceRows` floor keeps small segments to
+    * one task each.
+    */
+  def planAggSlices(segs: Seq[String]): Array[InputPartition] = {
+    val infos = segs.map(p => (p, segmentMeta(p)))
+    val totalRows = infos.map { case (_, m) =>
+      if (m == null) 0L else m.totalDocs.toLong }.sum
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Throwable => 8 }
+    val target = math.max(AggSliceRows.toLong,
+      totalRows / math.max(1L, 3L * parallelism))
+    val out = Array.newBuilder[InputPartition]
+    infos.foreach { case (p, m) =>
+      val docs = if (m == null) 0 else m.totalDocs
+      val nSplits =
+        if (docs <= WindowRows) 1
+        else math.min((docs.toLong + target - 1) / target,
+          (docs.toLong + WindowRows - 1) / WindowRows).toInt
+      if (nSplits <= 1) out += PinotAggPartition(p)
+      else {
+        val rowsRaw = (docs.toLong + nSplits - 1) / nSplits
+        val rows = ((rowsRaw + WindowRows - 1) / WindowRows) * WindowRows
+        var s0 = 0L
+        while (s0 < docs) {
+          out += PinotAggSlicePartition(p, s0.toInt,
+            math.min(docs.toLong, s0 + rows).toInt)
+          s0 += rows
+        }
+      }
+    }
+    out.result()
+  }
 
   private val sizeCache = new LruCache[String, java.lang.Long](65536)
 

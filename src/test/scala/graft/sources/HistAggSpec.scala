@@ -334,6 +334,84 @@ class HistAggSpec extends SparkTestBase {
     assert(df.limit(2).collect().length === 2)
   }
 
+  test("large lone segment: complete histogram yields to sliced partials") {
+    // With the threshold lowered to 65,536 for the test, the 70,000-doc
+    // lone segment must refuse the one-task complete path so the
+    // partial path slices the decode across cores — and the per-slice
+    // partials (dict ids AND per-slice RAW slot maps) must merge back
+    // to exact results. (Production default is ~1M docs: below that the
+    // partial plan's extra merge stage costs more than the saved
+    // decode.)
+    System.setProperty("graft.pinot.completeAggMaxDocs", "65536")
+    try largeLoneSegmentBody()
+    finally System.clearProperty("graft.pinot.completeAggMaxDocs")
+  }
+
+  private def largeLoneSegmentBody(): Unit = {
+    val m = 70000
+    val rnd2 = new scala.util.Random(23)
+    val tm = Array.fill(m)(s"T${rnd2.nextInt(13)}")
+    val city = Array.fill(m)(s"c${rnd2.nextInt(29)}") // RAW string key
+    val h = Array.fill(m)(rnd2.nextInt(501))
+    val root = Files.createTempDirectory("pinot_hist_slice")
+    val t = root.resolve("s_OFFLINE")
+    SegmentWriter.write(t.resolve("seg0"), "s", "seg0", Seq(
+      SegmentWriter.StringDictCol("team", tm),
+      SegmentWriter.StringRawCol("city", city),
+      SegmentWriter.IntCol("hits", h)))
+    val df = spark.read.format("pinot").load(t.toString)
+
+    val agg = df.groupBy("team").agg(count(lit(1)).as("c"), sum("hits").as("s"))
+    val leaf = leafOf(agg)
+    assert(leaf.contains("histogram=true") && leaf.contains("histFinal=false"),
+      leaf)
+    val unwrapped = agg.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = unwrapped.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.inputPartitions.length > 1,
+      s"70k-doc lone segment should slice: ${scan.inputPartitions.length}")
+    val got = agg.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until m).groupBy(tm).foreach { case (k, is) =>
+      assert(got(k) === ((is.length.toLong, is.map(h(_).toLong).sum)), s"team=$k")
+    }
+
+    // RAW-key grouping: each slice builds its OWN slot map; partial rows
+    // carry decoded values, so cross-slice merge must still be exact
+    val aggRaw = df.groupBy("city").agg(count(lit(1)).as("c"),
+      min("hits").as("mn"), max("hits").as("mx"))
+    assert(leafOf(aggRaw).contains("histogram=true"))
+    val gotR = aggRaw.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    (0 until m).groupBy(city).foreach { case (k, is) =>
+      assert(gotR(k) ===
+        ((is.length.toLong, is.map(h(_)).min, is.map(h(_)).max)), s"city=$k")
+    }
+
+    // multi-col DISTINCT over the big lone segment routes through the
+    // sliced partial histogram too (Spark dedups above the scan)
+    val d = df.select("team", "city").distinct()
+    assert(d.count() === (0 until m).map(i => (tm(i), city(i))).distinct.length.toLong)
+
+    // planner unit: slices tile [0, docs) on window boundaries
+    val parts = graft.sources.pinot.PinotScan.planAggSlices(
+      Seq(t.resolve("seg0").toString))
+    val slices = parts.collect {
+      case s: graft.sources.pinot.PinotAggSlicePartition => s }
+    assert(slices.length === parts.length && slices.length > 1, parts.toSeq.toString)
+    assert(slices.head.startDoc === 0 && slices.last.endDoc === m)
+    slices.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.endDoc === b.startDoc, "slices must tile contiguously")
+        assert(b.startDoc % 8192 === 0, "window-aligned")
+      case _ => ()
+    }
+  }
+
   test("refusals: nullable metric, string metric, filters, high card stay engine-side") {
     // nullable metric: stored defaults must not enter partials
     val root = Files.createTempDirectory("pinot_hist_nul")
