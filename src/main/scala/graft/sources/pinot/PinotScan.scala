@@ -129,14 +129,26 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     val groupCols = gOpt.flatten
     // Complete histogram paths read the lone segment's FORWARD INDEXES
     // in ONE task (no final aggregate exists to merge slices). Past
-    // `completeAggMaxDocs` the decode is long enough that partial mode
-    // + doc-range slices win despite the extra merge stage — refuse so
-    // pushAggregation takes over and planInputPartitions slices. The
-    // dictionary-only single-col DISTINCT below stays size-independent.
-    val loneTooBigToFinal = splitTargetBytes > 0 && {
-      val m = PinotScan.segmentMeta(segmentPaths.head)
-      m != null && m.totalDocs > PinotScan.CompleteAggMaxDocs
-    }
+    // `completeAggMaxDocs` AND when groups are much fewer than rows,
+    // partial mode + doc-range slices win despite the extra merge
+    // stage — refuse so pushAggregation takes over and
+    // planInputPartitions slices. High-cardinality keys stay complete:
+    // each slice would emit ~cardinality partial rows into a shuffle,
+    // costing more than the saved decode. The dictionary-only
+    // single-col DISTINCT below stays size-independent.
+    def loneTooBigToFinal(groupCols: Array[String]): Boolean =
+      splitTargetBytes > 0 && {
+        val m = PinotScan.segmentMeta(segmentPaths.head)
+        m != null && m.totalDocs > PinotScan.CompleteAggMaxDocs && {
+          val cap = 1L << 20
+          val prod = groupCols.foldLeft(1L) { (acc, c) =>
+            val card = math.max(1,
+              m.columns.get(c).fold(Int.MaxValue.toLong)(_.cardinality.toLong))
+            if (acc > cap) acc else acc * card
+          }
+          prod <= m.totalDocs / 4
+        }
+      }
     // single-segment DISTINCT is final by construction: the dictionary
     // (single col) / the occupied composite-id set (multi col) each
     // emit every present key exactly once — Spark plans no dedup
@@ -146,7 +158,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         return true
       }
       // composite-id / RAW-slot histogram: occupied keys are final
-      if (!loneTooBigToFinal &&
+      if (!loneTooBigToFinal(groupCols) &&
           groupCols.forall(c =>
             isDictDistinctable(c) || isRawStringGroupable(c)) &&
           cardProductOk(groupCols)) {
@@ -155,7 +167,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       }
       return false
     }
-    if (!loneTooBigToFinal &&
+    if (!loneTooBigToFinal(groupCols) &&
         histCovers(groupCols, agg.aggregateExpressions, allowAvg = true)) {
       // an empty segment emits NO partial rows, but a GLOBAL aggregate
       // must still return its mandatory single row (SUM = NULL,
@@ -1233,15 +1245,16 @@ object PinotScan {
 
   /** Lone-segment doc count past which the COMPLETE histogram pushdown
     * (one task, no final aggregate) yields to partial mode + doc-range
-    * slices. Measured on the 97,889-row PinotBench segment: partial
-    * mode's extra merge stage + shuffle costs MORE than the saved
-    * decode (~2× slower), so the cutover sits where one-task decode
-    * unambiguously dominates a stage launch — ~1M rows (hundreds of ms
-    * of decode vs ~30 ms of stage overhead). A `def` so tests can
-    * override the sys prop per-case.
+    * slices (low-cardinality keys only — see loneTooBigToFinal).
+    * Measured on the 97,889-row PinotBench segment: partial mode's
+    * extra merge stage + shuffle costs MORE than the saved decode
+    * (~2× slower), and the post-optimization decode rate (~0.5 µs/row)
+    * puts the crossover against ~60-90 ms of extra-stage cost at
+    * ~200-300k rows — 32 windows ≈ 262k. A `def` so tests can override
+    * the sys prop per-case.
     */
   private[pinot] def CompleteAggMaxDocs: Int =
-    Integer.getInteger("graft.pinot.completeAggMaxDocs", 128 * WindowRows)
+    Integer.getInteger("graft.pinot.completeAggMaxDocs", 32 * WindowRows)
 
   /** Minimum rows per sliced histogram-aggregate task. Aggregate tasks
     * emit only O(cardinality) partial rows however many docs they scan,
