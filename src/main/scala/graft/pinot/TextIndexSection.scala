@@ -8,23 +8,41 @@ import java.nio.charset.StandardCharsets
   * `textIndexColumns`, re-expressed without the Lucene dependency; the
   * reference ignores all secondary indexes, README.md:311-313).
   *
-  * Structure: the column's WHITESPACE-TOKEN vocabulary (sorted, unique)
-  * plus a RoaringBitmap of docIds per token. Substring predicates
-  * (`contains`, `startsWith`, `endsWith` — Spark pushes all three as
-  * source filters on string columns) resolve by scanning the vocabulary
-  * for tokens containing the probe and OR-ing their postings.
+  * Structure: the column's token vocabulary (sorted, unique) plus a
+  * RoaringBitmap of docIds per token, under a recorded ANALYZER that the
+  * writer and the probe side must agree on:
   *
-  * Soundness of the superset: text is tokens joined by whitespace, so a
-  * probe containing NO whitespace character that occurs anywhere in the
-  * text must lie entirely inside one token — hence the probed docs are
-  * always a superset of the true matches (probes with whitespace simply
-  * never consult the index), and Spark's residual filter keeps
-  * exactness. `startsWith`/`endsWith` matches are `contains` matches, so
-  * the same candidate set covers them.
+  *  - `AnalyzerStandard` (v2 sections, default): maximal runs of Unicode
+  *    letters/digits, char-wise lowercased — the shape of Lucene's
+  *    StandardAnalyzer (Pinot's default for `textIndexColumns`), minus
+  *    stop-words and stemming. Char-wise folding (per-char
+  *    `Character.toLowerCase`, never locale/special casing) keeps the
+  *    mapping positionwise, which the superset proof below relies on.
+  *  - `AnalyzerWhitespace` (all v1 sections): whitespace-delimited,
+  *    case-exact tokens — retained so pre-upgrade segments keep serving.
+  *
+  * Substring predicates (`contains`, `startsWith`, `endsWith` — Spark
+  * pushes all three as source filters on string columns) resolve by
+  * scanning the vocabulary for tokens containing the (analyzer-folded)
+  * probe and OR-ing their postings.
+  *
+  * Soundness of the superset, per analyzer:
+  *  - whitespace: text is tokens joined by whitespace, so a probe with
+  *    NO whitespace lies entirely inside one token.
+  *  - standard: tokens are MAXIMAL letter/digit runs, so a probe that is
+  *    all letters/digits lies inside one run; and because folding is
+  *    positionwise (`fold(text) contains fold(p)` whenever
+  *    `text contains p`), the folded-vocabulary scan over the folded
+  *    probe covers every case variant.
+  *  Probes outside the analyzer's alphabet never consult the index, and
+  *  Spark's residual filter keeps exactness either way.
+  *  `startsWith`/`endsWith` matches are `contains` matches, so the same
+  *  candidate set covers them.
   *
   * Section (`{column}.text_index`; `.text.inv` file in the v1 layout):
   * {{{
-  *   8B magic | i32 version=1 | i32 numTokens
+  *   8B magic | i32 version | [i32 analyzer  (version ≥ 2 only)]
+  *   i32 numTokens
   *   numTokens × (i32 len, utf8 bytes)        // sorted unique tokens
   *   (numTokens+1) × i32 offsets (absolute)   | RoaringBitmaps
   * }}}
@@ -32,7 +50,10 @@ import java.nio.charset.StandardCharsets
 final class TextIndexSection(
     val tokens: Array[String],
     raw: Array[Byte],
-    offsets: Array[Int]) {
+    offsets: Array[Int],
+    val analyzer: Int) {
+
+  import TextIndexSection._
 
   def numTokens: Int = tokens.length
 
@@ -41,16 +62,26 @@ final class TextIndexSection(
       ByteBuffer.wrap(raw, offsets(i), offsets(i + 1) - offsets(i)).slice())
 
   /** Docs whose text may contain `probe` as a substring — the OR of the
-    * postings of every vocabulary token containing it. None when the
-    * probe has whitespace (could straddle tokens: index must not answer).
+    * postings of every vocabulary token containing the analyzer-folded
+    * probe. None when the probe could straddle tokens (whitespace under
+    * the whitespace analyzer; any non-letter/digit under standard):
+    * the index must not answer then.
     */
   def matchBitmap(probe: String)
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
-    if (probe.isEmpty || probe.exists(_.isWhitespace)) return None
+    if (probe.isEmpty) return None
+    val folded = analyzer match {
+      case AnalyzerStandard =>
+        if (!probe.forall(Character.isLetterOrDigit)) return None
+        foldChars(probe)
+      case _ =>
+        if (probe.exists(_.isWhitespace)) return None
+        probe
+    }
     val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap
     var i = 0
     while (i < tokens.length) {
-      if (tokens(i).contains(probe)) acc.or(bitmap(i))
+      if (tokens(i).contains(folded)) acc.or(bitmap(i))
       i += 1
     }
     Some(acc)
@@ -59,21 +90,53 @@ final class TextIndexSection(
 
 object TextIndexSection {
 
-  val Version = 1
+  val Version = 2
   val IndexType = "text_index"
 
-  /** Writer/probe tokenizer — MUST stay in sync with the whitespace
-    * check in [[TextIndexSection.matchBitmap]].
-    */
-  def tokenize(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+  /** v1 sections' implicit analyzer: whitespace split, case-exact. */
+  val AnalyzerWhitespace = 0
 
-  def build(values: Iterator[String]): Array[Byte] = {
+  /** Default since v2: letter/digit runs, char-wise lowercased. */
+  val AnalyzerStandard = 1
+
+  /** Positionwise case fold — per-char `Character.toLowerCase`, so
+    * `fold(text).contains(fold(p))` holds whenever `text.contains(p)`
+    * (String.toLowerCase would not guarantee this: special casing can
+    * change lengths).
+    */
+  private[pinot] def foldChars(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) { a(i) = Character.toLowerCase(a(i)); i += 1 }
+    new String(a)
+  }
+
+  /** Writer/probe tokenizer for `analyzer` — MUST stay in sync with the
+    * probe eligibility checks in [[TextIndexSection.matchBitmap]].
+    */
+  def tokenize(text: String, analyzer: Int = AnalyzerStandard): Array[String] =
+    analyzer match {
+      case AnalyzerStandard =>
+        val out = Array.newBuilder[String]
+        val n = text.length
+        var i = 0
+        while (i < n) {
+          while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+          val start = i
+          while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+          if (i > start) out += foldChars(text.substring(start, i))
+        }
+        out.result()
+      case _ => text.split("\\s+").filter(_.nonEmpty)
+    }
+
+  def build(values: Iterator[String],
+      analyzer: Int = AnalyzerStandard): Array[Byte] = {
     val postings = scala.collection.mutable.HashMap
       .empty[String, org.roaringbitmap.RoaringBitmap]
     var doc = 0
     values.foreach { v =>
-      tokenize(v).distinct.foreach { t =>
+      tokenize(v, analyzer).distinct.foreach { t =>
         postings.getOrElseUpdate(t, new org.roaringbitmap.RoaringBitmap)
           .add(doc)
       }
@@ -82,7 +145,7 @@ object TextIndexSection {
     val tokens = postings.keys.toArray.sorted
     val encoded = tokens.map(_.getBytes(StandardCharsets.UTF_8))
     val dictBytes = encoded.map(_.length + 4).sum
-    val header = 8 + 4 + 4 + dictBytes + 4 * (tokens.length + 1)
+    val header = 8 + 4 + 4 + 4 + dictBytes + 4 * (tokens.length + 1)
     val body = new ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(body)
     val offsets = new Array[Int](tokens.length + 1)
@@ -96,6 +159,7 @@ object TextIndexSection {
     val buf = ByteBuffer.allocate(header + body.size())
     buf.putLong(PinotDictionary.MagicMarker)
     buf.putInt(Version)
+    buf.putInt(analyzer)
     buf.putInt(tokens.length)
     encoded.foreach { e => buf.putInt(e.length); buf.put(e) }
     offsets.foreach(buf.putInt)
@@ -109,8 +173,14 @@ object TextIndexSection {
     if (magic != PinotDictionary.MagicMarker)
       throw new PinotFormatException(f"text_index section: bad magic 0x$magic%x")
     val version = buf.getInt
-    if (version != Version)
+    if (version < 1 || version > Version)
       throw new PinotFormatException(s"text_index: unsupported version $version")
+    // v1 sections carry no analyzer field: they were written under the
+    // whitespace analyzer and keep serving under it
+    val analyzer = if (version >= 2) buf.getInt else AnalyzerWhitespace
+    if (version >= 2 && analyzer != AnalyzerWhitespace &&
+        analyzer != AnalyzerStandard)
+      throw new PinotFormatException(s"text_index: unknown analyzer $analyzer")
     val nt = buf.getInt
     // each token needs ≥4 length bytes and the offset table another
     // 4*(nt+1): bound nt against what the buffer can actually hold so a
@@ -128,6 +198,6 @@ object TextIndexSection {
     val offsets = new Array[Int](nt + 1)
     var i = 0
     while (i <= nt) { offsets(i) = buf.getInt; i += 1 }
-    new TextIndexSection(tokens, bytes, offsets)
+    new TextIndexSection(tokens, bytes, offsets, analyzer)
   }
 }

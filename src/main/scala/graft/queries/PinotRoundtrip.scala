@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 6 // r3b: bloom fixture carries value + range index
+  private val LayoutVersion = 7 // r6: text indexes carry the v2 standard analyzer
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -221,6 +221,33 @@ object PinotRoundtrip {
         .repartition(2)
         .write.format("pinot").mode("append")
         .option("textIndexColumns", "text")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
+  /** Cased/punctuated text fixture for the v2 STANDARD-analyzer text
+    * index: every 7th doc upper-cased (its folded tokens make it an
+    * index CANDIDATE for lowercase probes — the residual filter must
+    * drop it), every remaining 5th dash-joined (punctuation splits
+    * tokens where the whitespace analyzer kept one blob).
+    */
+  private def textCasedTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("documentsCased_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .when(col("doc_id") % 5 === 0,
+              regexp_replace(col("text"), " ", "-"))
+            .otherwise(col("text")).as("text_mod"),
+          col("lang"), col("n_chars"))
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .option("textIndexColumns", "text_mod")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -622,6 +649,26 @@ object PinotRoundtrip {
         .orderBy("q_id", "rank")
     }),
 
+    // Standard-analyzer text index inside the oracle gate: lowercase and
+    // UPPERCASE probes over a corpus with upper-cased and dash-joined
+    // docs. The folded vocabulary makes case variants CANDIDATES for
+    // both probes; the residual filter restores case-exactness — an
+    // analyzer mismatch between writer and probe (or a missing residual)
+    // breaks counts either way. Dash-joined docs exercise punctuation
+    // tokenization: 'dup' still hits their split tokens.
+    "q110_pinot_text_cased" -> ((s, d) => {
+      val p = s.read.format("pinot").load(textCasedTable(s, d))
+      val lo = p.filter(col("text_mod").contains("dup"))
+        .withColumn("probe", lit("dup"))
+      val hi = p.filter(col("text_mod").contains("DUP"))
+        .withColumn("probe", lit("DUP"))
+      lo.union(hi)
+        .groupBy("probe", "lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("probe", "lang")
+    }),
+
     // Pushdown INTERACTION: LIMIT over complete DISTINCT pushdown — the
     // exact r4 wrong-results shape (pushLimit must REFUSE once an
     // aggregate pushed, or Spark 4.1.2 deletes its own Limit and every
@@ -898,6 +945,22 @@ object PinotRoundtrip {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
         |FROM subset GROUP BY status ORDER BY status""".stripMargin,
+
+    "q110_pinot_text_cased" ->
+      """WITH subset AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+        |         WHEN doc_id % 5 = 0 THEN replace(text, ' ', '-')
+        |         ELSE text END AS text_mod
+        |  FROM documents),
+        |probed AS (
+        |  SELECT 'dup' AS probe, * FROM subset WHERE contains(text_mod, 'dup')
+        |  UNION ALL
+        |  SELECT 'DUP' AS probe, * FROM subset WHERE contains(text_mod, 'DUP'))
+        |SELECT probe, lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM probed GROUP BY probe, lang ORDER BY probe, lang""".stripMargin,
 
     "q106_pinot_distinct_limit" ->
       """WITH subset AS (

@@ -24,6 +24,63 @@ class TextIndexSpec extends SparkTestBase {
     assert(sec.matchBitmap("").isEmpty)
   }
 
+  test("standard analyzer folds case and splits punctuation; v1 keeps whitespace semantics") {
+    val docs = Array("Alpha-Beta GAMMA!", "beta,delta", "plain gamma alpha")
+    val sec = TextIndexSection.deserialize(TextIndexSection.build(docs.iterator))
+    assert(sec.analyzer === TextIndexSection.AnalyzerStandard)
+    // punctuation splits tokens; vocabulary is case-folded
+    assert(sec.tokens.toSeq === Seq("alpha", "beta", "delta", "gamma", "plain"))
+    // probes fold too: any case variant finds every case variant
+    assert(sec.matchBitmap("ALPHA").get.toArray.toSeq === Seq(0, 2))
+    assert(sec.matchBitmap("Beta").get.toArray.toSeq === Seq(0, 1))
+    assert(sec.matchBitmap("amm").get.toArray.toSeq === Seq(0, 2)) // substring
+    // a punctuated probe could straddle tokens → must refuse
+    assert(sec.matchBitmap("Alpha-Beta").isEmpty)
+    assert(sec.matchBitmap("a b").isEmpty)
+
+    // hand-built v1 section: no analyzer field → whitespace, case-exact
+    val s1 = TextIndexSection.deserialize(
+      buildV1(Array("Alpha beta", "beta delta")))
+    assert(s1.analyzer === TextIndexSection.AnalyzerWhitespace)
+    assert(s1.tokens.toSeq === Seq("Alpha", "beta", "delta"))
+    assert(s1.matchBitmap("Alpha").get.toArray.toSeq === Seq(0))
+    assert(s1.matchBitmap("alpha").get.isEmpty, "v1 stays case-exact")
+    assert(s1.matchBitmap("a b").isEmpty)
+  }
+
+  /** The pre-upgrade v1 layout: magic | version=1 | numTokens | tokens |
+    * offsets | bitmaps — whitespace tokens, case kept.
+    */
+  private def buildV1(values: Array[String]): Array[Byte] = {
+    val postings = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.roaringbitmap.RoaringBitmap]
+    values.zipWithIndex.foreach { case (v, doc) =>
+      v.split("\\s+").filter(_.nonEmpty).distinct.foreach { t =>
+        postings.getOrElseUpdate(t, new org.roaringbitmap.RoaringBitmap)
+          .add(doc)
+      }
+    }
+    val tokens = postings.keys.toArray.sorted
+    val encoded = tokens.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val header = 8 + 4 + 4 + encoded.map(_.length + 4).sum + 4 * (tokens.length + 1)
+    val body = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(body)
+    val offsets = new Array[Int](tokens.length + 1)
+    offsets(0) = header
+    tokens.zipWithIndex.foreach { case (t, i) =>
+      postings(t).serialize(out)
+      offsets(i + 1) = header + body.size()
+    }
+    val buf = java.nio.ByteBuffer.allocate(header + body.size())
+    buf.putLong(graft.pinot.PinotDictionary.MagicMarker)
+    buf.putInt(1)
+    buf.putInt(tokens.length)
+    encoded.foreach { e => buf.putInt(e.length); buf.put(e) }
+    offsets.foreach(buf.putInt)
+    buf.put(body.toByteArray)
+    buf.array()
+  }
+
   test("substring filters decode only windows holding candidate tokens") {
     val root = Files.createTempDirectory("pinot_text")
     val tdir = root.resolve("docs_OFFLINE")
