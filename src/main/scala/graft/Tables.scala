@@ -16,14 +16,26 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-      // ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and rebuild a
-      // microsecond timestamp. Integer `div` (not `/`) — ns-since-epoch
-      // exceeds double's 53-bit mantissa, float division would corrupt it.
+      // The generator has shipped events.ts as either parquet
+      // TIMESTAMP(NANOS) (which Spark 4 only reads via the nanosAsLong
+      // legacy flag, as a long) or plain timestamp[us]. Branch on the
+      // type Spark actually loaded rather than assuming either vintage:
+      //  - LongType           → nanos: rebuild a microsecond timestamp.
+      //    Integer `div` (not `/`) — ns-since-epoch exceeds double's
+      //    53-bit mantissa, float division would corrupt it.
+      //  - TimestampNTZType   → cast to session-local TimestampType
+      //    (sessions pin UTC, so the instant is unchanged); downstream
+      //    window/watermark code and the DuckDB oracle expect LTZ.
+      //  - TimestampType      → already what we want.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

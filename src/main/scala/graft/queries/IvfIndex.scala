@@ -35,7 +35,7 @@ object IvfIndex {
   // per-user cache dir: a shared tmpdir root would hit permission
   // failures across OS users and trust any pre-existing _SUCCESS dir
   // regardless of who wrote it
-  private def cacheRoot: Path =
+  private[graft] def cacheRoot: Path =
     Paths.get(sys.props("java.io.tmpdir"),
       s"graft_ivf_cache_${sys.props.getOrElse("user.name", "unknown")}")
 

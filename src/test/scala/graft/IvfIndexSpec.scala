@@ -14,7 +14,9 @@ class IvfIndexSpec extends SparkTestBase {
     val r1 = q().collect()
     // the index dir now exists; capture its identity
     val dirs = {
-      val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_cache")
+      // resolve the per-user cache dir from the implementation itself —
+      // a copied literal here went stale once already (r5 moved the cache)
+      val root = queries.IvfIndex.cacheRoot
       val l = Files.list(root)
       try {
         import scala.jdk.CollectionConverters._
