@@ -175,6 +175,20 @@ object PinotBench {
       ts(2)
     }
 
+    // Global untimed pre-pass: run EVERY shape (and the floor plans)
+    // once before any timing. Per-shape warm-ups alone leave a JIT
+    // ordering bias — early shapes pay the warm-up of SHARED paths
+    // (noop commit, WSCG driver, TakeOrdered) that later shapes and the
+    // floors (measured last) get for free; r6 artifacts show count_star
+    // 25-37 ms above its own steady state for exactly this reason. The
+    // reference's protocol is a warm catalog + warm process (native
+    // code needs no JIT), so steady-state is the like-for-like basis.
+    (1 to 2).foreach { _ =>
+      shapes.foreach { case (_, mk) => run(mk()) }
+      run(floorTable.select("playerID", "hits"))
+      run(floorTable.agg(sum("hits").as("s")))
+    }
+
     // shared fixed-work contention probe ([[Calibrate]]): before/after
     // pair marks a contended run from the artifact alone
     Calibrate.run() // JIT warm-up

@@ -744,14 +744,36 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     * Spark's final aggregate merges) — a huge lone-segment GROUP BY
     * saturates the cluster instead of decoding on one core. The
     * complete paths (metadata COUNT, histFinal, distinctFinal) plan no
-    * final aggregate, so they must stay one task; metadata/dictionary/
-    * star-tree paths never read the forward index — nothing to slice.
+    * final aggregate, so normally they must stay one task —
+    * EXCEPT when the single group column is row-unique in the segment
+    * (writer-recorded exact cardinality == totalDocs, the GROUP BY
+    * doc-id / dedup-key shape): then no group can span two doc-range
+    * slices, every slice's histogram rows are already final (the emit
+    * loop skips zero-count slots), and the union of slices IS the
+    * answer — so the merge-free plan parallelizes too. Metadata/
+    * dictionary/star-tree paths never read the forward index — nothing
+    * to slice.
     */
   override def planInputPartitions(): Array[InputPartition] =
     if (complete) Array(PinotAggPartition(null))
     else if (histogram && !histFinal && splitTargetBytes > 0)
       PinotScan.planAggSlices(segmentPaths)
+    else if (histogram && histFinal && splitTargetBytes > 0 &&
+        uniqueKeyGroups)
+      PinotScan.planAggSlices(segmentPaths)
     else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
+
+  /** The lone group column's values are pairwise-distinct in every
+    * segment, so doc-range slices partition the GROUPS as well as the
+    * docs. (Multi-column keys are excluded: per-column cardinalities
+    * can't establish composite uniqueness without a scan.)
+    */
+  private def uniqueKeyGroups: Boolean =
+    groupCols.length == 1 && segmentPaths.forall { p =>
+      val m = PinotScan.segmentMeta(p)
+      m != null && m.totalDocs > 0 &&
+        m.columns.get(groupCols.head).exists(_.cardinality == m.totalDocs)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (starTree) {
