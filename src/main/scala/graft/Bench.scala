@@ -84,10 +84,24 @@ object Bench {
     // artifact alone
     val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sweepT0 = System.nanoTime()
+    // Interleaved contention probes: the same fixed-work single-thread
+    // loop as the before/after calibration pair, run every
+    // `ProbeEvery` queries. A probe that runs slow localizes external
+    // CPU contention to the queries between it and its neighbors —
+    // the r5/r6 rounds were both adjudicated "contended box" from the
+    // endpoint pair alone, with no way to tell WHICH readings to
+    // distrust.
+    val ProbeEvery = 10
+    val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def probe(): Unit =
+      probes += (((System.nanoTime() - sweepT0) / 1e9, Calibrate.run()))
+    var benched = 0
     // EVERY query: 1 untimed warm-up (file listing, schema, JIT), then
     // median of 3 — no number in the output is a single cold sample.
     def bench(name: String, fn: (SparkSession, String) => DataFrame): Unit =
       try {
+        if (benched % ProbeEvery == 0) probe()
+        benched += 1
         starts(name) = (System.nanoTime() - sweepT0) / 1e9
         execute(fn(spark, sfDir))
         val ts = (1 to 3).map(_ => timed(fn(spark, sfDir))).sorted
@@ -102,6 +116,7 @@ object Bench {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !Headline.contains(name))
       bench(name, headlineVariant.getOrElse(name, fn))
+    probe() // close the final window
 
     val headlineTotal = Headline.map(results(_)).filter(_ >= 0).sum
     // The driver captures only the TAIL of the run output; round 2's
@@ -129,9 +144,28 @@ object Bench {
       s""""work":"${Calibrate.WorkDescription}"}"""
     val startsJson = starts.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // Suspect marking: a query is suspect when the slower of its two
+    // bracketing probes ran >30% over the best probe of the whole sweep
+    // — external load during its window means its reading overstates
+    // the engine's cost. (A spike entirely BETWEEN probes can hide, but
+    // box-level contention in practice spans several queries — r6's did.)
+    val bestProbe = probes.map(_._2).min
+    def windowProbes(s: Double): Seq[Double] = {
+      val before = probes.takeWhile(_._1 <= s).lastOption.map(_._2)
+      val after = probes.find(_._1 > s).map(_._2)
+      Seq(before, after).flatten
+    }
+    val suspects = starts.collect { case (name, s)
+      if windowProbes(s).exists(_ > bestProbe * 1.3) => name }.toSeq
+    val probesJson = probes.map { case (off, sec) =>
+      f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
+      .mkString("[", ",", "]")
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""query_start_offsets_sec":$startsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
+        s""""query_start_offsets_sec":$startsJson,""" +
+        s""""contention_probes":$probesJson,""" +
+        s""""contention_suspects":$suspectsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
