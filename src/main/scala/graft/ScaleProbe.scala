@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence harness (dev-only, not part of the driver contract):
+  * times the declared-heavy shapes at several corpus sizes and prints
+  * per-(query, dir) JSON lines so scaling exponents can be read off.
+  *
+  * Usage: runMain graft.ScaleProbe <dir1> <dir2> ... — each dir needs
+  * only the tables the probed queries read (documents, embeddings).
+  * BASELINE.md records the exponents; the declared quadratic baselines
+  * (q46 all-pairs cosine, q41/q73 DF-bounded shingle join) are EXPECTED
+  * to run super-linear — the point is that nothing ELSE does.
+  */
+object ScaleProbe {
+
+  private val Probed = Seq(
+    "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q46_cosine_pairs",
+    "q49_dedup_minhash_lsh", "q50_dedup_simhash", "q73_dedup_components",
+    "q47_knn_brute", "q42_lang_id", "q45_fingerprint")
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf0.3", "/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- dirs; name <- Probed) {
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"$name","dir":"$dir","sec":$sec%.2f}""")
+      } catch { case e: Throwable =>
+        println(s"""{"query":"$name","dir":"$dir","error":"${
+          e.toString.linesIterator.next().take(120)}"}""")
+      }
+    }
+    spark.stop()
+  }
+}

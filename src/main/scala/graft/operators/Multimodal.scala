@@ -101,6 +101,62 @@ object Multimodal {
     }
   }
 
+  case class PngFeatures(doc_id: Long, img_w: Int, img_h: Int,
+      mean_lum: Double)
+
+  /** REAL image codec path (the stub's endgame, r5 task 8 / r6 task 8):
+    * `javax.imageio` ships in the JDK, so PNG encode/decode needs no new
+    * dependency. Each row synthesizes a deterministic grayscale image
+    * from its doc_id (pixel(x,y) = (doc_id·31 + x + y) mod 256), encodes
+    * it to REAL PNG bytes — the binary media column — then the decode
+    * side reads width/height/pixels back OUT OF THE PNG (nothing is
+    * trusted from metadata) and emits mean luminance. PNG is lossless,
+    * the pixel sum is integral, and one IEEE-correctly-rounded division
+    * is deterministic across engines, so the features are bit-exact
+    * closed forms a DuckDB oracle reproduces.
+    * Per-partition codec lifecycle and features-only egress match the
+    * stub paths; a real camera-data deployment swaps the synthesizer
+    * for stored payloads.
+    */
+  def pngRoundtrip(docs: DataFrame): Dataset[PngFeatures] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { docId =>
+        val w = 16 + (docId % 3).toInt * 8   // 16 / 24 / 32
+        val h = 16 + (docId % 5).toInt * 4   // 16..32
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((docId * 31 + x + y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray // the real binary media payload
+        // decode side: trust only the PNG bytes
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        val bw = back.getWidth
+        val bh = back.getHeight
+        val r2 = back.getRaster
+        var sum = 0L
+        var yy = 0
+        while (yy < bh) {
+          var xx = 0
+          while (xx < bw) { sum += r2.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        PngFeatures(docId, bw, bh, sum.toDouble / (bw * bh))
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, fmt: String, frame_idx: Int, n_bytes: Int,
       code_sum: Long)
 

@@ -68,7 +68,16 @@ object Media {
           sum(col("n_bytes").cast("long")).as("sampled_bytes"),
           sum(col("code_sum")).as("sampled_code_sum"))
         .orderBy("fmt")
-    })
+    }),
+
+    // REAL codec round-trip (javax.imageio, in the JDK): synthesize a
+    // deterministic grayscale image per doc, encode to actual PNG bytes,
+    // decode width/height/pixels back out of the PNG, emit mean
+    // luminance. Lossless codec + integral pixel sum + one IEEE division
+    // = bit-exact against the closed-form DuckDB oracle.
+    "q111_png_roundtrip" -> ((s, d) =>
+      Multimodal.pngRoundtrip(Tables.load(s, d, "documents")).toDF()
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -157,6 +166,27 @@ object Media {
         |  count(*) AS frames_sampled,
         |  CAST(sum(n_bytes) AS BIGINT) AS sampled_bytes,
         |  CAST(sum(code_sum) AS BIGINT) AS sampled_code_sum
-        |FROM sampled GROUP BY fmt ORDER BY fmt""".stripMargin
+        |FROM sampled GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    // The synthesized image in closed form: pixel(x,y) =
+    // (doc_id*31 + x + y) % 256 over a w×h grid with w = 16+(id%3)*8,
+    // h = 16+(id%5)*4. The Spark side gets these numbers by decoding
+    // REAL PNG bytes; the oracle recomputes them arithmetically.
+    "q111_png_roundtrip" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS img_w,
+        |    CAST(16 + (doc_id % 5) * 4 AS INTEGER) AS img_h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.img_w, d.img_h, gx.x, gy.y
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(range(0, d.img_w)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, d.img_h)) AS y) gy)
+        |SELECT doc_id, img_w, img_h,
+        |  CAST(sum((doc_id * 31 + x + y) % 256) AS DOUBLE) / (img_w * img_h)
+        |    AS mean_lum
+        |FROM px GROUP BY doc_id, img_w, img_h
+        |ORDER BY doc_id""".stripMargin
   )
 }

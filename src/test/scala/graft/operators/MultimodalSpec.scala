@@ -81,4 +81,26 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(shuffles.isEmpty, "decode stage must not shuffle payload bytes")
   }
+
+  test("PNG round-trip decodes real bytes back to the closed form (q111)") {
+    val feats = Multimodal.pngRoundtrip(docs).collect()
+    assert(feats.length === docs.count())
+    feats.take(50).foreach { f =>
+      val w = 16 + (f.doc_id % 3).toInt * 8
+      val h = 16 + (f.doc_id % 5).toInt * 4
+      assert(f.img_w === w, s"doc ${f.doc_id} width from PNG header")
+      assert(f.img_h === h, s"doc ${f.doc_id} height from PNG header")
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (f.doc_id * 31 + x + y) % 256).sum
+      assert(f.mean_lum === sum.toDouble / (w * h),
+        s"doc ${f.doc_id} lossless pixel sum")
+    }
+    // the payload really is a PNG: encode one and check the signature
+    val bos = new java.io.ByteArrayOutputStream()
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val sig = bos.toByteArray.take(8).map(_ & 0xff)
+    assert(sig.toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+  }
 }
