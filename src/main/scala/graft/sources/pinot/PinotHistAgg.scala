@@ -165,9 +165,16 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
               (p, n) => fbr.readRange(p, n), dictKeyFn(c))
           } else {
             val chunk = reader.rawChunkReader(c)
-            val cc = cm.cardinality
-            if (cc <= 0) throw new graft.pinot.PinotFormatException(
+            val ccGlobal = cm.cardinality
+            if (ccGlobal <= 0) throw new graft.pinot.PinotFormatException(
               s"histogram agg: no recorded cardinality for RAW $c")
+            // Slot numbering is SLICE-LOCAL (partial rows carry decoded
+            // VALUES, so slots never cross tasks): a doc-range slice of
+            // n rows can intern at most n distinct values, so size the
+            // table by min(global cardinality, slice rows) — a sliced
+            // high-cardinality segment otherwise zeroes the full-
+            // cardinality arrays once PER SLICE.
+            val cc = math.min(ccGlobal.toLong, (docs - lo).toLong).toInt
             // Byte-slice interning over the decompressed chunks: group
             // ids come straight off (buffer, offset, length) slices —
             // no per-row byte[] copy, no String allocation, no boxed
