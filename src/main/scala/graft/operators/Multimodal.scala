@@ -121,6 +121,14 @@ object Multimodal {
   def pngRoundtrip(docs: DataFrame): Dataset[PngFeatures] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // Per-PARTITION codec handles (the lifecycle the stub paths
+      // model): ImageIO's static write/read entry points do a plugin
+      // registry scan AND spool through a disk-backed cache stream on
+      // EVERY call — per-row that cost dominates the actual codec
+      // (~5000 images cost ~1.5 s; amortized, ~0.1 s).
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val pngReader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       ids.map { docId =>
         val w = 16 + (docId % 3).toInt * 8   // 16 / 24 / 32
         val h = 16 + (docId % 5).toInt * 4   // 16..32
@@ -137,11 +145,17 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
         val png = bos.toByteArray // the real binary media payload
         // decode side: trust only the PNG bytes
-        val back = javax.imageio.ImageIO.read(
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(png))
+        pngReader.setInput(iis)
+        val back = pngReader.read(0)
+        iis.close()
         val bw = back.getWidth
         val bh = back.getHeight
         val r2 = back.getRaster

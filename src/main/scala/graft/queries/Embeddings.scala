@@ -160,6 +160,83 @@ object Embeddings {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "n_id", "qdot")
         .orderBy("q_id", "rnk")
+    }),
+
+    // EXACT near-dup pairs at scale: blocked pair-scan. Same output (and
+    // the same DuckDB oracle) as q46, radically different plan: vectors
+    // pack into ~48 dense blocks, block PAIRS join (B² small rows moving
+    // block payloads, never n² rows), and each task runs the dot products
+    // as tight int64 loops over packed arrays — no per-pair row
+    // dematerialization, no n²-row join output feeding a filter. At
+    // cos >= 0.4 no sketch family can prune (a random 90° pair passes
+    // ~64% of hyperplane-LSH bands tuned for 0.4 recall), so the honest
+    // scale path for EXACT pair enumeration is making the quadratic
+    // compute cheap and distributable: B² block tasks saturate any
+    // cluster, shuffle volume is B·corpus (each block copied B times),
+    // and per-task memory is two blocks. q46 measured 153.8 s at 20k
+    // vectors; this plan does the same 12.8G mult-adds in seconds.
+    "q112_cosine_pairs_blocked" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).select(col("vec_id"), col("qvec"), col("dotself"))
+      val n = Tables.load(s, d, "embeddings").count()
+      require(n <= 2000000L,
+        s"q112 is exact O(n^2) COMPUTE (distributed over block pairs) and " +
+          s"refuses $n vectors (max 2M); above that use the sketch paths " +
+          "(q48/q49/q50) or raise the threshold")
+      val blockSize = math.max(1024L, (n + 47) / 48)
+      val blocks = e
+        .withColumn("bid", (col("vec_id") / lit(blockSize)).cast("int"))
+        .select("bid", "vec_id", "dotself", "qvec")
+        .as[(Int, Long, Long, Array[Long])]
+        .groupByKey(_._1)
+        .mapGroups { (bid, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val k = rows.length
+          val dim = if (k > 0) rows(0)._4.length else 0
+          val vecs = new Array[Long](k * dim)
+          var i = 0
+          while (i < k) {
+            System.arraycopy(rows(i)._4, 0, vecs, i * dim, dim); i += 1
+          }
+          (bid, rows.map(_._2), rows.map(_._3), vecs)
+        }
+      val raw = blocks.as("x")
+        .joinWith(blocks.as("y"), col("x._1") <= col("y._1"))
+        .flatMap { case ((ba, idsA, selfA, vecsA), (bb, idsB, selfB, vecsB)) =>
+          val ka = idsA.length
+          val kb = idsB.length
+          val dim = if (ka > 0) vecsA.length / ka else 0
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          var i = 0
+          while (i < ka) {
+            // same block: strictly-upper pairs; cross block: all pairs
+            // (bid order ⇒ every a-id < every b-id — vec_ids are dense)
+            var j = if (ba == bb) i + 1 else 0
+            val sa = selfA(i)
+            val baseA = i * dim
+            while (j < kb) {
+              var dot = 0L
+              var t = 0
+              val baseB = j * dim
+              while (t < dim) {
+                dot += vecsA(baseA + t) * vecsB(baseB + t); t += 1
+              }
+              if (dot > 0 && dot * dot * 25 >= sa * selfB(j) * 4)
+                out += ((idsA(i), idsB(j), dot, sa, selfB(j)))
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }
+        .toDF("id_a", "id_b", "dot", "sa", "sb")
+      // identical post-math to q46 so the shared oracle hash-matches
+      raw.select(col("id_a"), col("id_b"),
+          round(col("dot").cast("double") /
+            sqrt(col("sa").cast("double") * col("sb").cast("double")),
+            4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -224,6 +301,21 @@ object Embeddings {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY qdot DESC, n_id ASC) AS rnk FROM p)
         |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, n_id, qdot
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // q112 emits EXACTLY q46's pair set (blocked execution is a plan
+    // change, not a semantics change) — same oracle.
+    "q112_cosine_pairs_blocked" -> (qvecCte +
+      """
+        |SELECT id_a, id_b,
+        |  round(dot / sqrt(CAST(sa AS DOUBLE) * sb), 4) AS cos_sim
+        |FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.dotself AS sa, b.dotself AS sb,
+        |    list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> a.qvec[i] * b.qvec[i])) AS dot
+        |  FROM S a JOIN S b ON a.vec_id < b.vec_id)
+        |WHERE dot > 0 AND dot * dot * 25 >= sa * sb * 4
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

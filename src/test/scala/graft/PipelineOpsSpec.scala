@@ -77,6 +77,12 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("blocked pair-scan (q112) emits exactly the q46 pair set") {
+    val exact = run("q46_cosine_pairs").collect().map(_.toSeq).toSeq
+    val blocked = run("q112_cosine_pairs_blocked").collect().map(_.toSeq).toSeq
+    assert(blocked === exact)
+  }
+
   test("brute-force knn returns 5 ranked neighbors per query") {
     val rows = run("q47_knn_brute").collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -39,9 +39,13 @@ class PlanAuditSpec extends SparkTestBase {
   // q90 = q47's shape: a tiny broadcast probe side joined non-equi
   // against one corpus scan — the intended KNN idiom; q97 crosses a
   // 1-row totals aggregate into a per-domain manifest (O(domains) rows)
+  // q112 block-pair join: non-equi over ~48 BLOCK rows (bid_a <= bid_b),
+  // not data rows — the nested loop is the point (B² tasks, payloads in
+  // arrays, never an n²-row join output)
   private val intendedNestedLoop = Set(
     "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q88_gapfill",
-    "q90_quantized_ann", "q97_mixture_weights", "q100_pinot_vector")
+    "q90_quantized_ann", "q97_mixture_weights", "q100_pinot_vector",
+    "q112_cosine_pairs_blocked")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {
