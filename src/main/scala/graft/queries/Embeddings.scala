@@ -54,8 +54,8 @@ object Embeddings {
       val n = Tables.load(s, d, "embeddings").count()
       require(n <= 100000L,
         s"q46_cosine_pairs is the O(n^2) correctness baseline and refuses " +
-          s"$n vectors (max 100000); use q48 (IVF), q49 (MinHash+LSH) or " +
-          "q50 (SimHash) at scale")
+          s"$n vectors (max 100000); use q112 (blocked exact pair-scan), " +
+          "q48 (IVF), q49 (MinHash+LSH) or q50 (SimHash) at scale")
       val e = emb(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
