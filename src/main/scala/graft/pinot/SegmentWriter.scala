@@ -118,7 +118,8 @@ object SegmentWriter {
       bloomCols: Set[String] = Set.empty,
       formatVersion: Int = 3,
       rangeCols: Set[String] = Set.empty,
-      textCols: Set[String] = Set.empty): Path = {
+      textCols: Set[String] = Set.empty,
+      textAnalyzer: Int = TextIndexSection.AnalyzerStandard): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -544,7 +545,8 @@ object SegmentWriter {
       val vals = textValues(cd).getOrElse(
         throw new PinotFormatException(
           s"textIndexColumns entry $tc: single-value STRING required"))
-      addSection(tc, TextIndexSection.IndexType, TextIndexSection.build(vals))
+      addSection(tc, TextIndexSection.IndexType,
+        TextIndexSection.build(vals, textAnalyzer))
       props ++= s"column.$tc.hasTextIndex=true\n"
     }
 

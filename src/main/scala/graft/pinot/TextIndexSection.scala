@@ -18,6 +18,11 @@ import java.nio.charset.StandardCharsets
   *    stop-words and stemming. Char-wise folding (per-char
   *    `Character.toLowerCase`, never locale/special casing) keeps the
   *    mapping positionwise, which the superset proof below relies on.
+  *  - `AnalyzerStandardStop`: standard analysis plus Lucene's classic
+  *    English stop set dropped from the vocabulary — full Lucene
+  *    `StandardAnalyzer` parity (Pinot's actual default). The probe side
+  *    refuses any probe that is a substring of a stop word (see
+  *    `matchBitmap`), which restores the superset invariant.
   *  - `AnalyzerWhitespace` (all v1 sections): whitespace-delimited,
   *    case-exact tokens — retained so pre-upgrade segments keep serving.
   *
@@ -74,6 +79,18 @@ final class TextIndexSection(
       case AnalyzerStandard =>
         if (!probe.forall(Character.isLetterOrDigit)) return None
         foldChars(probe)
+      case AnalyzerStandardStop =>
+        if (!probe.forall(Character.isLetterOrDigit)) return None
+        val f = foldChars(probe)
+        // Only stop-word TOKENS are absent from the vocabulary (tokens
+        // merely CONTAINING a stop word — "theory" ⊇ "the" — are still
+        // indexed). So the superset proof fails exactly when the folded
+        // probe could sit inside a dropped token, i.e. when it is a
+        // substring of some stop word: refuse, and the scan stays
+        // authoritative. Any longer/other probe keeps the standard-
+        // analyzer argument verbatim.
+        if (StopWords.exists(_.contains(f))) return None
+        f
       case _ =>
         if (probe.exists(_.isWhitespace)) return None
         probe
@@ -99,6 +116,25 @@ object TextIndexSection {
   /** Default since v2: letter/digit runs, char-wise lowercased. */
   val AnalyzerStandard = 1
 
+  /** Standard analysis + Lucene's classic English stop set dropped from
+    * the vocabulary — the full shape of Lucene's `StandardAnalyzer`,
+    * which is what Apache Pinot's `textIndexColumns` runs by default.
+    * (Lucene's StandardAnalyzer does NOT stem — stemming would need
+    * EnglishAnalyzer, which Pinot does not default to — so stop handling
+    * closes the Lucene-parity gap; see the soundness note in
+    * [[TextIndexSection.matchBitmap]].) Stop postings are the largest
+    * bitmaps in a text index (highest document frequency), so dropping
+    * them is also the main size lever.
+    */
+  val AnalyzerStandardStop = 2
+
+  /** Lucene `EnglishAnalyzer.ENGLISH_STOP_WORDS_SET` (the classic 33). */
+  val StopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
   /** Positionwise case fold — per-char `Character.toLowerCase`, so
     * `fold(text).contains(fold(p))` holds whenever `text.contains(p)`
     * (String.toLowerCase would not guarantee this: special casing can
@@ -116,7 +152,7 @@ object TextIndexSection {
     */
   def tokenize(text: String, analyzer: Int = AnalyzerStandard): Array[String] =
     analyzer match {
-      case AnalyzerStandard =>
+      case AnalyzerStandard | AnalyzerStandardStop =>
         val out = Array.newBuilder[String]
         val n = text.length
         var i = 0
@@ -124,7 +160,11 @@ object TextIndexSection {
           while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
           val start = i
           while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
-          if (i > start) out += foldChars(text.substring(start, i))
+          if (i > start) {
+            val t = foldChars(text.substring(start, i))
+            if (analyzer == AnalyzerStandard || !StopWords.contains(t))
+              out += t
+          }
         }
         out.result()
       case _ => text.split("\\s+").filter(_.nonEmpty)
@@ -179,7 +219,7 @@ object TextIndexSection {
     // whitespace analyzer and keep serving under it
     val analyzer = if (version >= 2) buf.getInt else AnalyzerWhitespace
     if (version >= 2 && analyzer != AnalyzerWhitespace &&
-        analyzer != AnalyzerStandard)
+        analyzer != AnalyzerStandard && analyzer != AnalyzerStandardStop)
       throw new PinotFormatException(s"text_index: unknown analyzer $analyzer")
     val nt = buf.getInt
     // each token needs ≥4 length bytes and the offset table another

@@ -222,9 +222,23 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     // segment ranging then applies to every written segment
     val sortedCol = Option(info.options.get("sortedColumn")).map(_.trim)
       .filter(_.nonEmpty)
+    // `.option("textIndexAnalyzer", "standard" | "standard_stop")`:
+    // analyzer for every text index of this write. standard_stop = full
+    // Lucene StandardAnalyzer parity (English stop words dropped from
+    // the vocabulary; the read side refuses stop-substring probes to
+    // keep the candidate superset sound).
+    val textAnalyzer = Option(info.options.get("textIndexAnalyzer"))
+      .map(_.trim).filter(_.nonEmpty).getOrElse("standard") match {
+      case "standard" => graft.pinot.TextIndexSection.AnalyzerStandard
+      case "standard_stop" =>
+        graft.pinot.TextIndexSection.AnalyzerStandardStop
+      case other => throw new IllegalArgumentException(
+        s"textIndexAnalyzer: unknown analyzer '$other' " +
+          "(expected standard | standard_stop)")
+    }
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
   }
 }
 

@@ -34,12 +34,14 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None) extends WriteBuilder {
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
-      timeCol, starTreeSpec, bloomCols, rangeCols, textCols, sortedCol)
+      timeCol, starTreeSpec, bloomCols, rangeCols, textCols, sortedCol,
+      textAnalyzer)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
@@ -47,7 +49,7 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
         jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-        textCols, sortedCol)
+        textCols, sortedCol, textAnalyzer)
   }
 }
 
@@ -60,14 +62,15 @@ class PinotStreamingWrite(path: String, tableName: String,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None)
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
       jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-      textCols, sortedCol)
+      textCols, sortedCol, textAnalyzer)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -96,12 +99,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None) extends BatchWrite {
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
       jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
-      rangeCols, textCols, sortedCol)
+      rangeCols, textCols, sortedCol, textAnalyzer)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -152,14 +156,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None)
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -172,7 +177,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None)
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -320,7 +326,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -333,7 +339,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     bloomCols: Set[String] = Set.empty,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
-    sortedCol: Option[String] = None)
+    sortedCol: Option[String] = None,
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -550,7 +557,7 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
       nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols,
-      textCols = textCols)
+      textCols = textCols, textAnalyzer = textAnalyzer)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

@@ -141,4 +141,81 @@ class TextIndexSpec extends SparkTestBase {
     val merged = graft.pinot.PinotCompact.compact(dir)
     assert(SegmentReader.open(merged).textIndex("body").isDefined)
   }
+
+  test("stop analyzer: stop tokens dropped; stop-substring probes refuse; others sound") {
+    val docs = Array(
+      "The theory of the matter", "an answer and a question",
+      "plain words only", "These are not stopwords: theory answers")
+    val sec = TextIndexSection.deserialize(TextIndexSection.build(
+      docs.iterator, TextIndexSection.AnalyzerStandardStop))
+    assert(sec.analyzer === TextIndexSection.AnalyzerStandardStop)
+    // stop words are not in the vocabulary; containing words are
+    assert(!sec.tokens.contains("the") && !sec.tokens.contains("an") &&
+      !sec.tokens.contains("these") && !sec.tokens.contains("are"))
+    assert(sec.tokens.contains("theory") && sec.tokens.contains("answer"))
+    // probes that are substrings of ANY stop word must refuse — a match
+    // could hide inside a dropped token ("he" ⊆ "the"/"these"/"their")
+    for (p <- Seq("the", "he", "an", "a", "THE", "es", "t"))
+      assert(sec.matchBitmap(p).isEmpty, s"probe '$p' must refuse")
+    // non-stop-substring probes keep the standard superset argument
+    assert(sec.matchBitmap("theory").get.toArray.toSeq === Seq(0, 3))
+    assert(sec.matchBitmap("eor").get.toArray.toSeq === Seq(0, 3))
+    assert(sec.matchBitmap("answ").get.toArray.toSeq === Seq(1, 3))
+    assert(sec.matchBitmap("stopword").get.toArray.toSeq === Seq(3))
+    // seeded-random soundness: candidates ⊇ exact matches for every
+    // eligible probe over a random corpus
+    val rnd = new scala.util.Random(4207)
+    val vocab = Seq("the", "and", "theory", "band", "other", "thesis",
+      "answer", "plain", "word", "toThem", "Байкал")
+    val corpus = Array.fill(300)(
+      Array.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val s2 = TextIndexSection.deserialize(TextIndexSection.build(
+      corpus.iterator, TextIndexSection.AnalyzerStandardStop))
+    for (probe <- Seq("the", "heo", "ban", "nd", "theor", "байкал", "wor",
+        "answer", "o", "es", "is")) {
+      s2.matchBitmap(probe).foreach { bm =>
+        val cand = bm.toArray.toSet
+        def fold(x: String) = x.toCharArray.map(Character.toLowerCase).mkString
+        val fp = fold(probe)
+        corpus.zipWithIndex.foreach { case (doc, i) =>
+          if (fold(doc).contains(fp))
+            assert(cand.contains(i),
+              s"probe '$probe': doc $i matches but is not a candidate")
+        }
+      }
+    }
+  }
+
+  test("stop analyzer end-to-end: DSv2 write option, pushdown stays exact") {
+    val root = Files.createTempDirectory("pinot_text_stop")
+    val dir = root.resolve("d_OFFLINE").toString
+    import spark.implicits._
+    val rows = (0 until 3000).map(i =>
+      (i, s"the tok${i % 97} and filler theory${(i * 7) % 13}"))
+    rows.toDF("id", "body")
+      .write.format("pinot")
+      .option("textIndexColumns", "body")
+      .option("textIndexAnalyzer", "standard_stop")
+      .mode("append").save(dir)
+    val seg = Files.list(java.nio.file.Paths.get(dir)).iterator().next()
+    val idx = SegmentReader.open(seg).textIndex("body")
+    assert(idx.isDefined)
+    assert(idx.get.analyzer === TextIndexSection.AnalyzerStandardStop)
+    assert(!idx.get.tokens.contains("the") && !idx.get.tokens.contains("and"))
+    val back = spark.read.format("pinot").load(dir)
+    // indexed-token predicate: exact through the index
+    assert(back.filter(col("body").contains("tok42")).count() ===
+      rows.count(_._2.contains("tok42")))
+    // stop-substring predicate: index refuses, residual scan stays exact
+    assert(back.filter(col("body").contains("the")).count() === 3000)
+    // size: dropping the two universal stop tokens shrinks the section
+    val stdDir = root.resolve("std_OFFLINE").toString
+    rows.toDF("id", "body")
+      .write.format("pinot").option("textIndexColumns", "body")
+      .mode("append").save(stdDir)
+    val stdSeg = Files.list(java.nio.file.Paths.get(stdDir)).iterator().next()
+    assert(SegmentReader.open(stdSeg).textIndex("body").get.numTokens ===
+      idx.get.numTokens + 2)
+  }
 }
