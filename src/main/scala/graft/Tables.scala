@@ -34,7 +34,15 @@ object Tables {
       raw.schema("ts").dataType match {
         case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _                => raw
+        case TimestampType    => raw
+        case other            =>
+          // Fail HERE with a named message: an unrecognized vintage
+          // passed through silently would surface as a DATATYPE_MISMATCH
+          // deep inside some window expression instead (the r6 outage
+          // mode). SchemaDriftSpec turns this into one red test.
+          throw new IllegalStateException(
+            s"events.ts loaded as $other — testdata regenerated with a new " +
+              "vintage; teach Tables.load to normalize it to TimestampType")
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
