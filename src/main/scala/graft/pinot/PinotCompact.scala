@@ -29,6 +29,19 @@ object PinotCompact {
     graft.sources.pinot.PinotSegments.discover(tableDir)
       .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
 
+  /** Unanimous source text-index analyzer for `textCols`, else the
+    * standard analyzer (rebuilding with standard indexes a SUPERSET of
+    * tokens, so the candidates ⊇ matches invariant holds either way —
+    * unanimity just preserves the original semantics and size).
+    */
+  private def commonTextAnalyzer(readers: Seq[SegmentReader],
+      textCols: Set[String]): Int = {
+    val as = (for (r <- readers; c <- textCols; sec <- r.textIndex(c))
+      yield sec.analyzer).distinct
+    if (as.length == 1) as.head else TextIndexSection.AnalyzerStandard
+  }
+
+
   /** Compact every segment under `tableDir` into one merged segment.
     * Returns the merged segment directory. No-op (returns the existing
     * dir) when the table already has a single segment.
@@ -50,6 +63,9 @@ object PinotCompact {
     val totalDocs = metas.map(_.totalDocs).sum
 
     val (cols, nullVectors) = materialize(readers)
+    val textCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasTextIndex)).toSet
+    val textAnalyzer = commonTextAnalyzer(readers, textCols)
     readers.foreach(_.close()) // columns are in memory; release fds before
     // the swap so the deleted source segments don't pin disk space
 
@@ -62,14 +78,13 @@ object PinotCompact {
       metas.forall(_.columns(c).hasBloomFilter)).toSet
     val rangeCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasRangeIndex)).toSet
-    val textCols = colNames.filter(c =>
-      metas.forall(_.columns(c).hasTextIndex)).toSet
 
     val mergedName = s"merged_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_compact_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
-      rangeCols = rangeCols, textCols = textCols)
+      rangeCols = rangeCols, textCols = textCols,
+      textAnalyzer = textAnalyzer)
     val check = SegmentReader.open(tmp)
     try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
@@ -98,6 +113,7 @@ object PinotCompact {
       case (c, cm) if cm.hasRangeIndex => c }.toSet
     val texts = meta.columns.collect {
       case (c, cm) if cm.hasTextIndex => c }.toSet
+    val texAnalyzer = commonTextAnalyzer(Seq(r), texts)
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -106,7 +122,7 @@ object PinotCompact {
     r.close()
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
-      formatVersion, ranges, texts)
+      formatVersion, ranges, texts, texAnalyzer)
   }
 
   /** Merge-ROLLUP compaction (EXTENSION — Pinot's MergeRollupTask):
@@ -134,6 +150,9 @@ object PinotCompact {
     require(metas.forall(m => colNames.forall(c => !m.columns(c).hasNullVector)),
       "rollup: nullable columns cannot roll up")
     val (cols, _) = materialize(readers)
+    val rollTextCols = colNames.filter(c =>
+      dims.contains(c) && metas.forall(_.columns(c).hasTextIndex)).toSet
+    val rollTextAnalyzer = commonTextAnalyzer(readers, rollTextCols)
     readers.foreach(_.close())
     val byName = cols.map(c => c.name -> c).toMap
     val n = cols.head.length
@@ -204,13 +223,12 @@ object PinotCompact {
       dims.contains(c) && metas.forall(_.columns(c).hasBloomFilter)).toSet
     val rangeCols = colNames.filter(c =>
       dims.contains(c) && metas.forall(_.columns(c).hasRangeIndex)).toSet
-    val textCols = colNames.filter(c =>
-      dims.contains(c) && metas.forall(_.columns(c).hasTextIndex)).toSet
     val mergedName = s"rollup_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_rollup_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, rolled,
       invertedCols, Map.empty, first.timeColumn.filter(dims.contains),
-      bloomCols = bloomCols, rangeCols = rangeCols, textCols = textCols)
+      bloomCols = bloomCols, rangeCols = rangeCols, textCols = rollTextCols,
+      textAnalyzer = rollTextAnalyzer)
     val check = SegmentReader.open(tmp)
     try require(check.totalDocs == order.length,
       "rollup: merged group count mismatch")

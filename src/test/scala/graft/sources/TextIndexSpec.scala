@@ -217,5 +217,18 @@ class TextIndexSpec extends SparkTestBase {
     val stdSeg = Files.list(java.nio.file.Paths.get(stdDir)).iterator().next()
     assert(SegmentReader.open(stdSeg).textIndex("body").get.numTokens ===
       idx.get.numTokens + 2)
+    // maintenance ops preserve a unanimous analyzer
+    val v1 = root.resolve("v1stop")
+    graft.pinot.PinotCompact.convert(seg.toString, v1.toString, 1)
+    assert(SegmentReader.open(v1).textIndex("body").get.analyzer ===
+      TextIndexSection.AnalyzerStandardStop)
+    rows.toDF("id", "body").write.format("pinot")
+      .option("textIndexColumns", "body")
+      .option("textIndexAnalyzer", "standard_stop")
+      .mode("append").save(dir) // second segment, same analyzer
+    val merged = graft.pinot.PinotCompact.compact(dir)
+    val mIdx = SegmentReader.open(merged).textIndex("body").get
+    assert(mIdx.analyzer === TextIndexSection.AnalyzerStandardStop)
+    assert(!mIdx.tokens.contains("the"))
   }
 }
