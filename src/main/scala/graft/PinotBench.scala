@@ -176,7 +176,7 @@ object PinotBench {
     }
 
     // Global untimed pre-pass: run EVERY shape (and the floor plans)
-    // once before any timing. Per-shape warm-ups alone leave a JIT
+    // twice before any timing. Per-shape warm-ups alone leave a JIT
     // ordering bias — early shapes pay the warm-up of SHARED paths
     // (noop commit, WSCG driver, TakeOrdered) that later shapes and the
     // floors (measured last) get for free; r6 artifacts show count_star

@@ -39,8 +39,9 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"query":"$name","dir":"$dir","sec":$sec%.2f}""")
       } catch { case e: Throwable =>
-        println(s"""{"query":"$name","dir":"$dir","error":"${
-          e.toString.linesIterator.next().take(120)}"}""")
+        val msg = e.toString.linesIterator.next().take(120)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        println(s"""{"query":"$name","dir":"$dir","error":"$msg"}""")
       }
     }
     spark.stop()

@@ -36,8 +36,8 @@ object PinotCompact {
     */
   private def commonTextAnalyzer(readers: Seq[SegmentReader],
       textCols: Set[String]): Int = {
-    val as = (for (r <- readers; c <- textCols; sec <- r.textIndex(c))
-      yield sec.analyzer).distinct
+    val as = (for (r <- readers; c <- textCols; a <- r.textIndexAnalyzer(c))
+      yield a).distinct
     if (as.length == 1) as.head else TextIndexSection.AnalyzerStandard
   }
 

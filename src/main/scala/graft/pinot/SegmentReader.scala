@@ -357,6 +357,15 @@ final class SegmentReader private (
   def textIndex(name: String): Option[TextIndexSection] =
     sectionOpt(name, TextIndexSection.IndexType).map(TextIndexSection.deserialize)
 
+  /** Just the text-index analyzer id, read from the fixed header offset
+    * (magic 8B | version i32 | analyzer i32) — maintenance ops ask only
+    * this, and full `textIndex` deserialization decodes the entire
+    * vocabulary to answer it.
+    */
+  def textIndexAnalyzer(name: String): Option[Int] =
+    sectionOpt(name, TextIndexSection.IndexType).map(
+      TextIndexSection.analyzerOf)
+
   /** Null-value vector (EXTENSION — the reference rejects nullable
     * columns): the RoaringBitmap of docIds whose value is NULL. The
     * forward index stores a default at those docs (Pinot's

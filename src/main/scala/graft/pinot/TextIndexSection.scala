@@ -207,6 +207,20 @@ object TextIndexSection {
     buf.array()
   }
 
+  /** Analyzer id from the section header alone (no vocabulary decode).
+    * Same validation as [[deserialize]] for the fields it touches.
+    */
+  def analyzerOf(bytes: Array[Byte]): Int = {
+    val buf = ByteBuffer.wrap(bytes)
+    val magic = buf.getLong
+    if (magic != PinotDictionary.MagicMarker)
+      throw new PinotFormatException(f"text_index section: bad magic 0x$magic%x")
+    val version = buf.getInt
+    if (version < 1 || version > Version)
+      throw new PinotFormatException(s"text_index: unsupported version $version")
+    if (version >= 2) buf.getInt else AnalyzerWhitespace
+  }
+
   def deserialize(bytes: Array[Byte]): TextIndexSection = {
     val buf = ByteBuffer.wrap(bytes)
     val magic = buf.getLong

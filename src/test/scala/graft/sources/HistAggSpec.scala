@@ -436,4 +436,42 @@ class HistAggSpec extends SparkTestBase {
     assert(f.collect().map(_.getLong(1)).sum ===
       hits.count(_ > 100).toLong)
   }
+
+  test("row-unique key: merge-free COMPLETE plan slices; union of slices is exact") {
+    // > 3 * AggSliceRows docs so planAggSlices yields multiple slices;
+    // every key distinct (cardinality == totalDocs) → the no-merge
+    // invariant must hold across slice boundaries: exactly one output
+    // row per input row, no duplicates, no drops, values exact.
+    val root = Files.createTempDirectory("pinot_hist_unique")
+    val t1 = root.resolve("u_OFFLINE")
+    val m = 60000
+    val ids = Array.tabulate(m)(i => f"id$i%06d")
+    val h = Array.tabulate(m)(i => (i * 2654435761L % 263).toInt)
+    SegmentWriter.write(t1.resolve("seg0"), "u", "seg0", Seq(
+      SegmentWriter.StringRawCol("id", ids,
+        graft.pinot.VarByteChunkV4.Lz4LengthPrefixed, 4096),
+      SegmentWriter.IntCol("hits", h)))
+    val df = spark.read.format("pinot").load(t1.toString)
+    val a = df.groupBy("id")
+      .agg(avg("hits").as("ah"), count(lit(1)).as("c"), sum("hits").as("s"))
+    assert(leafOf(a).contains("histFinal=true"), leafOf(a))
+    assert(!a.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "merge-free plan must have no final aggregate")
+    val parts = a.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    assert(parts > 1, s"expected multiple slices, got $parts")
+    val rows = a.collect()
+    assert(rows.length === m, s"${rows.length} groups for $m unique keys")
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === m, "duplicate group keys across slices")
+    var i = 0
+    while (i < m) {
+      val (ah, c, sm) = got(ids(i))
+      assert(c === 1L && sm === h(i).toLong && ah === h(i).toDouble,
+        s"row $i: got ($ah, $c, $sm), hits ${h(i)}")
+      i += 1
+    }
+  }
 }
