@@ -159,6 +159,40 @@ object IndexStress {
       check(s"str/$label", p(si).select("k", "tag"), p(sp).select("k", "tag"))
     }
 
+    // ---- stop-analyzer twin: stop-word-laden corpus; the index must
+    // refuse stop-substring probes (falling to the scan) and stay exact
+    // on everything else ----
+    val stopN = 10000
+    val stopBody = Array.tabulate(stopN) { i =>
+      if (i % 977 == 3) s"the needle zebra$i of these"
+      else if (i % 7 == 0) "" // empties interleave
+      else s"the tok${i % 211} and their filler theory"
+    }
+    def writeStop(dir: java.nio.file.Path, indexed: Boolean): Unit =
+      SegmentWriter.write(dir.resolve("seg0"), "w", "seg0", Seq(
+        SegmentWriter.StringRawCol("body", stopBody,
+          VarByteChunkV4.Lz4LengthPrefixed, 4096),
+        SegmentWriter.IntCol("k", Array.tabulate(stopN)(identity))),
+        textCols = if (indexed) Set("body") else Set.empty,
+        textAnalyzer = graft.pinot.TextIndexSection.AnalyzerStandardStop)
+    val stopIdx = root.resolve("wsi_OFFLINE"); writeStop(stopIdx, indexed = true)
+    val stopPlain = root.resolve("wsp_OFFLINE"); writeStop(stopPlain, indexed = false)
+    def wi: DataFrame = spark.read.format("pinot").load(stopIdx.toString)
+    def wp: DataFrame = spark.read.format("pinot").load(stopPlain.toString)
+    val stopProbes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "stop substring 'the'" -> (df => df.filter(col("body").contains("the"))),
+      "stop substring 'he'" -> (df => df.filter(col("body").contains("he"))),
+      "stop word cased 'THE'" -> (df => df.filter(col("body").contains("THE"))),
+      "stop-containing token 'theory'" ->
+        (df => df.filter(col("body").contains("theory"))),
+      "indexed needle" -> (df => df.filter(col("body").contains("zebra4888"))),
+      "absent token" -> (df => df.filter(col("body").contains("unicorn"))),
+      "their (stop) via endswith" ->
+        (df => df.filter(col("body").endsWith("of these"))))
+    stopProbes.foreach { case (label, p) =>
+      check(s"stop/$label", p(wi).select("k", "body"), p(wp).select("k", "body"))
+    }
+
     println(s"[stress] index family: ${if (fails == 0) "ALL OK" else s"$fails FAILURES"}")
     fails
   }
