@@ -79,6 +79,11 @@ object Bench {
     val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // min-of-3 per query, BENCH_DETAIL-only: under external contention
+    // the min is the better true-cost estimator (r6's q89 7.5 s median
+    // had a clean sample right next to it); the driver-facing line and
+    // headline stay median-based.
+    val resultsMin = scala.collection.mutable.LinkedHashMap[String, Double]()
     // per-query start offsets (seconds from the sweep start) — lets a
     // contended WINDOW be localized to specific queries from the
     // artifact alone
@@ -106,9 +111,11 @@ object Bench {
         execute(fn(spark, sfDir))
         val ts = (1 to 3).map(_ => timed(fn(spark, sfDir))).sorted
         results(name) = ts(1)
+        resultsMin(name) = ts.head
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = -1.0
+        resultsMin(name) = -1.0
       }
 
     for (name <- Headline)
@@ -161,8 +168,11 @@ object Bench {
       f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
       .mkString("[", ",", "]")
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullQsMin = resultsMin.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""queries_min":$fullQsMin,""" +
         s""""query_start_offsets_sec":$startsJson,""" +
         s""""contention_probes":$probesJson,""" +
         s""""contention_suspects":$suspectsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
