@@ -38,7 +38,8 @@ class PinotDifferentialSpec extends SparkTestBase {
     val pdir = root.resolve("d_OFFLINE")
     var base = 0
     val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Long, Option[Double], String, String)]
+      .empty[(Int, Long, Option[Double], String, String, Boolean,
+        java.sql.Timestamp)]
     segSizes.zipWithIndex.foreach { case (n, s) =>
       val k = Array.tabulate(n)(i => base + i) // sorted, disjoint ranges
       val v = Array.tabulate(n)(i => ((base + i) * 2654435761L) % 10000 - 5000)
@@ -54,40 +55,44 @@ class PinotDifferentialSpec extends SparkTestBase {
         else s"tok${(base + i) % 101} filler common"
       }
       val nulls = Array.range(0, n).filter(i => (base + i) % 173 == 0)
+      val b = Array.tabulate(n)(i => (base + i) % 3 == 0)
+      val tsMillis = Array.tabulate(n)(i => 1700000000000L + (base + i) * 1000L)
       SegmentWriter.write(pdir.resolve(s"seg$s"), "d", s"seg$s", Seq(
         SegmentWriter.IntCol("k", k),
         SegmentWriter.LongRawCol("v", v),
         SegmentWriter.DoubleRawCol("m", m),
         SegmentWriter.StringDictCol("tag", tag),
         SegmentWriter.StringRawCol("body", body,
-          VarByteChunkV4.Lz4LengthPrefixed, 4096)),
+          VarByteChunkV4.Lz4LengthPrefixed, 4096),
+        SegmentWriter.BoolCol("b", b),
+        SegmentWriter.TimestampCol("ts", tsMillis)),
         invertedCols = Set("tag"),
         nullVectors = Map("m" -> nulls),
         bloomCols = Set("v"), rangeCols = Set("v"), textCols = Set("body"))
       val nullSet = nulls.toSet
       (0 until n).foreach { i =>
         rows += ((k(i), v(i), if (nullSet(i)) None else Some(m(i)), tag(i),
-          body(i)))
+          body(i), b(i), new java.sql.Timestamp(tsMillis(i))))
       }
       base += n
     }
     import spark.implicits._
     val pq = root.resolve("twin_parquet").toString
-    rows.toSeq.toDF("k", "v", "m", "tag", "body").coalesce(2)
+    rows.toSeq.toDF("k", "v", "m", "tag", "body", "b", "ts").coalesce(2)
       .write.parquet(pq)
     (pdir.toString, pq)
   }
 
   private def pinot: DataFrame = spark.read.format("pinot").load(pinotDir)
   private def parquet: DataFrame = spark.read.parquet(parquetDir)
-    .select("k", "v", "m", "tag", "body") // pin the pinot column order
+    .select("k", "v", "m", "tag", "body", "b", "ts") // pinot column order
 
   // --- random query generator: all choices drawn up front ---
   private def randPredicate(): Column = {
     def leaf(): Column = {
       val (a, b, c, d) = (rnd.nextInt(14000), rnd.nextInt(10000) - 5000,
         rnd.nextInt(42), rnd.nextInt(110))
-      rnd.nextInt(10) match {
+      rnd.nextInt(13) match {
         case 0 => col("k") > a
         case 1 => col("k") <= a
         case 2 => col("v") === b.toLong
@@ -101,6 +106,11 @@ class PinotDifferentialSpec extends SparkTestBase {
         case 8 =>
           val probe = if (rnd.nextBoolean()) s"zeta$a" else s"tok$d"
           col("body").contains(probe)
+        case 9 => col("b") === rnd.nextBoolean()
+        case 10 =>
+          col("ts") > lit(new java.sql.Timestamp(1700000000000L + a * 1000L))
+        case 11 =>
+          col("ts") <= lit(new java.sql.Timestamp(1700000000000L + a * 1000L))
         case _ =>
           col("body").startsWith(if (rnd.nextBoolean()) "needle" else "tok1")
       }
@@ -121,8 +131,8 @@ class PinotDifferentialSpec extends SparkTestBase {
       pred.fold(df)(df.filter(_))
     rnd.nextInt(5) match {
       case 0 =>
-        val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body"))
-          .take(rnd.nextInt(4) + 1).map(col)
+        val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts"))
+          .take(rnd.nextInt(5) + 1).map(col)
         val lim = if (rnd.nextBoolean()) Some(rnd.nextInt(40) + 1) else None
         (df => {
           val p = base(df).select(cols: _*)
