@@ -78,52 +78,94 @@ object Bench {
     val nProbeThreads = Runtime.getRuntime.availableProcessors()
     val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // min-of-3 per query, BENCH_DETAIL-only: under external contention
-    // the min is the better true-cost estimator (r6's q89 7.5 s median
-    // had a clean sample right next to it); the driver-facing line and
-    // headline stay median-based.
-    val resultsMin = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // per-query start offsets (seconds from the sweep start) — lets a
-    // contended WINDOW be localized to specific queries from the
-    // artifact alone
-    val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // The full surface in declared order: headline first, rest sorted.
+    val surface: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Headline.map(n =>
+        n -> headlineVariant.getOrElse(n, SparkEntry.queries(n))) ++
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filterNot { case (n, _) => Headline.contains(n) }
+          .map { case (n, f) => n -> headlineVariant.getOrElse(n, f) }
+
     val sweepT0 = System.nanoTime()
     // Interleaved contention probes: the same fixed-work single-thread
-    // loop as the before/after calibration pair, run every
-    // `ProbeEvery` queries. A probe that runs slow localizes external
-    // CPU contention to the queries between it and its neighbors —
-    // the r5/r6 rounds were both adjudicated "contended box" from the
-    // endpoint pair alone, with no way to tell WHICH readings to
-    // distrust.
-    val ProbeEvery = 10
+    // loop as the before/after calibration pair, run every `ProbeEvery`
+    // executed reps. A probe that runs slow localizes external CPU
+    // contention to the reps between it and its neighbors.
+    val ProbeEvery = 16
     val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def probe(): Unit =
       probes += (((System.nanoTime() - sweepT0) / 1e9, Calibrate.run()))
     var benched = 0
-    // EVERY query: 1 untimed warm-up (file listing, schema, JIT), then
-    // median of 3 — no number in the output is a single cold sample.
-    def bench(name: String, fn: (SparkSession, String) => DataFrame): Unit =
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.toSeq
+    }
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+
+    // Per-rep record: (pass, start offset sec, duration sec, GC ms spent
+    // during the rep). r7's q42 anomaly (3.3 s on a 5 k-row single-scan
+    // aggregate, clean probes) was unattributable because reps ran
+    // back-to-back in a fixed order and the artifact kept only the
+    // median: a GC debt inherited from the previous query's sweep
+    // position inflated all three reps identically. Now (a) each timed
+    // pass runs the whole surface in a DIFFERENT seeded-shuffle order,
+    // so no query has a fixed predecessor, and (b) every rep records
+    // its own GC time, so residency effects show up as gc_ms instead
+    // of vanishing into the median.
+    final case class Rep(pass: Int, startSec: Double, sec: Double, gcMs: Long)
+    val reps = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Rep]]()
+    val failed = scala.collection.mutable.Set[String]()
+
+    // pass 0: untimed warm-up (file listing, schema, JIT) in declared
+    // order — no number in the output is a single cold sample
+    for ((name, fn) <- surface) {
       try {
         if (benched % ProbeEvery == 0) probe()
         benched += 1
-        starts(name) = (System.nanoTime() - sweepT0) / 1e9
         execute(fn(spark, sfDir))
-        val ts = (1 to 3).map(_ => timed(fn(spark, sfDir))).sorted
-        results(name) = ts(1)
-        resultsMin(name) = ts.head
+        reps(name) = scala.collection.mutable.ArrayBuffer.empty[Rep]
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        results(name) = -1.0
-        resultsMin(name) = -1.0
+        failed += name
       }
-
-    for (name <- Headline)
-      bench(name, headlineVariant.getOrElse(name, SparkEntry.queries(name)))
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-        if !Headline.contains(name))
-      bench(name, headlineVariant.getOrElse(name, fn))
+    }
+    // passes 1..3: each pass covers the whole surface once, in a
+    // per-pass seeded-shuffle order (deterministic across runs)
+    for (pass <- 1 to 3) {
+      val order = new scala.util.Random(0xC0FFEE + pass).shuffle(surface)
+      for ((name, fn) <- order if !failed(name)) {
+        try {
+          if (benched % ProbeEvery == 0) probe()
+          benched += 1
+          val start = (System.nanoTime() - sweepT0) / 1e9
+          val g0 = gcMs()
+          val sec = timed(fn(spark, sfDir))
+          reps(name) += Rep(pass, start, sec, gcMs() - g0)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed in pass $pass: ${e.getMessage}")
+          failed += name
+        }
+      }
+    }
     probe() // close the final window
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val resultsMin = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((name, _) <- surface) {
+      val rs = reps.getOrElse(name,
+        scala.collection.mutable.ArrayBuffer.empty[Rep])
+      if (failed(name) || rs.isEmpty) {
+        results(name) = -1.0; resultsMin(name) = -1.0
+      } else {
+        val ts = rs.map(_.sec).sorted
+        results(name) = ts(ts.length / 2)
+        resultsMin(name) = ts.head
+        starts(name) = rs.head.startSec
+      }
+    }
 
     val headlineTotal = Headline.map(results(_)).filter(_ >= 0).sum
     // The driver captures only the TAIL of the run output; round 2's
@@ -151,32 +193,55 @@ object Bench {
       s""""work":"${Calibrate.WorkDescription}"}"""
     val startsJson = starts.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    // Suspect marking: a query is suspect when the slower of its two
-    // bracketing probes ran >30% over the best probe of the whole sweep
-    // — external load during its window means its reading overstates
-    // the engine's cost. (A spike entirely BETWEEN probes can hide, but
-    // box-level contention in practice spans several queries — r6's did.)
+    // Suspect marking, per-rep: a rep is contended when the slower of
+    // its two bracketing probes ran >30% over the best probe of the
+    // whole sweep. A QUERY is suspect only when a MAJORITY of its reps
+    // were contended — with each rep in a different shuffled position,
+    // a single contended window degrades one rep, and the median of the
+    // remaining clean reps still holds.
     val bestProbe = probes.map(_._2).min
     def windowProbes(s: Double): Seq[Double] = {
       val before = probes.takeWhile(_._1 <= s).lastOption.map(_._2)
       val after = probes.find(_._1 > s).map(_._2)
       Seq(before, after).flatten
     }
-    val suspects = starts.collect { case (name, s)
-      if windowProbes(s).exists(_ > bestProbe * 1.3) => name }.toSeq
+    def contended(s: Double): Boolean =
+      windowProbes(s).exists(_ > bestProbe * 1.3)
+    val suspects = reps.collect { case (name, rs)
+      if rs.nonEmpty && rs.count(r => contended(r.startSec)) * 2 > rs.length =>
+        name }.toSeq
     val probesJson = probes.map { case (off, sec) =>
       f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
       .mkString("[", ",", "]")
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQsMin = resultsMin.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    // full per-rep dump: lets a reader separate "slow plan" (all reps
+    // slow, low gc, clean probes) from "one bad rep" (median>>min) from
+    // "GC residency" (gc_ms >> sibling reps) for every query
+    val repsJson = reps.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(r =>
+        f"""{"pass":${r.pass},"start_sec":${r.startSec}%.2f,""" +
+          f""""sec":${r.sec}%.4f,"gc_ms":${r.gcMs}}""").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""queries_min":$fullQsMin,""" +
         s""""query_start_offsets_sec":$startsJson,""" +
+        s""""query_reps":$repsJson,""" +
         s""""contention_probes":$probesJson,""" +
         s""""contention_suspects":$suspectsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
+    val headlineLine =
+      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    // Belt and braces for the driver handoff (r7's BENCH_r07.json had
+    // "parsed": null despite a well-formed line in the captured tail):
+    // the line is also persisted as a file, and printed LAST — after
+    // spark.stop() — so no shutdown chatter can land between it and
+    // process exit, with an explicit flush.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (headlineLine + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(headlineLine)
+    System.out.flush()
   }
 }

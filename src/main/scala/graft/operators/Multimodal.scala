@@ -101,6 +101,73 @@ object Multimodal {
     }
   }
 
+  /** Per-PARTITION PNG codec handles (the lifecycle the stub paths
+    * model): ImageIO's static write/read entry points do a plugin
+    * registry scan AND spool through a disk-backed cache stream on
+    * EVERY call — per-row that cost dominates the actual codec
+    * (~5000 images cost ~1.5 s; amortized, ~0.1 s).
+    */
+  final class PngCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+
+    def decode(png: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      iis.close()
+      img
+    }
+  }
+
+  /** Deterministic grayscale test image: pixel(x,y) =
+    * (docId·31 + salt + x + y) mod 256 — the synthetic stand-in for a
+    * stored camera payload, closed-form reproducible by a SQL oracle.
+    */
+  private def synthImage(docId: Long, w: Int, h: Int,
+      salt: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + salt + x + y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def meanLum(img: java.awt.image.BufferedImage): (Int, Int, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, sum.toDouble / (w * h))
+  }
+
   case class PngFeatures(doc_id: Long, img_w: Int, img_h: Int,
       mean_lum: Double)
 
@@ -121,52 +188,81 @@ object Multimodal {
   def pngRoundtrip(docs: DataFrame): Dataset[PngFeatures] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      // Per-PARTITION codec handles (the lifecycle the stub paths
-      // model): ImageIO's static write/read entry points do a plugin
-      // registry scan AND spool through a disk-backed cache stream on
-      // EVERY call — per-row that cost dominates the actual codec
-      // (~5000 images cost ~1.5 s; amortized, ~0.1 s).
-      javax.imageio.ImageIO.setUseCache(false)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-      val pngReader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val codec = new PngCodec
       ids.map { docId =>
         val w = 16 + (docId % 3).toInt * 8   // 16 / 24 / 32
         val h = 16 + (docId % 5).toInt * 4   // 16..32
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
+        val png = codec.encode(synthImage(docId, w, h)) // real payload
+        // decode side: trust only the PNG bytes
+        val (bw, bh, lum) = meanLum(codec.decode(png))
+        PngFeatures(docId, bw, bh, lum)
+      }
+    }
+  }
+
+  case class ResizedPng(doc_id: Long, out_w: Int, out_h: Int,
+      mean_lum: Double)
+
+  /** REAL resize path (the `resize` stub's endgame): encode the
+    * synthesized image to actual PNG bytes, decode them, downsample 2×
+    * in PIXEL space (nearest-neighbor: out(x,y) = in(2x, 2y) — exact
+    * integer geometry, so a SQL oracle reproduces it bit-for-bit,
+    * unlike interpolating kernels whose rounding is implementation
+    * lore), re-encode the small image to PNG — the artifact a thumbnail
+    * pipeline would store — then decode THAT and emit its features.
+    * Two full codec round-trips per row; per-partition codec handles;
+    * features-only egress.
+    */
+  def pngResize(docs: DataFrame): Dataset[ResizedPng] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val codec = new PngCodec
+      ids.map { docId =>
+        val w = 16 + (docId % 3).toInt * 8
+        val h = 16 + (docId % 5).toInt * 4
+        val big = codec.decode(codec.encode(synthImage(docId, w, h)))
+        val ow = (big.getWidth + 1) / 2
+        val oh = (big.getHeight + 1) / 2
+        val small = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val src = big.getRaster
+        val dst = small.getRaster
         var y = 0
-        while (y < h) {
+        while (y < oh) {
           var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0, ((docId * 31 + x + y) % 256).toInt)
+          while (x < ow) {
+            dst.setSample(x, y, 0, src.getSample(2 * x, 2 * y, 0))
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(img)
-        ios.close()
-        val png = bos.toByteArray // the real binary media payload
-        // decode side: trust only the PNG bytes
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(png))
-        pngReader.setInput(iis)
-        val back = pngReader.read(0)
-        iis.close()
-        val bw = back.getWidth
-        val bh = back.getHeight
-        val r2 = back.getRaster
-        var sum = 0L
-        var yy = 0
-        while (yy < bh) {
-          var xx = 0
-          while (xx < bw) { sum += r2.getSample(xx, yy, 0); xx += 1 }
-          yy += 1
+        val (bw, bh, lum) = meanLum(codec.decode(codec.encode(small)))
+        ResizedPng(docId, bw, bh, lum)
+      }
+    }
+  }
+
+  case class FrameLum(doc_id: Long, frame_idx: Int, mean_lum: Double)
+
+  /** REAL frame-sampling path (the `sampleFrames` stub's endgame): a
+    * doc's "video" is `nFrames` deterministic 16×16 frames (frame f's
+    * pixels salted by 7·f); every `stride`-th frame round-trips through
+    * the REAL PNG codec and emits its decoded mean luminance. Work and
+    * output stay proportional to the SAMPLE — unsampled frames are
+    * never encoded or decoded, the property that matters when the
+    * payload is hours of video.
+    */
+  def pngFrameSample(docs: DataFrame, nFrames: Int = 8,
+      stride: Int = 3): Dataset[FrameLum] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val codec = new PngCodec
+      ids.flatMap { docId =>
+        Iterator.range(0, nFrames, stride).map { f =>
+          val png = codec.encode(synthImage(docId, 16, 16, salt = 7 * f))
+          val (_, _, lum) = meanLum(codec.decode(png))
+          FrameLum(docId, f, lum)
         }
-        PngFeatures(docId, bw, bh, sum.toDouble / (bw * bh))
       }
     }
   }

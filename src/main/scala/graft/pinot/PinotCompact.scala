@@ -29,17 +29,21 @@ object PinotCompact {
     graft.sources.pinot.PinotSegments.discover(tableDir)
       .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
 
-  /** Unanimous source text-index analyzer for `textCols`, else the
-    * standard analyzer (rebuilding with standard indexes a SUPERSET of
-    * tokens, so the candidates ⊇ matches invariant holds either way —
-    * unanimity just preserves the original semantics and size).
+  /** PER-COLUMN unanimous source text-index analyzer: a column whose
+    * source segments all used one analyzer keeps it through the rewrite;
+    * columns with mixed analyzers fall back to the standard analyzer
+    * (rebuilding with standard indexes a SUPERSET of tokens, so the
+    * candidates ⊇ matches invariant holds either way — unanimity just
+    * preserves the original semantics and index size). Joint unanimity
+    * across all columns would let one `standard` column silently strip a
+    * sibling's `standard_stop` analyzer.
     */
-  private def commonTextAnalyzer(readers: Seq[SegmentReader],
-      textCols: Set[String]): Int = {
-    val as = (for (r <- readers; c <- textCols; a <- r.textIndexAnalyzer(c))
-      yield a).distinct
-    if (as.length == 1) as.head else TextIndexSection.AnalyzerStandard
-  }
+  private def textAnalyzersByCol(readers: Seq[SegmentReader],
+      textCols: Set[String]): Map[String, Int] =
+    textCols.flatMap { c =>
+      val as = readers.flatMap(_.textIndexAnalyzer(c)).distinct
+      if (as.length == 1) Some(c -> as.head) else None
+    }.toMap
 
 
   /** Compact every segment under `tableDir` into one merged segment.
@@ -65,7 +69,7 @@ object PinotCompact {
     val (cols, nullVectors) = materialize(readers)
     val textCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasTextIndex)).toSet
-    val textAnalyzer = commonTextAnalyzer(readers, textCols)
+    val textAnalyzers = textAnalyzersByCol(readers, textCols)
     readers.foreach(_.close()) // columns are in memory; release fds before
     // the swap so the deleted source segments don't pin disk space
 
@@ -84,7 +88,7 @@ object PinotCompact {
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
       rangeCols = rangeCols, textCols = textCols,
-      textAnalyzer = textAnalyzer)
+      textAnalyzers = textAnalyzers)
     val check = SegmentReader.open(tmp)
     try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
@@ -113,7 +117,7 @@ object PinotCompact {
       case (c, cm) if cm.hasRangeIndex => c }.toSet
     val texts = meta.columns.collect {
       case (c, cm) if cm.hasTextIndex => c }.toSet
-    val texAnalyzer = commonTextAnalyzer(Seq(r), texts)
+    val texAnalyzers = textAnalyzersByCol(Seq(r), texts)
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -122,7 +126,7 @@ object PinotCompact {
     r.close()
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
-      formatVersion, ranges, texts, texAnalyzer)
+      formatVersion, ranges, texts, textAnalyzers = texAnalyzers)
   }
 
   /** Merge-ROLLUP compaction (EXTENSION — Pinot's MergeRollupTask):
@@ -152,7 +156,7 @@ object PinotCompact {
     val (cols, _) = materialize(readers)
     val rollTextCols = colNames.filter(c =>
       dims.contains(c) && metas.forall(_.columns(c).hasTextIndex)).toSet
-    val rollTextAnalyzer = commonTextAnalyzer(readers, rollTextCols)
+    val rollTextAnalyzers = textAnalyzersByCol(readers, rollTextCols)
     readers.foreach(_.close())
     val byName = cols.map(c => c.name -> c).toMap
     val n = cols.head.length
@@ -228,7 +232,7 @@ object PinotCompact {
     SegmentWriter.write(tmp, first.tableName, mergedName, rolled,
       invertedCols, Map.empty, first.timeColumn.filter(dims.contains),
       bloomCols = bloomCols, rangeCols = rangeCols, textCols = rollTextCols,
-      textAnalyzer = rollTextAnalyzer)
+      textAnalyzers = rollTextAnalyzers)
     val check = SegmentReader.open(tmp)
     try require(check.totalDocs == order.length,
       "rollup: merged group count mismatch")

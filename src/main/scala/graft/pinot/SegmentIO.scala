@@ -1,0 +1,140 @@
+package graft.pinot
+
+import java.nio.file.{Files, Paths}
+
+/** Pluggable byte-range IO under [[SegmentReader]] — the seam between
+  * segment decoding (format logic, identical everywhere) and WHERE the
+  * segment bytes live. The reference engine opens segments with local
+  * file APIs only (its README documents the local-directory constraint);
+  * a 100 TB deployment reads segments from object storage, and the
+  * windowed positional-read design upstream of this interface is exactly
+  * what object stores want (few, large, explicit ranges — no mmap, no
+  * sequential-whole-file assumption). Implementations:
+  *
+  *  - [[LocalSegmentIO]]: `java.nio` FileChannel preads — the default,
+  *    byte-for-byte the prior behavior and performance.
+  *  - [[HadoopSegmentIO]]: Hadoop `FileSystem` (public API, already on
+  *    Spark's classpath) — one implementation serves `file://`,
+  *    `hdfs://`, and every object-store connector that registers a
+  *    Hadoop scheme (s3a/gs/abfs in real clusters). Positional reads map
+  *    to `FSDataInputStream.readFully(pos, ...)`, the API object-store
+  *    connectors translate into HTTP range requests.
+  *
+  * Paths are plain strings (URIs for Hadoop schemes); the local impl
+  * treats them as filesystem paths.
+  */
+trait SegmentIO {
+  def exists(p: String): Boolean
+  def size(p: String): Long
+  def mtimeMillis(p: String): Long
+  def readFully(p: String): Array[Byte]
+  /** Absolute paths of regular files directly under `dir`. */
+  def listFiles(dir: String): Seq[String]
+  def openRange(p: String): SegmentIO.RangeReader
+  def resolve(dir: String, child: String): String
+  def fileName(p: String): String
+}
+
+object SegmentIO {
+  /** Positional range reads over one file; close releases the handle.
+    * Thread-safety matches the backing API (FileChannel preads are
+    * thread-safe; Hadoop readFully(pos,...) is positioned-read safe).
+    */
+  trait RangeReader extends AutoCloseable {
+    /** Read exactly `len` bytes at `pos`, or throw [[PinotFormatException]]. */
+    def pread(pos: Long, len: Int): Array[Byte]
+  }
+}
+
+/** Local-filesystem IO via `java.nio` — the default; identical behavior
+  * and cost to the pre-abstraction FileChannel code.
+  */
+object LocalSegmentIO extends SegmentIO {
+  override def exists(p: String): Boolean = Files.exists(Paths.get(p))
+  override def size(p: String): Long = Files.size(Paths.get(p))
+  override def mtimeMillis(p: String): Long =
+    Files.getLastModifiedTime(Paths.get(p)).toMillis
+  override def readFully(p: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(p))
+  override def listFiles(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(_.toString).toSeq
+    finally listing.close()
+  }
+  override def openRange(p: String): SegmentIO.RangeReader =
+    new SegmentIO.RangeReader {
+      private val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      override def pread(pos: Long, len: Int): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(len)
+        var at = pos
+        while (out.hasRemaining) {
+          val n = ch.read(out, at)
+          if (n < 0) throw new PinotFormatException(
+            s"$p truncated at $at (wanted $len bytes)")
+          at += n
+        }
+        out.array()
+      }
+      override def close(): Unit = ch.close()
+    }
+  override def resolve(dir: String, child: String): String =
+    Paths.get(dir).resolve(child).toString
+  override def fileName(p: String): String =
+    Paths.get(p).getFileName.toString
+}
+
+/** Hadoop `FileSystem` IO — the remote/object-storage path. One
+  * `FileSystem` handle per (scheme, authority) comes from Hadoop's own
+  * JVM-wide cache (`FileSystem.get`), so opening many segments does not
+  * re-negotiate connections.
+  */
+final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
+    extends SegmentIO with Serializable {
+
+  @transient private lazy val confResolved =
+    if (conf != null) conf else new org.apache.hadoop.conf.Configuration()
+
+  private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fs(p: String): org.apache.hadoop.fs.FileSystem =
+    hp(p).getFileSystem(confResolved)
+
+  override def exists(p: String): Boolean = fs(p).exists(hp(p))
+  override def size(p: String): Long = fs(p).getFileStatus(hp(p)).getLen
+  override def mtimeMillis(p: String): Long =
+    fs(p).getFileStatus(hp(p)).getModificationTime
+  override def readFully(p: String): Array[Byte] = {
+    val st = fs(p).getFileStatus(hp(p))
+    val len = st.getLen
+    if (len > Int.MaxValue)
+      throw new PinotFormatException(s"$p too large to read fully: $len")
+    val in = fs(p).open(hp(p))
+    try {
+      val out = new Array[Byte](len.toInt)
+      in.readFully(0L, out)
+      out
+    } finally in.close()
+  }
+  override def listFiles(dir: String): Seq[String] =
+    fs(dir).listStatus(hp(dir)).toSeq
+      .filter(_.isFile).map(_.getPath.toString)
+  override def openRange(p: String): SegmentIO.RangeReader =
+    new SegmentIO.RangeReader {
+      private val in = fs(p).open(hp(p))
+      override def pread(pos: Long, len: Int): Array[Byte] = {
+        val out = new Array[Byte](len)
+        try in.readFully(pos, out)
+        catch {
+          case e: java.io.EOFException => throw new PinotFormatException(
+            s"$p truncated at $pos (wanted $len bytes): ${e.getMessage}")
+        }
+        out
+      }
+      override def close(): Unit = in.close()
+    }
+  override def resolve(dir: String, child: String): String =
+    new org.apache.hadoop.fs.Path(dir, child).toString
+  override def fileName(p: String): String = hp(p).getName
+}

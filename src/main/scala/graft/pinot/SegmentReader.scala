@@ -21,38 +21,37 @@ import java.nio.file.{Files, Path, Paths}
   * layer bounds this per-partition, one segment per task.
   */
 final class SegmentReader private (
-    val segmentDir: Path,
+    val segmentPath: String,
     val metadata: SegmentMetadata,
     val indexMap: IndexMap,
-    v1Files: Option[Map[(String, String), Path]]) {
+    v1Files: Option[Map[(String, String), String]],
+    io: SegmentIO) {
 
   def totalDocs: Int = metadata.totalDocs
 
-  private val columnsPsf = segmentDir.resolve("columns.psf")
+  private val columnsPsf = io.resolve(segmentPath, "columns.psf")
 
-  // one channel per reader, positional reads (pread) — no per-section
-  // open/close; a task reading k columns × (dictionary + forward index
-  // + secondary indexes) would otherwise reopen the file 3-4k times.
-  // Closed via [[close]] (the scan's PartitionReader.close calls it).
-  private var psfChannelOpt: java.nio.channels.FileChannel = null
-  private def psfChannel: java.nio.channels.FileChannel = {
-    if (psfChannelOpt == null)
-      psfChannelOpt = java.nio.channels.FileChannel.open(columnsPsf,
-        java.nio.file.StandardOpenOption.READ)
-    psfChannelOpt
+  // one range-reader handle per reader, positional reads (pread) — no
+  // per-section open/close; a task reading k columns × (dictionary +
+  // forward index + secondary indexes) would otherwise reopen the file
+  // 3-4k times. Closed via [[close]] (the scan's PartitionReader.close
+  // calls it).
+  private var psfRangeOpt: SegmentIO.RangeReader = null
+  private def psfRange: SegmentIO.RangeReader = {
+    if (psfRangeOpt == null) psfRangeOpt = io.openRange(columnsPsf)
+    psfRangeOpt
   }
 
   def close(): Unit =
-    if (psfChannelOpt != null) { psfChannelOpt.close(); psfChannelOpt = null }
+    if (psfRangeOpt != null) { psfRangeOpt.close(); psfRangeOpt = null }
 
   // Cache identity for this segment's psf: path + size + mtime. Segment
   // files are immutable by convention, but compaction can rewrite a
   // path — the stamp makes stale reuse impossible at the cost of one
   // stat per reader.
   private lazy val psfStamp: String =
-    try s"$columnsPsf:${Files.size(columnsPsf)}:" +
-      s"${Files.getLastModifiedTime(columnsPsf).toMillis}"
-    catch { case _: Throwable => columnsPsf.toString }
+    try s"$columnsPsf:${io.size(columnsPsf)}:${io.mtimeMillis(columnsPsf)}"
+    catch { case _: Throwable => columnsPsf }
 
   /** Read one index section of columns.psf into memory — via the
     * JVM-wide [[SegmentReader.sectionCache]], so concurrent sub-segment
@@ -60,17 +59,8 @@ final class SegmentReader private (
     * executor instead of once per task.
     */
   private def psfSection(loc: IndexLocation): Array[Byte] =
-    SegmentReader.sectionCache.get((psfStamp, loc.startOffset, loc.size), () => {
-      val out = java.nio.ByteBuffer.allocate(loc.size.toInt)
-      var pos = loc.startOffset
-      while (out.hasRemaining) {
-        val n = psfChannel.read(out, pos)
-        if (n < 0) throw new PinotFormatException(
-          s"columns.psf truncated at $pos (wanted ${loc.size} bytes)")
-        pos += n
-      }
-      out.array()
-    })
+    SegmentReader.sectionCache.get((psfStamp, loc.startOffset, loc.size),
+      () => psfRange.pread(loc.startOffset, loc.size.toInt))
 
   /** Bytes of one index section: v3 = columns.psf slice via the index
     * map; v1 = the section's own file (cached with the same stamp
@@ -80,10 +70,10 @@ final class SegmentReader private (
     v1Files match {
       case Some(files) => files.get((column, indexType)).map { f =>
         val stamp =
-          try s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
-          catch { case _: Throwable => f.toString }
+          try s"$f:${io.size(f)}:${io.mtimeMillis(f)}"
+          catch { case _: Throwable => f }
         SegmentReader.sectionCache.get((stamp, 0L, 0L),
-          () => Files.readAllBytes(f))
+          () => io.readFully(f))
       }
       case None => indexMap.get(column, indexType).map(psfSection)
     }
@@ -493,7 +483,9 @@ object SegmentReader {
     }
   }
 
-  def open(dir: String): SegmentReader = open(Paths.get(dir))
+  def open(dir: String): SegmentReader = open(dir, LocalSegmentIO)
+
+  def open(dir: Path): SegmentReader = open(dir.toString, LocalSegmentIO)
 
   // Parsed metadata.properties / index_map per file stamp: sub-segment
   // slicing opens the same segment from many tasks — both artifacts are
@@ -501,28 +493,37 @@ object SegmentReader {
   private val parsedCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def stampOf(p: Path): String =
-    try s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    catch { case _: Throwable => p.toString }
+  private def stampOf(p: String, io: SegmentIO): String =
+    try s"$p:${io.size(p)}:${io.mtimeMillis(p)}"
+    catch { case _: Throwable => p }
 
-  private def cachedParse[T <: AnyRef](p: Path, parse: Path => T): T = {
+  private def cachedParse[T <: AnyRef](p: String, io: SegmentIO,
+      parse: String => T): T = {
     if (parsedCache.size() > 65536) parsedCache.clear() // crude bound
-    parsedCache.computeIfAbsent(stampOf(p), _ => parse(p)).asInstanceOf[T]
+    parsedCache.computeIfAbsent(stampOf(p, io), _ =>
+      parse(new String(io.readFully(p),
+        java.nio.charset.StandardCharsets.UTF_8))).asInstanceOf[T]
   }
 
-  def open(dir: Path): SegmentReader = {
-    val v3 = dir.resolve("v3")
+  /** Open a segment through any [[SegmentIO]] — `LocalSegmentIO` for
+    * local dirs (the default overloads), [[HadoopSegmentIO]] for
+    * `file://`/`hdfs://`/object-store URIs.
+    */
+  def open(dir: String, io: SegmentIO): SegmentReader = {
+    val v3 = io.resolve(dir, "v3")
     val root =
-      if (Files.exists(dir.resolve("metadata.properties"))) dir
-      else if (Files.exists(v3.resolve("metadata.properties"))) v3
+      if (io.exists(io.resolve(dir, "metadata.properties"))) dir
+      else if (io.exists(io.resolve(v3, "metadata.properties"))) v3
       else throw new PinotFormatException(s"No metadata.properties under $dir")
-    val meta = cachedParse(root.resolve("metadata.properties"),
-      SegmentMetadata.fromFile)
-    val im = root.resolve("index_map")
-    if (Files.exists(im))
-      new SegmentReader(root, meta, cachedParse(im, IndexMap.fromFile), None)
+    val meta = cachedParse(io.resolve(root, "metadata.properties"), io,
+      SegmentMetadata.parse)
+    val im = io.resolve(root, "index_map")
+    if (io.exists(im))
+      new SegmentReader(root, meta, cachedParse(im, io, IndexMap.parse),
+        None, io)
     else // v1/v2 layout: no index map — sections live in per-index files
-      new SegmentReader(root, meta, IndexMap(Map.empty), Some(v1Scan(root)))
+      new SegmentReader(root, meta, IndexMap(Map.empty),
+        Some(v1Scan(root, io)), io)
   }
 
   /** Map a v1/v2 segment dir's files to (column, indexType) — Pinot's
@@ -531,8 +532,7 @@ object SegmentReader {
     * `forward_index` key: the flavor is re-derivable from column
     * metadata, and the section bytes are flavor-tagged already.
     */
-  private def v1Scan(root: Path): Map[(String, String), Path] = {
-    import scala.jdk.CollectionConverters._
+  private def v1Scan(root: String, io: SegmentIO): Map[(String, String), String] = {
     val exts = Seq(
       ".sv.sorted.fwd" -> "forward_index",
       ".sv.unsorted.fwd" -> "forward_index",
@@ -544,18 +544,14 @@ object SegmentReader {
       ".text.inv" -> TextIndexSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
       ".dict" -> "dictionary")
-    val listing = Files.list(root)
-    try listing.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .flatMap { f =>
-        val n = f.getFileName.toString
-        if (n == "star_tree_index")
-          Some((StarTree.SectionColumn, StarTree.SectionType) -> f)
-        else exts.collectFirst {
-          case (ext, tpe) if n.endsWith(ext) =>
-            (n.dropRight(ext.length), tpe) -> f
-        }
-      }.toMap
-    finally listing.close()
+    io.listFiles(root).flatMap { f =>
+      val n = io.fileName(f)
+      if (n == "star_tree_index")
+        Some((StarTree.SectionColumn, StarTree.SectionType) -> f)
+      else exts.collectFirst {
+        case (ext, tpe) if n.endsWith(ext) =>
+          (n.dropRight(ext.length), tpe) -> f
+      }
+    }.toMap
   }
 }

@@ -119,7 +119,8 @@ object SegmentWriter {
       formatVersion: Int = 3,
       rangeCols: Set[String] = Set.empty,
       textCols: Set[String] = Set.empty,
-      textAnalyzer: Int = TextIndexSection.AnalyzerStandard): Path = {
+      textAnalyzer: Int = TextIndexSection.AnalyzerStandard,
+      textAnalyzers: Map[String, Int] = Map.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -546,7 +547,7 @@ object SegmentWriter {
         throw new PinotFormatException(
           s"textIndexColumns entry $tc: single-value STRING required"))
       addSection(tc, TextIndexSection.IndexType,
-        TextIndexSection.build(vals, textAnalyzer))
+        TextIndexSection.build(vals, textAnalyzers.getOrElse(tc, textAnalyzer)))
       props ++= s"column.$tc.hasTextIndex=true\n"
     }
 

@@ -211,6 +211,9 @@ object TextIndexSection {
     * Same validation as [[deserialize]] for the fields it touches.
     */
   def analyzerOf(bytes: Array[Byte]): Int = {
+    if (bytes.length < 16)
+      throw new PinotFormatException(
+        s"text_index section: truncated header (${bytes.length} bytes)")
     val buf = ByteBuffer.wrap(bytes)
     val magic = buf.getLong
     if (magic != PinotDictionary.MagicMarker)
@@ -218,7 +221,11 @@ object TextIndexSection {
     val version = buf.getInt
     if (version < 1 || version > Version)
       throw new PinotFormatException(s"text_index: unsupported version $version")
-    if (version >= 2) buf.getInt else AnalyzerWhitespace
+    val analyzer = if (version >= 2) buf.getInt else AnalyzerWhitespace
+    if (analyzer != AnalyzerWhitespace && analyzer != AnalyzerStandard &&
+        analyzer != AnalyzerStandardStop)
+      throw new PinotFormatException(s"text_index: unknown analyzer $analyzer")
+    analyzer
   }
 
   def deserialize(bytes: Array[Byte]): TextIndexSection = {

@@ -38,6 +38,70 @@ object Embeddings {
           "AS BIGINT), 0))"))
       .withColumn("dotself", dotq(col("qvec"), col("qvec")))
 
+  /** Exact brute-force cosine top-5 per query (queries = vec_id < 10):
+    * the query side broadcasts, candidates rank per-query. Shared by q47
+    * (direct output) and q48b (recall gate's ground truth).
+    */
+  private def knnExact(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+        col("dotself").as("q_self"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+        col("dotself").as("n_self")), col("q_id") =!= col("n_id"))
+      .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
+      .withColumn("cos_sim",
+        col("dot").cast("double") /
+          sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** IVF ANN top-5 over the persisted index ([[IvfIndex]]): probe-rank
+    * against the broadcast centroid table, search only the probed
+    * clusters (literal partition pruning on disk). Shared by q48 and the
+    * q48b recall gate.
+    */
+  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val idx = IvfIndex.ensure(s, d, emb(s, d))
+    val cent = IvfIndex.centroids(s, idx)
+    val corpus = IvfIndex.assignments(s, idx)
+    val q = emb(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+        col("dotself").as("q_self"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("c_sim"), asc("cluster"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_sim", graft.functions.DoubleDotProduct.dotd(
+        col("q_vec").cast("array<double>"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= IvfIndex.NProbe)
+      .select("q_id", "cluster")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    probes
+      .join(q, "q_id")
+      .join(corpus.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+        col("dotself").as("n_self"), col("cluster")), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      // multi-assignment stores a vector in several clusters; a candidate
+      // reachable through 2+ probed clusters must rank once, not twice
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
+      .withColumn("cos_sim",
+        col("dot").cast("double") /
+          sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-dup pairs by cosine >= 0.4, decided as 25*dot^2 >= 4*na*nb in
     // int64 (0.4^2 = 4/25) — no float threshold can flip a pair.
@@ -71,26 +135,7 @@ object Embeddings {
 
     // Brute-force cosine top-5 per query (queries = vec_id < 10). The
     // query side broadcasts; candidates rank per-query via row_number.
-    "q47_knn_brute" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
-          col("dotself").as("q_self"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-      broadcast(q)
-        .join(e.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
-          col("dotself").as("n_self")), col("q_id") =!= col("n_id"))
-        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
-        .withColumn("cos_sim",
-          col("dot").cast("double") /
-            sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"),
-          round(col("cos_sim"), 4).as("cos_sim"))
-        .orderBy("q_id", "rank")
-    }),
+    "q47_knn_brute" -> ((s, d) => knnExact(s, d).orderBy("q_id", "rank")),
 
     // IVF ANN over the PERSISTED index ([[IvfIndex]]): centroids +
     // cluster-partitioned assignments build ONCE per corpus fingerprint;
@@ -99,37 +144,34 @@ object Embeddings {
     // layout makes that literal partition pruning on disk. No k-means
     // job runs per query. Approximate by construction → spec-checked
     // recall vs q47 instead of a SQL oracle.
-    "q48_knn_ivf" -> ((s, d) => {
-      val idx = IvfIndex.ensure(s, d, emb(s, d))
-      val cent = IvfIndex.centroids(s, idx)
-      val corpus = IvfIndex.assignments(s, idx)
-      val q = emb(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
-          col("dotself").as("q_self"))
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(desc("c_sim"), asc("cluster"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("c_sim", graft.functions.DoubleDotProduct.dotd(
-          col("q_vec").cast("array<double>"), col("centroid")))
-        .withColumn("probe_rank", row_number().over(wProbe))
-        .filter(col("probe_rank") <= IvfIndex.NProbe)
-        .select("q_id", "cluster")
-      val wK = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-      probes
-        .join(q, "q_id")
-        .join(corpus.select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
-          col("dotself").as("n_self"), col("cluster")), Seq("cluster"))
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
-        .withColumn("cos_sim",
-          col("dot").cast("double") /
-            sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
-        .withColumn("rank", row_number().over(wK))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"),
-          round(col("cos_sim"), 4).as("cos_sim"))
-        .orderBy("q_id", "rank")
+    "q48_knn_ivf" -> ((s, d) => knnIvf(s, d).orderBy("q_id", "rank")),
+
+    // RECALL GATE for the approximate path (q48's one blind spot in the
+    // driver artifact: ANN has no SQL oracle by construction). This
+    // companion computes recall@5 of the IVF result against the EXACT
+    // top-k IN-QUERY as pure integer counting, hard-asserts
+    // recall >= 0.95 (a dip throws, turning the CORRECTNESS row red via
+    // `err`), and emits a row whose every value is oracle-predictable
+    // when healthy — so the driver's hash compare now gates ANN quality,
+    // not just ScalaTest.
+    "q48b_ivf_recall" -> ((s, d) => {
+      val exact = knnExact(s, d).select(col("q_id"), col("n_id"))
+      val approx = knnIvf(s, d).select(col("q_id"), col("n_id"))
+        .withColumn("hit", lit(1L))
+      // one aggregate over exact ⟕ approx: (q_id, n_id) is unique on
+      // both sides, so multiplicity is preserved and total_hits counts
+      // the intersection
+      exact.join(approx, Seq("q_id", "n_id"), "left_outer")
+        .agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("total_expected"),
+          sum(coalesce(col("hit"), lit(0L))).as("total_hits"))
+        .filter(expr("ifnull(assert_true(" +
+          "total_hits * 100 >= total_expected * 95, " +
+          "'q48 IVF recall@5 fell below 0.95 vs the exact top-k'), true)"))
+        .select(col("n_queries"), lit(5).as("k"), col("total_expected"),
+          (col("total_hits") * 100 >= col("total_expected") * 95)
+            .as("recall_ge_95"))
     }),
 
     // Int8 symmetric quantization + quantized-dot top-k: each vector
@@ -281,6 +323,19 @@ object Embeddings {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         |  round(cos_sim, 4) AS cos_sim
         |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // q48b emits a constant-when-healthy row: every output value is
+    // derivable from the corpus alone PROVIDED recall@5 >= 0.95, and the
+    // query both computes the recall boolean from data (hash-gated) and
+    // assert_true's it (a dip turns the row red via `err` too). The
+    // oracle grounds n_queries/total_expected in the corpus rather than
+    // hard-coding them.
+    "q48b_ivf_recall" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries,
+        |  CAST(5 AS INTEGER) AS k,
+        |  count(DISTINCT vec_id) * 5 AS total_expected,
+        |  true AS recall_ge_95
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q90_quantized_ann" ->
       """WITH v AS (SELECT vec_id, embedding,

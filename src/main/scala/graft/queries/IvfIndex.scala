@@ -29,8 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Query-side fanout: each query searches its 3 nearest clusters. */
-  val NProbe = 3
+  /** Query-side fanout: each query searches its NProbe nearest clusters.
+    * Storage-side fanout: each vector is stored in its MultiAssign
+    * nearest clusters (FAISS-style multi-assignment / spilling).
+    *
+    * Operating point honesty: this corpus is ISOTROPIC (within-label
+    * cosine ≈ 0.002 — no cluster structure), the adversarial case for
+    * any partition-pruning ANN. Measured recall@5 at m=1/nprobe=3: 0.62.
+    * The committed point (m=3, nprobe=5) measures 0.98 on every sf
+    * fixture — chosen to meet the ≥0.95 recall gate (q48b) on this
+    * data; a real clustered corpus runs the SAME machinery at m=1,
+    * nprobe ≪ k, reading nprobe/k of the corpus per query.
+    * Recall-vs-IO is a per-corpus SLO knob, not a constant of the
+    * engine.
+    */
+  val NProbe = 5
+  val MultiAssign = 3
 
   // per-user cache dir: a shared tmpdir root would hit permission
   // failures across OS users and trust any pre-existing _SUCCESS dir
@@ -62,6 +76,9 @@ object IvfIndex {
         finally listing.close()
       } else Seq(s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}")
     val md = java.security.MessageDigest.getInstance("MD5")
+    // format-version salt: a layout change (e.g. multi-assignment) must
+    // not reuse an index built under the old layout for the same corpus
+    md.update(s"ivf_v2_m${MultiAssign}_".getBytes("UTF-8"))
     md.update(src.toAbsolutePath.toString.getBytes("UTF-8"))
     parts.foreach(p => md.update(p.getBytes("UTF-8")))
     md.digest().map(b => f"$b%02x").mkString
@@ -90,7 +107,7 @@ object IvfIndex {
         "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
 
-    def assign(cents: DataFrame): DataFrame = {
+    def assign(cents: DataFrame, m: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(desc("a_sim"), asc("cluster"))
       emb.crossJoin(broadcast(cents))
@@ -98,16 +115,18 @@ object IvfIndex {
           col("qvec").cast("array<double>"), col("centroid")) /
           sqrt(col("dotself").cast("double")))
         .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
+        .filter(col("r") <= m)
         .select(col("vec_id"), col("qvec"), col("dotself"), col("cluster"))
     }
 
     // seed from labels, one Lloyd iteration (same construction the
-    // inline q48 ran per query before the index was persisted)
+    // inline q48 ran per query before the index was persisted). Centroid
+    // geometry comes from PRIMARY assignments only; the final inverted
+    // file stores each vector in its MultiAssign nearest clusters.
     val seeds = centroidsOf(emb, "label").withColumnRenamed("label", "cluster")
-    val assigned = assign(seeds)
+    val assigned = assign(seeds, 1)
     val cent = centroidsOf(assigned, "cluster")
-    val clustered = assign(cent)
+    val clustered = assign(cent, MultiAssign)
 
     cent.coalesce(1).write.mode("overwrite")
       .parquet(tmp.resolve("centroids").toString)

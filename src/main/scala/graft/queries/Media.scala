@@ -77,7 +77,20 @@ object Media {
     // = bit-exact against the closed-form DuckDB oracle.
     "q111_png_roundtrip" -> ((s, d) =>
       Multimodal.pngRoundtrip(Tables.load(s, d, "documents")).toDF()
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // REAL resize (q71's codec endgame): PNG-decode → 2× nearest-
+    // neighbor pixel downsample → PNG re-encode → decode the thumbnail
+    // → features. Exact integer geometry ⇒ closed-form oracle.
+    "q113_png_resize" -> ((s, d) =>
+      Multimodal.pngResize(Tables.load(s, d, "documents")).toDF()
+        .orderBy("doc_id")),
+
+    // REAL frame sampling (q72's codec endgame): every 3rd of 8 frames
+    // round-trips the real PNG codec; unsampled frames never touch it.
+    "q114_png_frames" -> ((s, d) =>
+      Multimodal.pngFrameSample(Tables.load(s, d, "documents")).toDF()
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,6 +200,43 @@ object Media {
         |  CAST(sum((doc_id * 31 + x + y) % 256) AS DOUBLE) / (img_w * img_h)
         |    AS mean_lum
         |FROM px GROUP BY doc_id, img_w, img_h
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // 2× nearest-neighbor downsample of the synthesized image: the
+    // thumbnail's pixel (x,y) = source (2x, 2y) =
+    // (doc_id*31 + 2x + 2y) % 256 over ceil(w/2) × ceil(h/2). The Spark
+    // side gets these via two real PNG round-trips; the oracle
+    // recomputes them arithmetically.
+    "q113_png_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST((16 + (doc_id % 3) * 8 + 1) // 2 AS INTEGER) AS out_w,
+        |    CAST((16 + (doc_id % 5) * 4 + 1) // 2 AS INTEGER) AS out_h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.out_w, d.out_h, gx.x, gy.y
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(range(0, d.out_w)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, d.out_h)) AS y) gy)
+        |SELECT doc_id, out_w, out_h,
+        |  CAST(sum((doc_id * 31 + 2 * x + 2 * y) % 256) AS DOUBLE)
+        |    / (out_w * out_h) AS mean_lum
+        |FROM px GROUP BY doc_id, out_w, out_h
+        |ORDER BY doc_id""".stripMargin,
+
+    // frames f ∈ {0, 3, 6} of 8, each a 16×16 image with pixel
+    // (doc_id*31 + 7f + x + y) % 256; mean luminance per sampled frame
+    "q114_png_frames" ->
+      """WITH f AS (SELECT unnest([0, 3, 6]) AS frame_idx),
+        |px AS (
+        |  SELECT doc_id, frame_idx, gx.x, gy.y
+        |  FROM documents, f,
+        |    LATERAL (SELECT unnest(range(0, 16)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, 16)) AS y) gy)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(sum((doc_id * 31 + 7 * frame_idx + x + y) % 256) AS DOUBLE)
+        |    / 256 AS mean_lum
+        |FROM px GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

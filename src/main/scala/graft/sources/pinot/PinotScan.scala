@@ -766,13 +766,21 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
   /** The lone group column's values are pairwise-distinct in every
     * segment, so doc-range slices partition the GROUPS as well as the
     * docs. (Multi-column keys are excluded: per-column cardinalities
-    * can't establish composite uniqueness without a scan.)
+    * can't establish composite uniqueness without a scan. Float/Double
+    * keys are excluded too: the writer's distinct count uses boxed
+    * equality where -0.0 != 0.0, while Spark normalizes both zeros into
+    * one group — a segment holding both would pass the cardinality gate
+    * yet need a merge for that group.)
     */
   private def uniqueKeyGroups: Boolean =
     groupCols.length == 1 && segmentPaths.forall { p =>
       val m = PinotScan.segmentMeta(p)
       m != null && m.totalDocs > 0 &&
-        m.columns.get(groupCols.head).exists(_.cardinality == m.totalDocs)
+        m.columns.get(groupCols.head).exists { cm =>
+          cm.cardinality == m.totalDocs &&
+            cm.dataType != graft.pinot.PinotType.PFloat &&
+            cm.dataType != graft.pinot.PinotType.PDouble
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {

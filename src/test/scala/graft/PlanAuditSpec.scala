@@ -42,10 +42,13 @@ class PlanAuditSpec extends SparkTestBase {
   // q112 block-pair join: non-equi over ~48 BLOCK rows (bid_a <= bid_b),
   // not data rows — the nested loop is the point (B² tasks, payloads in
   // arrays, never an n²-row join output)
+  // q48b composes q47's and q48's sub-plans verbatim (it IS the recall
+  // compare of those two) — same broadcast-probe theta joins and the
+  // IVF probe's 10-row × centroid cross, all broadcast-tiny
   private val intendedNestedLoop = Set(
-    "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q88_gapfill",
-    "q90_quantized_ann", "q97_mixture_weights", "q100_pinot_vector",
-    "q112_cosine_pairs_blocked")
+    "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q48b_ivf_recall",
+    "q88_gapfill", "q90_quantized_ann", "q97_mixture_weights",
+    "q100_pinot_vector", "q112_cosine_pairs_blocked")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {

@@ -103,4 +103,37 @@ class MultimodalSpec extends SparkTestBase {
     val sig = bos.toByteArray.take(8).map(_ & 0xff)
     assert(sig.toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
   }
+
+  test("real PNG resize: decode → 2x NN downsample → re-encode → decode " +
+      "(q113)") {
+    val resized = Multimodal.pngResize(docs).collect()
+    assert(resized.length === docs.count())
+    resized.take(50).foreach { r =>
+      val w = 16 + (r.doc_id % 3).toInt * 8
+      val h = 16 + (r.doc_id % 5).toInt * 4
+      val ow = (w + 1) / 2
+      val oh = (h + 1) / 2
+      assert(r.out_w === ow, s"doc ${r.doc_id} thumbnail width from PNG")
+      assert(r.out_h === oh, s"doc ${r.doc_id} thumbnail height from PNG")
+      // thumbnail pixel (x,y) = source (2x,2y) — closed form survives
+      // BOTH lossless codec round-trips
+      val sum = (for (y <- 0 until oh; x <- 0 until ow)
+        yield (r.doc_id * 31 + 2 * x + 2 * y) % 256).sum
+      assert(r.mean_lum === sum.toDouble / (ow * oh),
+        s"doc ${r.doc_id} resized pixel sum")
+    }
+  }
+
+  test("real PNG frame sampling: only sampled frames touch the codec " +
+      "(q114)") {
+    val frames = Multimodal.pngFrameSample(docs).collect()
+    assert(frames.length === docs.count() * 3) // f = 0, 3, 6 of 8
+    frames.filter(_.doc_id < 20).foreach { f =>
+      assert(Seq(0, 3, 6).contains(f.frame_idx))
+      val sum = (for (y <- 0 until 16; x <- 0 until 16)
+        yield (f.doc_id * 31 + 7 * f.frame_idx + x + y) % 256).sum
+      assert(f.mean_lum === sum.toDouble / 256,
+        s"doc ${f.doc_id} frame ${f.frame_idx} decoded luminance")
+    }
+  }
 }

@@ -1,0 +1,148 @@
+package graft.pinot
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** [[SegmentIO]] — the remote-IO seam under [[SegmentReader]]. The same
+  * fully-indexed segment must decode byte-identically through
+  *
+  *  - [[LocalSegmentIO]] (java.nio — the default),
+  *  - [[HadoopSegmentIO]] over a `file://` URI (the real Hadoop
+  *    FileSystem stack — the exact code path object-store schemes take),
+  *  - an in-memory SegmentIO double (no java.nio at all — proves the
+  *    reader performs ZERO filesystem calls outside the interface).
+  */
+class SegmentIOSpec extends SparkTestBase {
+
+  private val n = 2000
+  private val rnd = new scala.util.Random(7)
+  private val ids = Array.tabulate(n)(i => i.toLong)
+  private val team = Array.fill(n)(s"T${rnd.nextInt(16)}")
+  private val name = Array.tabulate(n)(i => f"name$i%05d")
+  private val score = Array.fill(n)(rnd.nextDouble() * 100)
+  private val metric = Array.fill(n)(rnd.nextInt(100000))
+  private val body = Array.tabulate(n)(i => s"alpha bravo doc$i charlie")
+  private val tagsCol = Array.tabulate(n)(i => Array(s"t${i % 7}", s"t${i % 3}"))
+
+  private def writeSeg(dir: java.nio.file.Path, version: Int): Unit =
+    SegmentWriter.write(dir, "iot", "seg0", Seq(
+      SegmentWriter.LongCol("id", ids),
+      SegmentWriter.StringDictCol("team", team),
+      SegmentWriter.StringRawCol("name", name,
+        VarByteChunkV4.Lz4LengthPrefixed, 1024),
+      SegmentWriter.DoubleCol("score", score),
+      SegmentWriter.IntCol("metric", metric),
+      SegmentWriter.StringDictCol("body", body),
+      SegmentWriter.StringMVCol("tags", tagsCol)),
+      invertedCols = Set("team"),
+      nullVectors = Map("score" -> Array(2, 5, 8)),
+      bloomCols = Set("name"),
+      rangeCols = Set("metric"),
+      textCols = Set("body"),
+      formatVersion = version)
+
+  /** Serves every file of `root` from memory, captured once up front.
+    * Any java.nio call the reader makes outside SegmentIO would read the
+    * REAL directory — so we delete it after capture, making such a call
+    * impossible to survive.
+    */
+  private final class InMemorySegmentIO(files: Map[String, Array[Byte]])
+      extends SegmentIO {
+    private def norm(p: String) = p.stripSuffix("/")
+    override def exists(p: String): Boolean = files.contains(norm(p))
+    override def size(p: String): Long = files(norm(p)).length.toLong
+    override def mtimeMillis(p: String): Long = 1234567890L
+    override def readFully(p: String): Array[Byte] = files(norm(p))
+    override def listFiles(dir: String): Seq[String] = {
+      val prefix = norm(dir) + "/"
+      files.keys.filter(k =>
+        k.startsWith(prefix) && !k.drop(prefix.length).contains('/')).toSeq
+    }
+    override def openRange(p: String): SegmentIO.RangeReader = {
+      val bytes = files(norm(p))
+      new SegmentIO.RangeReader {
+        override def pread(pos: Long, len: Int): Array[Byte] = {
+          if (pos + len > bytes.length) throw new PinotFormatException(
+            s"$p truncated at $pos (wanted $len bytes)")
+          java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
+        }
+        override def close(): Unit = ()
+      }
+    }
+    override def resolve(dir: String, child: String): String =
+      norm(dir) + "/" + child
+    override def fileName(p: String): String =
+      norm(p).substring(norm(p).lastIndexOf('/') + 1)
+  }
+
+  private def capture(root: java.nio.file.Path): Map[String, Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => p.toString -> Files.readAllBytes(p)).toMap
+    finally walk.close()
+  }
+
+  private def assertSameDecode(a: SegmentReader, b: SegmentReader): Unit = {
+    assert(a.readLongColumn("id").toSeq === b.readLongColumn("id").toSeq)
+    assert(a.readStringColumn("team").toSeq === b.readStringColumn("team").toSeq)
+    assert(a.readStringColumn("name").toSeq === b.readStringColumn("name").toSeq)
+    assert(a.readDoubleColumn("score").toSeq === b.readDoubleColumn("score").toSeq)
+    assert(a.readIntColumn("metric").toSeq === b.readIntColumn("metric").toSeq)
+    assert(a.readStringMVColumn("tags").map(_.toSeq).toSeq ===
+      b.readStringMVColumn("tags").map(_.toSeq).toSeq)
+    // secondary indexes + null vectors resolve through the same seam
+    assert(b.invertedIndex("team").isDefined)
+    assert(b.invertedIndex("team").get.map(_.getCardinality).sum === n)
+    assert(b.bloomFilter("name").isDefined)
+    assert(b.bloomFilter("name").get.mightContain(name(77)))
+    assert(b.rangeIndex("metric").isDefined)
+    assert(b.textIndex("body").isDefined)
+    assert(b.textIndexAnalyzer("body") === a.textIndexAnalyzer("body"))
+    assert(b.nullVector("score").get.toArray.toSeq === Seq(2, 5, 8))
+  }
+
+  for (version <- Seq(3, 1))
+    test(s"v$version segment decodes byte-identically through Hadoop file:// IO") {
+      val root = Files.createTempDirectory(s"segio_h_v$version")
+      val seg = root.resolve("seg0")
+      writeSeg(seg, version)
+      val local = SegmentReader.open(seg)
+      val hio = new HadoopSegmentIO(spark.sparkContext.hadoopConfiguration)
+      val hadoop = SegmentReader.open(seg.toUri.toString, hio)
+      try assertSameDecode(local, hadoop)
+      finally { local.close(); hadoop.close() }
+    }
+
+  for (version <- Seq(3, 1))
+    test(s"v$version segment decodes from a pure in-memory SegmentIO " +
+        "(directory deleted after capture)") {
+      val root = Files.createTempDirectory(s"segio_m_v$version")
+      val seg = root.resolve("seg0")
+      writeSeg(seg, version)
+      val local = SegmentReader.open(seg)
+      // decode the baseline FIRST (local reader lazily opens its file),
+      // then capture + delete the real directory
+      val baseIds = local.readLongColumn("id")
+      val mem = new InMemorySegmentIO(capture(root))
+      local.close()
+      PinotCompact.deleteRecursively(root)
+      assert(!Files.exists(seg), "fixture must be gone for the proof to hold")
+      val r = SegmentReader.open(seg.toString, mem)
+      try {
+        assert(r.readLongColumn("id").toSeq === baseIds.toSeq)
+        assert(r.readStringColumn("team").toSeq === team.toSeq)
+        assert(r.readStringColumn("name").toSeq === name.toSeq)
+        assert(r.readDoubleColumn("score").toSeq === score.toSeq)
+        assert(r.readIntColumn("metric").toSeq === metric.toSeq)
+        assert(r.readStringMVColumn("tags").map(_.toSeq).toSeq ===
+          tagsCol.map(_.toSeq).toSeq)
+        assert(r.invertedIndex("team").isDefined)
+        assert(r.bloomFilter("name").isDefined)
+        assert(r.rangeIndex("metric").isDefined)
+        assert(r.textIndex("body").isDefined)
+        assert(r.nullVector("score").get.toArray.toSeq === Seq(2, 5, 8))
+      } finally r.close()
+    }
+}

@@ -30,7 +30,10 @@ class PinotDifferentialSpec extends SparkTestBase {
   // committed default keeps CI deterministic (8 seeds × 250 queries ran
   // divergence-free when this spec landed)
   private val rnd = new scala.util.Random(
-    sys.env.get("GRAFT_DIFF_SEED").map(_.toLong).getOrElse(420714L))
+    sys.env.get("GRAFT_DIFF_SEED").flatMap(s =>
+      scala.util.Try(s.toLong).toOption.orElse {
+        fail(s"GRAFT_DIFF_SEED must be a long, got '$s'")
+      }).getOrElse(420714L))
 
   // fixture: 3 segments of differing sizes; values engineered so
   // min/max pruning, dictionary pruning, bloom/range/text/inverted
@@ -87,9 +90,37 @@ class PinotDifferentialSpec extends SparkTestBase {
     (pdir.toString, pq)
   }
 
+  // dim-side fixture for the join generator: one segment, tag-keyed,
+  // with attributes; tags g37..g41 exist here but NOT in the fact table
+  // (and g36 only in the fact) so outer/semi/anti shapes have bite
+  private lazy val (dimPinotDir, dimParquetDir) = {
+    val root = Files.createTempDirectory("pinot_diff_dim")
+    val pdir = root.resolve("t_OFFLINE")
+    val nTags = 42
+    val tag = Array.tabulate(nTags)(i => s"g$i")
+    val weight = Array.tabulate(nTags)(i => (i * 37 % 19).toLong - 9)
+    val region = Array.tabulate(nTags)(i => s"r${i % 5}")
+    val active = Array.tabulate(nTags)(i => i % 4 != 0)
+    SegmentWriter.write(pdir.resolve("seg0"), "t", "seg0", Seq(
+      SegmentWriter.StringDictCol("tag", tag),
+      SegmentWriter.LongCol("weight", weight),
+      SegmentWriter.StringDictCol("region", region),
+      SegmentWriter.BoolCol("active", active)),
+      invertedCols = Set("region"))
+    import spark.implicits._
+    val pq = root.resolve("dim_parquet").toString
+    tag.indices.map(i => (tag(i), weight(i), region(i), active(i))).toDF(
+      "tag", "weight", "region", "active").coalesce(1).write.parquet(pq)
+    (pdir.toString, pq)
+  }
+
   private def pinot: DataFrame = spark.read.format("pinot").load(pinotDir)
   private def parquet: DataFrame = spark.read.parquet(parquetDir)
     .select("k", "v", "m", "tag", "body", "b", "ts") // pinot column order
+  private def pinotDim: DataFrame =
+    spark.read.format("pinot").load(dimPinotDir)
+  private def parquetDim: DataFrame = spark.read.parquet(dimParquetDir)
+    .select("tag", "weight", "region", "active")
 
   // --- random query generator: all choices drawn up front ---
   private def randPredicate(): Column = {
@@ -154,6 +185,79 @@ class PinotDifferentialSpec extends SparkTestBase {
         val n = rnd.nextInt(25) + 1
         (df => base(df).select("k", "v", "tag")
           .orderBy(desc("v"), asc("k")).limit(n), false)
+    }
+  }
+
+  // --- random JOIN / WINDOW generator (r8): two-table and windowed
+  // shapes exercise pushdown interactions the single-table generator
+  // cannot reach — column pruning beneath a join, filters pushed
+  // through join keys, windows over segment-backed scans, pinot×pinot
+  // joins (q102's shape) ---
+  private def randJoinWindowQuery(): (DataFrame, DataFrame) => DataFrame = {
+    val pred: Option[Column] =
+      if (rnd.nextInt(4) == 0) None else Some(randPredicate())
+    def base(df: DataFrame): DataFrame = pred.fold(df)(df.filter(_))
+    rnd.nextInt(5) match {
+      case 0 => // fact × dim, random join type
+        val jt = Seq("inner", "left_outer", "left_semi", "left_anti")(
+          rnd.nextInt(4))
+        val dimPred: Option[Column] =
+          if (rnd.nextBoolean()) Some(col("region") === s"r${rnd.nextInt(6)}")
+          else None
+        (fact, dim) => {
+          val d = dimPred.fold(dim)(dim.filter(_))
+          val j = base(fact).select("k", "v", "tag").join(d, Seq("tag"), jt)
+          if (jt == "left_semi" || jt == "left_anti") j
+          else j.select(col("k"), col("v"), col("tag"), col("weight"))
+        }
+      case 1 => // join then aggregate by dim attribute
+        (fact, dim) =>
+          base(fact).select("k", "v", "tag").join(dim, Seq("tag"))
+            .groupBy("region").agg(count(lit(1)).as("c"), sum("v").as("sv"),
+              min("k").as("mk"))
+      case 2 => // window over the connector scan: analytics per tag
+        val wcol = rnd.nextInt(4)
+        (fact, _) => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("tag").orderBy(asc("k"))
+          val c = wcol match {
+            case 0 => row_number().over(w)
+            case 1 => lag("v", 1).over(w)
+            case 2 => sum("v").over(w)
+            case _ => avg("m").over(w.rowsBetween(-2, 0))
+          }
+          base(fact).select("k", "v", "m", "tag").withColumn("wc", c)
+        }
+      case 3 => // per-group top-k via window filter (rank pushup hazard)
+        val n = rnd.nextInt(4) + 1
+        (fact, _) => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("tag").orderBy(desc("v"), asc("k"))
+          base(fact).select("k", "v", "tag")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= n)
+        }
+      case _ => // pinot × pinot self-join on unique k with shifted filters
+        val lo = rnd.nextInt(12000)
+        (fact, _) => {
+          val a = base(fact).select(col("k"), col("v"))
+          val b2 = fact.filter(col("k") > lo)
+            .select(col("k"), col("tag"))
+          a.join(b2, Seq("k")).select("k", "v", "tag")
+        }
+    }
+  }
+
+  test(s"$Rounds random JOIN/WINDOW queries agree with the parquet twin " +
+      "(seed fixed)") {
+    (1 to Rounds).foreach { round =>
+      val q = randJoinWindowQuery()
+      val a = q(pinot, pinotDim).collect().map(_.toString).sorted.toSeq
+      val b = q(parquet, parquetDim).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"round $round: join/window diverged — pinot " +
+        s"${a.length} rows vs parquet ${b.length}; first pinot-only: " +
+        (a.toSet -- b.toSet).headOption +
+        "; first parquet-only: " + (b.toSet -- a.toSet).headOption)
     }
   }
 
