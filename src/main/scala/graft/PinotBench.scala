@@ -111,7 +111,16 @@ object PinotBench {
     def tPlain: DataFrame = spark.read.format("pinot").load(tPlainDir.toString)
     def tIdx: DataFrame = spark.read.format("pinot").load(tIdxDir.toString)
 
-    def table: DataFrame = spark.read.format("pinot").load(tableDir.toString)
+    // Task sizing A/B hook (-Dgraft.bench.splitTargetBytes): measured
+    // 256 KB / 1 MB / 128 MB split targets across multiple runs — at
+    // this 3 MB segment the sub-millisecond decode phases are dwarfed
+    // by per-task scheduling, so slicing is a wash-to-loss and the
+    // default (1 task, like the single-threaded reference) stays.
+    val splitTarget = java.lang.Long.getLong(
+      "graft.bench.splitTargetBytes",
+      graft.sources.pinot.PinotScan.DefaultSplitTargetBytes)
+    def table: DataFrame = spark.read.format("pinot")
+      .option("splitTargetBytes", splitTarget).load(tableDir.toString)
 
     val shapes: Seq[(String, () => DataFrame)] = Seq(
       "count_star" -> (() => table.agg(count(lit(1)).as("c"))),

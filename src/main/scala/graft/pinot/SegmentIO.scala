@@ -25,17 +25,38 @@ import java.nio.file.{Files, Paths}
   */
 trait SegmentIO {
   def exists(p: String): Boolean
+  def isDirectory(p: String): Boolean
   def size(p: String): Long
   def mtimeMillis(p: String): Long
   def readFully(p: String): Array[Byte]
   /** Absolute paths of regular files directly under `dir`. */
   def listFiles(dir: String): Seq[String]
+  /** Absolute paths of ALL entries (files and dirs) directly under `dir`. */
+  def listAll(dir: String): Seq[String]
   def openRange(p: String): SegmentIO.RangeReader
   def resolve(dir: String, child: String): String
   def fileName(p: String): String
 }
 
 object SegmentIO {
+
+  private lazy val hadoopDefault = new HadoopSegmentIO(null)
+
+  /** The IO implementation for a path: URI-scheme paths (`file://…`,
+    * `hdfs://…`, object-store schemes) route through the Hadoop
+    * FileSystem stack; plain filesystem paths stay on java.nio. This is
+    * how `spark.read.format("pinot").load("hdfs://…")` transparently
+    * reads remote tables while local paths keep their exact prior cost.
+    */
+  def forPath(p: String): SegmentIO =
+    if (hasScheme(p)) hadoopDefault else LocalSegmentIO
+
+  private def hasScheme(p: String): Boolean = {
+    val i = p.indexOf(':')
+    i > 1 && p.charAt(0).isLetter &&
+      p.substring(0, i).forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+  }
   /** Positional range reads over one file; close releases the handle.
     * Thread-safety matches the backing API (FileChannel preads are
     * thread-safe; Hadoop readFully(pos,...) is positioned-read safe).
@@ -51,6 +72,14 @@ object SegmentIO {
   */
 object LocalSegmentIO extends SegmentIO {
   override def exists(p: String): Boolean = Files.exists(Paths.get(p))
+  override def isDirectory(p: String): Boolean =
+    Files.isDirectory(Paths.get(p))
+  override def listAll(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().asScala.map(_.toString).toSeq
+    finally listing.close()
+  }
   override def size(p: String): Long = Files.size(Paths.get(p))
   override def mtimeMillis(p: String): Long =
     Files.getLastModifiedTime(Paths.get(p)).toMillis
@@ -102,6 +131,11 @@ final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
     hp(p).getFileSystem(confResolved)
 
   override def exists(p: String): Boolean = fs(p).exists(hp(p))
+  override def isDirectory(p: String): Boolean =
+    try fs(p).getFileStatus(hp(p)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  override def listAll(dir: String): Seq[String] =
+    fs(dir).listStatus(hp(dir)).toSeq.map(_.getPath.toString)
   override def size(p: String): Long = fs(p).getFileStatus(hp(p)).getLen
   override def mtimeMillis(p: String): Long =
     fs(p).getFileStatus(hp(p)).getModificationTime

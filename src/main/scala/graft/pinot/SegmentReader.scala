@@ -483,7 +483,11 @@ object SegmentReader {
     }
   }
 
-  def open(dir: String): SegmentReader = open(dir, LocalSegmentIO)
+  /** Auto-detects the IO layer: URI-scheme paths (file://, hdfs://,
+    * object stores) go through [[HadoopSegmentIO]], plain paths through
+    * [[LocalSegmentIO]].
+    */
+  def open(dir: String): SegmentReader = open(dir, SegmentIO.forPath(dir))
 
   def open(dir: Path): SegmentReader = open(dir.toString, LocalSegmentIO)
 

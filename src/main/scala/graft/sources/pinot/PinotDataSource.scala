@@ -63,29 +63,35 @@ object PinotSegments {
   /** List segment `v3/` dirs for a table dir (or the dir itself if it is a
     * segment). Sorted for deterministic partition order.
     */
-  def discover(path: String): Seq[Path] = {
-    val root = Paths.get(path)
-    if (!Files.isDirectory(root))
+  def discover(path: String): Seq[Path] =
+    discoverDirs(path, graft.pinot.LocalSegmentIO).map(Paths.get(_))
+
+  /** IO-routed discovery: the same walk over any [[graft.pinot.SegmentIO]]
+    * — `file://`/`hdfs://`/object-store table dirs discover through the
+    * Hadoop stack, local paths identically to before.
+    */
+  def discoverDirs(path: String, io: graft.pinot.SegmentIO): Seq[String] = {
+    if (!io.isDirectory(path))
       throw new PinotFormatException(s"Not a directory: $path")
-    if (Files.exists(root.resolve("v3").resolve("metadata.properties")))
-      return Seq(root.resolve("v3"))
-    if (Files.exists(root.resolve("metadata.properties")))
-      return Seq(root)
-    val segs = Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
+    def metaAt(dir: String) =
+      io.exists(io.resolve(dir, "metadata.properties"))
+    val v3 = io.resolve(path, "v3")
+    if (metaAt(v3)) return Seq(v3)
+    if (metaAt(path)) return Seq(path)
+    val segs = io.listAll(path)
+      .filter(io.isDirectory)
       // `tmp` ≙ reference discovery; `tmp_*` = in-flight writer output
-      .filterNot(_.getFileName.toString.startsWith("tmp"))
+      .filterNot(p => io.fileName(p).startsWith("tmp"))
       .flatMap { p =>
         // v3 segment dir, or a v1/v2-layout segment (per-index files,
         // metadata.properties at the segment root — the pre-v3 format
         // the reference rejects)
-        if (Files.exists(p.resolve("v3").resolve("metadata.properties")))
-          Some(p.resolve("v3"))
-        else if (Files.exists(p.resolve("metadata.properties"))) Some(p)
+        val pv3 = io.resolve(p, "v3")
+        if (metaAt(pv3)) Some(pv3)
+        else if (metaAt(p)) Some(p)
         else None
       }
-      .toSeq
-      .sortBy(_.toString)
+      .sortBy(identity[String])
     if (segs.isEmpty)
       throw new PinotFormatException(s"No segments under $path")
     segs
@@ -110,6 +116,21 @@ object PinotSegments {
     // type conflicts fail loudly.
     val metas = segments.map(p =>
       SegmentMetadata.fromFile(p.resolve("metadata.properties")))
+    schemaOf(metas)
+  }
+
+  /** IO-routed twin of [[schemaFor]] for remote segment dirs. */
+  def schemaForDirs(segments: Seq[String],
+      io: graft.pinot.SegmentIO): StructType =
+    schemaOf(segments.map(metaOf(_, io)))
+
+  private[pinot] def metaOf(segDir: String,
+      io: graft.pinot.SegmentIO): SegmentMetadata =
+    SegmentMetadata.parse(new String(
+      io.readFully(io.resolve(segDir, "metadata.properties")),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def schemaOf(metas: Seq[SegmentMetadata]): StructType = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String,
       graft.pinot.ColumnMetadata]
     metas.foreach(_.columns.values.foreach { c =>
@@ -259,31 +280,28 @@ object PinotSegmentTable {
   private val cache = new LruCache[String, ((Long, Int), PinotSegmentTable)](256)
 
   def open(path: String, partitionCols: Seq[String] = Seq.empty): PinotSegmentTable = {
-    val p = Paths.get(path)
+    val io = graft.pinot.SegmentIO.forPath(path)
     val mtime =
-      try Files.getLastModifiedTime(p).toMillis
+      try io.mtimeMillis(path)
       catch { case _: Throwable => -1L }
     val fp: Int =
       try {
-        val s = Files.list(p)
-        try {
-          var h = 17
-          s.iterator().forEachRemaining { e =>
-            val n = e.getFileName.toString
-            if (!n.startsWith("tmp")) {
-              h = h * 31 + n.hashCode
-              val mp0 = e.resolve("metadata.properties")
-              val mp =
-                if (Files.exists(mp0)) mp0
-                else e.resolve("v3").resolve("metadata.properties")
-              try {
-                h = h * 31 + Files.size(mp).toInt
-                h = h * 31 + Files.getLastModifiedTime(mp).toMillis.toInt
-              } catch { case _: Throwable => h = h * 31 }
-            }
+        var h = 17
+        io.listAll(path).foreach { e =>
+          val n = io.fileName(e)
+          if (!n.startsWith("tmp")) {
+            h = h * 31 + n.hashCode
+            val mp0 = io.resolve(e, "metadata.properties")
+            val mp =
+              if (io.exists(mp0)) mp0
+              else io.resolve(io.resolve(e, "v3"), "metadata.properties")
+            try {
+              h = h * 31 + io.size(mp).toInt
+              h = h * 31 + io.mtimeMillis(mp).toInt
+            } catch { case _: Throwable => h = h * 31 }
           }
-          h
-        } finally s.close()
+        }
+        h
       } catch { case _: Throwable => 0 }
     val stamp = (mtime, fp)
     val key = if (partitionCols.isEmpty) path
@@ -291,10 +309,10 @@ object PinotSegmentTable {
     cache.get(key) match {
       case Some((s, t)) if s == stamp => t
       case _ =>
-        val segs = PinotSegments.discover(path)
-        val meta = SegmentMetadata.fromFile(segs.head.resolve("metadata.properties"))
-        val table = new PinotSegmentTable(meta.tableName, segs.map(_.toString),
-          PinotSegments.schemaFor(segs), Some(path), partitionCols)
+        val segs = PinotSegments.discoverDirs(path, io)
+        val meta = PinotSegments.metaOf(segs.head, io)
+        val table = new PinotSegmentTable(meta.tableName, segs,
+          PinotSegments.schemaForDirs(segs, io), Some(path), partitionCols)
         cache.put(key, (stamp, table))
         table
     }

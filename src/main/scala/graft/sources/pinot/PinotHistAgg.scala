@@ -168,6 +168,47 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
             val ccGlobal = cm.cardinality
             if (ccGlobal <= 0) throw new graft.pinot.PinotFormatException(
               s"histogram agg: no recorded cardinality for RAW $c")
+            if (ccGlobal >= cm.totalDocs &&
+                !java.lang.Boolean.getBoolean(
+                  "graft.pinot.disableUniqueSlotFastPath")) {
+              // PAIRWISE-DISTINCT column (writer-recorded cardinality ==
+              // totalDocs — the GROUP BY doc-id / dedup-key shape): every
+              // value is its own group, so the slot IS the doc position
+              // and the hash table below is pure overhead. Value bytes
+              // land in ONE contiguous blob (chunk decode buffers are
+              // reused, so they must be copied out — but bulk into the
+              // blob, not 97 k individual arrays) and emission wraps
+              // ZERO-COPY UTF8String slices over it. Profiled at 97 k
+              // rows: 4.3 ms vs 15.3 ms for the interned path — the
+              // difference is hashing + probing + per-value allocation
+              // for a map that never sees a repeat. Slots stay
+              // slice-local and carry decoded VALUES, exactly like the
+              // interned path, so cross-segment merges are unaffected.
+              val sliceRows = docs - lo
+              var blob = new Array[Byte](math.max(64, sliceRows * 16))
+              val offs = new Array[Int](sliceRows + 1)
+              var filled = 0 // windows arrive in ascending doc order
+              return GroupPart(sliceRows, (p, n) => {
+                val ids = new Array[Int](n)
+                var i = 0
+                chunk.foreachRange(p, n) { (buf, off, len) =>
+                  val slot = p - lo + i
+                  ids(i) = slot
+                  if (slot >= filled) { // idempotent on window re-read
+                    val end = offs(slot) + len
+                    if (end > blob.length)
+                      blob = java.util.Arrays.copyOf(blob,
+                        math.max(end, blob.length * 2))
+                    System.arraycopy(buf, off, blob, offs(slot), len)
+                    offs(slot + 1) = end
+                    filled = slot + 1
+                  }
+                  i += 1
+                }
+                ids
+              }, id => UTF8String.fromBytes(blob, offs(id),
+                offs(id + 1) - offs(id)))
+            }
             // Slot numbering is SLICE-LOCAL (partial rows carry decoded
             // VALUES, so slots never cross tasks): a doc-range slice of
             // n rows can intern at most n distinct values, so size the

@@ -1256,11 +1256,11 @@ object PinotScan {
   def segmentMeta(path: String): graft.pinot.SegmentMetadata =
     metaCache.getOrCompute(path, p => {
       try {
-        val dir = java.nio.file.Paths.get(p)
+        val io = graft.pinot.SegmentIO.forPath(p)
         val root =
-          if (java.nio.file.Files.exists(dir.resolve("metadata.properties"))) dir
-          else dir.resolve("v3")
-        graft.pinot.SegmentMetadata.fromFile(root.resolve("metadata.properties"))
+          if (io.exists(io.resolve(p, "metadata.properties"))) p
+          else io.resolve(p, "v3")
+        PinotSegments.metaOf(root, io)
       } catch { case _: Throwable => MetaMiss }
     })
 
@@ -1334,14 +1334,16 @@ object PinotScan {
 
   private val sizeCache = new LruCache[String, java.lang.Long](65536)
 
-  /** Total on-disk bytes of a segment dir (immutable → cacheable). */
+  /** Total on-disk bytes of a segment dir (immutable → cacheable).
+    * Discovery hands the LEAF dir (v3/ or a v1 segment root), whose
+    * index files sit directly in it — one listing per segment, any IO.
+    */
   def segmentBytes(path: String): Long =
     sizeCache.getOrCompute(path, p => {
       try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
+        val io = graft.pinot.SegmentIO.forPath(p)
+        io.listFiles(p).map(f =>
+          try io.size(f) catch { case _: Throwable => 0L }).sum
       } catch { case _: Throwable => 0L }
     })
 

@@ -51,6 +51,16 @@ class SegmentIOSpec extends SparkTestBase {
       extends SegmentIO {
     private def norm(p: String) = p.stripSuffix("/")
     override def exists(p: String): Boolean = files.contains(norm(p))
+    override def isDirectory(p: String): Boolean = {
+      val prefix = norm(p) + "/"
+      !files.contains(norm(p)) && files.keys.exists(_.startsWith(prefix))
+    }
+    override def listAll(dir: String): Seq[String] = {
+      val prefix = norm(dir) + "/"
+      files.keys.filter(_.startsWith(prefix))
+        .map(k => prefix + k.drop(prefix.length).takeWhile(_ != '/'))
+        .toSeq.distinct
+    }
     override def size(p: String): Long = files(norm(p)).length.toLong
     override def mtimeMillis(p: String): Long = 1234567890L
     override def readFully(p: String): Array[Byte] = files(norm(p))
@@ -101,6 +111,50 @@ class SegmentIOSpec extends SparkTestBase {
     assert(b.textIndex("body").isDefined)
     assert(b.textIndexAnalyzer("body") === a.textIndexAnalyzer("body"))
     assert(b.nullVector("score").get.toArray.toSeq === Seq(2, 5, 8))
+  }
+
+  test("whole TABLE reads through a file:// URI: DSv2 discovery, schema, " +
+      "pushdowns — identical to the local read") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("segio_table")
+    val tableDir = root.resolve("iot_OFFLINE")
+    // mixed layouts: v3 + v1 segment in one table, both indexed
+    writeSeg(tableDir.resolve("seg0"), 3)
+    SegmentWriter.write(tableDir.resolve("seg1"), "iot", "seg1", Seq(
+      SegmentWriter.LongCol("id", ids.map(_ + n)),
+      SegmentWriter.StringDictCol("team", team.reverse),
+      SegmentWriter.StringRawCol("name", name.map("x" + _),
+        VarByteChunkV4.Lz4LengthPrefixed, 1024),
+      SegmentWriter.DoubleCol("score", score),
+      SegmentWriter.IntCol("metric", metric),
+      SegmentWriter.StringDictCol("body", body),
+      SegmentWriter.StringMVCol("tags", tagsCol)),
+      invertedCols = Set("team"),
+      bloomCols = Set("name"),
+      rangeCols = Set("metric"),
+      textCols = Set("body"),
+      formatVersion = 1)
+    val uri = tableDir.toUri.toString // file:///…
+    assert(uri.startsWith("file:"), s"fixture URI should have a scheme: $uri")
+    val local = spark.read.format("pinot").load(tableDir.toString)
+    val remote = spark.read.format("pinot").load(uri)
+    assert(remote.schema === local.schema)
+    // full scan parity
+    assert(remote.count() === 2L * n)
+    assert(remote.select("id", "team", "name").collect().map(_.toString).sorted
+      === local.select("id", "team", "name").collect().map(_.toString).sorted)
+    // pushdown paths run through the remote IO too: metadata COUNT,
+    // indexed equality, range, group-by, limit
+    assert(remote.filter(col("team") === "T7").count() ===
+      local.filter(col("team") === "T7").count())
+    assert(remote.filter(col("metric") > 50000).count() ===
+      local.filter(col("metric") > 50000).count())
+    assert(remote.groupBy("team").count().collect().map(_.toString).sorted
+      === local.groupBy("team").count().collect().map(_.toString).sorted)
+    assert(remote.select("name").limit(7).count() === 7)
+    // MV + nullable overlay survive the remote path
+    assert(remote.select(explode(col("tags"))).count() === 4L * n)
+    assert(remote.filter(col("score").isNull).count() === 3) // seg0 only
   }
 
   for (version <- Seq(3, 1))
