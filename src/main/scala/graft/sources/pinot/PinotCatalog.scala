@@ -26,18 +26,21 @@ sealed trait PinotMetadataProvider {
   */
 class FileSystemProvider(dataDir: String) extends PinotMetadataProvider {
 
+  // IO-routed (r8): `data_dir` may be a file://, hdfs://, or
+  // object-store URI — the same walk runs through HadoopSegmentIO;
+  // scheme-less paths keep the identical local cost.
+  private val io = graft.pinot.SegmentIO.forPath(dataDir)
+
   private[pinot] def tableDirs: Seq[(String, String)] = { // (table, dirName)
-    val root = Paths.get(dataDir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
+    if (!io.isDirectory(dataDir)) return Seq.empty
+    io.listAll(dataDir)
+      .filter(io.isDirectory)
+      .map(io.fileName)
       .flatMap { dir =>
         if (dir.endsWith("_OFFLINE")) Some(dir.stripSuffix("_OFFLINE") -> dir)
         else if (dir.endsWith("_REALTIME")) Some(dir.stripSuffix("_REALTIME") -> dir)
         else None
       }
-      .toSeq
       // prefer OFFLINE over REALTIME for the same logical table
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.head).toSeq
       .sortBy(_._1)
@@ -47,7 +50,7 @@ class FileSystemProvider(dataDir: String) extends PinotMetadataProvider {
 
   override def openTable(storedName: String): PinotSegmentTable =
     tableDirs.find(_._1 == storedName) match {
-      case Some((_, dir)) => PinotSegmentTable.open(s"$dataDir/$dir")
+      case Some((_, dir)) => PinotSegmentTable.open(io.resolve(dataDir, dir))
       case None => throw new graft.pinot.PinotFormatException(
         s"No table directory for $storedName under $dataDir")
     }
@@ -76,24 +79,26 @@ class ControllerProvider(client: PinotControllerClient, dataDir: String)
         (realtime, "REALTIME")
       }
     }
-    val tableDir = Paths.get(dataDir, s"${storedName}_$tableType")
-    if (!Files.isDirectory(tableDir))
+    // IO-routed (r8): the controller names segments; `data_dir` (local
+    // path or URI) locates their bytes through SegmentIO
+    val io = graft.pinot.SegmentIO.forPath(dataDir)
+    val tableDir = io.resolve(dataDir, s"${storedName}_$tableType")
+    if (!io.isDirectory(tableDir))
       throw new graft.pinot.PinotFormatException(
         s"Table directory not found: $tableDir")
     val paths = segments.map { seg =>
-      val v3 = tableDir.resolve(seg).resolve("v3")
-      val v1 = tableDir.resolve(seg)
-      if (Files.exists(v3.resolve("metadata.properties"))) v3
-      else if (Files.exists(v1.resolve("metadata.properties"))) v1 // v1/v2
+      val segDir = io.resolve(tableDir, seg)
+      val v3 = io.resolve(segDir, "v3")
+      if (io.exists(io.resolve(v3, "metadata.properties"))) v3
+      else if (io.exists(io.resolve(segDir, "metadata.properties"))) segDir // v1/v2
       else throw new graft.pinot.PinotFormatException(
-        s"Segment $seg not found locally at $v3")
-    }.sortBy(_.toString)
-    val meta = graft.pinot.SegmentMetadata.fromFile(
-      paths.head.resolve("metadata.properties"))
+        s"Segment $seg not found at $v3")
+    }.sorted
+    val meta = PinotSegments.metaOf(paths.head, io)
     // tableDir enables the streaming-read tail (and writes) through the
-    // controller catalog too — data access stays local either way
-    new PinotSegmentTable(meta.tableName, paths.map(_.toString),
-      PinotSegments.schemaFor(paths), Some(tableDir.toString))
+    // controller catalog too
+    new PinotSegmentTable(meta.tableName, paths,
+      PinotSegments.schemaForDirs(paths, io), Some(tableDir))
   }
 }
 

@@ -30,20 +30,23 @@ object PinotHybrid {
     * the other is absent (reference behavior).
     */
   def load(spark: SparkSession, rootDir: String, table: String): DataFrame = {
-    val offDir = Paths.get(rootDir, s"${table}_OFFLINE")
-    val rtDir = Paths.get(rootDir, s"${table}_REALTIME")
-    val hasOff = Files.isDirectory(offDir)
-    val hasRt = Files.isDirectory(rtDir)
+    // IO-routed (r8): `rootDir` may be a URI — hybrid reads work over
+    // remote tables the same as local ones
+    val io = graft.pinot.SegmentIO.forPath(rootDir)
+    val offDir = io.resolve(rootDir, s"${table}_OFFLINE")
+    val rtDir = io.resolve(rootDir, s"${table}_REALTIME")
+    val hasOff = io.isDirectory(offDir)
+    val hasRt = io.isDirectory(rtDir)
     (hasOff, hasRt) match {
-      case (true, false) => spark.read.format("pinot").load(offDir.toString)
-      case (false, true) => spark.read.format("pinot").load(rtDir.toString)
+      case (true, false) => spark.read.format("pinot").load(offDir)
+      case (false, true) => spark.read.format("pinot").load(rtDir)
       case (false, false) => throw new PinotFormatException(
         s"No ${table}_OFFLINE or ${table}_REALTIME under $rootDir")
       case (true, true) =>
-        val off = spark.read.format("pinot").load(offDir.toString)
-        val rt = spark.read.format("pinot").load(rtDir.toString)
-        val segs = PinotSegments.discover(offDir.toString)
-        val metas = segs.map(p => PinotScan.segmentMeta(p.toString))
+        val off = spark.read.format("pinot").load(offDir)
+        val rt = spark.read.format("pinot").load(rtDir)
+        val segs = PinotSegments.discoverDirs(offDir, io)
+        val metas = segs.map(PinotScan.segmentMeta)
         if (metas.exists(_ == null)) throw new PinotFormatException(
           s"Unreadable offline segment metadata under $offDir")
         val timeCol = metas.head.timeColumn.getOrElse(

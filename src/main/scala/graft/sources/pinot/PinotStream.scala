@@ -62,7 +62,10 @@ class PinotMicroBatchStream(tableDir: String, columns: Array[String],
     skipFilters: Array[Filter], limit: Option[Int]) extends MicroBatchStream {
 
   private def discover(): Seq[String] =
-    try PinotSegments.discover(tableDir).map(_.toString)
+    // IO-routed: a streaming tail over an hdfs://-hosted table works the
+    // same as a local one (scheme-less paths hit the identical nio path)
+    try PinotSegments.discoverDirs(tableDir,
+      graft.pinot.SegmentIO.forPath(tableDir))
     catch { case _: graft.pinot.PinotFormatException => Seq.empty }
 
   override def initialOffset(): Offset = PinotStreamOffset(Seq.empty)

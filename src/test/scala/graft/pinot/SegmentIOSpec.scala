@@ -157,6 +157,23 @@ class SegmentIOSpec extends SparkTestBase {
     assert(remote.filter(col("score").isNull).count() === 3) // seg0 only
   }
 
+  test("filesystem catalog over a file:// data_dir: discovery + SQL") {
+    val root = Files.createTempDirectory("segio_catalog")
+    writeSeg(root.resolve("iot_OFFLINE").resolve("seg0"), 3)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.pinot_uri",
+      "graft.sources.pinot.PinotCatalog")
+    s2.conf.set("spark.sql.catalog.pinot_uri.data_dir", root.toUri.toString)
+    val tables = s2.sql("SHOW TABLES IN pinot_uri.default").collect()
+      .map(_.getString(1))
+    assert(tables.toSeq === Seq("iot"))
+    assert(s2.sql("SELECT count(*) AS c FROM pinot_uri.default.iot")
+      .head().getLong(0) === n)
+    assert(s2.sql(
+      "SELECT count(*) AS c FROM pinot_uri.default.iot WHERE team = 'T7'")
+      .head().getLong(0) === team.count(_ == "T7"))
+  }
+
   for (version <- Seq(3, 1))
     test(s"v$version segment decodes byte-identically through Hadoop file:// IO") {
       val root = Files.createTempDirectory(s"segio_h_v$version")
