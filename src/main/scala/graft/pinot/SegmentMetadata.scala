@@ -30,6 +30,13 @@ final case class ColumnMetadata(
       */
     minValue: Option[String] = None,
     maxValue: Option[String] = None,
+    /** Writer-recorded EXACT column sum (beyond-Pinot EXTENSION; absent
+      * on segments from other writers, on nullable columns, and on
+      * non-integral types): lets global SUM/AVG answer from metadata
+      * alone. Stored as a decimal big-integer string — parse failures
+      * surface as absence, never as a wrong sum.
+      */
+    sumValue: Option[BigInt] = None,
     /** Pinot's `hasInvertedIndex` flag: a per-dictId docId bitmap section
       * exists for this column (EXTENSION — the reference ignores all
       * secondary indexes).
@@ -143,6 +150,8 @@ object SegmentMetadata {
           .getOrElse(totalDocs),
         minValue = prop("minValue"),
         maxValue = prop("maxValue"),
+        sumValue = prop("sumValue").flatMap(s =>
+          scala.util.Try(BigInt(s)).toOption),
         hasInvertedIndex = prop("hasInvertedIndex").contains("true"),
         hasNullVector = prop("hasNullValueVector").contains("true"),
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0),

@@ -470,6 +470,28 @@ object SegmentWriter {
 
     addNullVectors()
 
+    // Writer-recorded EXACT column sums (beyond-Pinot metadata extension,
+    // ≙ Pinot's metadata-based COUNT/MIN/MAX aggregations extended to
+    // SUM): global SUM/AVG over a non-nullable integral column can then
+    // be answered from metadata alone — no forward index read. Recorded
+    // as an exact big-integer decimal string (no overflow at write);
+    // readers fold per-segment sums and wrap to Spark's long-sum
+    // semantics at the end. Columns with a null vector are skipped: the
+    // stored values at null docs are fill defaults that must not enter a
+    // SUM.
+    columns.foreach { c =>
+      if (!nullVectors.contains(c.name)) {
+        val sum: Option[BigInt] = c match {
+          case IntCol(_, v) => Some(v.foldLeft(BigInt(0))(_ + _))
+          case LongCol(_, v) => Some(v.foldLeft(BigInt(0))(_ + _))
+          case IntRawCol(_, v, _, _) => Some(v.foldLeft(BigInt(0))(_ + _))
+          case LongRawCol(_, v, _, _) => Some(v.foldLeft(BigInt(0))(_ + _))
+          case _ => None
+        }
+        sum.foreach(s => props ++= s"column.${c.name}.sumValue=$s\n")
+      }
+    }
+
     // Bloom filters: canonical distinct values per requested column.
     // Nullable columns store their default at null docs; that default
     // lands in the bloom too, which can only KEEP a segment (false

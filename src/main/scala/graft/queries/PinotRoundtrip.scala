@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 7 // r6: text indexes carry the v2 standard analyzer
+  private val LayoutVersion = 8 // r8: metadata records exact column sums
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -401,8 +401,11 @@ object PinotRoundtrip {
       Tables.load(s, d, "lineitem")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .limit(30000)
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_returnflag", "l_linestatus")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"),
+          // integral quantity (TPC-H quantities are whole numbers):
+          // a 50-ary dict-int group key for the pushed top-N (q116)
+          col("l_quantity").cast("int").as("l_qty_i"))
         .repartition(1)
         .write.format("pinot").mode("append").save(tableDir.toString)
     }
@@ -714,6 +717,35 @@ object PinotRoundtrip {
         .orderBy("l_linenumber")
     }),
 
+    // METADATA-COMPLETE global aggregate (r8): SUM/AVG answered from the
+    // writer-recorded exact column sums, MIN/MAX from the metadata
+    // bounds, COUNT from doc totals — the whole row resolves on the
+    // driver without reading any forward index (≙ Pinot's metadata
+    // aggregations, extended to SUM/AVG). A wrong recorded sum, a
+    // BigInt fold slip, or a bounds-typing error breaks the hash.
+    "q115_pinot_meta_agg" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.agg(count(lit(1)).as("cnt"),
+        sum("l_orderkey").as("sum_okey"),
+        avg("l_orderkey").as("avg_okey"),
+        sum("l_linenumber").as("sum_ln"),
+        min("l_orderkey").as("mn_okey"),
+        max("l_linenumber").as("mx_ln"))
+    }),
+
+    // PUSHED TOP-N over a complete histogram aggregate (r8): the scan
+    // bounded-heap-selects its best 10 groups instead of emitting all
+    // 50, and Spark's TakeOrderedAndProject finishes over the
+    // survivors. The tie-break on the group key makes the top-10 a
+    // total order, so the row set is deterministic and hashable.
+    "q116_pinot_topk_pushed" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.groupBy("l_qty_i")
+        .agg(count(lit(1)).as("cnt"), sum("l_orderkey").as("sum_okey"))
+        .orderBy(desc("sum_okey"), asc("l_qty_i"))
+        .limit(10)
+    }),
+
     // Pushdown INTERACTION: multi-segment GROUP BY over MIXED dict
     // (l_returnflag) + RAW-string (l_shipdate_s, RAW+LZ4) key columns —
     // the r5 PinotHistAgg slot-map path that had spec coverage but no
@@ -998,6 +1030,32 @@ object PinotRoundtrip {
         |FROM subset GROUP BY l_linenumber
         |HAVING count(*) > (SELECT count(*) // 7 FROM subset)
         |ORDER BY l_linenumber""".stripMargin,
+
+    "q115_pinot_meta_agg" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, l_linenumber FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  avg(l_orderkey) AS avg_okey,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  CAST(min(l_orderkey) AS BIGINT) AS mn_okey,
+        |  CAST(max(l_linenumber) AS INTEGER) AS mx_ln
+        |FROM subset""".stripMargin,
+
+    "q116_pinot_topk_pushed" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS l_qty_i FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_qty_i, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM subset GROUP BY l_qty_i
+        |ORDER BY sum_okey DESC, l_qty_i ASC
+        |LIMIT 10""".stripMargin,
 
     "q109_pinot_mixed_group" ->
       """WITH subset AS (

@@ -43,7 +43,10 @@ object HistAggSpec {
   * Multiple dict columns compose into one id by stride arithmetic.
   */
 class PinotHistAggReaderFactory(groupCols: Array[String],
-    specs: Array[HistAggSpec]) extends PartitionReaderFactory {
+    specs: Array[HistAggSpec],
+    topN: Option[(Array[TopNKey], Int)] = None,
+    ansi: Boolean = true)
+    extends PartitionReaderFactory {
 
   import HistAggSpec._
 
@@ -340,7 +343,12 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
               private val s = new Array[Long](card)
               def add(g: Array[Int], p: Int, n: Int): Unit = {
                 val v = lw.read(p, n)
-                var i = 0; while (i < n) { s(g(i)) += v(i); i += 1 }
+                var i = 0
+                // ANSI sessions throw on long-sum overflow exactly like
+                // Spark's own Sum; legacy sessions wrap like Java adds
+                if (ansi) while (i < n) {
+                  s(g(i)) = Math.addExact(s(g(i)), v(i)); i += 1
+                } else while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g)
             }
@@ -415,7 +423,60 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
             val divisor = parts.drop(j + 1).map(_.card).foldLeft(1)(_ * _)
             (divisor, gp.card, gp.keyOf)
           }
-        Iterator.range(0, card).filter(counts(_) > 0).map { g =>
+        // pushed top-N: bounded-heap-select the best `limit` groups by
+        // the pushed sort keys instead of emitting the whole histogram —
+        // the partition then hands Spark k rows, not |groups| rows.
+        // (Partial-push contract: Spark's TakeOrderedAndProject above
+        // re-sorts the ≤ k×partitions survivors, so ties and slice
+        // boundaries stay exact.) Sort values come from the same
+        // key-part decomposition / accumulator results the emit uses,
+        // so a kept group's row is bit-identical to the unpushed plan's.
+        val groupIds: Iterator[Int] = topN match {
+          case Some((keys, limit)) =>
+            def sortVal(idx: Int, g: Int): Any =
+              if (idx < keyArity) {
+                val (div, mod, fn) = keyParts(idx)
+                fn((g / div) % mod)
+              } else accs(idx - keyArity).result(g)
+            // "a orders before b" under the pushed keys (ascending =
+            // natural order of the boxed Catalyst value; every type on
+            // this path — boxed primitives, UTF8String — is Comparable
+            // with Spark-matching semantics)
+            val cmp = new java.util.Comparator[Integer] {
+              override def compare(a: Integer, b: Integer): Int = {
+                var i = 0
+                while (i < keys.length) {
+                  val k = keys(i)
+                  val c = sortVal(k.outIdx, a.intValue)
+                    .asInstanceOf[Comparable[Any]]
+                    .compareTo(sortVal(k.outIdx, b.intValue))
+                  if (c != 0) return if (k.descending) -c else c
+                  i += 1
+                }
+                0
+              }
+            }
+            // max-heap of the k best: root = worst kept, evicted when a
+            // better group arrives — O(|groups| log k)
+            val heap = new java.util.PriorityQueue[Integer](
+              math.max(1, limit), cmp.reversed())
+            var g = 0
+            while (g < card) {
+              if (counts(g) > 0) {
+                if (heap.size < limit) heap.add(g)
+                else if (cmp.compare(g, heap.peek) < 0) {
+                  heap.poll(); heap.add(g)
+                }
+              }
+              g += 1
+            }
+            val kept = new Array[Integer](heap.size)
+            var i = kept.length - 1
+            while (i >= 0) { kept(i) = heap.poll(); i -= 1 }
+            kept.iterator.map(_.intValue)
+          case None => Iterator.range(0, card).filter(counts(_) > 0)
+        }
+        groupIds.map { g =>
           val out = new Array[Any](keyArity + accs.length)
           var k = 0
           while (k < keyArity) {

@@ -29,7 +29,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var projected: StructType = fullSchema
   private var skipFilters: Array[Filter] = Array.empty
@@ -43,6 +43,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // single-segment single-col DISTINCT accepted as COMPLETE (dictionary
   // is the final answer) — tracked so the plan description is truthful
   private var distinctFinal = false
+  // pushed ORDER BY ... LIMIT over a complete histogram aggregate:
+  // (sort keys over the scan's output layout, limit)
+  private var topN: Option[(Array[TopNKey], Int)] = None
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -99,7 +102,61 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     true
   }
 
-  override def isPartiallyPushed(): Boolean = sawFilters
+  // shared by SupportsPushDownLimit and SupportsPushDownTopN: a pushed
+  // limit is FULL only with no filters in play; a pushed top-N is ALWAYS
+  // partial — each partition emits its local top-k and Spark's
+  // TakeOrderedAndProject stays authoritative over ≤ k×partitions rows
+  // (correct under sub-segment slicing and ties, and exactly the shape
+  // that scales: a 1000-segment ORDER BY ... LIMIT 10 moves 10 rows per
+  // task instead of each task's whole histogram)
+  override def isPartiallyPushed(): Boolean = sawFilters || topN.isDefined
+
+  /** ORDER BY + LIMIT over a COMPLETE histogram aggregate: the reader
+    * bounded-heap-selects its top `limit` groups instead of emitting the
+    * whole histogram. Accepted only when every sort key is one of the
+    * scan's own output columns (group columns by name, aggregates as
+    * `agg_i`) — Spark rewrites the Sort's expressions into exactly those
+    * names through the Project it collapsed. Sort keys are non-nullable
+    * by construction on this path (group columns refuse null vectors;
+    * aggregates of occupied groups are never null), so null-ordering is
+    * vacuous. Filtered queries never reach here: Spark only attempts a
+    * top-N push with no Filter above the scan, and every graft filter is
+    * residual.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (!(useHistogram && histFinal) || l <= 0 || l > PinotScan.TopNPushCap)
+      return false
+    val agg = pushedAgg.getOrElse(return false)
+    val groupCols = agg.groupByExpressions.flatMap(fieldName)
+    if (groupCols.length != agg.groupByExpressions.length) return false
+    // Spark rewrites sort attributes over a pushed aggregate back into
+    // the TRANSLATED aggregate expression (pushedAggOutputMap), so an
+    // ORDER BY on an aggregate output arrives as e.g. `SUM(hits)` — match
+    // it against the pushed function list by canonical form. Duplicate
+    // identical functions resolve to the first slot: their output
+    // columns are value-identical, so sorting by either is the same.
+    val aggSlots: Map[String, Int] = agg.aggregateExpressions.zipWithIndex
+      .map { case (f, i) => f.toString -> (groupCols.length + i) }.toMap
+    val keys = new Array[TopNKey](orders.length)
+    var i = 0
+    while (i < orders.length) {
+      val o = orders(i)
+      val outIdx = o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            groupCols.contains(nr.fieldNames()(0)) =>
+          groupCols.indexOf(nr.fieldNames()(0))
+        case e => aggSlots.getOrElse(e.toString, return false)
+      }
+      keys(i) = TopNKey(outIdx,
+        o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+      i += 1
+    }
+    topN = Some((keys, l))
+    true
+  }
 
   /** COUNT-only global aggregations are answered COMPLETELY from segment
     * metadata (`segment.total.docs` + per-column `nullValueCount`, cached
@@ -114,6 +171,16 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         case _: CountStar => true
         case c: Count => !c.isDistinct &&
           fieldName(c.column()).exists(metaCountable)
+        // SUM/AVG from writer-recorded exact sums, MIN/MAX from the
+        // min/max metadata (integral, non-nullable, every segment) —
+        // a filterless global aggregate then never reads column data
+        case s: Sum => !s.isDistinct &&
+          fieldName(s.column()).exists(c =>
+            metaSummable(c) && metaSumTotalFits(c))
+        case a: Avg => !a.isDistinct &&
+          fieldName(a.column()).exists(metaAvgExact)
+        case m: Min => fieldName(m.column()).exists(metaMinMaxable)
+        case m: Max => fieldName(m.column()).exists(metaMinMaxable)
         case _ => false
       }
     if (ok) { aggComplete = true; return true }
@@ -209,6 +276,69 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       metas.forall(_.columns.contains(col))
   }
 
+  /** SUM(col) answerable from metadata alone: every non-empty segment
+    * recorded an exact writer sum, fitting in a long, for a non-nullable
+    * single-value INTEGRAL column. (Float/double sums are
+    * order-dependent in Spark's double accumulation — excluded so
+    * results stay bit-identical with the unpushed plan. A per-segment
+    * sum outside the long range refuses too: the partial row is typed
+    * long, and the session's own overflow semantics — ANSI throw or
+    * legacy wrap — must come from Spark's execution, not a silent
+    * metadata wrap.)
+    */
+  private def metaSummable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) &&
+      metas.forall(m => m.totalDocs == 0 ||
+        m.columns.get(col).exists(cm => cm.isSingleValue &&
+          !cm.hasNullVector && cm.sumValue.exists(_.isValidLong) &&
+          (cm.dataType == PinotType.PInt || cm.dataType == PinotType.PLong)))
+  }
+
+  /** The exact TOTAL sum fits in a long — required for the COMPLETE
+    * metadata answer (the overflowing case defers to execution so ANSI
+    * mode throws exactly as an unpushed plan would).
+    */
+  private def metaSumTotalFits(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.foldLeft(BigInt(0)) { (acc, m) =>
+      if (m == null || m.totalDocs == 0) acc
+      else acc + m.columns.get(col).flatMap(_.sumValue).getOrElse(BigInt(0))
+    }.isValidLong
+  }
+
+  /** AVG(col) from metadata is exact only while Spark's own
+    * double-accumulated sum is exact: every running partial sum must
+    * stay within 2^53. `rows × max(|min|,|max|)` bounds every partial,
+    * so the gate is conservative — outside it the histogram path
+    * answers instead (bit-identical by construction, just not free).
+    */
+  private def metaAvgExact(col: String): Boolean = metaSummable(col) && {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    val bound = metas.foldLeft(BigInt(0)) { (acc, m) =>
+      if (m.totalDocs == 0) acc
+      else m.columns.get(col).flatMap(cm =>
+        for (mn <- cm.minValue.flatMap(v => scala.util.Try(BigInt(v)).toOption);
+             mx <- cm.maxValue.flatMap(v => scala.util.Try(BigInt(v)).toOption))
+        yield acc + mn.abs.max(mx.abs) * m.totalDocs)
+        .getOrElse(acc + BigInt(2).pow(60))
+    }
+    bound <= BigInt(2).pow(53)
+  }
+
+  /** MIN/MAX(col) answerable from metadata bounds alone: integral,
+    * non-nullable, min/max recorded in every non-empty segment.
+    */
+  private def metaMinMaxable(col: String): Boolean = {
+    val metas = segmentPaths.map(PinotScan.segmentMeta)
+    metas.nonEmpty && !metas.exists(_ == null) &&
+      metas.forall(m => m.totalDocs == 0 ||
+        m.columns.get(col).exists(cm => cm.isSingleValue &&
+          !cm.hasNullVector &&
+          cm.minValue.isDefined && cm.maxValue.isDefined &&
+          (cm.dataType == PinotType.PInt || cm.dataType == PinotType.PLong)))
+  }
+
   /** Partial pushdown for global COUNT/MIN/MAX: each task answers from its
     * own segment's metadata + dictionary (cardinality entries, never the
     * forward index), and Spark merges the per-segment rows. Distributed —
@@ -228,6 +358,14 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     val groupColsOpt = agg.groupByExpressions.map(fieldName)
     if (groupColsOpt.exists(_.isEmpty)) return false
     val groupCols = groupColsOpt.flatten
+    // metadata-complete global aggregate, validated by
+    // supportCompletePushDown just before this call (SUM/AVG would fail
+    // the per-segment partial checks below — they are answered on the
+    // DRIVER from cached metadata, not by tasks)
+    if (groupCols.isEmpty && aggComplete) {
+      pushedAgg = Some(agg)
+      return true
+    }
     // DISTINCT pushdown (no aggregate functions, one dict group column):
     // each segment's dictionary IS its distinct value set, so the scan
     // emits cardinality rows per segment — SELECT DISTINCT col over a
@@ -263,6 +401,12 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
           isMinMaxPushable(n) && !mayHaveNulls(n))
         case m: Max => fieldName(m.column()).exists(n =>
           isMinMaxPushable(n) && !mayHaveNulls(n))
+        // partial SUM straight from each segment's writer-recorded sum
+        // (integral, non-nullable) — Spark's final aggregate merges;
+        // AVG arrives here already rewritten to SUM+COUNT by Spark's
+        // partial-pushdown translation, so key-pure AVG rides along
+        case s: Sum => !s.isDistinct &&
+          fieldName(s.column()).exists(metaSummable)
         case _ => false
       }
     if (keyPureOk) { pushedAgg = Some(agg); return true }
@@ -455,7 +599,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       new PinotAggScan(segmentPaths, agg, aggComplete, fullSchema, useStarTree,
-        useHistogram, histFinal, distinctFinal, splitTargetBytes)
+        useHistogram, histFinal, distinctFinal, splitTargetBytes, topN)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = limit.isDefined && !sawFilters,
@@ -690,7 +834,8 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     complete: Boolean, fullSchema: StructType,
     starTree: Boolean = false, histogram: Boolean = false,
     histFinal: Boolean = false, distinctFinal: Boolean = false,
-    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
+    topN: Option[(Array[TopNKey], Int)] = None)
     extends Scan with Batch {
 
   private val funcs: Array[AggregateFunc] = agg.aggregateExpressions()
@@ -737,7 +882,10 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     s"PinotAggScan(complete=${complete || histFinal || distinctFinal}, " +
       s"metaComplete=$complete, starTree=$starTree, " +
       s"histogram=$histogram, histFinal=$histFinal, " +
-      s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length})"
+      s"funcs=[${funcs.mkString(", ")}], segments=${segmentPaths.length}" +
+      topN.fold("")(t => s", pushedTopN=[limit=${t._2}, keys=" +
+        t._1.map(k => s"${k.outIdx}${if (k.descending) " DESC" else ""}")
+          .mkString(",") + "]") + ")"
 
   /** Histogram PARTIAL tasks read forward indexes, so they slice into
     * doc ranges like the plain scan (each slice emits its own partials;
@@ -805,34 +953,74 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
         case a: Avg => HistAggSpec.HAvg(colName(a.column())) // histFinal only
         case f => throw new IllegalStateException(s"unexpected hist agg $f")
       }
-      return new PinotHistAggReaderFactory(groupCols, specs)
+      return new PinotHistAggReaderFactory(groupCols, specs, topN,
+        ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+    }
+    // complete mode: the whole answer resolves on the DRIVER from cached
+    // metadata — COUNT(*) = Σ docs, COUNT(col) = Σ (docs − nullCount),
+    // SUM/AVG from writer-recorded exact sums (builder-gated to
+    // non-nullable integral columns whose exact totals FIT IN LONG, so
+    // `.longValue` below never wraps — overflowing totals refused the
+    // push and keep Spark's own ANSI/legacy overflow semantics),
+    // MIN/MAX from the per-segment bounds.
+    if (complete) {
+      val metas = segmentPaths.map(PinotScan.segmentMeta)
+      val live = metas.filter(m => m != null && m.totalDocs > 0)
+      val docsTotal = metas.map(m => if (m == null) 0L else m.totalDocs.toLong).sum
+      def sumBig(c: String): BigInt =
+        live.foldLeft(BigInt(0))((acc, m) => acc + m.columns(c).sumValue.get)
+      def bound(c: String, isMin: Boolean): Any =
+        if (live.isEmpty) null
+        else {
+          val vs = live.map { m =>
+            val cm = m.columns(c)
+            BigInt(if (isMin) cm.minValue.get else cm.maxValue.get)
+          }
+          val v = if (isMin) vs.min else vs.max
+          fullSchema(c).dataType match {
+            case org.apache.spark.sql.types.IntegerType => v.toInt
+            case _ => v.toLong
+          }
+        }
+      val row: Array[Any] = funcs.map {
+        case _: CountStar => docsTotal: Any
+        case c: Count =>
+          val col = colName(c.column())
+          metas.map(m => if (m == null) 0L
+            else (m.totalDocs - m.columns.get(col).fold(0)(_.nullCount)).toLong)
+            .sum: Any
+        case s: Sum =>
+          if (live.isEmpty) null else sumBig(colName(s.column())).longValue: Any
+        case a: Avg =>
+          if (live.isEmpty) null
+          else sumBig(colName(a.column())).toDouble / docsTotal: Any
+        case m: Min => bound(colName(m.column()), isMin = true)
+        case m: Max => bound(colName(m.column()), isMin = false)
+        case f => throw new IllegalStateException(s"unexpected complete agg $f")
+      }
+      return new PinotAggReaderFactory(Array.empty, complete = true, row,
+        groupCols)
     }
     val specs: Array[AggSpec] = funcs.map {
       case _: CountStar => AggSpec("", isCount = true, isMin = false)
       case c: Count => AggSpec(colName(c.column()), isCount = true, isMin = false)
       case m: Min => AggSpec(colName(m.column()), isCount = false, isMin = true)
       case m: Max => AggSpec(colName(m.column()), isCount = false, isMin = false)
+      case s: Sum => AggSpec(colName(s.column()), isCount = false,
+        isMin = false, isSum = true)
+      case f => throw new IllegalStateException(s"unexpected partial agg $f")
     }
-    // complete mode: each COUNT resolves on the driver from cached
-    // metadata — COUNT(*) = Σ docs, COUNT(col) = Σ (docs − nullCount)
-    val completeVals: Array[Long] =
-      if (!complete) Array.empty
-      else {
-        val metas = segmentPaths.map(PinotScan.segmentMeta)
-        specs.map { s =>
-          metas.map { m =>
-            if (m == null) 0L
-            else if (s.column.isEmpty) m.totalDocs.toLong
-            else (m.totalDocs -
-              m.columns.get(s.column).fold(0)(_.nullCount)).toLong
-          }.sum
-        }
-      }
-    new PinotAggReaderFactory(specs, complete, completeVals, groupCols)
+    new PinotAggReaderFactory(specs, complete = false, Array.empty, groupCols)
   }
 }
 
 case class PinotAggPartition(segmentPath: String) extends InputPartition
+
+/** One pushed sort key over the aggregate scan's output layout:
+  * `outIdx` indexes the (group columns ++ aggregates) row. Nullability
+  * is impossible on the accepting path, so only direction is carried.
+  */
+case class TopNKey(outIdx: Int, descending: Boolean)
 
 /** Doc range `[startDoc, endDoc)` of one segment for a sliced histogram
   * partial task — window-aligned start, exclusive end.
@@ -840,10 +1028,11 @@ case class PinotAggPartition(segmentPath: String) extends InputPartition
 case class PinotAggSlicePartition(segmentPath: String, startDoc: Int,
     endDoc: Int) extends InputPartition
 
-case class AggSpec(column: String, isCount: Boolean, isMin: Boolean)
+case class AggSpec(column: String, isCount: Boolean, isMin: Boolean,
+    isSum: Boolean = false)
 
 class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
-    completeVals: Array[Long], groupCols: Array[String] = Array.empty)
+    completeVals: Array[Any], groupCols: Array[String] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
@@ -852,8 +1041,7 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
     val rows: Iterator[InternalRow] = if (complete) {
-      Iterator.single(new GenericInternalRow(
-        completeVals.map(v => v: Any)))
+      Iterator.single(new GenericInternalRow(completeVals.clone()))
     } else {
       val path = partition.asInstanceOf[PinotAggPartition].segmentPath
       val reader = SegmentReader.open(path)
@@ -891,6 +1079,14 @@ class PinotAggReaderFactory(specs: Array[AggSpec], complete: Boolean,
               .get(s.column).fold(0)(_.nullCount)).toLong
           }
           else if (docs == 0) null
+          else if (s.isSum)
+            // writer-recorded exact sum, builder-gated to integral
+            // columns whose per-segment sums fit in long — Spark's
+            // final merge owns any cross-segment overflow semantics
+            reader.metadata.column(s.column).sumValue.getOrElse(
+              throw new graft.pinot.PinotFormatException(
+                s"SUM pushdown without recorded sum for ${s.column}"))
+              .longValue
           else dictMinMax(reader, s.column, s.isMin)
         }
         Iterator.single(new GenericInternalRow(keys ++ values))
@@ -1269,6 +1465,11 @@ object PinotScan {
     * 1-task == 1-segment planning.
     */
   val DefaultSplitTargetBytes: Long = 128L << 20
+
+  /** Largest LIMIT a pushed top-N will honor: the per-task bounded heap
+    * is O(limit); past this a full sort in Spark is the better plan.
+    */
+  val TopNPushCap: Int = 1 << 16
 
   /** Rows per decode window — split boundaries align to it. */
   private[pinot] val WindowRows = 8192

@@ -167,6 +167,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("histogram=true"), leaf)
   }
 
+  test("q115 resolves entirely from segment metadata (metaComplete)") {
+    val leaf = finalPlan("q115_pinot_meta_agg").collectLeaves().head.toString
+    assert(leaf.contains("metaComplete=true"), leaf)
+  }
+
+  test("q116 pushes its top-N into the aggregate scan") {
+    val leaf = finalPlan("q116_pinot_topk_pushed").collectLeaves().head.toString
+    assert(leaf.contains("pushedTopN=[limit=10"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

@@ -137,9 +137,9 @@ class PinotSourceSpec extends SparkTestBase {
     val df = spark.read.format("pinot").load(tdir.toString)
     val agg = df.agg(min("m").as("mn"), max("m").as("mx"))
     val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
-    // single segment: the histogram answers it COMPLETELY (histFinal);
-    // metaComplete=false records that the metadata COUNT path did not
-    assert(leaf.contains("PinotAggScan(") && leaf.contains("metaComplete=false"),
+    // integral global MIN/MAX with recorded bounds answers COMPLETELY
+    // from metadata (r8 — no forward-index read at all)
+    assert(leaf.contains("PinotAggScan(") && leaf.contains("metaComplete=true"),
       s"RAW numeric MIN/MAX not pushed:\n$leaf")
     val r = agg.head()
     assert(r.getInt(0) === vals.min && r.getInt(1) === vals.max)

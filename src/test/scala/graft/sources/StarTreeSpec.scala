@@ -104,11 +104,14 @@ class StarTreeSpec extends SparkTestBase {
     assert(got === brute(team(_)))
   }
 
-  test("global SUM (no grouping) answers from the tree") {
+  test("global SUM (no grouping) answers from metadata, above the tree") {
+    // r8: the writer-recorded exact column sum answers a filterless
+    // global SUM from metadata alone — strictly better than the tree
+    // (zero section reads); the tree still serves every grouped shape
     val df = spark.read.format("pinot").load(treeTable)
     val agg = df.agg(sum("hits").as("sh"), count(lit(1)).as("c"))
     val leaf = leafOf(agg)
-    assert(leaf.contains("starTree=true"), s"not star-tree answered:\n$leaf")
+    assert(leaf.contains("metaComplete=true"), s"not metadata-answered:\n$leaf")
     val r = agg.head()
     assert(r.getLong(0) === hits.map(_.toLong).sum)
     assert(r.getLong(1) === n.toLong)

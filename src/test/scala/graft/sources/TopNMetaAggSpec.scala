@@ -1,0 +1,262 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.pinot.{SegmentWriter, VarByteChunkV4}
+import org.apache.spark.sql.functions._
+
+/** Round-8 pushdown pair:
+  *
+  * 1. ORDER BY … LIMIT over a COMPLETE histogram aggregate pushes as a
+  *    partial top-N ([[graft.sources.pinot.PinotScanBuilder.pushTopN]]):
+  *    the reader bounded-heap-selects its best `limit` groups instead of
+  *    emitting the whole histogram, and Spark's TakeOrderedAndProject
+  *    stays authoritative over the ≤ k×partitions survivors. At cluster
+  *    scale a 1000-segment top-10 moves 10 rows per task, not each
+  *    task's group table.
+  *
+  * 2. Global SUM/AVG over non-nullable integral columns answer from the
+  *    writer-recorded exact `sumValue` metadata, MIN/MAX from the
+  *    min/max bounds — `metaComplete=true`, no forward-index read at
+  *    all (≙ Pinot's metadata-based aggregations, extended to SUM/AVG).
+  */
+class TopNMetaAggSpec extends SparkTestBase {
+
+  private val n = 8000
+  private val rnd = new scala.util.Random(21)
+  private val team = Array.fill(n)(s"T${rnd.nextInt(19)}")
+  private val hits = Array.fill(n)(rnd.nextInt(263))
+  private val bal = Array.fill(n)(rnd.nextLong() % 1000000)
+  private val temp = Array.fill(n)(rnd.nextFloat() * 40 - 10)
+  private val player = Array.tabulate(n)(i => f"p$i%05d")
+
+  /** Single segment — the histFinal (complete histogram) shape. */
+  private lazy val oneSeg: String = {
+    val root = Files.createTempDirectory("pinot_topn")
+    val t = root.resolve("one_OFFLINE")
+    SegmentWriter.write(t.resolve("seg0"), "one", "seg0", Seq(
+      SegmentWriter.StringDictCol("team", team),
+      SegmentWriter.IntCol("hits", hits),
+      SegmentWriter.LongRawCol("bal", bal),
+      SegmentWriter.FloatCol("temp", temp),
+      SegmentWriter.StringRawCol("player", player,
+        VarByteChunkV4.Lz4LengthPrefixed, 1024)))
+    t.toString
+  }
+
+  /** Three segments — partial histogram, top-N must refuse. */
+  private lazy val threeSeg: String = {
+    val root = Files.createTempDirectory("pinot_topn3")
+    val t = root.resolve("three_OFFLINE")
+    val per = n / 3
+    (0 until 3).foreach { s =>
+      val from = s * per
+      val to = if (s == 2) n else (s + 1) * per
+      SegmentWriter.write(t.resolve(s"seg$s"), "three", s"seg$s", Seq(
+        SegmentWriter.StringDictCol("team", team.slice(from, to)),
+        SegmentWriter.IntCol("hits", hits.slice(from, to)),
+        SegmentWriter.LongRawCol("bal", bal.slice(from, to)),
+        SegmentWriter.FloatCol("temp", temp.slice(from, to))))
+    }
+    t.toString
+  }
+
+  private def one = spark.read.format("pinot").load(oneSeg)
+  private def three = spark.read.format("pinot").load(threeSeg)
+
+  private def leafOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().head.toString
+
+  /** The expected DataFrame built from the raw arrays (no connector). */
+  private def twin = {
+    import spark.implicits._
+    (0 until n).map(i => (team(i), hits(i), bal(i), player(i)))
+      .toDF("team", "hits", "bal", "player")
+  }
+
+  // ---- top-N pushdown ----
+
+  test("group-by top-k pushes topN and matches the unpushed answer") {
+    val q = one.groupBy("team")
+      .agg(count(lit(1)).as("c"), sum("hits").as("sh"))
+      .orderBy(desc("sh")).limit(5)
+    assert(leafOf(q).contains("pushedTopN=[limit=5"), leafOf(q))
+    val exp = twin.groupBy("team")
+      .agg(count(lit(1)).as("c"), sum("hits").as("sh"))
+      .orderBy(desc("sh")).limit(5)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("top-k over a RAW unique key (avg, ascending) matches") {
+    val q = one.groupBy("player").agg(avg("hits").as("ah"))
+      .orderBy(asc("ah"), asc("player")).limit(7)
+    assert(leafOf(q).contains("pushedTopN=[limit=7"), leafOf(q))
+    val exp = twin.groupBy("player").agg(avg("hits").as("ah"))
+      .orderBy(asc("ah"), asc("player")).limit(7)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("top-k sorted on the group column itself matches") {
+    val q = one.groupBy("team").agg(sum("bal").as("sb"))
+      .orderBy(desc("team")).limit(3)
+    assert(leafOf(q).contains("pushedTopN"), leafOf(q))
+    val exp = twin.groupBy("team").agg(sum("bal").as("sb"))
+      .orderBy(desc("team")).limit(3)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("ties at the boundary keep the sort-value multiset exact") {
+    // avg over a tiny value domain forces ties; compare the sorted sort
+    // values only (tied rows may legitimately differ)
+    val q = one.groupBy("team").agg(min("hits").as("mh"))
+      .orderBy(asc("mh")).limit(6)
+    assert(leafOf(q).contains("pushedTopN"), leafOf(q))
+    val exp = twin.groupBy("team").agg(min("hits").as("mh"))
+      .orderBy(asc("mh")).limit(6)
+    assert(q.collect().map(_.getInt(1)).toSeq ===
+      exp.collect().map(_.getInt(1)).toSeq)
+  }
+
+  test("multi-segment group-by refuses the topN push but stays correct") {
+    val q = three.groupBy("team").agg(sum("hits").as("sh"))
+      .orderBy(desc("sh")).limit(4)
+    assert(!leafOf(q).contains("pushedTopN"), leafOf(q))
+    val exp = twin.groupBy("team").agg(sum("hits").as("sh"))
+      .orderBy(desc("sh")).limit(4)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("filtered top-k is never pushed and stays correct") {
+    val q = one.filter(col("hits") > 100).groupBy("team")
+      .agg(sum("hits").as("sh")).orderBy(desc("sh")).limit(5)
+    assert(!q.queryExecution.executedPlan.toString.contains("pushedTopN"))
+    val exp = twin.filter(col("hits") > 100).groupBy("team")
+      .agg(sum("hits").as("sh")).orderBy(desc("sh")).limit(5)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("DISTINCT + ORDER BY + LIMIT over the composite histogram matches") {
+    val q = one.select("team", "hits").distinct()
+      .orderBy(desc("team"), asc("hits")).limit(9)
+    val exp = twin.select("team", "hits").distinct()
+      .orderBy(desc("team"), asc("hits")).limit(9)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("sliced unique-key top-k (multi-partition partial) matches") {
+    // tiny split target forces the merge-free unique-key slices; each
+    // slice emits its local top-k and Spark's TakeOrdered merges
+    val q = spark.read.format("pinot").option("splitTargetBytes", 16384)
+      .load(oneSeg).groupBy("player").agg(sum("hits").as("sh"))
+      .orderBy(desc("sh"), asc("player")).limit(8)
+    val exp = twin.groupBy("player").agg(sum("hits").as("sh"))
+      .orderBy(desc("sh"), asc("player")).limit(8)
+    assert(q.collect().toSeq === exp.collect().toSeq)
+  }
+
+  // ---- metadata-complete global aggregates ----
+
+  test("global SUM/AVG/MIN/MAX over integral columns is metaComplete") {
+    val q = one.agg(sum("hits").as("sh"), avg("hits").as("ah"),
+      min("hits").as("mn"), max("hits").as("mx"), sum("bal").as("sb"),
+      count(lit(1)).as("c"))
+    assert(leafOf(q).contains("metaComplete=true"), leafOf(q))
+    val r = q.collect().head
+    assert(r.getLong(0) === hits.map(_.toLong).sum)
+    assert(r.getDouble(1) === hits.map(_.toDouble).sum / n)
+    assert(r.getInt(2) === hits.min)
+    assert(r.getInt(3) === hits.max)
+    assert(r.getLong(4) === bal.sum)
+    assert(r.getLong(5) === n.toLong)
+  }
+
+  test("multi-segment metadata sums fold across segments") {
+    val q = three.agg(sum("hits").as("sh"), avg("bal").as("ab"),
+      max("bal").as("mx"))
+    assert(leafOf(q).contains("metaComplete=true"), leafOf(q))
+    val r = q.collect().head
+    assert(r.getLong(0) === hits.map(_.toLong).sum)
+    assert(r.getDouble(1) === bal.map(BigInt(_)).sum.toDouble / n)
+    assert(r.getLong(2) === bal.max)
+  }
+
+  test("float SUM refuses metadata and still matches Spark") {
+    val q = one.agg(sum("temp").as("st"))
+    assert(!leafOf(q).contains("metaComplete=true"), leafOf(q))
+    // double-accumulated either way; compare to a tolerance
+    val got = q.collect().head.getDouble(0)
+    val exp = temp.foldLeft(0.0)(_ + _.toDouble)
+    assert(math.abs(got - exp) < 1e-6 * math.max(1.0, math.abs(exp)))
+  }
+
+  test("nullable column refuses the metadata sum and stays exact") {
+    val root = Files.createTempDirectory("pinot_nullsum")
+    val t = root.resolve("ns_OFFLINE")
+    val v = Array.tabulate(100)(i => i)
+    SegmentWriter.write(t.resolve("seg0"), "ns", "seg0", Seq(
+      SegmentWriter.IntCol("v", v)),
+      nullVectors = Map("v" -> Array(3, 7)))
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.agg(sum("v").as("s"))
+    assert(!leafOf(q).contains("metaComplete=true"), leafOf(q))
+    // nulls excluded from the sum (stored defaults must not leak in)
+    assert(q.collect().head.getLong(0) ===
+      v.zipWithIndex.filterNot(x => x._2 == 3 || x._2 == 7).map(_._1.toLong).sum)
+  }
+
+  test("overflowing totals refuse the metadata sum and throw like ANSI Spark") {
+    // each per-segment sum fits in long, the exact total does not: the
+    // metadata path must refuse (metaSumTotalFits) and the fallback must
+    // reproduce the session's ANSI overflow error, not a silent wrap
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val big = Array.fill(4)(Long.MaxValue / 2 + 17)
+    val root = Files.createTempDirectory("pinot_wrap")
+    val t = root.resolve("w_OFFLINE")
+    (0 until 2).foreach(s =>
+      SegmentWriter.write(t.resolve(s"seg$s"), "w", s"seg$s", Seq(
+        SegmentWriter.LongRawCol("v", big.slice(s * 2, s * 2 + 2)))))
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.agg(sum("v").as("s"))
+    assert(!leafOf(q).contains("metaComplete=true"), leafOf(q))
+    import spark.implicits._
+    val twinBig = big.toSeq.toDF("v").agg(sum("v"))
+    intercept[Exception](twinBig.collect()) // ANSI Spark throws
+    intercept[Exception](q.collect()) // ...and so does the pushed plan
+  }
+
+  test("large in-range totals stay metaComplete and exact") {
+    val big = Array.fill(4)(Long.MaxValue / 8)
+    val root = Files.createTempDirectory("pinot_bigok")
+    val t = root.resolve("b_OFFLINE")
+    (0 until 2).foreach(s =>
+      SegmentWriter.write(t.resolve(s"seg$s"), "b", s"seg$s", Seq(
+        SegmentWriter.LongRawCol("v", big.slice(s * 2, s * 2 + 2)))))
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.agg(sum("v").as("s"))
+    assert(leafOf(q).contains("metaComplete=true"), leafOf(q))
+    assert(q.collect().head.getLong(0) === big.sum)
+  }
+
+  test("key-pure segments push partial SUM from metadata") {
+    // one tag per segment (partitionBy-written ingest shape): SUM per
+    // tag comes straight from each segment's recorded sum
+    val root = Files.createTempDirectory("pinot_keypure")
+    val t = root.resolve("kp_OFFLINE")
+    val tags = Seq("a", "b", "c")
+    val vals = Map("a" -> Array(1, 2, 3), "b" -> Array(10, 20),
+      "c" -> Array(100, 200, 300, 400))
+    tags.zipWithIndex.foreach { case (tag, s) =>
+      SegmentWriter.write(t.resolve(s"seg$s"), "kp", s"seg$s", Seq(
+        SegmentWriter.StringDictCol("tag", Array.fill(vals(tag).length)(tag)),
+        SegmentWriter.IntCol("v", vals(tag))))
+    }
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.groupBy("tag").agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val leaf = leafOf(q)
+    assert(leaf.contains("SUM(v)") && !leaf.contains("histogram=true"), leaf)
+    val got = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("a" -> ((6L, 3L)), "b" -> ((30L, 2L)),
+      "c" -> ((1000L, 4L))))
+  }
+}
