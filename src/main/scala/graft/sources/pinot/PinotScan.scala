@@ -126,6 +126,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
+    if (java.lang.Boolean.getBoolean("graft.pinot.disableTopNPush"))
+      return false // kill switch (A/B + operational escape hatch)
     if (!(useHistogram && histFinal) || l <= 0 || l > PinotScan.TopNPushCap)
       return false
     val agg = pushedAgg.getOrElse(return false)
@@ -173,14 +175,17 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
           fieldName(c.column()).exists(metaCountable)
         // SUM/AVG from writer-recorded exact sums, MIN/MAX from the
         // min/max metadata (integral, non-nullable, every segment) —
-        // a filterless global aggregate then never reads column data
-        case s: Sum => !s.isDistinct &&
+        // a filterless global aggregate then never reads column data.
+        // -Dgraft.pinot.disableMetaAgg=true is the A/B + escape hatch.
+        case s: Sum => !metaAggDisabled && !s.isDistinct &&
           fieldName(s.column()).exists(c =>
             metaSummable(c) && metaSumTotalFits(c))
-        case a: Avg => !a.isDistinct &&
+        case a: Avg => !metaAggDisabled && !a.isDistinct &&
           fieldName(a.column()).exists(metaAvgExact)
-        case m: Min => fieldName(m.column()).exists(metaMinMaxable)
-        case m: Max => fieldName(m.column()).exists(metaMinMaxable)
+        case m: Min => !metaAggDisabled &&
+          fieldName(m.column()).exists(metaMinMaxable)
+        case m: Max => !metaAggDisabled &&
+          fieldName(m.column()).exists(metaMinMaxable)
         case _ => false
       }
     if (ok) { aggComplete = true; return true }
@@ -270,6 +275,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     * is readable and carries the column (nullCount is then exact — zero
     * without a null vector, the recorded bitmap cardinality with one).
     */
+  private def metaAggDisabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.pinot.disableMetaAgg")
+
   private def metaCountable(col: String): Boolean = {
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     metas.nonEmpty && !metas.exists(_ == null) &&

@@ -164,7 +164,7 @@ class PinotDifferentialSpec extends SparkTestBase {
       if (rnd.nextInt(5) == 0) None else Some(randPredicate())
     def base(df: DataFrame): DataFrame =
       pred.fold(df)(df.filter(_))
-    rnd.nextInt(5) match {
+    rnd.nextInt(6) match {
       case 0 =>
         val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts"))
           .take(rnd.nextInt(5) + 1).map(col)
@@ -173,18 +173,26 @@ class PinotDifferentialSpec extends SparkTestBase {
           val p = base(df).select(cols: _*)
           lim.fold(p)(p.limit)
         }, lim.isDefined) // any N rows satisfy a bare limit
-      case 1 =>
+      case 1 => // filterless draws hit the r8 metadata SUM/AVG/MIN/MAX path
         (df => base(df).agg(count(lit(1)).as("c"), sum("v").as("sv"),
-          min("k").as("mk"), max("v").as("xv")), false)
+          avg("v").as("av"), min("k").as("mk"), max("v").as("xv")), false)
       case 2 => // histogram / partial-agg pushdown candidate
         (df => base(df).groupBy("tag").agg(count(lit(1)).as("c"),
           sum("v").as("sv"), avg("k").as("ak")), false)
       case 3 => // DISTINCT (dictionary pushdown candidate)
         (df => base(df).select("tag").distinct(), false)
-      case _ => // deterministic top-k (total tie-break on unique k)
+      case 4 => // deterministic top-k (total tie-break on unique k)
         val n = rnd.nextInt(25) + 1
         (df => base(df).select("k", "v", "tag")
           .orderBy(desc("v"), asc("k")).limit(n), false)
+      case _ => // grouped top-k: the r8 pushed-top-N shape (filterless,
+        // single-segment draws push; tag tie-break keeps it total)
+        val n = rnd.nextInt(8) + 1
+        val ord =
+          if (rnd.nextBoolean()) Seq(desc("sv"), asc("tag"))
+          else Seq(asc("c"), desc("tag"))
+        (df => base(df).groupBy("tag").agg(count(lit(1)).as("c"),
+          sum("v").as("sv")).orderBy(ord: _*).limit(n), false)
     }
   }
 
