@@ -746,6 +746,18 @@ object PinotRoundtrip {
         .limit(10)
     }),
 
+    // SORTED-COLUMN top-N over a PLAIN scan (r8): the subset is written
+    // ordered by l_orderkey, so the writer records isSorted and
+    // `ORDER BY l_orderkey DESC LIMIT 40` reads the segment's LAST 40
+    // docs — no sort-column decode at all (Pinot's selection-order
+    // short-circuit; `ORDER BY ts LIMIT k` over a time-ordered 100 TB
+    // table reads k docs per task). Projecting only the sort key keeps
+    // the row multiset deterministic under duplicate orderkeys.
+    "q117_pinot_sorted_topk" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.select("l_orderkey").orderBy(desc("l_orderkey")).limit(40)
+    }),
+
     // Pushdown INTERACTION: multi-segment GROUP BY over MIXED dict
     // (l_returnflag) + RAW-string (l_shipdate_s, RAW+LZ4) key columns —
     // the r5 PinotHistAgg slot-map path that had spec coverage but no
@@ -1056,6 +1068,16 @@ object PinotRoundtrip {
         |FROM subset GROUP BY l_qty_i
         |ORDER BY sum_okey DESC, l_qty_i ASC
         |LIMIT 10""".stripMargin,
+
+    "q117_pinot_sorted_topk" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_orderkey FROM subset
+        |ORDER BY l_orderkey DESC
+        |LIMIT 40""".stripMargin,
 
     "q109_pinot_mixed_group" ->
       """WITH subset AS (

@@ -46,6 +46,10 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // pushed ORDER BY ... LIMIT over a complete histogram aggregate:
   // (sort keys over the scan's output layout, limit)
   private var topN: Option[(Array[TopNKey], Int)] = None
+  // pushed ORDER BY ... LIMIT over a PLAIN scan whose single sort column
+  // is stored sorted: (descending, limit) — the partition's top-k is a
+  // doc-range slice, no sort-column decode at all
+  private var scanTopN: Option[(Boolean, Int)] = None
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -109,7 +113,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // (correct under sub-segment slicing and ties, and exactly the shape
   // that scales: a 1000-segment ORDER BY ... LIMIT 10 moves 10 rows per
   // task instead of each task's whole histogram)
-  override def isPartiallyPushed(): Boolean = sawFilters || topN.isDefined
+  override def isPartiallyPushed(): Boolean =
+    sawFilters || topN.isDefined || scanTopN.isDefined
 
   /** ORDER BY + LIMIT over a COMPLETE histogram aggregate: the reader
     * bounded-heap-selects its top `limit` groups instead of emitting the
@@ -128,8 +133,46 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       l: Int): Boolean = {
     if (java.lang.Boolean.getBoolean("graft.pinot.disableTopNPush"))
       return false // kill switch (A/B + operational escape hatch)
-    if (!(useHistogram && histFinal) || l <= 0 || l > PinotScan.TopNPushCap)
-      return false
+    if (l <= 0 || l > PinotScan.TopNPushCap) return false
+    // PLAIN scan, single sort key on a column every segment stores
+    // SORTED (non-nullable, single-value): the partition's top-k is its
+    // first (ASC) or last (DESC) k docs — a doc-range slice, decoding
+    // NOTHING for the sort itself (Pinot's selection-order
+    // short-circuit; `ORDER BY ts LIMIT k` over a 100 TB time-ordered
+    // table reads k docs per task). Partial push only, so ties at the
+    // boundary stay Spark's arbitrary choice exactly as unpushed — the
+    // first/last-k value MULTISET is exact for a single key, which is
+    // why multi-key orders must refuse (a key2 tie-break could prefer a
+    // doc outside the first k of key1 ties).
+    if (pushedAgg.isEmpty) {
+      if (sawFilters || limit.isDefined || orders.length != 1) return false
+      val o = orders(0)
+      val colName = o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          nr.fieldNames()(0)
+        case _ => return false
+      }
+      val metas = segmentPaths.map(PinotScan.segmentMeta)
+      // numeric/boolean/timestamp only: the writer's isSorted uses JVM
+      // orderings, which agree with Spark's for these types; STRING is
+      // excluded (UTF-16 vs UTF8-byte order can disagree off-ASCII)
+      val sortedEverywhere = metas.nonEmpty && !metas.exists(_ == null) &&
+        metas.forall(_.columns.get(colName).exists(cm =>
+          cm.isSorted && cm.isSingleValue && !cm.hasNullVector &&
+            (cm.dataType match {
+              case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+                   PinotType.PDouble | PinotType.PBoolean |
+                   PinotType.PTimestamp => true
+              case _ => false
+            })))
+      if (!sortedEverywhere) return false
+      scanTopN = Some((
+        o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+        l))
+      return true
+    }
+    if (!(useHistogram && histFinal)) return false
     val agg = pushedAgg.getOrElse(return false)
     val groupCols = agg.groupByExpressions.flatMap(fieldName)
     if (groupCols.length != agg.groupByExpressions.length) return false
@@ -611,14 +654,15 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = limit.isDefined && !sawFilters,
-        splitTargetBytes = splitTargetBytes)
+        splitTargetBytes = splitTargetBytes, scanTopN = scanTopN)
   }
 }
 
 class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
     tableDir: Option[String] = None, fullLimit: Boolean = false,
-    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
+    scanTopN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -804,7 +848,10 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     s"PinotScan(segments=${segmentPaths.length}, " +
       s"columns=${projected.fieldNames.mkString(",")}, " +
       s"skipFilters=[${skipFilters.mkString(",")}], " +
-      s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes)"
+      s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
+      scanTopN.fold("")(t =>
+        s", pushedTopN=[sorted ${if (t._1) "DESC" else "ASC"} limit=${t._2}]") +
+      ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (fullLimit)
@@ -824,7 +871,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PinotReaderFactory(projected.fieldNames, skipFilters, limit,
-      PinotScan.expectedTypes(projected))
+      PinotScan.expectedTypes(projected), scanTopN)
 }
 
 /** Scan for a pushed-down global COUNT/MIN/MAX aggregation.
@@ -1683,7 +1730,8 @@ case class PinotKeyedPartition(segmentPath: String,
 
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
-    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty)
+    expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
+    scanTopN: Option[(Boolean, Int)] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1691,23 +1739,41 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     throw new UnsupportedOperationException("columnar-only reader")
 
+  /** A sorted-column top-N restricts a partition's doc range to its
+    * first (ASC) or last (DESC) k docs — the rest can never reach the
+    * top-k, so they are never decoded. Returns the slice `[lo, hi)`.
+    */
+  private def topSlice(totalLo: Int, totalHi: Int): (Int, Int) = {
+    val (desc, k) = scanTopN.get
+    if (desc) (math.max(totalLo, totalHi - k), totalHi)
+    else (totalLo, math.min(totalHi, totalLo + k))
+  }
+
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val path = partition match {
       case PinotInputPartition(p) => p
       case PinotKeyedPartition(p, _) => p
       case PinotSlicePartition(p, s, e) =>
+        val sl = if (scanTopN.isDefined) topSlice(s, e) else (s, e)
         return new PinotColumnarReader(p, columns, skipFilters, limit,
-          expectedTypes, slice = Some((s, e)))
+          expectedTypes, slice = Some(sl))
       case PinotGroupPartition(paths) =>
         return new PinotSegmentChainReader(paths, columns, skipFilters,
-          limit, expectedTypes)
+          limit, expectedTypes, scanTopN)
       case PinotChainPartition(paths) =>
         return new PinotChainedLimitReader(paths, columns,
           limit.getOrElse(Int.MaxValue), expectedTypes)
       case other => throw new IllegalArgumentException(s"unexpected $other")
     }
-    new PinotColumnarReader(path, columns, skipFilters, limit,
-      expectedTypes)
+    scanTopN match {
+      case Some(_) =>
+        val docs = PinotScan.segmentDocs(path).toInt
+        new PinotColumnarReader(path, columns, skipFilters, limit,
+          expectedTypes, slice = Some(topSlice(0, docs)))
+      case None =>
+        new PinotColumnarReader(path, columns, skipFilters, limit,
+          expectedTypes)
+    }
   }
 }
 
@@ -1718,12 +1784,22 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
   */
 class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
     skipFilters: Array[Filter], limit: Option[Int],
-    expectedTypes: Map[String, (PinotType, Boolean)])
+    expectedTypes: Map[String, (PinotType, Boolean)],
+    scanTopN: Option[(Boolean, Int)] = None)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = 0
   private var cur: PinotColumnarReader = null
   private var batch: ColumnarBatch = null
+
+  // sorted-column top-N: EACH segment contributes its own first/last-k
+  // docs (segments are sorted internally, not across each other);
+  // Spark's TakeOrderedAndProject merges the k×segments survivors
+  private def sliceOf(path: String): Option[(Int, Int)] =
+    scanTopN.map { case (desc, k) =>
+      val docs = PinotScan.segmentDocs(path).toInt
+      if (desc) (math.max(0, docs - k), docs) else (0, math.min(docs, k))
+    }
 
   @scala.annotation.tailrec
   final override def next(): Boolean =
@@ -1731,7 +1807,7 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
       if (idx >= paths.length) false
       else {
         cur = new PinotColumnarReader(paths(idx), columns, skipFilters,
-          limit, expectedTypes)
+          limit, expectedTypes, slice = sliceOf(paths(idx)))
         idx += 1
         next()
       }

@@ -177,6 +177,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("pushedTopN=[limit=10"), leaf)
   }
 
+  test("q117 rides the sorted-column doc-range top-N") {
+    val leaf = finalPlan("q117_pinot_sorted_topk").collectLeaves().head.toString
+    assert(leaf.contains("pushedTopN=[sorted DESC limit=40"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

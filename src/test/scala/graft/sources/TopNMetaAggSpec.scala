@@ -155,6 +155,69 @@ class TopNMetaAggSpec extends SparkTestBase {
     assert(q.collect().toSeq === exp.collect().toSeq)
   }
 
+  // ---- sorted-column plain-scan top-N ----
+
+  /** Two segments, each sorted by `ts` (unique, interleaved ranges so
+    * the cross-segment merge matters), plus a deliberately unsorted `v`.
+    */
+  private lazy val sortedSeg: String = {
+    val root = Files.createTempDirectory("pinot_sorted")
+    val t = root.resolve("s_OFFLINE")
+    (0 until 2).foreach { s =>
+      val ts = Array.tabulate(3000)(i => (i * 2 + s).toLong) // sorted, unique
+      val v = ts.map(x => ((x * 2654435761L) % 1000).toInt)  // unsorted
+      SegmentWriter.write(t.resolve(s"seg$s"), "s", s"seg$s", Seq(
+        SegmentWriter.LongRawCol("ts", ts),
+        SegmentWriter.IntCol("v", v)))
+    }
+    t.toString
+  }
+
+  private def sortedTwin = {
+    import spark.implicits._
+    (0 until 2).flatMap { s =>
+      (0 until 3000).map { i =>
+        val ts = (i * 2 + s).toLong
+        (ts, ((ts * 2654435761L) % 1000).toInt)
+      }
+    }.toDF("ts", "v")
+  }
+
+  test("ORDER BY sorted column LIMIT pushes a doc-range top-N") {
+    val df = spark.read.format("pinot").load(sortedSeg)
+    for (ord <- Seq(asc("ts"), desc("ts"))) {
+      val q = df.orderBy(ord).limit(13)
+      assert(leafOf(q).contains("pushedTopN=[sorted"), leafOf(q))
+      assert(q.collect().toSeq ===
+        sortedTwin.orderBy(ord).limit(13).collect().toSeq)
+    }
+  }
+
+  test("sorted top-N holds under sub-segment slicing and tiny-seg grouping") {
+    for (target <- Seq(4096L, 1L << 20)) {
+      val q = spark.read.format("pinot").option("splitTargetBytes", target)
+        .load(sortedSeg).orderBy(desc("ts")).limit(9)
+      assert(q.collect().toSeq ===
+        sortedTwin.orderBy(desc("ts")).limit(9).collect().toSeq,
+        s"splitTargetBytes=$target")
+    }
+  }
+
+  test("sorted top-N refusal cases stay correct (unsorted/multi-key/filter)") {
+    val df = spark.read.format("pinot").load(sortedSeg)
+    val unsorted = df.orderBy(asc("v"), asc("ts")).limit(5)
+    assert(!leafOf(unsorted).contains("pushedTopN"), leafOf(unsorted))
+    assert(unsorted.collect().toSeq ===
+      sortedTwin.orderBy(asc("v"), asc("ts")).limit(5).collect().toSeq)
+    val multiKey = df.orderBy(asc("ts"), asc("v")).limit(5)
+    assert(!leafOf(multiKey).contains("pushedTopN"), leafOf(multiKey))
+    val filtered = df.filter(col("v") > 100).orderBy(asc("ts")).limit(5)
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("pushedTopN"))
+    assert(filtered.collect().toSeq === sortedTwin.filter(col("v") > 100)
+      .orderBy(asc("ts")).limit(5).collect().toSeq)
+  }
+
   // ---- metadata-complete global aggregates ----
 
   test("global SUM/AVG/MIN/MAX over integral columns is metaComplete") {
