@@ -46,10 +46,11 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // pushed ORDER BY ... LIMIT over a complete histogram aggregate:
   // (sort keys over the scan's output layout, limit)
   private var topN: Option[(Array[TopNKey], Int)] = None
-  // pushed ORDER BY ... LIMIT over a PLAIN scan whose single sort column
-  // is stored sorted: (descending, limit) — the partition's top-k is a
-  // doc-range slice, no sort-column decode at all
-  private var scanTopN: Option[(Boolean, Int)] = None
+  // pushed ORDER BY ... LIMIT over a PLAIN scan: sorted mode slices the
+  // partition's first/last k docs; value mode decodes the sort column,
+  // bounded-heap-selects k docs, and decodes everything else for those
+  // k only
+  private var scanTopN: Option[ScanTopN] = None
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -152,24 +153,35 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
           nr.fieldNames()(0)
         case _ => return false
       }
+      val desc = o.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
       val metas = segmentPaths.map(PinotScan.segmentMeta)
-      // numeric/boolean/timestamp only: the writer's isSorted uses JVM
-      // orderings, which agree with Spark's for these types; STRING is
-      // excluded (UTF-16 vs UTF8-byte order can disagree off-ASCII)
-      val sortedEverywhere = metas.nonEmpty && !metas.exists(_ == null) &&
+      if (metas.isEmpty || metas.exists(_ == null)) return false
+      def everywhere(p: graft.pinot.ColumnMetadata => Boolean): Boolean =
         metas.forall(_.columns.get(colName).exists(cm =>
-          cm.isSorted && cm.isSingleValue && !cm.hasNullVector &&
-            (cm.dataType match {
-              case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
-                   PinotType.PDouble | PinotType.PBoolean |
-                   PinotType.PTimestamp => true
-              case _ => false
-            })))
-      if (!sortedEverywhere) return false
-      scanTopN = Some((
-        o.direction() ==
-          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
-        l))
+          cm.isSingleValue && !cm.hasNullVector && p(cm)))
+      // sorted mode: numeric/boolean/timestamp only — the writer's
+      // isSorted uses JVM orderings, which agree with Spark's for these
+      // types; STRING is excluded (UTF-16 vs UTF8-byte order can
+      // disagree off-ASCII)
+      val sortedEverywhere = everywhere(cm => cm.isSorted &&
+        (cm.dataType match {
+          case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+               PinotType.PDouble | PinotType.PBoolean |
+               PinotType.PTimestamp => true
+          case _ => false
+        }))
+      // value mode: any orderable single-value non-null column — the
+      // reader compares DECODED values with Spark's own orderings, so
+      // STRING is safe here (UTF8String.compareTo IS Spark's order)
+      val valueOrderable = everywhere(cm => cm.dataType match {
+        case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+             PinotType.PDouble | PinotType.PBoolean |
+             PinotType.PTimestamp | PinotType.PString => true
+        case _ => false
+      })
+      if (!sortedEverywhere && !valueOrderable) return false
+      scanTopN = Some(ScanTopN(colName, desc, l, sorted = sortedEverywhere))
       return true
     }
     if (!(useHistogram && histFinal)) return false
@@ -377,8 +389,13 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     bound <= BigInt(2).pow(53)
   }
 
-  /** MIN/MAX(col) answerable from metadata bounds alone: integral,
-    * non-nullable, min/max recorded in every non-empty segment.
+  /** MIN/MAX(col) answerable from metadata bounds alone: numeric or
+    * timestamp, non-nullable, min/max recorded in every non-empty
+    * segment. Float/double are safe here (unlike SUM): the writer's
+    * TotalOrdering bounds match Spark's NaN-largest compare, and
+    * `toString → parse` is a lossless roundtrip. STRING stays excluded
+    * (the writer's `safe()` filter can drop bounds, and UTF-16 ordering
+    * diverges from UTF8 bytes off-ASCII).
     */
   private def metaMinMaxable(col: String): Boolean = {
     val metas = segmentPaths.map(PinotScan.segmentMeta)
@@ -387,7 +404,11 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         m.columns.get(col).exists(cm => cm.isSingleValue &&
           !cm.hasNullVector &&
           cm.minValue.isDefined && cm.maxValue.isDefined &&
-          (cm.dataType == PinotType.PInt || cm.dataType == PinotType.PLong)))
+          (cm.dataType match {
+            case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
+                 PinotType.PDouble | PinotType.PTimestamp => true
+            case _ => false
+          })))
   }
 
   /** Partial pushdown for global COUNT/MIN/MAX: each task answers from its
@@ -662,7 +683,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
     tableDir: Option[String] = None, fullLimit: Boolean = false,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
-    scanTopN: Option[(Boolean, Int)] = None)
+    scanTopN: Option[ScanTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -850,7 +871,8 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"skipFilters=[${skipFilters.mkString(",")}], " +
       s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
       scanTopN.fold("")(t =>
-        s", pushedTopN=[sorted ${if (t._1) "DESC" else "ASC"} limit=${t._2}]") +
+        s", pushedTopN=[${if (t.sorted) "sorted" else "value"} ${t.column}" +
+          s" ${if (t.descending) "DESC" else "ASC"} limit=${t.limit}]") +
       ")"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1027,14 +1049,29 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
       def bound(c: String, isMin: Boolean): Any =
         if (live.isEmpty) null
         else {
-          val vs = live.map { m =>
+          val raw = live.map { m =>
             val cm = m.columns(c)
-            BigInt(if (isMin) cm.minValue.get else cm.maxValue.get)
+            if (isMin) cm.minValue.get else cm.maxValue.get
           }
-          val v = if (isMin) vs.min else vs.max
+          // typed reduce: float/double fold with java compare (NaN
+          // largest, matching Spark); timestamps are stored millis and
+          // surface as Catalyst micros
           fullSchema(c).dataType match {
-            case org.apache.spark.sql.types.IntegerType => v.toInt
-            case _ => v.toLong
+            case org.apache.spark.sql.types.IntegerType =>
+              val vs = raw.map(BigInt(_))
+              (if (isMin) vs.min else vs.max).toInt
+            case org.apache.spark.sql.types.FloatType =>
+              raw.map(_.toFloat).reduce((a, b) =>
+                if ((java.lang.Float.compare(a, b) <= 0) == isMin) a else b)
+            case org.apache.spark.sql.types.DoubleType =>
+              raw.map(_.toDouble).reduce((a, b) =>
+                if ((java.lang.Double.compare(a, b) <= 0) == isMin) a else b)
+            case org.apache.spark.sql.types.TimestampType =>
+              val vs = raw.map(_.toLong)
+              Math.multiplyExact(if (isMin) vs.min else vs.max, 1000L)
+            case _ =>
+              val vs = raw.map(BigInt(_))
+              (if (isMin) vs.min else vs.max).toLong
           }
         }
       val row: Array[Any] = funcs.map {
@@ -1076,6 +1113,15 @@ case class PinotAggPartition(segmentPath: String) extends InputPartition
   * is impossible on the accepting path, so only direction is carried.
   */
 case class TopNKey(outIdx: Int, descending: Boolean)
+
+/** A pushed single-key ORDER BY + LIMIT over a plain scan. `sorted` —
+  * the column is stored sorted in every segment, so the partition's
+  * top-k is a doc-range slice (no sort-column decode); otherwise the
+  * reader decodes the sort column, heap-selects the k best docs, and
+  * decodes the remaining columns only for those.
+  */
+case class ScanTopN(column: String, descending: Boolean, limit: Int,
+    sorted: Boolean)
 
 /** Doc range `[startDoc, endDoc)` of one segment for a sliced histogram
   * partial task — window-aligned start, exclusive end.
@@ -1731,7 +1777,7 @@ case class PinotKeyedPartition(segmentPath: String,
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
-    scanTopN: Option[(Boolean, Int)] = None)
+    scanTopN: Option[ScanTopN] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1744,9 +1790,23 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     * top-k, so they are never decoded. Returns the slice `[lo, hi)`.
     */
   private def topSlice(totalLo: Int, totalHi: Int): (Int, Int) = {
-    val (desc, k) = scanTopN.get
-    if (desc) (math.max(totalLo, totalHi - k), totalHi)
-    else (totalLo, math.min(totalHi, totalLo + k))
+    val t = scanTopN.get
+    if (t.descending) (math.max(totalLo, totalHi - t.limit), totalHi)
+    else (totalLo, math.min(totalHi, totalLo + t.limit))
+  }
+
+  /** The per-partition top-N reader for a doc range of one segment:
+    * sorted mode = a slice; value mode = heap-select then decode-k.
+    */
+  private def topNReader(path: String, lo: Int, hi: Int)
+      : PartitionReader[ColumnarBatch] = {
+    val t = scanTopN.get
+    if (t.sorted) {
+      val (s, e) = topSlice(lo, hi)
+      new PinotColumnarReader(path, columns, skipFilters, limit,
+        expectedTypes, slice = Some((s, e)))
+    } else
+      new PinotValueTopNReader(path, columns, t, expectedTypes, lo, hi)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -1754,9 +1814,9 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
       case PinotInputPartition(p) => p
       case PinotKeyedPartition(p, _) => p
       case PinotSlicePartition(p, s, e) =>
-        val sl = if (scanTopN.isDefined) topSlice(s, e) else (s, e)
-        return new PinotColumnarReader(p, columns, skipFilters, limit,
-          expectedTypes, slice = Some(sl))
+        return if (scanTopN.isDefined) topNReader(p, s, e)
+        else new PinotColumnarReader(p, columns, skipFilters, limit,
+          expectedTypes, slice = Some((s, e)))
       case PinotGroupPartition(paths) =>
         return new PinotSegmentChainReader(paths, columns, skipFilters,
           limit, expectedTypes, scanTopN)
@@ -1767,14 +1827,124 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     }
     scanTopN match {
       case Some(_) =>
-        val docs = PinotScan.segmentDocs(path).toInt
-        new PinotColumnarReader(path, columns, skipFilters, limit,
-          expectedTypes, slice = Some(topSlice(0, docs)))
+        topNReader(path, 0, PinotScan.segmentDocs(path).toInt)
       case None =>
         new PinotColumnarReader(path, columns, skipFilters, limit,
           expectedTypes)
     }
   }
+}
+
+/** Value-mode top-N over one segment's doc range `[lo, hi)`: pass 1
+  * decodes ONLY the sort column (windowed, through the standard
+  * columnar reader) and bounded-heap-selects the k best doc ids; pass 2
+  * decodes the projected columns for just those docs, as slice readers
+  * over each contiguous winner run. At 100 TB the non-sort columns of a
+  * wide projection decode for k docs per task, not the whole segment.
+  * Partial-push contract: any k docs carrying the best k sort values
+  * are a correct partition answer (single key ⇒ the value multiset is
+  * exact; Spark's TakeOrderedAndProject settles ties exactly as it
+  * would unpushed).
+  */
+class PinotValueTopNReader(path: String, columns: Array[String],
+    topN: ScanTopN, expectedTypes: Map[String, (PinotType, Boolean)],
+    lo: Int, hi: Int)
+    extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private lazy val runReaders: Iterator[PinotColumnarReader] = {
+    val tpe = expectedTypes.get(topN.column).map(_._1).getOrElse(
+      PinotScan.segmentMeta(path).columns(topN.column).dataType)
+    // pass 1: sort column only
+    val probe = new PinotColumnarReader(path, Array(topN.column),
+      Array.empty, None, expectedTypes, slice = Some((lo, hi)))
+    // "a is a WORSE candidate than b" comparator domain: boxed values of
+    // one type; every type here is Comparable with Spark-matching order
+    // (UTF8String bytewise, java Float/Double NaN-largest via compareTo)
+    val better: (AnyRef, AnyRef) => Boolean =
+      if (topN.descending)
+        (a, b) => a.asInstanceOf[Comparable[AnyRef]].compareTo(b) > 0
+      else (a, b) => a.asInstanceOf[Comparable[AnyRef]].compareTo(b) < 0
+    // min-heap keyed "worst of the kept k first"
+    val heap = new java.util.PriorityQueue[(AnyRef, Int)](
+      math.max(1, topN.limit),
+      (x: (AnyRef, Int), y: (AnyRef, Int)) =>
+        if (better(x._1, y._1)) 1 else if (better(y._1, x._1)) -1 else 0)
+    try {
+      var absBase = lo
+      while (probe.next()) {
+        val batch = probe.get()
+        val vec = batch.column(0)
+        val n = batch.numRows()
+        var i = 0
+        while (i < n) {
+          // transient box per row; the UTF8String clone happens only on
+          // heap insert (the vector's buffers are reused per window)
+          val v: AnyRef = tpe match {
+            case PinotType.PInt => Int.box(vec.getInt(i))
+            case PinotType.PLong | PinotType.PTimestamp =>
+              Long.box(vec.getLong(i))
+            case PinotType.PFloat => Float.box(vec.getFloat(i))
+            case PinotType.PDouble => Double.box(vec.getDouble(i))
+            case PinotType.PBoolean => Boolean.box(vec.getBoolean(i))
+            case PinotType.PString => vec.getUTF8String(i)
+            case other => throw new graft.pinot.PinotFormatException(
+              s"value top-N on unsupported type $other")
+          }
+          if (heap.size < topN.limit) {
+            val kept = v match {
+              case s: UTF8String => s.clone(): AnyRef
+              case x => x
+            }
+            heap.add((kept, absBase + i))
+          } else if (better(v, heap.peek()._1)) {
+            heap.poll()
+            val kept = v match {
+              case s: UTF8String => s.clone(): AnyRef
+              case x => x
+            }
+            heap.add((kept, absBase + i))
+          }
+          i += 1
+        }
+        absBase += n
+      }
+    } finally probe.close()
+    // pass 2: contiguous winner runs, ascending doc order
+    val docs = {
+      val it = heap.iterator()
+      val b = Array.newBuilder[Int]
+      while (it.hasNext) b += it.next()._2
+      b.result().sorted
+    }
+    val runs = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    docs.foreach { d =>
+      if (runs.nonEmpty && runs.last._2 == d) {
+        val (s, _) = runs.remove(runs.length - 1)
+        runs += ((s, d + 1))
+      } else runs += ((d, d + 1))
+    }
+    runs.iterator.map { case (s, e) =>
+      new PinotColumnarReader(path, columns, Array.empty, None,
+        expectedTypes, slice = Some((s, e)))
+    }
+  }
+
+  private var cur: PinotColumnarReader = null
+  private var batch: ColumnarBatch = null
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
+    if (cur == null) {
+      if (!runReaders.hasNext) false
+      else { cur = runReaders.next(); next() }
+    } else if (cur.next()) { batch = cur.get(); true }
+    else { cur.close(); cur = null; next() }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Chains full per-segment readers for a [[PinotGroupPartition]]. Each
@@ -1785,20 +1955,30 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
 class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
     skipFilters: Array[Filter], limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)],
-    scanTopN: Option[(Boolean, Int)] = None)
+    scanTopN: Option[ScanTopN] = None)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = 0
-  private var cur: PinotColumnarReader = null
+  private var cur: PartitionReader[ColumnarBatch] = null
   private var batch: ColumnarBatch = null
 
-  // sorted-column top-N: EACH segment contributes its own first/last-k
-  // docs (segments are sorted internally, not across each other);
+  // plain-scan top-N: EACH segment contributes its own top-k (segments
+  // are independent; sorted mode means sorted WITHIN each segment);
   // Spark's TakeOrderedAndProject merges the k×segments survivors
-  private def sliceOf(path: String): Option[(Int, Int)] =
-    scanTopN.map { case (desc, k) =>
-      val docs = PinotScan.segmentDocs(path).toInt
-      if (desc) (math.max(0, docs - k), docs) else (0, math.min(docs, k))
+  private def readerOf(path: String): PartitionReader[ColumnarBatch] =
+    scanTopN match {
+      case Some(t) if t.sorted =>
+        val docs = PinotScan.segmentDocs(path).toInt
+        val sl = if (t.descending) (math.max(0, docs - t.limit), docs)
+        else (0, math.min(docs, t.limit))
+        new PinotColumnarReader(path, columns, skipFilters, limit,
+          expectedTypes, slice = Some(sl))
+      case Some(t) =>
+        new PinotValueTopNReader(path, columns, t, expectedTypes,
+          0, PinotScan.segmentDocs(path).toInt)
+      case None =>
+        new PinotColumnarReader(path, columns, skipFilters, limit,
+          expectedTypes)
     }
 
   @scala.annotation.tailrec
@@ -1806,8 +1986,7 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
     if (cur == null) {
       if (idx >= paths.length) false
       else {
-        cur = new PinotColumnarReader(paths(idx), columns, skipFilters,
-          limit, expectedTypes, slice = sliceOf(paths(idx)))
+        cur = readerOf(paths(idx))
         idx += 1
         next()
       }

@@ -179,7 +179,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("q117 rides the sorted-column doc-range top-N") {
     val leaf = finalPlan("q117_pinot_sorted_topk").collectLeaves().head.toString
-    assert(leaf.contains("pushedTopN=[sorted DESC limit=40"), leaf)
+    assert(leaf.contains("pushedTopN=[sorted l_orderkey DESC limit=40"), leaf)
   }
 
   test("q48 queries the persisted IVF index: no k-means job in the plan") {

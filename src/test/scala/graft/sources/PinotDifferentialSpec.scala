@@ -181,10 +181,18 @@ class PinotDifferentialSpec extends SparkTestBase {
           sum("v").as("sv"), avg("k").as("ak")), false)
       case 3 => // DISTINCT (dictionary pushdown candidate)
         (df => base(df).select("tag").distinct(), false)
-      case 4 => // deterministic top-k (total tie-break on unique k)
+      case 4 => // deterministic top-k. Single-key draws on unique k hit
+        // the r8 plain-scan value top-N (filterless) — multi-key draws
+        // exercise the refusal path
         val n = rnd.nextInt(25) + 1
-        (df => base(df).select("k", "v", "tag")
-          .orderBy(desc("v"), asc("k")).limit(n), false)
+        if (rnd.nextBoolean())
+          (df => base(df).select("k", "v", "tag")
+            .orderBy(desc("v"), asc("k")).limit(n), false)
+        else {
+          val ord = if (rnd.nextBoolean()) asc("k") else desc("k")
+          (df => base(df).select("k", "v", "tag").orderBy(ord).limit(n),
+            false)
+        }
       case _ => // grouped top-k: the r8 pushed-top-N shape (filterless,
         // single-segment draws push; tag tie-break keeps it total)
         val n = rnd.nextInt(8) + 1

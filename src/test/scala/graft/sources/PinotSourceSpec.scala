@@ -96,13 +96,54 @@ class PinotSourceSpec extends SparkTestBase {
     assert(agg.head().getLong(0) === n)
   }
 
-  test("MIN/MAX push down partially: per-segment dictionary rows, merged") {
+  test("global MIN/MAX answers from metadata bounds (r8: incl. double)") {
     val df = spark.read.format("pinot").load(tablePath)
     val agg = df.agg(min("hits").as("mn"), max("salary").as("mx"),
       count(lit(1)).as("c"))
     val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("metaComplete=true"),
+      s"MIN/MAX not metadata-answered:\n$leaf")
+    val r = agg.head()
+    assert(r.getInt(0) === hits.min)
+    assert(r.getDouble(1) === salary.max)
+    assert(r.getLong(2) === n)
+  }
+
+  test("MIN/MAX on bound-less segments falls back to per-segment partials") {
+    // simulate foreign segments whose metadata lacks min/max bounds
+    // (another writer, or bounds dropped by the properties `safe()`
+    // filter): the per-segment dictionary-row partial path must carry
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("pinot_nobounds")
+    val src = JPaths.get(tablePath)
+    val dst = root.resolve("nb_OFFLINE")
+    JFiles.createDirectory(dst)
+    JFiles.list(src).forEach { seg =>
+      val v3 = seg.resolve("v3")
+      val segDir = if (JFiles.exists(v3)) v3 else seg
+      // skip decoys (e.g. the fixture's `tmp` dir) — real segments only
+      if (JFiles.isDirectory(seg) &&
+          JFiles.exists(segDir.resolve("metadata.properties"))) {
+        val outSeg = dst.resolve(seg.getFileName)
+        val outDir = if (JFiles.exists(v3)) outSeg.resolve("v3") else outSeg
+        JFiles.createDirectories(outDir)
+        JFiles.list(segDir).forEach { f =>
+          JFiles.copy(f, outDir.resolve(f.getFileName))
+        }
+        val mp = outDir.resolve("metadata.properties")
+        val stripped = new String(JFiles.readAllBytes(mp), "UTF-8")
+          .linesIterator
+          .filterNot(l => l.contains(".minValue=") || l.contains(".maxValue="))
+          .mkString("\n")
+        JFiles.write(mp, stripped.getBytes("UTF-8"))
+      }
+    }
+    val df = spark.read.format("pinot").load(dst.toString)
+    val agg = df.agg(min("hits").as("mn"), max("salary").as("mx"),
+      count(lit(1)).as("c"))
+    val leaf = agg.queryExecution.executedPlan.collectLeaves().head.toString
     assert(leaf.contains("PinotAggScan(complete=false"),
-      s"MIN/MAX not pushed:\n$leaf")
+      s"expected the partial path:\n$leaf")
     val r = agg.head()
     assert(r.getInt(0) === hits.min)
     assert(r.getDouble(1) === salary.max)

@@ -165,10 +165,15 @@ class TopNMetaAggSpec extends SparkTestBase {
     val t = root.resolve("s_OFFLINE")
     (0 until 2).foreach { s =>
       val ts = Array.tabulate(3000)(i => (i * 2 + s).toLong) // sorted, unique
-      val v = ts.map(x => ((x * 2654435761L) % 1000).toInt)  // unsorted
+      val v = ts.map(x => ((x * 2654435761L) % 1000).toInt)  // unsorted, dup
+      val u = ts.map(x => x * 37 % 6000)  // unsorted, globally UNIQUE
+      val name = ts.map(x => f"doc${(x * 37 % 6000)}%04d")   // unique strings
       SegmentWriter.write(t.resolve(s"seg$s"), "s", s"seg$s", Seq(
         SegmentWriter.LongRawCol("ts", ts),
-        SegmentWriter.IntCol("v", v)))
+        SegmentWriter.IntCol("v", v),
+        SegmentWriter.LongRawCol("u", u),
+        SegmentWriter.StringRawCol("name", name,
+          VarByteChunkV4.Lz4LengthPrefixed, 1024)))
     }
     t.toString
   }
@@ -178,9 +183,10 @@ class TopNMetaAggSpec extends SparkTestBase {
     (0 until 2).flatMap { s =>
       (0 until 3000).map { i =>
         val ts = (i * 2 + s).toLong
-        (ts, ((ts * 2654435761L) % 1000).toInt)
+        (ts, ((ts * 2654435761L) % 1000).toInt, ts * 37 % 6000,
+          f"doc${(ts * 37 % 6000)}%04d")
       }
-    }.toDF("ts", "v")
+    }.toDF("ts", "v", "u", "name")
   }
 
   test("ORDER BY sorted column LIMIT pushes a doc-range top-N") {
@@ -201,6 +207,41 @@ class TopNMetaAggSpec extends SparkTestBase {
         sortedTwin.orderBy(desc("ts")).limit(9).collect().toSeq,
         s"splitTargetBytes=$target")
     }
+  }
+
+  test("value-mode top-N over an UNSORTED column decodes k docs and matches") {
+    val df = spark.read.format("pinot").load(sortedSeg)
+    for (ord <- Seq(asc("u"), desc("u"))) {
+      val q = df.orderBy(ord).limit(11)
+      assert(leafOf(q).contains("pushedTopN=[value u"), leafOf(q))
+      assert(q.collect().toSeq ===
+        sortedTwin.orderBy(ord).limit(11).collect().toSeq)
+    }
+  }
+
+  test("value-mode top-N on a RAW string key matches Spark's byte order") {
+    val df = spark.read.format("pinot").load(sortedSeg)
+    val q = df.orderBy(desc("name")).limit(7)
+    assert(leafOf(q).contains("pushedTopN=[value name DESC"), leafOf(q))
+    assert(q.collect().toSeq ===
+      sortedTwin.orderBy(desc("name")).limit(7).collect().toSeq)
+  }
+
+  test("value-mode top-N holds under slicing, and duplicate keys keep the multiset") {
+    for (target <- Seq(4096L, 1L << 20)) {
+      val q = spark.read.format("pinot").option("splitTargetBytes", target)
+        .load(sortedSeg).orderBy(asc("u")).limit(9)
+      assert(q.collect().toSeq ===
+        sortedTwin.orderBy(asc("u")).limit(9).collect().toSeq,
+        s"splitTargetBytes=$target")
+    }
+    // duplicate sort values (v): tied rows may differ, the value
+    // multiset may not
+    val q = spark.read.format("pinot").load(sortedSeg)
+      .orderBy(desc("v")).limit(25)
+    assert(leafOf(q).contains("pushedTopN=[value v DESC"), leafOf(q))
+    assert(q.collect().map(_.getInt(1)).toSeq ===
+      sortedTwin.orderBy(desc("v")).limit(25).collect().map(_.getInt(1)).toSeq)
   }
 
   test("sorted top-N refusal cases stay correct (unsorted/multi-key/filter)") {
@@ -299,6 +340,34 @@ class TopNMetaAggSpec extends SparkTestBase {
     val q = df.agg(sum("v").as("s"))
     assert(leafOf(q).contains("metaComplete=true"), leafOf(q))
     assert(q.collect().head.getLong(0) === big.sum)
+  }
+
+  test("float/double/timestamp MIN/MAX answer from metadata bounds") {
+    val root = Files.createTempDirectory("pinot_fbounds")
+    val t = root.resolve("fb_OFFLINE")
+    val f = Array(3.5f, -0.25f, Float.NaN, 7.125f)
+    val dd = Array(2.5, -17.75, 1e300, -1e300)
+    val ms = Array(1700000000000L, 1700000500000L, 1699999999000L)
+    SegmentWriter.write(t.resolve("seg0"), "fb", "seg0", Seq(
+      SegmentWriter.FloatCol("f", f),
+      SegmentWriter.DoubleCol("dd", dd.take(4)),
+      SegmentWriter.TimestampCol("ts", Array(ms(0), ms(1), ms(2), ms(0)))))
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.agg(min("f").as("mnf"), max("f").as("mxf"),
+      min("dd").as("mnd"), max("dd").as("mxd"),
+      min("ts").as("mnt"), max("ts").as("mxt"))
+    assert(leafOf(q).contains("metaComplete=true"), leafOf(q))
+    val r = q.collect().head
+    assert(r.getFloat(0) === -0.25f)
+    assert(r.getFloat(1).isNaN) // Spark orders NaN greatest, like the writer
+    assert(r.getDouble(2) === -1e300 && r.getDouble(3) === 1e300)
+    assert(r.getTimestamp(4).getTime === ms(2))
+    assert(r.getTimestamp(5).getTime === ms(1))
+    // must agree with the unpushed answer
+    import spark.implicits._
+    val twinF = f.toSeq.toDF("f").agg(min("f"), max("f")).collect().head
+    assert(twinF.getFloat(0) === r.getFloat(0))
+    assert(twinF.getFloat(1).isNaN === r.getFloat(1).isNaN)
   }
 
   test("key-pure segments push partial SUM from metadata") {
