@@ -244,6 +244,40 @@ class TopNMetaAggSpec extends SparkTestBase {
       sortedTwin.orderBy(desc("v")).limit(25).collect().map(_.getInt(1)).toSeq)
   }
 
+  test("value-mode top-N orders float/double like Spark (NaN, ±0.0)") {
+    val root = Files.createTempDirectory("pinot_topn_f")
+    val t = root.resolve("f_OFFLINE")
+    val f = Array(1.5f, -2.25f, Float.NaN, 0.0f, -0.0f,
+      Float.PositiveInfinity, Float.NegativeInfinity, 3.75f)
+    val dd = Array(2.5, Double.NaN, -0.0, 0.0, -1e300, 1e300, 7.125, -2.5)
+    val id = Array.tabulate(8)(i => i.toLong)
+    SegmentWriter.write(t.resolve("seg0"), "f", "seg0", Seq(
+      SegmentWriter.LongRawCol("id", id),
+      SegmentWriter.FloatRawCol("f", f),
+      SegmentWriter.DoubleRawCol("dd", dd)))
+    val df = spark.read.format("pinot").load(t.toString)
+    import spark.implicits._
+    val twin = (0 until 8).map(i => (id(i), f(i), dd(i))).toDF("id", "f", "dd")
+    for (c <- Seq("f", "dd"); ord <- Seq(asc(c), desc(c))) {
+      val q = df.orderBy(ord).limit(4)
+      assert(leafOf(q).contains("pushedTopN=[value"), leafOf(q))
+      // unique per-column values except the ±0.0 pair, which Spark
+      // treats as equal — compare the sort-column multiset
+      def canon(v: Any): String = v match {
+        // ±0.0 are EQUAL under Spark's comparator (x == y short-circuit
+        // in SQLOrderingUtil) — a tie either side may keep
+        case x: Float if x == 0.0f => "0.0"
+        case x: Double if x == 0.0d => "0.0"
+        case x => String.valueOf(x)
+      }
+      val got = q.collect().map(_.getAs[Any](if (c == "f") 1 else 2)).toSeq
+      val exp = twin.orderBy(ord).limit(4).collect()
+        .map(_.getAs[Any](if (c == "f") 1 else 2)).toSeq
+      assert(got.map(canon).sorted === exp.map(canon).sorted,
+        s"col=$c ord=$ord")
+    }
+  }
+
   test("sorted top-N refusal cases stay correct (unsorted/multi-key/filter)") {
     val df = spark.read.format("pinot").load(sortedSeg)
     val unsorted = df.orderBy(asc("v"), asc("ts")).limit(5)
