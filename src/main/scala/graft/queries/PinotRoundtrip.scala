@@ -758,6 +758,17 @@ object PinotRoundtrip {
       p.select("l_orderkey").orderBy(desc("l_orderkey")).limit(40)
     }),
 
+    // PUSHED OFFSET (r8): pagination fully inside the scan — the chained
+    // partition returns docs [100, 125) and skips everything before by
+    // metadata doc counts alone. Doc order in this segment IS
+    // l_orderkey order (the subset is written sorted), and projecting
+    // only the sort key makes the 25-row window multiset-deterministic,
+    // so DuckDB's ORDER BY ... LIMIT 25 OFFSET 100 is an exact oracle.
+    "q118_pinot_offset" -> ((s, d) => {
+      val p = s.read.format("pinot").load(singleSegTable(s, d))
+      p.select("l_orderkey").offset(100).limit(25)
+    }),
+
     // Pushdown INTERACTION: multi-segment GROUP BY over MIXED dict
     // (l_returnflag) + RAW-string (l_shipdate_s, RAW+LZ4) key columns —
     // the r5 PinotHistAgg slot-map path that had spec coverage but no
@@ -1068,6 +1079,16 @@ object PinotRoundtrip {
         |FROM subset GROUP BY l_qty_i
         |ORDER BY sum_okey DESC, l_qty_i ASC
         |LIMIT 10""".stripMargin,
+
+    "q118_pinot_offset" ->
+      """WITH subset AS (
+        |  SELECT l_orderkey FROM (
+        |    SELECT * FROM lineitem
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    LIMIT 30000))
+        |SELECT l_orderkey FROM subset
+        |ORDER BY l_orderkey
+        |LIMIT 25 OFFSET 100""".stripMargin,
 
     "q117_pinot_sorted_topk" ->
       """WITH subset AS (

@@ -29,7 +29,8 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
 
   private var projected: StructType = fullSchema
   private var skipFilters: Array[Filter] = Array.empty
@@ -51,6 +52,11 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // bounded-heap-selects k docs, and decodes everything else for those
   // k only
   private var scanTopN: Option[ScanTopN] = None
+  // pushed OFFSET (pagination): rows [offset, pushedLimit) come back —
+  // the chained single partition skips whole segments via metadata doc
+  // counts, so OFFSET 1e9 over a 100 TB table opens no forward index
+  // before the target segment
+  private var offset: Option[Int] = None
 
   // Catalyst's ColumnPruning hands us the required columns; we keep their
   // names and decode only those (≙ SupportsPushDownRequiredColumns).
@@ -116,6 +122,20 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
   // task instead of each task's whole histogram)
   override def isPartiallyPushed(): Boolean =
     sawFilters || topN.isDefined || scanTopN.isDefined
+
+  /** OFFSET pushdown (Spark offers it only after a FULLY pushed limit,
+    * or bare): accepted on the plain filterless scan, where the chained
+    * single partition emits exactly rows [offset, pushedLimit) in
+    * deterministic segment-chain order — whole segments before the
+    * target skip via metadata doc counts alone. Refused with a top-N in
+    * play (per-partition top-k and a global row skip don't compose).
+    */
+  override def pushOffset(o: Int): Boolean = {
+    if (o <= 0 || sawFilters || pushedAgg.isDefined ||
+        topN.isDefined || scanTopN.isDefined) return false
+    offset = Some(o)
+    true
+  }
 
   /** ORDER BY + LIMIT over a COMPLETE histogram aggregate: the reader
     * bounded-heap-selects its top `limit` groups instead of emitting the
@@ -674,8 +694,9 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         useHistogram, histFinal, distinctFinal, splitTargetBytes, topN)
     case None =>
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
-        fullLimit = limit.isDefined && !sawFilters,
-        splitTargetBytes = splitTargetBytes, scanTopN = scanTopN)
+        fullLimit = (limit.isDefined || offset.isDefined) && !sawFilters,
+        splitTargetBytes = splitTargetBytes, scanTopN = scanTopN,
+        offset = offset)
   }
 }
 
@@ -683,7 +704,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
     tableDir: Option[String] = None, fullLimit: Boolean = false,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
-    scanTopN: Option[ScanTopN] = None)
+    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -870,6 +891,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"columns=${projected.fieldNames.mkString(",")}, " +
       s"skipFilters=[${skipFilters.mkString(",")}], " +
       s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
+      offset.fold("")(o => s", pushedOffset=$o") +
       scanTopN.fold("")(t =>
         s", pushedTopN=[${if (t.sorted) "sorted" else "value"} ${t.column}" +
           s" ${if (t.descending) "DESC" else "ASC"} limit=${t.limit}]") +
@@ -893,7 +915,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PinotReaderFactory(projected.fieldNames, skipFilters, limit,
-      PinotScan.expectedTypes(projected), scanTopN)
+      PinotScan.expectedTypes(projected), scanTopN, offset)
 }
 
 /** Scan for a pushed-down global COUNT/MIN/MAX aggregation.
@@ -1777,7 +1799,7 @@ case class PinotKeyedPartition(segmentPath: String,
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
-    scanTopN: Option[ScanTopN] = None)
+    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1821,8 +1843,12 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
         return new PinotSegmentChainReader(paths, columns, skipFilters,
           limit, expectedTypes, scanTopN)
       case PinotChainPartition(paths) =>
-        return new PinotChainedLimitReader(paths, columns,
-          limit.getOrElse(Int.MaxValue), expectedTypes)
+        // pushed rows are [offset, pushedLimit): the emission budget is
+        // their difference (Spark pushed limit = user limit + offset)
+        val skip = offset.getOrElse(0)
+        val budget = limit.fold(Int.MaxValue)(l => math.max(0, l - skip))
+        return new PinotChainedLimitReader(paths, columns, budget,
+          expectedTypes, skip)
       case other => throw new IllegalArgumentException(s"unexpected $other")
     }
     scanTopN match {
@@ -2101,11 +2127,16 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
   * small limit touches one window of one segment.
   */
 class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
-    limit: Int, expectedTypes: Map[String, (PinotType, Boolean)])
+    limit: Int, expectedTypes: Map[String, (PinotType, Boolean)],
+    skip: Int = 0)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = 0
   private var remaining = limit
+  // pushed OFFSET: doc budget still to skip before the first emitted
+  // row; whole segments skip on metadata doc counts alone (no open),
+  // the boundary segment starts mid-segment via a doc-range slice
+  private var toSkip = skip
   private var cur: PinotColumnarReader = null
   private var batch: ColumnarBatch = null
 
@@ -2115,10 +2146,19 @@ class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
     else if (cur == null) {
       if (idx >= paths.length) false
       else {
-        cur = new PinotColumnarReader(paths(idx), columns, Array.empty,
-          Some(remaining), expectedTypes)
-        idx += 1
-        next()
+        val docs = PinotScan.segmentDocs(paths(idx)).toInt
+        if (toSkip >= docs) {
+          toSkip -= docs
+          idx += 1
+          next()
+        } else {
+          val slice = if (toSkip > 0) Some((toSkip, docs)) else None
+          toSkip = 0
+          cur = new PinotColumnarReader(paths(idx), columns, Array.empty,
+            Some(remaining), expectedTypes, slice = slice)
+          idx += 1
+          next()
+        }
       }
     } else if (cur.next()) {
       batch = cur.get()

@@ -182,6 +182,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("pushedTopN=[sorted l_orderkey DESC limit=40"), leaf)
   }
 
+  test("q118 pushes its offset into the chained scan") {
+    val leaf = finalPlan("q118_pinot_offset").collectLeaves().head.toString
+    assert(leaf.contains("pushedOffset=100"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

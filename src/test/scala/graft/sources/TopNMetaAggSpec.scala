@@ -293,6 +293,59 @@ class TopNMetaAggSpec extends SparkTestBase {
       .orderBy(asc("ts")).limit(5).collect().toSeq)
   }
 
+  // ---- pushed OFFSET (pagination) ----
+
+  /** Expected rows in the chain's deterministic order: seg0's docs then
+    * seg1's (sorted segment names, doc order within).
+    */
+  private def chainRows: Seq[(Long, Int)] =
+    (0 until 2).flatMap { s =>
+      (0 until 3000).map { i =>
+        val ts = (i * 2 + s).toLong
+        (ts, ((ts * 2654435761L) % 1000).toInt)
+      }
+    }
+
+  test("offset + limit push fully: rows [offset, limit+offset) of the chain") {
+    val df = spark.read.format("pinot").load(sortedSeg).select("ts", "v")
+    val q = df.offset(7).limit(5)
+    val leaf = leafOf(q)
+    assert(leaf.contains("pushedOffset=7"), leaf)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === chainRows.slice(7, 12))
+  }
+
+  test("offset crossing a segment boundary skips the first segment by metadata") {
+    val df = spark.read.format("pinot").load(sortedSeg).select("ts", "v")
+    val q = df.offset(3100).limit(4)
+    assert(leafOf(q).contains("pushedOffset=3100"), leafOf(q))
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      chainRows.slice(3100, 3104))
+  }
+
+  test("bare offset emits the remainder; past-the-end offset is empty") {
+    val df = spark.read.format("pinot").load(sortedSeg).select("ts", "v")
+    val q = df.offset(5995)
+    assert(leafOf(q).contains("pushedOffset=5995"), leafOf(q))
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      chainRows.slice(5995, 6000))
+    assert(df.offset(99999).collect().isEmpty)
+  }
+
+  test("limit-then-offset (OffsetAndLimit shape) stays exact") {
+    val df = spark.read.format("pinot").load(sortedSeg).select("ts", "v")
+    val q = df.limit(20).offset(6)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === chainRows.slice(6, 20))
+  }
+
+  test("filtered offset refuses the push and stays correct") {
+    val df = spark.read.format("pinot").load(sortedSeg)
+    val q = df.filter(col("v") >= 0).select("ts", "v").offset(5998)
+    assert(!q.queryExecution.executedPlan.toString.contains("pushedOffset"))
+    assert(q.collect().length === 2) // v >= 0 keeps all 6000 rows
+  }
+
   // ---- metadata-complete global aggregates ----
 
   test("global SUM/AVG/MIN/MAX over integral columns is metaComplete") {
