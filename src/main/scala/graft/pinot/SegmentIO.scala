@@ -36,9 +36,31 @@ trait SegmentIO {
   def openRange(p: String): SegmentIO.RangeReader
   def resolve(dir: String, child: String): String
   def fileName(p: String): String
+  def parent(p: String): String = {
+    val q = p.replace('\\', '/')
+    val i = q.lastIndexOf('/')
+    if (i <= 0) p else q.substring(0, i)
+  }
+
+  /** Every regular FILE under `dir`, recursively, with size + mtime.
+    * Object stores serve this as ONE paged flat prefix listing
+    * (`FileSystem.listFiles(recursive = true)`), so discovery and
+    * cache fingerprints over a 10k-segment table cost one listing, not
+    * O(segments) per-entry status round-trips. The default recurses
+    * through `listAll`/`isDirectory` (correct anywhere, efficient only
+    * locally) so custom IOs keep working unchanged.
+    */
+  def listTree(dir: String): Seq[SegmentIO.FileEntry] =
+    listAll(dir).flatMap { e =>
+      if (isDirectory(e)) listTree(e)
+      else Seq(SegmentIO.FileEntry(e, size(e), mtimeMillis(e)))
+    }
 }
 
 object SegmentIO {
+
+  /** One regular file from a recursive listing. */
+  final case class FileEntry(path: String, size: Long, mtimeMillis: Long)
 
   private lazy val hadoopDefault = new HadoopSegmentIO(null)
 
@@ -113,6 +135,23 @@ object LocalSegmentIO extends SegmentIO {
     Paths.get(dir).resolve(child).toString
   override def fileName(p: String): String =
     Paths.get(p).getFileName.toString
+  override def parent(p: String): String =
+    Paths.get(p).getParent.toString
+
+  override def listTree(dir: String): Seq[SegmentIO.FileEntry] = {
+    val out = Seq.newBuilder[SegmentIO.FileEntry]
+    Files.walkFileTree(Paths.get(dir), new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+      override def visitFile(f: java.nio.file.Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (attrs.isRegularFile)
+          out += SegmentIO.FileEntry(f.toString, attrs.size(),
+            attrs.lastModifiedTime().toMillis)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+    })
+    out.result()
+  }
 }
 
 /** Hadoop `FileSystem` IO — the remote/object-storage path. One
@@ -123,8 +162,31 @@ object LocalSegmentIO extends SegmentIO {
 final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
     extends SegmentIO with Serializable {
 
-  @transient private lazy val confResolved =
-    if (conf != null) conf else new org.apache.hadoop.conf.Configuration()
+  /** Spark's Hadoop configuration when a Spark runtime is present — the
+    * standard way users configure object-store credentials
+    * (`spark.hadoop.fs.s3a.*` etc.) reaches the SparkConf on driver AND
+    * executors, and `SparkHadoopUtil.newConfiguration` folds it into a
+    * Hadoop conf. A bare `new Configuration()` (the previous behavior,
+    * kept as the no-Spark fallback) never sees those properties, so
+    * remote reads authenticated only via core-site.xml.
+    */
+  @transient private lazy val confResolved = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    if (conf != null) conf
+    else {
+      // same fold SparkHadoopUtil performs (it is private[spark]):
+      // every `spark.hadoop.foo=bar` becomes `foo=bar`
+      org.apache.spark.SparkEnv.get match {
+        case null => ()
+        case env =>
+          env.conf.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop."))
+              c.set(k.substring("spark.hadoop.".length), v)
+          }
+      }
+      c
+    }
+  }
 
   private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
   private def fs(p: String): org.apache.hadoop.fs.FileSystem =
@@ -171,4 +233,20 @@ final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
   override def resolve(dir: String, child: String): String =
     new org.apache.hadoop.fs.Path(dir, child).toString
   override def fileName(p: String): String = hp(p).getName
+  override def parent(p: String): String = hp(p).getParent.toString
+
+  /** ONE paged recursive listing (S3A and friends serve it as a flat
+    * prefix scan) — the whole-table discovery/fingerprint path.
+    */
+  override def listTree(dir: String): Seq[SegmentIO.FileEntry] = {
+    val out = Seq.newBuilder[SegmentIO.FileEntry]
+    val it = fs(dir).listFiles(hp(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile)
+        out += SegmentIO.FileEntry(st.getPath.toString, st.getLen,
+          st.getModificationTime)
+    }
+    out.result()
+  }
 }

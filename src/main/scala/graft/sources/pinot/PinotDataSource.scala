@@ -73,25 +73,40 @@ object PinotSegments {
   def discoverDirs(path: String, io: graft.pinot.SegmentIO): Seq[String] = {
     if (!io.isDirectory(path))
       throw new PinotFormatException(s"Not a directory: $path")
-    def metaAt(dir: String) =
-      io.exists(io.resolve(dir, "metadata.properties"))
-    val v3 = io.resolve(path, "v3")
-    if (metaAt(v3)) return Seq(v3)
-    if (metaAt(path)) return Seq(path)
-    val segs = io.listAll(path)
-      .filter(io.isDirectory)
-      // `tmp` ≙ reference discovery; `tmp_*` = in-flight writer output
-      .filterNot(p => io.fileName(p).startsWith("tmp"))
-      .flatMap { p =>
-        // v3 segment dir, or a v1/v2-layout segment (per-index files,
-        // metadata.properties at the segment root — the pre-v3 format
-        // the reference rejects)
-        val pv3 = io.resolve(p, "v3")
-        if (metaAt(pv3)) Some(pv3)
-        else if (metaAt(p)) Some(p)
+    // ONE recursive listing resolves every layout question below — on
+    // object stores this is a single paged prefix scan instead of
+    // O(segments) per-entry existence/status round-trips. The root is
+    // re-derived through the IO's own path algebra (resolve→parent) so
+    // string comparisons below see the listing's normalized form
+    // regardless of trailing slashes / URI spellings in the input.
+    val root = io.parent(io.resolve(path, "x"))
+    val metaDirs: Set[String] = io.listTree(path).collect {
+      case e if io.fileName(e.path) == "metadata.properties" =>
+        io.parent(e.path)
+    }.toSet
+    val v3 = io.resolve(root, "v3")
+    if (metaDirs.contains(v3)) return Seq(v3)
+    if (metaDirs.contains(root)) return Seq(root)
+    val segs = metaDirs.toSeq.flatMap { md =>
+      // v3 segment dir (<root>/<seg>/v3) or a v1/v2-layout segment
+      // (metadata.properties at <root>/<seg> — the pre-v3 format the
+      // reference rejects); anything nested deeper is not a segment
+      val segDir =
+        if (io.fileName(md) == "v3" && io.parent(io.parent(md)) == root)
+          Some((io.parent(md), md))
+        else if (io.parent(md) == root) Some((md, md))
         else None
+      segDir.collect {
+        // `tmp` ≙ reference discovery; `tmp_*` = in-flight writer output
+        case (seg, dir) if !io.fileName(seg).startsWith("tmp") => (seg, dir)
       }
-      .sortBy(identity[String])
+    }
+      // a segment with BOTH layouts keeps v3 (matches the per-dir probe
+      // order this replaces)
+      .groupBy(_._1).map { case (_, vs) =>
+        vs.map(_._2).find(io.fileName(_) == "v3").getOrElse(vs.head._2)
+      }
+      .toSeq.sortBy(identity[String])
     if (segs.isEmpty)
       throw new PinotFormatException(s"No segments under $path")
     segs
@@ -286,21 +301,27 @@ object PinotSegmentTable {
       catch { case _: Throwable => -1L }
     val fp: Int =
       try {
+        // ONE recursive listing covers every segment's
+        // metadata.properties (name, size, mtime) — no per-segment
+        // existence/stat round-trips on object stores
         var h = 17
-        io.listAll(path).foreach { e =>
-          val n = io.fileName(e)
-          if (!n.startsWith("tmp")) {
-            h = h * 31 + n.hashCode
-            val mp0 = io.resolve(e, "metadata.properties")
-            val mp =
-              if (io.exists(mp0)) mp0
-              else io.resolve(io.resolve(e, "v3"), "metadata.properties")
-            try {
-              h = h * 31 + io.size(mp).toInt
-              h = h * 31 + io.mtimeMillis(mp).toInt
-            } catch { case _: Throwable => h = h * 31 }
+        val prefix = if (path.endsWith("/")) path else path + "/"
+        // in-flight writer output (`tmp*` DIRECT children) must not
+        // churn the fingerprint — judge the first component under the
+        // table dir, not the immediate parent (v3 nests one level)
+        def inTmp(p: String): Boolean =
+          p.startsWith(prefix) &&
+            p.substring(prefix.length).takeWhile(_ != '/').startsWith("tmp")
+        io.listTree(path)
+          .filter(e => io.fileName(e.path) == "metadata.properties")
+          .sortBy(_.path)
+          .foreach { e =>
+            if (!inTmp(e.path)) {
+              h = h * 31 + e.path.hashCode
+              h = h * 31 + e.size.toInt
+              h = h * 31 + e.mtimeMillis.toInt
+            }
           }
-        }
         h
       } catch { case _: Throwable => 0 }
     val stamp = (mtime, fp)

@@ -370,11 +370,29 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     * metadata wrap.)
     */
   private def metaSummable(col: String): Boolean = {
+    // ANSI parity for TRANSIENT overflow too: an unpushed ANSI Sum can
+    // throw when a running row-order sum leaves the long range even
+    // though the total fits. A same-sign segment (min ≥ 0 or max ≤ 0)
+    // is monotone — its running sum is bounded by the fitting total and
+    // can never transiently overflow; mixed signs additionally require
+    // Σ|v| ≤ rows × max(|min|,|max|) to fit, which bounds every prefix.
+    def noTransientOverflow(cm: graft.pinot.ColumnMetadata,
+        rows: Int): Boolean = {
+      val bnds = for (
+        mn <- cm.minValue.flatMap(v => scala.util.Try(BigInt(v)).toOption);
+        mx <- cm.maxValue.flatMap(v => scala.util.Try(BigInt(v)).toOption))
+      yield (mn, mx)
+      bnds.exists { case (mn, mx) =>
+        mn.signum >= 0 || mx.signum <= 0 ||
+          (mn.abs.max(mx.abs) * rows).isValidLong
+      }
+    }
     val metas = segmentPaths.map(PinotScan.segmentMeta)
     metas.nonEmpty && !metas.exists(_ == null) &&
       metas.forall(m => m.totalDocs == 0 ||
         m.columns.get(col).exists(cm => cm.isSingleValue &&
           !cm.hasNullVector && cm.sumValue.exists(_.isValidLong) &&
+          noTransientOverflow(cm, m.totalDocs) &&
           (cm.dataType == PinotType.PInt || cm.dataType == PinotType.PLong)))
   }
 
@@ -496,8 +514,10 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
         // partial SUM straight from each segment's writer-recorded sum
         // (integral, non-nullable) — Spark's final aggregate merges;
         // AVG arrives here already rewritten to SUM+COUNT by Spark's
-        // partial-pushdown translation, so key-pure AVG rides along
-        case s: Sum => !s.isDistinct &&
+        // partial-pushdown translation, so key-pure AVG rides along.
+        // The SAME kill switch as the complete path gates it: the
+        // escape hatch must disable every metadata-sourced sum
+        case s: Sum => !metaAggDisabled && !s.isDistinct &&
           fieldName(s.column()).exists(metaSummable)
         case _ => false
       }
@@ -1562,6 +1582,21 @@ object PinotScan {
     if (m == null) 0L else m.totalDocs.toLong
   }
 
+  /** Doc count that REFUSES an unreadable segment instead of reporting
+    * 0. The execution-side pushdowns (offset skips, sorted/value top-N
+    * ranges) size their doc windows from this — treating a transient
+    * metadata failure as an empty segment would silently shift or drop
+    * pushed rows, where the pre-pushdown behavior was a loud open
+    * failure. Planning-time ESTIMATES keep the lenient 0.
+    */
+  def segmentDocsStrict(path: String): Long = {
+    val m = segmentMeta(path)
+    if (m == null) throw new graft.pinot.PinotFormatException(
+      s"unreadable segment metadata for $path (doc count required by a " +
+        "pushed offset/top-N)")
+    m.totalDocs.toLong
+  }
+
   // Parsed metadata.properties per segment path (immutable → cacheable;
   // new segments arrive under new paths). LRU-BOUNDED: a long-lived
   // session planning over many ephemeral table dirs must not grow the
@@ -1853,7 +1888,7 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     }
     scanTopN match {
       case Some(_) =>
-        topNReader(path, 0, PinotScan.segmentDocs(path).toInt)
+        topNReader(path, 0, PinotScan.segmentDocsStrict(path).toInt)
       case None =>
         new PinotColumnarReader(path, columns, skipFilters, limit,
           expectedTypes)
@@ -2091,14 +2126,14 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
   private def readerOf(path: String): PartitionReader[ColumnarBatch] =
     scanTopN match {
       case Some(t) if t.sorted =>
-        val docs = PinotScan.segmentDocs(path).toInt
+        val docs = PinotScan.segmentDocsStrict(path).toInt
         val sl = if (t.descending) (math.max(0, docs - t.limit), docs)
         else (0, math.min(docs, t.limit))
         new PinotColumnarReader(path, columns, skipFilters, limit,
           expectedTypes, slice = Some(sl))
       case Some(t) =>
         new PinotValueTopNReader(path, columns, t, expectedTypes,
-          0, PinotScan.segmentDocs(path).toInt)
+          0, PinotScan.segmentDocsStrict(path).toInt)
       case None =>
         new PinotColumnarReader(path, columns, skipFilters, limit,
           expectedTypes)
@@ -2146,7 +2181,7 @@ class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
     else if (cur == null) {
       if (idx >= paths.length) false
       else {
-        val docs = PinotScan.segmentDocs(paths(idx)).toInt
+        val docs = PinotScan.segmentDocsStrict(paths(idx)).toInt
         if (toSkip >= docs) {
           toSkip -= docs
           idx += 1

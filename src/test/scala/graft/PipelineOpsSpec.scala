@@ -100,7 +100,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val ivf = run("q48_knn_ivf").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    // the committed operating point (MultiAssign=3, NProbe=4) is chosen
+    // the committed operating point (MultiAssign=3, NProbe=5) is chosen
     // to deliver >= 0.95 on this isotropic corpus — same bar as the
     // driver-visible q48b gate
     assert(recall >= 0.95, s"IVF recall too low: $recall")

@@ -169,10 +169,16 @@ class PinotDifferentialSpec extends SparkTestBase {
         val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts"))
           .take(rnd.nextInt(5) + 1).map(col)
         val lim = if (rnd.nextBoolean()) Some(rnd.nextInt(40) + 1) else None
+        // filterless draws with an offset hit the r8 pushed-offset chain;
+        // row CONTENT is order-dependent either way, so these stay
+        // rows-count-only compares
+        val off = if (lim.isDefined && rnd.nextInt(3) == 0)
+          Some(rnd.nextInt(13200)) else None
         (df => {
           val p = base(df).select(cols: _*)
-          lim.fold(p)(p.limit)
-        }, lim.isDefined) // any N rows satisfy a bare limit
+          val o = off.fold(p)(p.offset)
+          lim.fold(o)(o.limit)
+        }, lim.isDefined || off.isDefined)
       case 1 => // filterless draws hit the r8 metadata SUM/AVG/MIN/MAX path
         (df => base(df).agg(count(lit(1)).as("c"), sum("v").as("sv"),
           avg("v").as("av"), min("k").as("mk"), max("v").as("xv")), false)
