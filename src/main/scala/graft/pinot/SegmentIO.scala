@@ -230,8 +230,14 @@ final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
       }
       override def close(): Unit = in.close()
     }
-  override def resolve(dir: String, child: String): String =
-    new org.apache.hadoop.fs.Path(dir, child).toString
+  override def resolve(dir: String, child: String): String = {
+    // qualify through the filesystem: listStatus/listFiles return fully
+    // qualified URIs, so resolve must produce the same spelling or the
+    // string comparisons in discovery (root vs listing) never match for
+    // scheme-less inputs reaching this IO (fs.defaultFS routing)
+    val p = new org.apache.hadoop.fs.Path(dir, child)
+    fs(dir).makeQualified(p).toString
+  }
   override def fileName(p: String): String = hp(p).getName
   override def parent(p: String): String = hp(p).getParent.toString
 

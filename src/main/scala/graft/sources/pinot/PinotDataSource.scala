@@ -305,7 +305,12 @@ object PinotSegmentTable {
         // metadata.properties (name, size, mtime) — no per-segment
         // existence/stat round-trips on object stores
         var h = 17
-        val prefix = if (path.endsWith("/")) path else path + "/"
+        // derive the prefix through the IO's own path algebra (like
+        // discoverDirs): listTree returns Hadoop-QUALIFIED paths
+        // ("file:/tmp/t/..." for an input of "file:///tmp/t"), so a
+        // prefix built from the raw input string would never match and
+        // in-flight tmp_* writer output would churn the fingerprint
+        val prefix = io.parent(io.resolve(path, "x")) + "/"
         // in-flight writer output (`tmp*` DIRECT children) must not
         // churn the fingerprint — judge the first component under the
         // table dir, not the immediate parent (v3 nests one level)

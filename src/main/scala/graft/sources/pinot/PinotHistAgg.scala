@@ -381,7 +381,7 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 // ANSI sessions throw on long-sum overflow exactly like
                 // Spark's own Sum; legacy sessions wrap like Java adds
                 if (ansi) while (i < n) {
-                  s(g(i)) = Math.addExact(s(g(i)), v(i)); i += 1
+                  s(g(i)) = PinotHistAgg.addAnsi(s(g(i)), v(i)); i += 1
                 } else while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g)
@@ -526,5 +526,28 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
     t match {
       case org.apache.spark.sql.types.FloatType => v.toFloat
       case _ => v
+    }
+}
+
+object PinotHistAgg {
+  /** ANSI long add with Spark's own error surface: the unpushed plan's
+    * Sum raises `SparkArithmeticException` with the ARITHMETIC_OVERFLOW
+    * error class (and the try_add / ansi-config hints), so code matching
+    * on `getErrorClass` sees the same failure whether the aggregate was
+    * pushed or not. The throw path is cold — JIT keeps the hot add
+    * branch-free.
+    */
+  def addAnsi(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch {
+      case _: ArithmeticException =>
+        // delegate the (cold) failure to Spark's own ANSI Add so the
+        // exception carries the ARITHMETIC_OVERFLOW error class and the
+        // try_add/ansi-config hints — identical surface to the unpushed
+        // plan's Sum (SparkArithmeticException's constructor is
+        // private[spark], so raise it through the expression itself)
+        import org.apache.spark.sql.catalyst.expressions.{Add, EvalMode, Literal}
+        Add(Literal(a), Literal(b), EvalMode.ANSI).eval(null)
+          .asInstanceOf[Long] // unreachable: eval throws
     }
 }

@@ -215,7 +215,11 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     // identical functions resolve to the first slot: their output
     // columns are value-identical, so sorting by either is the same.
     val aggSlots: Map[String, Int] = agg.aggregateExpressions.zipWithIndex
-      .map { case (f, i) => f.toString -> (groupCols.length + i) }.toMap
+      .foldLeft(Map.empty[String, Int]) { case (m, (f, i)) =>
+        // first-wins: duplicate functions are value-identical, keep slot 0
+        if (m.contains(f.toString)) m
+        else m + (f.toString -> (groupCols.length + i))
+      }
     val keys = new Array[TopNKey](orders.length)
     var i = 0
     while (i < orders.length) {
@@ -437,11 +441,30 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     */
   private def metaMinMaxable(col: String): Boolean = {
     val metas = segmentPaths.map(PinotScan.segmentMeta)
+    // Bounds must PARSE in the column's type (and fit its range) before
+    // the complete push is accepted: a foreign writer recording e.g.
+    // "1.0" for an INT column would otherwise pass planning here and
+    // throw NumberFormatException at execution instead of falling back
+    // to the partial path. Same try-parse discipline metaSummable uses.
+    def parsable(cm: graft.pinot.ColumnMetadata, v: String): Boolean =
+      cm.dataType match {
+        case PinotType.PInt =>
+          scala.util.Try(BigInt(v)).toOption.exists(_.isValidInt)
+        case PinotType.PLong =>
+          scala.util.Try(BigInt(v)).toOption.exists(_.isValidLong)
+        case PinotType.PFloat => scala.util.Try(v.toFloat).isSuccess
+        case PinotType.PDouble => scala.util.Try(v.toDouble).isSuccess
+        case PinotType.PTimestamp => scala.util.Try(v.toLong).toOption
+          // stored millis surface as micros via multiplyExact(…, 1000)
+          .exists(l => l >= Long.MinValue / 1000 && l <= Long.MaxValue / 1000)
+        case _ => false
+      }
     metas.nonEmpty && !metas.exists(_ == null) &&
       metas.forall(m => m.totalDocs == 0 ||
         m.columns.get(col).exists(cm => cm.isSingleValue &&
           !cm.hasNullVector &&
-          cm.minValue.isDefined && cm.maxValue.isDefined &&
+          cm.minValue.exists(parsable(cm, _)) &&
+          cm.maxValue.exists(parsable(cm, _)) &&
           (cm.dataType match {
             case PinotType.PInt | PinotType.PLong | PinotType.PFloat |
                  PinotType.PDouble | PinotType.PTimestamp => true

@@ -174,6 +174,21 @@ class SegmentIOSpec extends SparkTestBase {
       .head().getLong(0) === team.count(_ == "T7"))
   }
 
+  test("scheme-less path discovers through HadoopSegmentIO " +
+      "(fs.defaultFS routing qualifies the root like the listing)") {
+    val root = Files.createTempDirectory("segio_noscheme")
+    val tableDir = root.resolve("iot_OFFLINE")
+    writeSeg(tableDir.resolve("seg0"), 3)
+    val hio = new HadoopSegmentIO(spark.sparkContext.hadoopConfiguration)
+    // raw local path, no scheme: listFiles returns fully-qualified
+    // "file:/…" URIs, so the resolve/parent-derived root must qualify
+    // the same way or string-matched discovery finds nothing
+    val segs = graft.sources.pinot.PinotSegments
+      .discoverDirs(tableDir.toString, hio)
+    assert(segs.size === 1, segs)
+    assert(segs.head.endsWith("/v3"), segs)
+  }
+
   for (version <- Seq(3, 1))
     test(s"v$version segment decodes byte-identically through Hadoop file:// IO") {
       val root = Files.createTempDirectory(s"segio_h_v$version")

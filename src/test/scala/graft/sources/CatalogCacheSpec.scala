@@ -44,6 +44,29 @@ class CatalogCacheSpec extends SparkTestBase {
       "stale cached table served after same-millisecond overwrite")
   }
 
+  test("in-flight tmp_* output does not churn the file:// URI fingerprint") {
+    val root = Files.createTempDirectory("pinot_cachetmp")
+    val tdir = root.resolve("t_OFFLINE")
+    SegmentWriter.write(tdir.resolve("seg0"), "t", "seg0", Seq(
+      SegmentWriter.LongCol("a", Array(1L, 2L, 3L))))
+    // the URI spelling ("file:///…") differs from the Hadoop listing's
+    // qualified form ("file:/…") — the tmp-exclusion prefix must come
+    // from the IO's path algebra, not the raw input string
+    val uri = tdir.toUri.toString
+    assert(uri.startsWith("file:///"), uri)
+    val t1 = PinotSegmentTable.open(uri)
+    val mt = Files.getLastModifiedTime(tdir)
+    // a concurrent writer's in-flight tmp_* output (with its own
+    // metadata.properties); dir-mtime pinned back ≙ object stores,
+    // where a new key never touches parent "directory" metadata
+    val tmp = tdir.resolve("tmp_upload_1").resolve("v3")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("metadata.properties"), "x=y\n".getBytes("UTF-8"))
+    Files.setLastModifiedTime(tdir, mt)
+    val t2 = PinotSegmentTable.open(uri)
+    assert(t2 eq t1, "tmp_* writer output churned the cache fingerprint")
+  }
+
   test("cache is LRU-bounded: cold entries evict, hot entries persist") {
     val root = Files.createTempDirectory("pinot_cachelru")
     def mk(i: Int): String = {

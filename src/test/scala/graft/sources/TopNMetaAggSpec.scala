@@ -413,7 +413,42 @@ class TopNMetaAggSpec extends SparkTestBase {
     import spark.implicits._
     val twinBig = big.toSeq.toDF("v").agg(sum("v"))
     intercept[Exception](twinBig.collect()) // ANSI Spark throws
-    intercept[Exception](q.collect()) // ...and so does the pushed plan
+    val e = intercept[Exception](q.collect()) // ...and so does the pushed plan
+    // same ERROR CLASS as the unpushed plan, not a bare
+    // ArithmeticException: code matching on getCondition must not see
+    // the pushdown (the SparkThrowable sits somewhere in the task
+    // failure's cause chain)
+    def conditions(t: Throwable): List[String] = if (t == null) Nil
+      else (t match {
+        case st: org.apache.spark.SparkThrowable if st.getCondition != null =>
+          List(st.getCondition)
+        case _ => Nil
+      }) ::: conditions(t.getCause)
+    assert(conditions(e).contains("ARITHMETIC_OVERFLOW"),
+      s"cause chain: ${conditions(e)} / $e")
+  }
+
+  test("unparsable foreign bounds refuse the complete MIN/MAX push") {
+    val root = Files.createTempDirectory("pinot_badbounds")
+    val t = root.resolve("bb_OFFLINE")
+    val v = Array(5, 2, 9, 4)
+    SegmentWriter.write(t.resolve("seg0"), "bb", "seg0", Seq(
+      SegmentWriter.IntCol("v", v)))
+    // doctor the recorded INT bounds into float-spelled strings, as a
+    // foreign writer might: planning must REFUSE the complete push
+    // (instead of NumberFormatException at execution) and the partial
+    // path must still answer exactly
+    val mp = t.resolve("seg0").resolve("v3").resolve("metadata.properties")
+    val txt = new String(Files.readAllBytes(mp), "UTF-8")
+      .replace("column.v.minValue=2", "column.v.minValue=2.0")
+      .replace("column.v.maxValue=9", "column.v.maxValue=9.0")
+    assert(txt.contains("column.v.minValue=2.0"), "fixture: bound not doctored")
+    Files.write(mp, txt.getBytes("UTF-8"))
+    val df = spark.read.format("pinot").load(t.toString)
+    val q = df.agg(min("v").as("mn"), max("v").as("mx"))
+    assert(!leafOf(q).contains("metaComplete=true"), leafOf(q))
+    val r = q.collect().head
+    assert(r.getInt(0) === 2 && r.getInt(1) === 9)
   }
 
   test("large in-range totals stay metaComplete and exact") {
