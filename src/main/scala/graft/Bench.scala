@@ -70,6 +70,17 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // The surface's ~119 queries compile well over 500 generated
+      // classes; the default 100-entry codegen class cache thrashes
+      // across the three SHUFFLED passes (each pass a different order →
+      // near-zero LRU reuse), so heavy queries re-Janino-compile and
+      // re-JIT their whole-stage code on random reps. r8's pass-1
+      // outliers (q49 16 s vs 2.4 s steady, clean probes, no GC) are
+      // exactly this: the size must cover the whole surface so a rep
+      // times the PLAN, not the compiler. Sized for the bench process
+      // only — a production session runs few distinct plan shapes and
+      // the default is fine.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -93,15 +104,35 @@ object Bench {
     // contention to the reps between it and its neighbors.
     val ProbeEvery = 16
     val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    def probe(): Unit =
+    // Saturating probes ride along every other probe point: r8's two hot
+    // single-thread probes proved EXTERNAL load exists on this box, but a
+    // clean single-thread probe coexists with multi-core contention
+    // (r4) — the MT probe is the instrument that catches it mid-sweep,
+    // not just in the before/after pair.
+    val probesMt = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var probeN = 0
+    def probe(): Unit = {
       probes += (((System.nanoTime() - sweepT0) / 1e9, Calibrate.run()))
+      probeN += 1
+      if (probeN % 2 == 0)
+        probesMt += (((System.nanoTime() - sweepT0) / 1e9,
+          Calibrate.runParallel(Runtime.getRuntime.availableProcessors())))
+    }
     var benched = 0
     val gcBeans = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.toSeq
     }
-    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime.max(0L)).sum
+    // Cumulative count of whole-stage/expression codegen COMPILATIONS
+    // (Janino invocations): a rep whose compile_n > 0 paid compiler +
+    // cold-JIT cost that is not the plan's steady-state — with the
+    // cache sized to the surface above, only each query's first-ever
+    // execution (warm-up pass) should show nonzero deltas.
+    def compileCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
 
     // Per-rep record: (pass, start offset sec, duration sec, GC ms spent
     // during the rep). r7's q42 anomaly (3.3 s on a 5 k-row single-scan
@@ -113,7 +144,8 @@ object Bench {
     // so no query has a fixed predecessor, and (b) every rep records
     // its own GC time, so residency effects show up as gc_ms instead
     // of vanishing into the median.
-    final case class Rep(pass: Int, startSec: Double, sec: Double, gcMs: Long)
+    final case class Rep(pass: Int, startSec: Double, sec: Double, gcMs: Long,
+        compileN: Long)
     val reps = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Rep]]()
     val failed = scala.collection.mutable.Set[String]()
@@ -141,8 +173,9 @@ object Bench {
           benched += 1
           val start = (System.nanoTime() - sweepT0) / 1e9
           val g0 = gcMs()
+          val c0 = compileCount()
           val sec = timed(fn(spark, sfDir))
-          reps(name) += Rep(pass, start, sec, gcMs() - g0)
+          reps(name) += Rep(pass, start, sec, gcMs() - g0, compileCount() - c0)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed in pass $pass: ${e.getMessage}")
           failed += name
@@ -151,6 +184,33 @@ object Bench {
     }
     probe() // close the final window
 
+    // Contention marking, per rep, over the rep's FULL INTERVAL
+    // [start, start+sec]: probes LANDING INSIDE the interval plus the
+    // nearest one on each side. (r8's predicate keyed on start only, so
+    // a rep that began before a hot window and ran through it read two
+    // clean bracketing probes and was never flagged.) Both probe kinds
+    // vote — a clean single-thread probe coexists with multi-core
+    // contention, which only the saturating probe sees.
+    def contendedRep(r: Rep): Boolean = {
+      val s = r.startSec; val e = r.startSec + r.sec
+      def hot(ps: Seq[(Double, Double)], tol: Double): Boolean =
+        ps.nonEmpty && {
+          val best = ps.map(_._2).min
+          val inside = ps.filter(p => p._1 >= s && p._1 <= e)
+          val before = ps.filter(_._1 < s).lastOption
+          val after = ps.find(_._1 > e)
+          (inside ++ before ++ after).exists(_._2 > best * tol)
+        }
+      // the MT probe is noisier by construction (scheduler jitter across
+      // 32 threads), so it gets a looser threshold
+      hot(probes.toSeq, 1.3) || hot(probesMt.toSeq, 1.5)
+    }
+
+    // Per-query medians DISCARD reps with demonstrated external
+    // interference when at least two clean reps remain — the raw rep
+    // set (with its contended flags) stays in BENCH_DETAIL.json, so
+    // nothing is hidden; the headline just stops averaging someone
+    // else's CPU usage into our plan cost.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val resultsMin = scala.collection.mutable.LinkedHashMap[String, Double]()
     val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -160,7 +220,9 @@ object Bench {
       if (failed(name) || rs.isEmpty) {
         results(name) = -1.0; resultsMin(name) = -1.0
       } else {
-        val ts = rs.map(_.sec).sorted
+        val clean = rs.filterNot(contendedRep)
+        val use = if (clean.length >= 2) clean else rs
+        val ts = use.map(_.sec).sorted
         results(name) = ts(ts.length / 2)
         resultsMin(name) = ts.head
         starts(name) = rs.head.startSec
@@ -193,24 +255,15 @@ object Bench {
       s""""work":"${Calibrate.WorkDescription}"}"""
     val startsJson = starts.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    // Suspect marking, per-rep: a rep is contended when the slower of
-    // its two bracketing probes ran >30% over the best probe of the
-    // whole sweep. A QUERY is suspect only when a MAJORITY of its reps
-    // were contended — with each rep in a different shuffled position,
-    // a single contended window degrades one rep, and the median of the
-    // remaining clean reps still holds.
-    val bestProbe = probes.map(_._2).min
-    def windowProbes(s: Double): Seq[Double] = {
-      val before = probes.takeWhile(_._1 <= s).lastOption.map(_._2)
-      val after = probes.find(_._1 > s).map(_._2)
-      Seq(before, after).flatten
-    }
-    def contended(s: Double): Boolean =
-      windowProbes(s).exists(_ > bestProbe * 1.3)
+    // A QUERY is suspect when a MAJORITY of its reps were contended —
+    // then even the clean-rep median above had at most one sample.
     val suspects = reps.collect { case (name, rs)
-      if rs.nonEmpty && rs.count(r => contended(r.startSec)) * 2 > rs.length =>
+      if rs.nonEmpty && rs.count(contendedRep) * 2 > rs.length =>
         name }.toSeq
     val probesJson = probes.map { case (off, sec) =>
+      f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
+      .mkString("[", ",", "]")
+    val probesMtJson = probesMt.map { case (off, sec) =>
       f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
       .mkString("[", ",", "]")
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -222,14 +275,18 @@ object Bench {
     val repsJson = reps.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r =>
         f"""{"pass":${r.pass},"start_sec":${r.startSec}%.2f,""" +
-          f""""sec":${r.sec}%.4f,"gc_ms":${r.gcMs}}""").mkString("[", ",", "]")
+          f""""sec":${r.sec}%.4f,"gc_ms":${r.gcMs},""" +
+          f""""compile_n":${r.compileN},""" +
+          s""""contended":${contendedRep(r)}}""").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""queries_min":$fullQsMin,""" +
+        s""""median_protocol":"median over reps whose [start,end] interval overlaps no hot probe (ST >1.3x / MT >1.5x best); all reps used when fewer than 2 clean",""" +
         s""""query_start_offsets_sec":$startsJson,""" +
         s""""query_reps":$repsJson,""" +
         s""""contention_probes":$probesJson,""" +
+        s""""contention_probes_mt":$probesMtJson,""" +
         s""""contention_suspects":$suspectsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
     val headlineLine =
       s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
