@@ -70,8 +70,24 @@ object SegmentIO {
     * how `spark.read.format("pinot").load("hdfs://…")` transparently
     * reads remote tables while local paths keep their exact prior cost.
     */
-  def forPath(p: String): SegmentIO =
-    if (hasScheme(p)) hadoopDefault else LocalSegmentIO
+  def forPath(p: String): SegmentIO = {
+    val o = overrideIO
+    if (o != null && o._1(p)) o._2
+    else if (hasScheme(p)) hadoopDefault
+    else LocalSegmentIO
+  }
+
+  // TEST SEAM (single-JVM local mode only): route matching paths
+  // through a caller-supplied IO — lets specs drive the WHOLE DSv2
+  // stack (catalog open, planning, executor decode) through a
+  // counting/in-memory IO and assert round-trip budgets end to end.
+  // Production never sets this; reads see one volatile load.
+  @volatile private var overrideIO: (String => Boolean, SegmentIO) = null
+
+  def withOverride[T](pred: String => Boolean, io: SegmentIO)(f: => T): T = {
+    overrideIO = (pred, io)
+    try f finally overrideIO = null
+  }
 
   private def hasScheme(p: String): Boolean = {
     val i = p.indexOf(':')

@@ -70,7 +70,15 @@ object PinotSegments {
     * — `file://`/`hdfs://`/object-store table dirs discover through the
     * Hadoop stack, local paths identically to before.
     */
-  def discoverDirs(path: String, io: graft.pinot.SegmentIO): Seq[String] = {
+  def discoverDirs(path: String, io: graft.pinot.SegmentIO): Seq[String] =
+    discoverDirs(path, io, None)
+
+  /** `listing`: a recursive listing of `path` the caller already holds
+    * (the table-open path lists once for its cache fingerprint and
+    * reuses it here — one listing per cold open, not two).
+    */
+  def discoverDirs(path: String, io: graft.pinot.SegmentIO,
+      listing: Option[Seq[graft.pinot.SegmentIO.FileEntry]]): Seq[String] = {
     if (!io.isDirectory(path))
       throw new PinotFormatException(s"Not a directory: $path")
     // ONE recursive listing resolves every layout question below — on
@@ -80,7 +88,7 @@ object PinotSegments {
     // string comparisons below see the listing's normalized form
     // regardless of trailing slashes / URI spellings in the input.
     val root = io.parent(io.resolve(path, "x"))
-    val metaDirs: Set[String] = io.listTree(path).collect {
+    val metaDirs: Set[String] = listing.getOrElse(io.listTree(path)).collect {
       case e if io.fileName(e.path) == "metadata.properties" =>
         io.parent(e.path)
     }.toSet
@@ -134,10 +142,18 @@ object PinotSegments {
     schemaOf(metas)
   }
 
-  /** IO-routed twin of [[schemaFor]] for remote segment dirs. */
+  /** IO-routed twin of [[schemaFor]] for remote segment dirs. Reads
+    * through the plan-time metadata cache (which a table open has just
+    * BULK-PREFETCHED), so inference costs zero extra round trips; an
+    * unreadable segment re-reads strictly so the REAL error surfaces
+    * instead of the cache's null.
+    */
   def schemaForDirs(segments: Seq[String],
       io: graft.pinot.SegmentIO): StructType =
-    schemaOf(segments.map(metaOf(_, io)))
+    schemaOf(segments.map { s =>
+      val m = PinotScan.segmentMetaVia(s, io)
+      if (m == null) metaOf(s, io) else m
+    })
 
   private[pinot] def metaOf(segDir: String,
       io: graft.pinot.SegmentIO): SegmentMetadata =
@@ -299,11 +315,13 @@ object PinotSegmentTable {
     val mtime =
       try io.mtimeMillis(path)
       catch { case _: Throwable => -1L }
-    val fp: Int =
+    // ONE recursive listing serves BOTH the cache fingerprint and (on a
+    // miss) segment discovery — no per-segment existence/stat round
+    // trips on object stores, and no second listing for discovery
+    val listing: Option[Seq[graft.pinot.SegmentIO.FileEntry]] =
+      try Some(io.listTree(path)) catch { case _: Throwable => None }
+    val fp: Int = listing.fold(0) { entries =>
       try {
-        // ONE recursive listing covers every segment's
-        // metadata.properties (name, size, mtime) — no per-segment
-        // existence/stat round-trips on object stores
         var h = 17
         // derive the prefix through the IO's own path algebra (like
         // discoverDirs): listTree returns Hadoop-QUALIFIED paths
@@ -317,7 +335,7 @@ object PinotSegmentTable {
         def inTmp(p: String): Boolean =
           p.startsWith(prefix) &&
             p.substring(prefix.length).takeWhile(_ != '/').startsWith("tmp")
-        io.listTree(path)
+        entries
           .filter(e => io.fileName(e.path) == "metadata.properties")
           .sortBy(_.path)
           .foreach { e =>
@@ -329,14 +347,24 @@ object PinotSegmentTable {
           }
         h
       } catch { case _: Throwable => 0 }
+    }
     val stamp = (mtime, fp)
     val key = if (partitionCols.isEmpty) path
       else s"$path#${partitionCols.mkString(",")}"
     cache.get(key) match {
       case Some((s, t)) if s == stamp => t
       case _ =>
-        val segs = PinotSegments.discoverDirs(path, io)
-        val meta = PinotSegments.metaOf(segs.head, io)
+        val segs = PinotSegments.discoverDirs(path, io, listing)
+        // BULK-load every segment's metadata concurrently: schema
+        // inference (below) and plan-time min/max pruning then run
+        // from memory — cold open totals 1 listing + N parallel GETs.
+        // invalidate: this is a table-cache MISS, so any cached
+        // per-segment metadata may be stale (in-place overwrite)
+        PinotScan.prefetchMetas(segs, io, invalidate = true)
+        val meta = {
+          val m = PinotScan.segmentMetaVia(segs.head, io)
+          if (m == null) PinotSegments.metaOf(segs.head, io) else m
+        }
         val table = new PinotSegmentTable(meta.tableName, segs,
           PinotSegments.schemaForDirs(segs, io), Some(path), partitionCols)
         cache.put(key, (stamp, table))

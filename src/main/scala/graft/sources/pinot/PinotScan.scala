@@ -1631,15 +1631,69 @@ object PinotScan {
     * null when unreadable.
     */
   def segmentMeta(path: String): graft.pinot.SegmentMetadata =
+    segmentMetaVia(path, null)
+
+  /** Same cache, caller-supplied IO: remote opens prefetch through the
+    * table's own IO; custom (test) IOs never route through `forPath`.
+    */
+  def segmentMetaVia(path: String, io: graft.pinot.SegmentIO): graft.pinot.SegmentMetadata =
     metaCache.getOrCompute(path, p => {
-      try {
-        val io = graft.pinot.SegmentIO.forPath(p)
-        val root =
-          if (io.exists(io.resolve(p, "metadata.properties"))) p
-          else io.resolve(p, "v3")
-        PinotSegments.metaOf(root, io)
-      } catch { case _: Throwable => MetaMiss }
+      try metaFetch(p,
+        if (io == null) graft.pinot.SegmentIO.forPath(p) else io)
+      catch { case _: Throwable => MetaMiss }
     })
+
+  /** One GET, no existence probe: read `<dir>/metadata.properties`
+    * directly (discovery hands the meta dir itself), falling back to the
+    * `v3/` spelling only when that read fails — on object stores the
+    * old exists()+read pair was two round trips per segment.
+    */
+  private def metaFetch(p: String,
+      io: graft.pinot.SegmentIO): graft.pinot.SegmentMetadata = {
+    def read(f: String) = graft.pinot.SegmentMetadata.parse(new String(
+      io.readFully(f), java.nio.charset.StandardCharsets.UTF_8))
+    try read(io.resolve(p, "metadata.properties"))
+    catch { case _: Throwable =>
+      read(io.resolve(io.resolve(p, "v3"), "metadata.properties"))
+    }
+  }
+
+  /** Driver-side BULK metadata fetch for a cold table open: all missing
+    * segments' `metadata.properties` load CONCURRENTLY (bounded pool)
+    * into the plan-time cache, so schema inference and min/max pruning
+    * afterwards hit memory. Cold-opening a 10k-segment object-store
+    * table costs one listing + 10k PARALLEL GETs (~10k/32 round-trip
+    * latencies of wall time) instead of ~20-30k sequential ones.
+    * Fetches run OUTSIDE the cache lock (LruCache serializes computes);
+    * a racing duplicate fetch is harmless (immutable value, last wins).
+    */
+  def prefetchMetas(paths: Seq[String], io: graft.pinot.SegmentIO,
+      invalidate: Boolean = false): Unit = {
+    // `invalidate`: the caller detected the TABLE changed (catalog-cache
+    // fingerprint miss) — cached per-segment metadata may be stale for
+    // an IN-PLACE overwrite (same path, new content), so evict this
+    // table's entries and re-read. First opens evict nothing.
+    if (invalidate) paths.foreach(metaCache.remove)
+    val missing = paths.filter(p => metaCache.get(p).isEmpty)
+    if (missing.isEmpty) return
+    val par = math.min(32, missing.length)
+    if (par <= 1 || (io eq graft.pinot.LocalSegmentIO)) {
+      // local nio is latency-free; a pool would only add overhead
+      missing.foreach(segmentMetaVia(_, io))
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      missing.map { p =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val m = try metaFetch(p, io) catch { case _: Throwable => MetaMiss }
+            metaCache.put(p, m)
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
 
   /** Default task sizing target (Spark's files.maxPartitionBytes). Set
     * the `splitTargetBytes` read option to 0 to force the legacy strict
@@ -1820,6 +1874,7 @@ private[pinot] final class LruCache[K, V](max: Int) {
   }
   def get(k: K): Option[V] = synchronized(Option(m.get(k)))
   def put(k: K, v: V): Unit = synchronized { m.put(k, v); () }
+  def remove(k: K): Unit = synchronized { m.remove(k); () }
 }
 
 case class PinotInputPartition(segmentPath: String) extends InputPartition

@@ -174,6 +174,52 @@ class SegmentIOSpec extends SparkTestBase {
       .head().getLong(0) === team.count(_ == "T7"))
   }
 
+  test("cold DSv2 table open budget: ONE listing + one parallel GET per " +
+      "segment, zero per-segment stat probes") {
+    val root = Files.createTempDirectory("segio_budget")
+    val tableDir = root.resolve("bud_OFFLINE")
+    val nSegs = 12
+    (0 until nSegs).foreach { s =>
+      SegmentWriter.write(tableDir.resolve(f"seg$s%02d"), "bud", f"seg$s%02d",
+        Seq(
+          SegmentWriter.LongCol("id", Array.tabulate(50)(i => (s * 50 + i).toLong)),
+          SegmentWriter.IntCol("metric", Array.tabulate(50)(i => i % 7))))
+    }
+    val counting = new CountingSegmentIO(LocalSegmentIO)
+    val prefix = tableDir.toString
+    SegmentIO.withOverride(_.startsWith(prefix), counting) {
+      val df = spark.read.format("pinot").load(tableDir.toString)
+      assert(df.schema.fieldNames.toSeq === Seq("id", "metric"))
+      // Cold-open budget (discovery + fingerprint + schema + metadata
+      // prefetch): exactly nSegs metadata GETs, no per-segment
+      // existence/stat round-trips. Spark's DSv2 load resolves the
+      // table twice (infer + getTable) — the second resolution is a
+      // warm catalog-cache hit costing one listing + one stat, so the
+      // listing/stat budget is ≤2 and the GET budget stays nSegs.
+      assert(counting.count("readFully") === nSegs, counting.calls)
+      assert(counting.count("listTree") <= 2, counting.calls)
+      assert(counting.count("exists") === 0, counting.calls)
+      assert(counting.count("listFiles") === 0, counting.calls)
+      assert(counting.count("listAll") === 0, counting.calls)
+      assert(counting.count("size") === 0, counting.calls)
+      assert(counting.count("isDirectory") <= 2, counting.calls)
+      assert(counting.count("mtime") <= 2, counting.calls)
+      // planning with min/max pruning + execution still answer correctly
+      // through the same IO
+      import org.apache.spark.sql.functions.col
+      assert(df.count() === 50L * nSegs)
+      assert(df.filter(col("id") < 50L).count() === 50L)
+      // warm re-open: fingerprint check only — one more listing + stat,
+      // ZERO additional metadata GETs (execution-side section reads are
+      // openRange/size, counted separately)
+      val metaGets = counting.count("readFully")
+      val df2 = spark.read.format("pinot").load(tableDir.toString)
+      assert(df2.schema === df.schema)
+      assert(counting.count("readFully") === metaGets,
+        s"warm re-open re-fetched metadata: ${counting.calls}")
+    }
+  }
+
   test("scheme-less path discovers through HadoopSegmentIO " +
       "(fs.defaultFS routing qualifies the root like the listing)") {
     val root = Files.createTempDirectory("segio_noscheme")
