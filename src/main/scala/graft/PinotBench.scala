@@ -25,6 +25,11 @@ object PinotBench {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // 16 shapes × several codegen stages + floor/A-B variants brush
+      // against the default 100-entry codegen class cache; size it so
+      // no timed rep ever re-compiles generated code (same rationale
+      // and sizing as Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -174,20 +179,21 @@ object PinotBench {
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // (median, min) of 5 timed runs after 2 warm-ups. The headline
+    // (median, min) of 9 timed runs after 2 warm-ups. The headline
     // metric stays the MEDIAN; the min rides along because under
     // external CPU contention it is the better estimator of the true
     // cost (a contended run inflates the median but usually leaves at
     // least one sample near the floor — read it against the
-    // calibration probe pair).
+    // calibration probe pair). 9 reps (r9, was 5) cost ~2 s total and
+    // tighten both estimators against this box's bursty load.
     def timeBoth(mk: () => DataFrame): (Double, Double) = {
       run(mk()); run(mk()) // warm-ups (JIT + code cache)
-      val ts = (1 to 5).map { _ =>
+      val ts = (1 to 9).map { _ =>
         val t0 = System.nanoTime()
         run(mk())
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (ts(2), ts.head)
+      (ts(4), ts.head)
     }
     def median(mk: () => DataFrame): Double = timeBoth(mk)._1
 
@@ -206,13 +212,24 @@ object PinotBench {
     }
 
     // shared fixed-work contention probe ([[Calibrate]]): before/after
-    // pair marks a contended run from the artifact alone
+    // pair marks a contended RUN; the per-shape probes interleaved below
+    // localize contention to individual shapes from the artifact alone
     Calibrate.run() // JIT warm-up
     val calBefore = Calibrate.run()
     val nProbeThreads = Runtime.getRuntime.availableProcessors()
     val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
-    val both = shapes.map { case (name, mk) => name -> timeBoth(mk) }
+    val sweepT0 = System.nanoTime()
+    val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val shapeStart = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def probe(): Unit =
+      probes += (((System.nanoTime() - sweepT0) / 1e9, Calibrate.run()))
+    val both = shapes.map { case (name, mk) =>
+      probe()
+      shapeStart(name) = (System.nanoTime() - sweepT0) / 1e9
+      name -> timeBoth(mk)
+    }
+    probe()
     val results = both.map { case (k, (med, _)) => k -> med }
 
     // measured after the shapes so the floor numbers don't absorb JIT warmup
@@ -231,7 +248,12 @@ object PinotBench {
     val cal = f""""calibration":{"before_sec":$calBefore%.3f,"after_sec":$calAfter%.3f,""" +
       f""""mt_before_sec":$calMtBefore%.3f,"mt_after_sec":$calMtAfter%.3f,""" +
       s""""mt_threads":$nProbeThreads}"""
-    println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"},$cal}""")
+    val probesJson = probes.map { case (off, sec) =>
+      f"""{"offset_sec":$off%.1f,"probe_sec":$sec%.3f}""" }
+      .mkString("[", ",", "]")
+    val startsJson = shapeStart.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"pinot_7shapes_total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"rows":$n,"floor_scan_1row":${f"$floorScan%.4f"},"floor_agg_1row":${f"$floorAgg%.4f"},"shape_probes":$probesJson,"shape_start_offsets_sec":$startsJson,$cal}""")
     spark.stop()
   }
 }

@@ -109,6 +109,16 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
   private sealed trait Acc {
     def add(gIds: Array[Int], pos: Int, n: Int): Unit
     def result(g: Int): Any
+    /** Primitive view for the top-N selector: 0 = long (resultLong),
+      * 1 = double (resultDouble), -1 = boxed only. The primitive value
+      * must order EXACTLY like `result(g)`'s Comparable (int/float
+      * results widen monotonically; Double.compare == Double.compareTo
+      * incl. NaN-largest), so selection over primitives keeps the same
+      * group multiset the boxed comparator would.
+      */
+    def primKind: Int = -1
+    def resultLong(g: Int): Long = 0L
+    def resultDouble(g: Int): Double = 0.0
   }
 
   // hot loops extracted into SMALL methods: inline in the huge
@@ -118,6 +128,22 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
   private def countWindow(counts: Array[Long], gIds: Array[Int], n: Int): Unit = {
     var i = 0
     while (i < n) { counts(gIds(i)) += 1; i += 1 }
+  }
+
+  private def fillLongKeys(card: Int, counts: Array[Long],
+      acc: Acc): Array[Long] = {
+    val kv = new Array[Long](card)
+    var g = 0
+    while (g < card) { if (counts(g) > 0) kv(g) = acc.resultLong(g); g += 1 }
+    kv
+  }
+
+  private def fillDoubleKeys(card: Int, counts: Array[Long],
+      acc: Acc): Array[Double] = {
+    val kv = new Array[Double](card)
+    var g = 0
+    while (g < card) { if (counts(g) > 0) kv(g) = acc.resultDouble(g); g += 1 }
+    kv
   }
 
   /** Pushed top-N group selection: bounded max-heap of the k best
@@ -353,6 +379,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
           case HCount => new Acc {
             def add(g: Array[Int], p: Int, n: Int): Unit = ()
             def result(g: Int): Any = counts(g) // filled by the shared loop
+            override def primKind: Int = 0
+            override def resultLong(g: Int): Long = counts(g)
           }
           case HAvg(c) => numWindow(reader, c) match {
             case lw: LongWindow => new Acc {
@@ -362,6 +390,9 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 var i = 0; while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g).toDouble / counts(g)
+              override def primKind: Int = 1
+              override def resultDouble(g: Int): Double =
+                s(g).toDouble / counts(g)
             }
             case dw: DoubleWindow => new Acc {
               private val s = new Array[Double](card)
@@ -370,6 +401,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 var i = 0; while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g) / counts(g)
+              override def primKind: Int = 1
+              override def resultDouble(g: Int): Double = s(g) / counts(g)
             }
           }
           case HSum(c) => numWindow(reader, c) match {
@@ -385,6 +418,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 } else while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g)
+              override def primKind: Int = 0
+              override def resultLong(g: Int): Long = s(g)
             }
             case dw: DoubleWindow => new Acc {
               private val s = new Array[Double](card)
@@ -393,6 +428,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                 var i = 0; while (i < n) { s(g(i)) += v(i); i += 1 }
               }
               def result(g: Int): Any = s(g)
+              override def primKind: Int = 1
+              override def resultDouble(g: Int): Double = s(g)
             }
           }
           case HMin(c) => numWindow(reader, c) match {
@@ -404,6 +441,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                   if (v(i) < s(g(i))) s(g(i)) = v(i); i += 1 }
               }
               def result(g: Int): Any = emitLong(metricType(c), s(g))
+              override def primKind: Int = 0
+              override def resultLong(g: Int): Long = s(g)
             }
             case dw: DoubleWindow => new Acc {
               private val s = Array.fill(card)(Double.PositiveInfinity)
@@ -413,6 +452,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                   if (v(i) < s(g(i))) s(g(i)) = v(i); i += 1 }
               }
               def result(g: Int): Any = emitDouble(metricType(c), s(g))
+              override def primKind: Int = 1
+              override def resultDouble(g: Int): Double = s(g)
             }
           }
           case HMax(c) => numWindow(reader, c) match {
@@ -424,6 +465,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                   if (v(i) > s(g(i))) s(g(i)) = v(i); i += 1 }
               }
               def result(g: Int): Any = emitLong(metricType(c), s(g))
+              override def primKind: Int = 0
+              override def resultLong(g: Int): Long = s(g)
             }
             case dw: DoubleWindow => new Acc {
               private val s = Array.fill(card)(Double.NegativeInfinity)
@@ -433,6 +476,8 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
                   if (v(i) > s(g(i))) s(g(i)) = v(i); i += 1 }
               }
               def result(g: Int): Any = emitDouble(metricType(c), s(g))
+              override def primKind: Int = 1
+              override def resultDouble(g: Int): Double = s(g)
             }
           }
         }
@@ -465,6 +510,28 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
         // key-part decomposition / accumulator results the emit uses,
         // so a kept group's row is bit-identical to the unpushed plan's.
         val groupIds: Iterator[Int] = topN match {
+          // single AGGREGATE sort key with a primitive view (both
+          // reference group-topk shapes): materialize the key per
+          // occupied group into a primitive array and run the unboxed
+          // bounded-heap selection — the boxed comparator's two boxed
+          // values + virtual compareTo + Integer.valueOf per candidate
+          // dominate the task at ~100k groups.
+          // -Dgraft.pinot.disablePrimTopNSelect=true = A/B + escape hatch.
+          case Some((keys, limit)) if keys.length == 1 &&
+              keys(0).outIdx >= keyArity &&
+              accs(keys(0).outIdx - keyArity).primKind >= 0 &&
+              !java.lang.Boolean.getBoolean(
+                "graft.pinot.disablePrimTopNSelect") =>
+            val acc = accs(keys(0).outIdx - keyArity)
+            val desc = keys(0).descending
+            // key fill extracted into small methods: inline here (the
+            // huge createReader body) it would run interpreted
+            if (acc.primKind == 0)
+              PinotHistAgg.selectTopLong(card, counts,
+                fillLongKeys(card, counts, acc), desc, limit)
+            else
+              PinotHistAgg.selectTopDouble(card, counts,
+                fillDoubleKeys(card, counts, acc), desc, limit)
           case Some((keys, limit)) =>
             def sortVal(idx: Int, g: Int): Any =
               if (idx < keyArity) {
@@ -530,6 +597,121 @@ class PinotHistAggReaderFactory(groupCols: Array[String],
 }
 
 object PinotHistAgg {
+
+  /** Bounded top-`limit` selection over a PRIMITIVE long key array —
+    * the boxed-comparator selection costs two boxed values + a virtual
+    * compareTo + an Integer.valueOf per candidate, which at ~100k
+    * occupied groups dominates the whole aggregate task. Hand-rolled
+    * size-k binary heap with root = WORST KEPT under the pushed order;
+    * a candidate replaces the root only when STRICTLY better (equal
+    * keys keep the incumbent — the boxed path's exact tie behavior,
+    * and ties are free under the partial-push contract anyway).
+    * Emission order is arbitrary: Spark's TakeOrderedAndProject above
+    * re-sorts the ≤ k×partitions survivors.
+    */
+  private[pinot] def selectTopLong(card: Int, counts: Array[Long],
+      keys: Array[Long], desc: Boolean, limit: Int): Iterator[Int] = {
+    val hk = new Array[Long](limit)
+    val hg = new Array[Int](limit)
+    var size = 0
+    // "worse(a, b)": a should be evicted before b under the pushed order
+    def worse(a: Long, b: Long): Boolean = if (desc) a < b else a > b
+    def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(hk(i), hk(p))) {
+          val tk = hk(i); hk(i) = hk(p); hk(p) = tk
+          val tg = hg(i); hg(i) = hg(p); hg(p) = tg
+          i = p
+        } else return
+      }
+    }
+    def siftDown(): Unit = {
+      var i = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < size && worse(hk(l), hk(w))) w = l
+        if (r < size && worse(hk(r), hk(w))) w = r
+        if (w == i) cont = false
+        else {
+          val tk = hk(i); hk(i) = hk(w); hk(w) = tk
+          val tg = hg(i); hg(i) = hg(w); hg(w) = tg
+          i = w
+        }
+      }
+    }
+    var g = 0
+    while (g < card) {
+      if (counts(g) > 0) {
+        val kv = keys(g)
+        if (size < limit) {
+          hk(size) = kv; hg(size) = g; size += 1; siftUp(size - 1)
+        } else if (worse(hk(0), kv)) {
+          hk(0) = kv; hg(0) = g; siftDown()
+        }
+      }
+      g += 1
+    }
+    java.util.Arrays.copyOf(hg, size).iterator
+  }
+
+  /** Double twin — compares via Double.compare, which is exactly boxed
+    * Double.compareTo (NaN largest, -0.0 < 0.0), so selection matches
+    * the boxed path bit for bit.
+    */
+  private[pinot] def selectTopDouble(card: Int, counts: Array[Long],
+      keys: Array[Double], desc: Boolean, limit: Int): Iterator[Int] = {
+    val hk = new Array[Double](limit)
+    val hg = new Array[Int](limit)
+    var size = 0
+    def worse(a: Double, b: Double): Boolean =
+      if (desc) java.lang.Double.compare(a, b) < 0
+      else java.lang.Double.compare(a, b) > 0
+    def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(hk(i), hk(p))) {
+          val tk = hk(i); hk(i) = hk(p); hk(p) = tk
+          val tg = hg(i); hg(i) = hg(p); hg(p) = tg
+          i = p
+        } else return
+      }
+    }
+    def siftDown(): Unit = {
+      var i = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < size && worse(hk(l), hk(w))) w = l
+        if (r < size && worse(hk(r), hk(w))) w = r
+        if (w == i) cont = false
+        else {
+          val tk = hk(i); hk(i) = hk(w); hk(w) = tk
+          val tg = hg(i); hg(i) = hg(w); hg(w) = tg
+          i = w
+        }
+      }
+    }
+    var g = 0
+    while (g < card) {
+      if (counts(g) > 0) {
+        val kv = keys(g)
+        if (size < limit) {
+          hk(size) = kv; hg(size) = g; size += 1; siftUp(size - 1)
+        } else if (worse(hk(0), kv)) {
+          hk(0) = kv; hg(0) = g; siftDown()
+        }
+      }
+      g += 1
+    }
+    java.util.Arrays.copyOf(hg, size).iterator
+  }
+
   /** ANSI long add with Spark's own error surface: the unpushed plan's
     * Sum raises `SparkArithmeticException` with the ARITHMETIC_OVERFLOW
     * error class (and the try_add / ansi-config hints), so code matching

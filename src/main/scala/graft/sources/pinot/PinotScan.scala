@@ -1049,7 +1049,16 @@ class PinotAggScan(segmentPaths: Seq[String], agg: Aggregation,
     else if (histogram && !histFinal && splitTargetBytes > 0)
       PinotScan.planAggSlices(segmentPaths)
     else if (histogram && histFinal && splitTargetBytes > 0 &&
-        uniqueKeyGroups)
+        uniqueKeyGroups &&
+        // With a pushed top-N, >1 slice makes Spark's
+        // TakeOrderedAndProject SHUFFLE the survivors into one partition
+        // — a whole extra stage with on-disk shuffle files. Below the
+        // measured extra-stage crossover (completeAggMaxDocs, the same
+        // constant that prices partial-vs-complete) one task decoding
+        // the lone segment is strictly faster; past it, parallel slice
+        // decode amortizes the stage (each slice emits ≤ k rows).
+        (topN.isEmpty || segmentPaths.exists(p =>
+          PinotScan.segmentDocs(p) > PinotScan.CompleteAggMaxDocs)))
       PinotScan.planAggSlices(segmentPaths)
     else segmentPaths.map(p => PinotAggPartition(p): InputPartition).toArray
 

@@ -71,8 +71,8 @@ class TopNMetaAggSpec extends SparkTestBase {
   /** The expected DataFrame built from the raw arrays (no connector). */
   private def twin = {
     import spark.implicits._
-    (0 until n).map(i => (team(i), hits(i), bal(i), player(i)))
-      .toDF("team", "hits", "bal", "player")
+    (0 until n).map(i => (team(i), hits(i), bal(i), player(i), temp(i)))
+      .toDF("team", "hits", "bal", "player", "temp")
   }
 
   // ---- top-N pushdown ----
@@ -426,6 +426,69 @@ class TopNMetaAggSpec extends SparkTestBase {
       }) ::: conditions(t.getCause)
     assert(conditions(e).contains("ARITHMETIC_OVERFLOW"),
       s"cause chain: ${conditions(e)} / $e")
+  }
+
+  test("pushed top-N over a unique RAW key plans ONE task below the " +
+      "slice crossover (no TakeOrdered shuffle stage)") {
+    // `player` is pairwise-distinct (unique-slot fast path) and the
+    // segment is far below completeAggMaxDocs: doc-range slicing would
+    // force Spark's TakeOrderedAndProject to shuffle the per-slice
+    // survivors into an extra stage — single task is strictly faster
+    // multi-window fixture: 20k rows (> 2 windows) so slicing is even
+    // possible — `one` at 8k rows fits a single 8192-row window
+    val root = Files.createTempDirectory("pinot_topn_slice")
+    val t = root.resolve("sl_OFFLINE")
+    val m = 20000
+    SegmentWriter.write(t.resolve("seg0"), "sl", "seg0", Seq(
+      SegmentWriter.StringRawCol("doc", Array.tabulate(m)(i => f"d$i%06d"),
+        VarByteChunkV4.Lz4LengthPrefixed, 1024),
+      SegmentWriter.IntCol("hits", Array.tabulate(m)(i => i % 263))))
+    val df = spark.read.format("pinot").load(t.toString)
+    def scanOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    val q = df.groupBy("doc").agg(avg("hits").as("a"))
+      .orderBy(desc("a")).limit(7)
+    assert(scanOf(q).inputPartitions.length === 1,
+      scanOf(q).inputPartitions.toSeq)
+    // ...and without a top-N the unique-key final histogram still slices
+    val plain = df.groupBy("doc").agg(avg("hits").as("a"))
+    assert(scanOf(plain).inputPartitions.length > 1,
+      scanOf(plain).inputPartitions.toSeq)
+  }
+
+  test("primitive top-N selection matches the boxed comparator on every " +
+      "aggregate key (ties, negatives, asc+desc)") {
+    val P = "graft.pinot.disablePrimTopNSelect"
+    // hits has heavy ties (263 distinct over 8k rows); bal is signed;
+    // temp is float (double view); avg exercises the division view
+    val keys = Seq(
+      ("cnt", (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("player").agg(count(lit(1)).as("k"))),
+      ("sum", (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("player").agg(sum("bal").as("k"))),
+      ("avg", (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("player").agg(avg("hits").as("k"))),
+      ("min", (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("player").agg(min("temp").as("k"))),
+      ("max", (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("player").agg(max("hits").as("k"))))
+    for ((label, agg) <- keys; descending <- Seq(true, false)) {
+      def sel(df: org.apache.spark.sql.DataFrame) = {
+        val o = if (descending) desc("k") else asc("k")
+        agg(df).orderBy(o).limit(9)
+      }
+      // the KEY multiset is the contract (group choice at the boundary
+      // tie is free, exactly as in Spark's own TakeOrdered)
+      def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        sel(df).collect().map(r => String.valueOf(r.get(1))).sorted.toSeq
+      System.clearProperty(P)
+      val prim = try keysOf(one) finally System.setProperty(P, "true")
+      val boxed = try keysOf(one) finally System.clearProperty(P)
+      assert(prim === boxed, s"$label desc=$descending diverged")
+      assert(prim === keysOf(twin), s"$label desc=$descending vs Spark twin")
+    }
   }
 
   test("unparsable foreign bounds refuse the complete MIN/MAX push") {
