@@ -355,12 +355,22 @@ object PinotSegmentTable {
       case Some((s, t)) if s == stamp => t
       case _ =>
         val segs = PinotSegments.discoverDirs(path, io, listing)
-        // BULK-load every segment's metadata concurrently: schema
+        // table-cache MISS: cached per-segment metadata may be stale
+        // (in-place overwrite) — evict before refilling
+        PinotScan.invalidateMetas(segs)
+        // manifest fast path: a listing-validated `_graft_manifest.v1`
+        // seeds every segment's metadata from ONE GET; the bulk
+        // prefetch below then no-ops. Foreign/stale manifests return
+        // empty and the prefetch pays N parallel GETs instead — the
+        // manifest is purely an optimization.
+        listing.foreach { l =>
+          graft.pinot.TableManifest.load(path, io, l)
+            .foreach { case (p, m) => PinotScan.cacheMeta(p, m) }
+        }
+        // BULK-load any still-missing metadata concurrently: schema
         // inference (below) and plan-time min/max pruning then run
-        // from memory — cold open totals 1 listing + N parallel GETs.
-        // invalidate: this is a table-cache MISS, so any cached
-        // per-segment metadata may be stale (in-place overwrite)
-        PinotScan.prefetchMetas(segs, io, invalidate = true)
+        // from memory — cold open totals 1 listing + ≤N parallel GETs
+        PinotScan.prefetchMetas(segs, io)
         val meta = {
           val m = PinotScan.segmentMetaVia(segs.head, io)
           if (m == null) PinotSegments.metaOf(segs.head, io) else m

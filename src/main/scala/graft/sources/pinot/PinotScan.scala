@@ -1676,13 +1676,21 @@ object PinotScan {
     * Fetches run OUTSIDE the cache lock (LruCache serializes computes);
     * a racing duplicate fetch is harmless (immutable value, last wins).
     */
+  /** Evict a table's segment entries — the table-open path calls this on
+    * a catalog-cache fingerprint MISS, where cached per-segment metadata
+    * may be stale for an IN-PLACE overwrite (same path, new content).
+    */
+  def invalidateMetas(paths: Seq[String]): Unit = paths.foreach(metaCache.remove)
+
+  /** Seed the plan-time cache from an already-validated source (the
+    * table manifest): later segmentMeta/prefetch calls hit memory.
+    */
+  def cacheMeta(path: String, m: graft.pinot.SegmentMetadata): Unit =
+    metaCache.put(path, m)
+
   def prefetchMetas(paths: Seq[String], io: graft.pinot.SegmentIO,
       invalidate: Boolean = false): Unit = {
-    // `invalidate`: the caller detected the TABLE changed (catalog-cache
-    // fingerprint miss) — cached per-segment metadata may be stale for
-    // an IN-PLACE overwrite (same path, new content), so evict this
-    // table's entries and re-read. First opens evict nothing.
-    if (invalidate) paths.foreach(metaCache.remove)
+    if (invalidate) invalidateMetas(paths)
     val missing = paths.filter(p => metaCache.get(p).isEmpty)
     if (missing.isEmpty) return
     val par = math.min(32, missing.length)

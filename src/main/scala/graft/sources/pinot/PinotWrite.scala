@@ -115,7 +115,7 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     * segSeq) — the streaming queryId is the query's stable checkpoint id,
     * so a post-restart replay regenerates the same names.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case PinotCommitMessage(segs, _) =>
         segs.foreach { case (tmp, segName) =>
@@ -129,6 +129,8 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
       case other =>
         throw new PinotFormatException(s"Unexpected commit message: $other")
     }
+    PinotWriteUtil.refreshManifest(Paths.get(path))
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -140,6 +142,16 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
 }
 
 object PinotWriteUtil {
+
+  /** Best-effort post-commit manifest rebuild (one GET cold opens,
+    * [[graft.pinot.TableManifest]]): a failure must never fail the
+    * commit — a missing/stale manifest self-invalidates at read time.
+    */
+  def refreshManifest(tableDir: java.nio.file.Path): Unit =
+    try graft.pinot.TableManifest.writeLocal(tableDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[pinot] manifest refresh failed for $tableDir: $e")
+    }
   def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -220,6 +220,53 @@ class SegmentIOSpec extends SparkTestBase {
     }
   }
 
+  test("manifest cold open: ONE listing + ONE GET for the whole table; " +
+      "stale manifest falls back to the per-segment prefetch") {
+    import org.apache.spark.sql.functions.col
+    // the DSv2 writer rebuilds `_graft_manifest.v1` at commit
+    import spark.implicits._
+    val root = Files.createTempDirectory("segio_manifest")
+    val dir = root.resolve("m_OFFLINE").toString
+    (0 until 4).foreach { s =>
+      (s * 100 until (s + 1) * 100).map(i => (i.toLong, i % 7))
+        .toDF("id", "metric")
+        .write.format("pinot").mode("append")
+        .option("table", "m").save(dir)
+    }
+    assert(Files.exists(java.nio.file.Paths.get(dir, TableManifest.FileName)))
+    val segCount = graft.sources.pinot.PinotSegments.discover(dir).length
+    assert(segCount >= 4, s"expected >=4 segments, got $segCount")
+
+    val counting = new CountingSegmentIO(LocalSegmentIO)
+    SegmentIO.withOverride(_.startsWith(dir), counting) {
+      val df = spark.read.format("pinot").load(dir)
+      assert(df.schema.fieldNames.toSeq === Seq("id", "metric"))
+      // manifest path: ONE readFully (the manifest itself), zero
+      // per-segment metadata GETs
+      assert(counting.count("readFully") === 1, counting.calls)
+      assert(counting.count("listTree") <= 2, counting.calls)
+      assert(counting.count("exists") === 0, counting.calls)
+      assert(df.count() === 400L)
+      assert(df.filter(col("id") < 100L).count() === 100L)
+    }
+
+    // doctor one segment's metadata in place (foreign rewrite): stamps
+    // no longer match the manifest → wholesale fallback, correct schema
+    // and answers via the per-segment prefetch
+    val seg = graft.sources.pinot.PinotSegments.discover(dir).head
+    val mp = seg.resolve("metadata.properties")
+    Files.write(mp, (new String(Files.readAllBytes(mp), "UTF-8") + "\n#x\n")
+      .getBytes("UTF-8"))
+    val counting2 = new CountingSegmentIO(LocalSegmentIO)
+    SegmentIO.withOverride(_.startsWith(dir), counting2) {
+      val df = spark.read.format("pinot").load(dir)
+      assert(df.schema.fieldNames.toSeq === Seq("id", "metric"))
+      // manifest GET + one GET per segment (invalidated wholesale)
+      assert(counting2.count("readFully") === 1L + segCount, counting2.calls)
+      assert(df.count() === 400L)
+    }
+  }
+
   test("scheme-less path discovers through HadoopSegmentIO " +
       "(fs.defaultFS routing qualifies the root like the listing)") {
     val root = Files.createTempDirectory("segio_noscheme")

@@ -263,9 +263,10 @@ class PinotWriteSpec extends SparkTestBase {
     val segs = Files.list(dir).iterator()
     var segCount = 0
     while (segs.hasNext) {
-      val p = segs.next().getFileName.toString
+      val e = segs.next()
+      val p = e.getFileName.toString
       assert(!p.startsWith("tmp"), s"leaked tmp dir $p")
-      segCount += 1
+      if (Files.isDirectory(e)) segCount += 1 // the manifest FILE is not a segment
     }
     assert(segCount === 1, "replayed epoch must not duplicate segments")
     assert(spark.read.format("pinot").load(dir.toString).count() === 10)
@@ -359,11 +360,13 @@ class PinotWriteSpec extends SparkTestBase {
       .write.format("pinot").mode("append")
       .option("sortedColumn", "k")
       .save(dir)
-    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala.foreach { seg =>
-      val meta = graft.pinot.SegmentReader.open(seg).metadata
-      assert(meta.columns("k").isSorted,
-        s"segment ${seg.getFileName} must record isSorted for k")
-    }
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)) // skip the manifest file
+      .foreach { seg =>
+        val meta = graft.pinot.SegmentReader.open(seg).metadata
+        assert(meta.columns("k").isSorted,
+          s"segment ${seg.getFileName} must record isSorted for k")
+      }
     // read-back correct and range filters correct through the ranged scan
     val back = spark.read.format("pinot").load(dir)
     assert(back.count() === 20000)
