@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Media.queries ++
       graft.queries.Complex.queries ++
       graft.queries.Advanced.queries ++
-      graft.queries.PinotRoundtrip.queries
+      graft.queries.PinotRoundtrip.queries ++
+      graft.queries.TpchExtra.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Media.oracleSql ++
       graft.queries.Complex.oracleSql ++
       graft.queries.Advanced.oracleSql ++
-      graft.queries.PinotRoundtrip.oracleSql
+      graft.queries.PinotRoundtrip.oracleSql ++
+      graft.queries.TpchExtra.oracleSql
 }

@@ -106,8 +106,11 @@ class BloomFilterSpec extends SparkTestBase {
       .option("bloomFilterColumns", "payload")
       .mode("append").save()
     val meta = {
-      val seg = Files.list(java.nio.file.Paths.get(dir)).iterator()
-        .next().resolve("v3")
+      val seg = {
+        import scala.jdk.CollectionConverters._
+        Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+          .filter(Files.isDirectory(_)).next().resolve("v3")
+      }
       SegmentReader.open(seg).metadata
     }
     assert(meta.columns("payload").hasBloomFilter)

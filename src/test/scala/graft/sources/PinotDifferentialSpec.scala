@@ -164,7 +164,7 @@ class PinotDifferentialSpec extends SparkTestBase {
       if (rnd.nextInt(5) == 0) None else Some(randPredicate())
     def base(df: DataFrame): DataFrame =
       pred.fold(df)(df.filter(_))
-    rnd.nextInt(6) match {
+    rnd.nextInt(7) match {
       case 0 =>
         val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts"))
           .take(rnd.nextInt(5) + 1).map(col)
@@ -199,7 +199,7 @@ class PinotDifferentialSpec extends SparkTestBase {
           (df => base(df).select("k", "v", "tag").orderBy(ord).limit(n),
             false)
         }
-      case _ => // grouped top-k: the r8 pushed-top-N shape (filterless,
+      case 5 => // grouped top-k: the r8 pushed-top-N shape (filterless,
         // single-segment draws push; tag tie-break keeps it total)
         val n = rnd.nextInt(8) + 1
         val ord =
@@ -207,6 +207,23 @@ class PinotDifferentialSpec extends SparkTestBase {
           else Seq(asc("c"), desc("tag"))
         (df => base(df).groupBy("tag").agg(count(lit(1)).as("c"),
           sum("v").as("sv")).orderBy(ord: _*).limit(n), false)
+      case _ => // SINGLE-aggregate-key grouped top-k — the r9 primitive
+        // selection path (long and double views). Only the sort KEY
+        // survives the limit, so the compared multiset is deterministic
+        // even with ties at the boundary (which group carries a tied key
+        // is free, exactly as in Spark's own TakeOrdered).
+        val n = rnd.nextInt(8) + 1
+        val aggc = rnd.nextInt(5) match {
+          case 0 => count(lit(1))
+          case 1 => sum("v")
+          case 2 => avg("k")
+          case 3 => min("v")
+          case _ => max("k")
+        }
+        val groupCol = if (rnd.nextBoolean()) "tag" else "k"
+        val dir = if (rnd.nextBoolean()) desc("a") else asc("a")
+        (df => base(df).groupBy(groupCol).agg(aggc.as("a"))
+          .orderBy(dir).limit(n).select("a"), false)
     }
   }
 

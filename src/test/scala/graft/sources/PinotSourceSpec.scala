@@ -541,7 +541,11 @@ class PinotSourceSpec extends SparkTestBase {
       .repartition(1)
       .write.format("pinot").option("invertedIndexColumns", "tag")
       .mode("append").save(wdir.toString)
-    val seg = Files.list(wdir).iterator().next()
+    val seg = {
+      import scala.jdk.CollectionConverters._
+      Files.list(wdir).iterator().asScala
+        .filter(Files.isDirectory(_)).next() // skip the table manifest file
+    }
     val meta = graft.pinot.SegmentReader.open(seg).metadata
     assert(meta.column("tag").hasInvertedIndex, "written index flag")
     val wdf = spark.read.format("pinot").load(wdir.toString)
@@ -592,7 +596,11 @@ class PinotSourceSpec extends SparkTestBase {
     assert(df.agg(min("score")).collect()(0).getDouble(0) === 2.5)
     // IS NULL on a column with NO null vector prunes the whole segment
     val pruned = new graft.sources.pinot.PinotColumnarReader(
-      Files.list(tdir).iterator().next().resolve("v3").toString,
+      {
+        import scala.jdk.CollectionConverters._
+        Files.list(tdir).iterator().asScala
+          .filter(Files.isDirectory(_)).next().resolve("v3").toString
+      },
       Array("id"), Array(org.apache.spark.sql.sources.IsNull("name")), None)
     assert(!pruned.next(), "IS NULL on never-null column prunes")
     // clustered nulls: IS NULL clamps the scan to the null run itself

@@ -94,7 +94,11 @@ class RangeIndexSpec extends SparkTestBase {
       .repartition(2)
       .write.format("pinot").option("rangeIndexColumns", "metric")
       .mode("append").save(dir)
-    val seg = Files.list(java.nio.file.Paths.get(dir)).iterator().next()
+    val seg = {
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(Files.isDirectory(_)).next() // skip the table manifest file
+    }
     assert(SegmentReader.open(seg).metadata.columns("metric").hasRangeIndex)
     assert(SegmentReader.open(seg).rangeIndex("metric").isDefined)
     val back = spark.read.format("pinot").load(dir)

@@ -13,6 +13,12 @@ import org.apache.spark.sql.sources.{StringContains, StringEndsWith, StringStart
   */
 class TextIndexSpec extends SparkTestBase {
 
+  private def firstSegDir(dir: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).next() // skip manifest
+  }
+
   test("section: postings exact per token; whitespace probes refuse") {
     val docs = Array("alpha beta gamma", "beta delta", "gamma alpha", "epsilon")
     val sec = TextIndexSection.deserialize(TextIndexSection.build(docs.iterator))
@@ -126,7 +132,7 @@ class TextIndexSpec extends SparkTestBase {
       .repartition(2)
       .write.format("pinot").option("textIndexColumns", "body")
       .mode("append").save(dir)
-    val seg = Files.list(java.nio.file.Paths.get(dir)).iterator().next()
+    val seg = firstSegDir(dir)
     assert(SegmentReader.open(seg).metadata.columns("body").hasTextIndex)
     assert(SegmentReader.open(seg).textIndex("body").isDefined)
     val back = spark.read.format("pinot").load(dir)
@@ -198,7 +204,7 @@ class TextIndexSpec extends SparkTestBase {
       .option("textIndexColumns", "body")
       .option("textIndexAnalyzer", "standard_stop")
       .mode("append").save(dir)
-    val seg = Files.list(java.nio.file.Paths.get(dir)).iterator().next()
+    val seg = firstSegDir(dir)
     val idx = SegmentReader.open(seg).textIndex("body")
     assert(idx.isDefined)
     assert(idx.get.analyzer === TextIndexSection.AnalyzerStandardStop)
@@ -214,7 +220,7 @@ class TextIndexSpec extends SparkTestBase {
     rows.toDF("id", "body")
       .write.format("pinot").option("textIndexColumns", "body")
       .mode("append").save(stdDir)
-    val stdSeg = Files.list(java.nio.file.Paths.get(stdDir)).iterator().next()
+    val stdSeg = firstSegDir(stdDir)
     assert(SegmentReader.open(stdSeg).textIndex("body").get.numTokens ===
       idx.get.numTokens + 2)
     // maintenance ops preserve a unanimous analyzer
