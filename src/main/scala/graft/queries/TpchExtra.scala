@@ -171,6 +171,35 @@ object TpchExtra {
         .agg(count(lit(1)).as("numcust"),
           round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("cntrygrp")
+    }),
+
+    // TPC-H Q21 (adapted: "kept waiting" = shipped >60 days after the
+    // order date — the schema has no commit/receipt dates; no
+    // nation/status narrowing so the smallest SF keeps rows): suppliers
+    // who were the SOLE late supplier on a multi-supplier order. The
+    // correlated EXISTS / NOT EXISTS pair decorrelates into two
+    // per-order aggregates joined back — supplier breadth ≥ 2 and
+    // distinct-late-supplier count = 1 — so the fact table is scanned
+    // thrice but never nested-loop probed.
+    "q127_tpch_q21" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val breadth = li.groupBy(col("l_orderkey").as("bok"))
+        .agg(countDistinct("l_suppkey").as("nsupp"))
+      val late = li.join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("lok"), col("l_suppkey").as("lsk"))
+      val lateSet = late.distinct()
+        .groupBy(col("lok").as("gok")).agg(count(lit(1)).as("nlate"))
+      late
+        .join(breadth, col("lok") === col("bok")).filter(col("nsupp") >= 2)
+        .join(lateSet, col("lok") === col("gok")).filter(col("nlate") === 1)
+        .join(broadcast(t(s, d, "supplier")), col("lsk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -267,5 +296,21 @@ object TpchExtra {
         |                   WHERE c_acctbal > 0)
         |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_mktsegment ORDER BY cntrygrp""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY cntrygrp""".stripMargin,
+
+    "q127_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |  AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey
+        |  AND l3.l_suppkey <> l1.l_suppkey
+        |  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin)
 }
