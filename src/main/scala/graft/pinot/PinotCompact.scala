@@ -96,8 +96,8 @@ object PinotCompact {
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
-    // best-effort manifest rebuild — stale manifests self-invalidate
-    try TableManifest.writeLocal(root) catch { case _: Throwable => () }
+    // logged best-effort manifest rebuild — stale manifests self-invalidate
+    TableManifest.refresh(root)
     visible
   }
 
@@ -242,8 +242,8 @@ object PinotCompact {
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
-    // best-effort manifest rebuild — stale manifests self-invalidate
-    try TableManifest.writeLocal(root) catch { case _: Throwable => () }
+    // logged best-effort manifest rebuild — stale manifests self-invalidate
+    TableManifest.refresh(root)
     visible
   }
 

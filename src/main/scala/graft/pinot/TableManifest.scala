@@ -23,12 +23,27 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *   <base64url(relative meta-dir path)>\t<size>\t<mtime>\t<base64(metadata.properties bytes)>
   * }}}
   * Paths are '/'-separated and relative to the table root, so a table
-  * written locally and uploaded to an object store validates unchanged.
+  * can move wholesale. Validation is (size, mtime)-exact — mtime is
+  * load-bearing (a same-size in-place rewrite must invalidate), which
+  * means an upload tool that RESETS modification times (`aws s3 cp`,
+  * plain `hdfs dfs -put`) also invalidates the manifest and the open
+  * falls back to the parallel prefetch; preserve timestamps
+  * (`distcp -p`, rsync -t) to keep the one-GET path after a move.
   */
 object TableManifest {
 
   val FileName = "_graft_manifest.v1"
   private val Header = "graft-manifest-v1"
+
+  /** Logged best-effort refresh — the one entry point the write and
+    * compaction paths share. Failure never propagates: a missing/stale
+    * manifest self-invalidates at read time.
+    */
+  def refresh(tableDir: Path): Unit =
+    try writeLocal(tableDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[pinot] manifest refresh failed for $tableDir: $e")
+    }
 
   /** Rebuild the manifest from a LOCAL table dir (the write path is
     * java.nio). Atomic replace; best-effort by contract — callers treat
@@ -53,9 +68,17 @@ object TableManifest {
       } finally walk.close()
     metas.foreach { p =>
       val rel = tableDir.relativize(p.getParent).toString.replace('\\', '/')
-      val bytes = Files.readAllBytes(p)
+      // stamp BEFORE the read and re-check after: a concurrent in-place
+      // rewrite mid-read would otherwise pair the NEW stamp with OLD
+      // bytes and the next open would validate stale metadata as
+      // current. An unstable file aborts the whole (best-effort) write.
       val size = Files.size(p)
       val mtime = Files.getLastModifiedTime(p).toMillis
+      val bytes = Files.readAllBytes(p)
+      if (bytes.length != size || Files.size(p) != size ||
+          Files.getLastModifiedTime(p).toMillis != mtime)
+        throw new IllegalStateException(
+          s"$p changed while the manifest was being built")
       sb ++= java.util.Base64.getUrlEncoder.withoutPadding
         .encodeToString(rel.getBytes(UTF_8))
       sb += '\t'; sb ++= size.toString
@@ -82,9 +105,15 @@ object TableManifest {
     */
   def load(tableDir: String, io: SegmentIO,
       listing: Seq[SegmentIO.FileEntry]): Map[String, SegmentMetadata] =
+    listing.find(e => io.fileName(e.path) == FileName) match {
+      case None => Map.empty
+      case Some(entry) => loadEntry(tableDir, io, listing, entry)
+    }
+
+  private def loadEntry(tableDir: String, io: SegmentIO,
+      listing: Seq[SegmentIO.FileEntry],
+      entry: SegmentIO.FileEntry): Map[String, SegmentMetadata] =
     try {
-      val entry = listing.find(e => io.fileName(e.path) == FileName)
-        .getOrElse(return Map.empty)
       val prefix = io.parent(io.resolve(tableDir, "x")) + "/"
       def relOf(p: String): Option[String] =
         if (p.startsWith(prefix)) Some(p.substring(prefix.length)) else None
@@ -111,5 +140,5 @@ object TableManifest {
       parsed.map { case (rel, _, _, bytes) =>
         (prefix + rel) -> SegmentMetadata.parse(new String(bytes, UTF_8))
       }.toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

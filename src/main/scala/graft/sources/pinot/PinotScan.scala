@@ -1688,9 +1688,10 @@ object PinotScan {
   def cacheMeta(path: String, m: graft.pinot.SegmentMetadata): Unit =
     metaCache.put(path, m)
 
-  def prefetchMetas(paths: Seq[String], io: graft.pinot.SegmentIO,
-      invalidate: Boolean = false): Unit = {
-    if (invalidate) invalidateMetas(paths)
+  def prefetchMetas(paths: Seq[String], io: graft.pinot.SegmentIO): Unit = {
+    // eviction is the CALLER's decision (PinotSegmentTable.open evicts
+    // on a fingerprint miss BEFORE seeding from the manifest) — an
+    // invalidation entry point here would race the manifest seeding
     val missing = paths.filter(p => metaCache.get(p).isEmpty)
     if (missing.isEmpty) return
     val par = math.min(32, missing.length)

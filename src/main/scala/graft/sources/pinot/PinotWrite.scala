@@ -74,8 +74,14 @@ class PinotStreamingWrite(path: String, tableName: String,
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
+  // No manifest rebuild per epoch: it walks the whole table (O(segments)
+  // I/O per microbatch, quadratic over a stream's life) for an artifact
+  // the very next epoch invalidates. A hot streaming table's cold-open
+  // optimization is pointless mid-stream; batch commits and compaction
+  // rebuild it, so the table gets its manifest when it quiesces through
+  // either path.
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    delegate.commit(messages)
+    delegate.commitSegments(messages)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     delegate.abort(messages)
@@ -116,6 +122,14 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     * so a post-restart replay regenerates the same names.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    commitSegments(messages)
+    graft.pinot.TableManifest.refresh(Paths.get(path))
+  }
+
+  /** The segment-visibility half of commit, shared with the streaming
+    * epoch path (which skips the per-epoch manifest rebuild).
+    */
+  private[pinot] def commitSegments(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case PinotCommitMessage(segs, _) =>
         segs.foreach { case (tmp, segName) =>
@@ -129,8 +143,6 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
       case other =>
         throw new PinotFormatException(s"Unexpected commit message: $other")
     }
-    PinotWriteUtil.refreshManifest(Paths.get(path))
-  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -142,16 +154,6 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
 }
 
 object PinotWriteUtil {
-
-  /** Best-effort post-commit manifest rebuild (one GET cold opens,
-    * [[graft.pinot.TableManifest]]): a failure must never fail the
-    * commit — a missing/stale manifest self-invalidates at read time.
-    */
-  def refreshManifest(tableDir: java.nio.file.Path): Unit =
-    try graft.pinot.TableManifest.writeLocal(tableDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[pinot] manifest refresh failed for $tableDir: $e")
-    }
   def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
