@@ -198,6 +198,11 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
+  /** Discovered segment meta-dirs — lets callers that already opened
+    * the (cached) table reuse its listing instead of re-walking.
+    */
+  def segmentDirs: Seq[String] = segmentPaths
+
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =

@@ -45,7 +45,9 @@ object PinotHybrid {
       case (true, true) =>
         val off = spark.read.format("pinot").load(offDir)
         val rt = spark.read.format("pinot").load(rtDir)
-        val segs = PinotSegments.discoverDirs(offDir, io)
+        // reuse the table-open's (cached) discovery + prefetched
+        // metadata — no second listing, no per-segment reads
+        val segs = PinotSegmentTable.open(offDir).segmentDirs
         val metas = segs.map(PinotScan.segmentMeta)
         if (metas.exists(_ == null)) throw new PinotFormatException(
           s"Unreadable offline segment metadata under $offDir")
