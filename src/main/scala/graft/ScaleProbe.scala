@@ -18,7 +18,9 @@ object ScaleProbe {
     "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q46_cosine_pairs",
     "q112_cosine_pairs_blocked",
     "q49_dedup_minhash_lsh", "q50_dedup_simhash", "q73_dedup_components",
-    "q47_knn_brute", "q42_lang_id", "q45_fingerprint")
+    "q47_knn_brute", "q42_lang_id", "q45_fingerprint",
+    // r9 TPC-H widening — multi-join fact chains must scale ~linearly
+    "q119_tpch_q7", "q125_tpch_q18", "q127_tpch_q21")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
