@@ -182,22 +182,29 @@ object TpchExtra {
     // distinct-late-supplier count = 1 — so the fact table is scanned
     // thrice but never nested-loop probed.
     "q127_tpch_q21" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val breadth = li.groupBy(col("l_orderkey").as("bok"))
-        .agg(countDistinct("l_suppkey").as("nsupp"))
-      val late = li.join(t(s, d, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey").as("lok"), col("l_suppkey").as("lsk"))
-      val lateSet = late.distinct()
-        .groupBy(col("lok").as("gok")).agg(count(lit(1)).as("nlate"))
-      late
-        .join(breadth, col("lok") === col("bok")).filter(col("nsupp") >= 2)
-        .join(lateSet, col("lok") === col("gok")).filter(col("nlate") === 1)
-        .join(broadcast(t(s, d, "supplier")), col("lsk") === col("s_suppkey"))
+      // ONE pass over lineitem: join orders once, collapse to
+      // (order, supplier, late-line count), then read supplier breadth
+      // and the distinct-late count off an order-partitioned window —
+      // no self-join, no second fact scan. numwait = Σ late lines of
+      // the sole-late supplier on multi-supplier orders.
+      val perOS = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("lateLines"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+      perOS
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate",
+          sum(when(col("lateLines") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("lateLines") > 0 && col("nsupp") >= 2 &&
+          col("nlate") === 1)
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum("lateLines").as("numwait"))
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(100)
     }))

@@ -250,6 +250,21 @@ class SegmentIOSpec extends SparkTestBase {
       assert(df.filter(col("id") < 100L).count() === 100L)
     }
 
+    // the same table through the HADOOP stack over a file:// URI: the
+    // manifest's relative paths must re-anchor against the QUALIFIED
+    // listing spelling ("file:/…") — still one listing + one GET
+    val uri = "file://" + dir
+    val countingH = new CountingSegmentIO(
+      new HadoopSegmentIO(spark.sparkContext.hadoopConfiguration))
+    SegmentIO.withOverride(
+      p => p.stripPrefix("file://").stripPrefix("file:").startsWith(dir),
+      countingH) {
+      val df = spark.read.format("pinot").load(uri)
+      assert(df.schema.fieldNames.toSeq === Seq("id", "metric"))
+      assert(countingH.count("readFully") === 1, countingH.calls)
+      assert(df.count() === 400L)
+    }
+
     // doctor one segment's metadata in place (foreign rewrite): stamps
     // no longer match the manifest → wholesale fallback, correct schema
     // and answers via the per-segment prefetch
