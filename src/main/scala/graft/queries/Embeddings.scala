@@ -279,6 +279,30 @@ object Embeddings {
             sqrt(col("sa").cast("double") * col("sb").cast("double")),
             4).as("cos_sim"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup-style EXACT semantic dedup keeper: embedding-cosine
+    // near-dup pairs (cos >= 0.4 — EXACTLY q46's quantized compare; the
+    // int64 exactness bound caps threshold denominators at 5, and the
+    // synthetic corpus tops out at cos 0.51) -> connected components
+    // -> keep the min vec_id per component. Output covers pair
+    // endpoints: dropped rows are is_canonical=false with their keeper
+    // in component_root. O(n^2) correctness baseline with the same
+    // guard as q46; the scale paths are the sketch/IVF families
+    // (q48-q50, q112) feeding the same [[Components]] keeper.
+    "q128_semdedup_keeper" -> ((s, d) => {
+      val n = Tables.load(s, d, "embeddings").count()
+      require(n <= 100000L,
+        s"q128_semdedup_keeper is the O(n^2) correctness baseline and " +
+          s"refuses $n vectors (max 100000); feed Components.roots from " +
+          "q112 (blocked exact), q48 (IVF) or q49/q50 (sketches) at scale")
+      val e = emb(s, d)
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      Components.roots(pairs, "vec_id")(s)
     })
   )
 
@@ -371,6 +395,34 @@ object Embeddings {
         |      i -> a.qvec[i] * b.qvec[i])) AS dot
         |  FROM S a JOIN S b ON a.vec_id < b.vec_id)
         |WHERE dot > 0 AND dot * dot * 25 >= sa * sb * 4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // same quantized pair math at cos >= 0.4, then recursive-CTE
+    // transitive closure -> min-id component roots (mirrors q73's CC).
+    // Standalone WITH RECURSIVE (the shared qvecCte is non-recursive).
+    "q128_semdedup_keeper" ->
+      """WITH RECURSIVE E AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))
+        |    AS qvec FROM embeddings),
+        |S AS (SELECT vec_id, qvec,
+        |  list_sum(list_transform(range(1, len(qvec) + 1),
+        |    i -> qvec[i] * qvec[i])) AS dotself FROM E),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.dotself AS sa, b.dotself AS sb,
+        |    list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> a.qvec[i] * b.qvec[i])) AS dot
+        |  FROM S a JOIN S b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |          WHERE dot > 0 AND dot * dot * 25 >= sa * sb * 4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS vec_id, min(v) AS component_root,
+        |  (u = min(v)) AS is_canonical
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
   )
 }

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q48b_ivf_recall",
     "q88_gapfill", "q90_quantized_ann", "q97_mixture_weights",
     "q100_pinot_vector", "q112_cosine_pairs_blocked",
+    "q128_semdedup_keeper", // q46's theta pair join feeding the keeper
     // scalar-subquery threshold: a ONE-ROW broadcast crossed against the
     // probe side (exactly how Spark executes `> (SELECT avg ...)`)
     "q126_tpch_q22")
