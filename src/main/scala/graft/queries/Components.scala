@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Driver fast-path edge cap — sys-prop override so tests can force
+    * the distributed fallback on small fixtures.
+    */
+  private def driverCap: Int =
+    Integer.getInteger("graft.cc.driverCap", 100000)
+
   def roots(pairs: DataFrame, outIdCol: String)(s: SparkSession): DataFrame = {
-    val capped = pairs.limit(100001).collect()
-    if (capped.length <= 100000) {
+    val cap = driverCap
+    val capped = pairs.limit(cap + 1).collect()
+    if (capped.length <= cap) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
