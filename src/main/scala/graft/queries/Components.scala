@@ -59,14 +59,33 @@ object Components {
         .select(col("id"), col("id").as("label")).localCheckpoint()
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      // Pointer doubling (label := min(label, label-of-label)) on top of
+      // the neighbor-min step makes a diameter-D chain converge in
+      // O(log D) rounds, so 64 covers any graph with Long ids; hitting
+      // the cap means a logic bug, and partial labels are a silent wrong
+      // answer — fail loudly instead of returning them.
+      val maxIters = 64
+      while (!converged) {
+        if (iter >= maxIters)
+          throw new IllegalStateException(
+            s"Components: min-label propagation did not converge after " +
+              s"$maxIters rounds — refusing to return partial labels")
         val neighborMin = edges
           .join(labels.select(col("id").as("v"), col("label").as("vlabel")), "v")
           .groupBy("u").agg(min("vlabel").as("nmin"))
           .select(col("u").as("id"), col("nmin"))
-        val newLabels = labels.join(neighborMin, Seq("id"), "left")
+        val propagated = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // one level of label indirection: labels always name nodes of the
+        // same component, so chasing label-of-label only shortcuts paths
+        val hop = propagated
+          .select(col("id").as("hid"), col("label").as("hlabel"))
+        val newLabels = propagated.as("p")
+          .join(hop, col("p.label") === col("hid"), "left")
+          .select(col("p.id").as("id"),
+            least(col("p.label"), coalesce(col("hlabel"), col("p.label")))
+              .as("label"))
           .localCheckpoint()
         val changed = newLabels
           .join(labels.select(col("id"), col("label").as("old")), "id")
