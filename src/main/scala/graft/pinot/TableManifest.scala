@@ -79,6 +79,13 @@ object TableManifest {
           Files.getLastModifiedTime(p).toMillis != mtime)
         throw new IllegalStateException(
           s"$p changed while the manifest was being built")
+      // the stamp recheck is millisecond-granular: a same-size in-place
+      // rewrite completing within the stamp's millisecond would embed
+      // stale bytes under a current stamp — re-read and compare content
+      // (metadata.properties is small; one extra local read per segment)
+      if (!java.util.Arrays.equals(bytes, Files.readAllBytes(p)))
+        throw new IllegalStateException(
+          s"$p changed while the manifest was being built")
       sb ++= java.util.Base64.getUrlEncoder.withoutPadding
         .encodeToString(rel.getBytes(UTF_8))
       sb += '\t'; sb ++= size.toString

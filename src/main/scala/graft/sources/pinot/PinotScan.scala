@@ -1700,18 +1700,43 @@ object PinotScan {
       missing.foreach(segmentMetaVia(_, io))
       return
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      missing.map { p =>
-        pool.submit(new Runnable {
-          override def run(): Unit = {
-            val m = try metaFetch(p, io) catch { case _: Throwable => MetaMiss }
-            metaCache.put(p, m)
-          }
-        })
-      }.foreach(_.get())
-    } finally pool.shutdown()
+    missing.map { p =>
+      p -> prefetchPool.submit(new Runnable {
+        override def run(): Unit = {
+          val m = try metaFetch(p, io) catch { case _: Throwable => MetaMiss }
+          metaCache.put(p, m)
+        }
+      })
+    }.foreach { case (p, f) =>
+      // a wedged remote GET must not hang table open: degrade this
+      // segment to MetaMiss (planning falls back to stat-based sizing)
+      // and move on. A late completion overwrites the miss harmlessly.
+      try f.get(prefetchTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        f.cancel(true)
+        if (metaCache.get(p).isEmpty) metaCache.put(p, MetaMiss)
+      }
+    }
   }
+
+  /** Shared daemon pool for metadata prefetch — table opens are
+    * driver-side and bursty; creating/tearing down 32 threads per cold
+    * open (r9) wasted ~ms and risked unbounded thread churn under
+    * concurrent opens.
+    */
+  private lazy val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(32,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-meta-prefetch-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  /** Per-segment metadata fetch timeout during prefetch (ms). */
+  private def prefetchTimeoutMs: Long =
+    java.lang.Long.getLong("graft.pinot.metaFetchTimeoutMs", 30000L)
 
   /** Default task sizing target (Spark's files.maxPartitionBytes). Set
     * the `splitTargetBytes` read option to 0 to force the legacy strict
