@@ -11,6 +11,7 @@ object VerifyStress {
       .config("spark.sql.files.maxPartitionBytes", "262144") // 256 KB
       .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // json-index pushdown: routes get_json_object equality predicates
+    // over Pinot relations into the scan as an advisory option (the
+    // Filter stays; see graft.plans.JsonIndexRule). Operator-optimization
+    // rules run before V2 scan pushdown builds the scan.
+    ext.injectOptimizerRule(_ => graft.plans.JsonIndexRule)
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "dot_q"),

@@ -65,7 +65,12 @@ final case class ColumnMetadata(
       * `textIndexColumns` capability): substring predicates resolve to
       * token-posting bitmaps for window skipping.
       */
-    hasTextIndex: Boolean = false)
+    hasTextIndex: Boolean = false,
+    /** JSON-index section present (EXTENSION — Pinot's
+      * `jsonIndexColumns` capability): pushed json-path equality
+      * probes resolve to flattened path=value posting bitmaps.
+      */
+    hasJsonIndex: Boolean = false)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -157,7 +162,8 @@ object SegmentMetadata {
         nullCount = prop("nullValueCount").flatMap(_.toIntOption).getOrElse(0),
         hasBloomFilter = prop("hasBloomFilter").contains("true"),
         hasRangeIndex = prop("hasRangeIndex").contains("true"),
-        hasTextIndex = prop("hasTextIndex").contains("true"))
+        hasTextIndex = prop("hasTextIndex").contains("true"),
+        hasJsonIndex = prop("hasJsonIndex").contains("true"))
     }
 
     def csv(key: String): Seq[String] = props.get(key).toSeq

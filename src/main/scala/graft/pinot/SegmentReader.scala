@@ -347,6 +347,13 @@ final class SegmentReader private (
   def textIndex(name: String): Option[TextIndexSection] =
     sectionOpt(name, TextIndexSection.IndexType).map(TextIndexSection.deserialize)
 
+  /** JSON index (EXTENSION — Pinot's `jsonIndexColumns` capability; see
+    * [[JsonIndexSection]]): flattened path=value postings serving pushed
+    * `get_json_object` equality probes.
+    */
+  def jsonIndex(name: String): Option[JsonIndexSection] =
+    sectionOpt(name, JsonIndexSection.IndexType).map(JsonIndexSection.deserialize)
+
   /** Just the text-index analyzer id, read from the fixed header offset
     * (magic 8B | version i32 | analyzer i32) — maintenance ops ask only
     * this, and full `textIndex` deserialization decodes the entire

@@ -120,7 +120,8 @@ object SegmentWriter {
       rangeCols: Set[String] = Set.empty,
       textCols: Set[String] = Set.empty,
       textAnalyzer: Int = TextIndexSection.AnalyzerStandard,
-      textAnalyzers: Map[String, Int] = Map.empty): Path = {
+      textAnalyzers: Map[String, Int] = Map.empty,
+      jsonIdxCols: Set[String] = Set.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -571,6 +572,19 @@ object SegmentWriter {
       addSection(tc, TextIndexSection.IndexType,
         TextIndexSection.build(vals, textAnalyzers.getOrElse(tc, textAnalyzer)))
       props ++= s"column.$tc.hasTextIndex=true\n"
+    }
+
+    // JSON indexes (the capability of Pinot's jsonIndexColumns):
+    // flattened path=value postings over JSON/STRING documents — see
+    // [[JsonIndexSection]]
+    jsonIdxCols.foreach { jc =>
+      val cd = columns.find(_.name == jc).getOrElse(
+        throw new PinotFormatException(s"jsonIndexColumns: unknown column $jc"))
+      val vals = textValues(cd).getOrElse(
+        throw new PinotFormatException(
+          s"jsonIndexColumns entry $jc: single-value JSON/STRING required"))
+      addSection(jc, JsonIndexSection.IndexType, JsonIndexSection.build(vals))
+      props ++= s"column.$jc.hasJsonIndex=true\n"
     }
 
     // Star-tree: recompute each dim's dict ids with the SAME deterministic

@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 8 // r8: metadata records exact column sums
+  private val LayoutVersion = 9 // r10: events fixture gains a json index
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -100,6 +100,7 @@ object PinotRoundtrip {
         .repartition(2)
         .write.format("pinot").mode("append")
         .option("jsonColumns", "props")
+        .option("jsonIndexColumns", "props")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -198,7 +199,10 @@ object PinotRoundtrip {
       val tmp = root.resolve("tmp_v1build")
       while (segs.hasNext) {
         val seg = segs.next()
-        if (!seg.getFileName.toString.startsWith("tmp"))
+        // segment DIRS only: skip in-flight tmp output and table-root
+        // files (the writer-maintained _graft_manifest.v1)
+        if (!seg.getFileName.toString.startsWith("tmp") &&
+            Files.isDirectory(seg))
           graft.pinot.PinotCompact.convert(seg.toString,
             tmp.resolve(seg.getFileName.toString).toString, formatVersion = 1)
       }
@@ -501,6 +505,21 @@ object PinotRoundtrip {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           sum((col("amount") * lit(10000).cast("decimal(6,0)")).cast("long"))
             .as("amount_e4"))
+        .orderBy("event_type")
+    }),
+
+    // JSON index (the capability of Pinot's jsonIndexColumns): the
+    // get_json_object equality routes into the scan via JsonIndexRule
+    // (option-carried probe; flattened path=value postings prune
+    // segments and skip decode windows), while the residual Filter
+    // keeps the comparison authoritative — the oracle would catch a
+    // single dropped or phantom row.
+    "q129_pinot_json_index" -> ((s, d) => {
+      val p = s.read.format("pinot").load(jsonDecTable(s, d))
+      p.filter(get_json_object(col("props"), "$.k") === "42")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("event_type")
     }),
 
@@ -882,6 +901,16 @@ object PinotRoundtrip {
         |    AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(amount * 10000 AS BIGINT)) AS BIGINT) AS amount_e4
         |FROM subset GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q129_pinot_json_index" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type, props
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM subset WHERE json_extract_string(props, '$.k') = '42'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q84_pinot_hybrid" ->
       """WITH subset AS (

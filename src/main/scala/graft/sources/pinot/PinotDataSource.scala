@@ -219,7 +219,12 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     // one-task-per-segment planning
     new PinotScanBuilder(segmentPaths, tableSchema, tableDir,
       splitTargetBytes = options.getLong("splitTargetBytes",
-        PinotScan.DefaultSplitTargetBytes))
+        PinotScan.DefaultSplitTargetBytes),
+      // injected by graft.plans.JsonIndexRule: get_json_object equality
+      // probes have no V1 source-filter form, so they arrive as a
+      // relation option (always ALSO kept residual by the rule)
+      jsonEq = PinotScan.decodeJsonEq(
+        options.get(PinotScan.JsonEqOptionKey)))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -293,9 +298,15 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
         s"textIndexAnalyzer: unknown analyzer '$other' " +
           "(expected standard | standard_stop)")
     }
+    // `.option("jsonIndexColumns", "a,b")`: flattened path=value posting
+    // bitmaps (the capability of Pinot's jsonIndexColumns) — pushed
+    // get_json_object equality probes prune segments and skip windows
+    val jsonIdxCols = Option(info.options.get("jsonIndexColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
   }
 }
 

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     tableDir: Option[String] = None,
-    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes)
+    splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
+    jsonEq: Seq[(String, String, String)] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownOffset
@@ -739,7 +740,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = (limit.isDefined || offset.isDefined) && !sawFilters,
         splitTargetBytes = splitTargetBytes, scanTopN = scanTopN,
-        offset = offset)
+        offset = offset, jsonEq = jsonEq)
   }
 }
 
@@ -747,7 +748,8 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     skipFilters: Array[Filter], limit: Option[Int],
     tableDir: Option[String] = None, fullLimit: Boolean = false,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
-    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None)
+    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None,
+    jsonEq: Seq[(String, String, String)] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -934,6 +936,9 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"columns=${projected.fieldNames.mkString(",")}, " +
       s"skipFilters=[${skipFilters.mkString(",")}], " +
       s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
+      (if (jsonEq.isEmpty) ""
+       else ", jsonEq=[" + jsonEq.map { case (c, p, v) =>
+         s"$c $p=$v" }.mkString(",") + "]") +
       offset.fold("")(o => s", pushedOffset=$o") +
       scanTopN.fold("")(t =>
         s", pushedTopN=[${if (t.sorted) "sorted" else "value"} ${t.column}" +
@@ -958,7 +963,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PinotReaderFactory(projected.fieldNames, skipFilters, limit,
-      PinotScan.expectedTypes(projected), scanTopN, offset)
+      PinotScan.expectedTypes(projected), scanTopN, offset, jsonEq)
 }
 
 /** Scan for a pushed-down global COUNT/MIN/MAX aggregation.
@@ -1738,6 +1743,35 @@ object PinotScan {
   private def prefetchTimeoutMs: Long =
     java.lang.Long.getLong("graft.pinot.metaFetchTimeoutMs", 30000L)
 
+  /** Read-option key carrying pushed `get_json_object(col, path) = v`
+    * equality probes from the [[graft.plans.JsonIndexRule]] optimizer
+    * rule into the scan (V1 source filters cannot express them). Value:
+    * comma-joined triples of colon-joined url-base64 fields.
+    */
+  val JsonEqOptionKey = "graft.jsonEqFilters"
+
+  def encodeJsonEq(triples: Seq[(String, String, String)]): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    def b64(s: String) =
+      enc.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    triples.map { case (c, p, v) => s"${b64(c)}:${b64(p)}:${b64(v)}" }
+      .mkString(",")
+  }
+
+  def decodeJsonEq(s: String): Seq[(String, String, String)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split(',').toSeq.flatMap { t =>
+      t.split(':') match {
+        case Array(c, p, v) =>
+          def un(x: String) = new String(
+            java.util.Base64.getUrlDecoder.decode(x),
+            java.nio.charset.StandardCharsets.UTF_8)
+          try Some((un(c), un(p), un(v)))
+          catch { case _: IllegalArgumentException => None }
+        case _ => None
+      }
+    }
+
   /** Default task sizing target (Spark's files.maxPartitionBytes). Set
     * the `splitTargetBytes` read option to 0 to force the legacy strict
     * 1-task == 1-segment planning.
@@ -1955,7 +1989,8 @@ case class PinotKeyedPartition(segmentPath: String,
 class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
-    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None)
+    scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None,
+    jsonEq: Seq[(String, String, String)] = Nil)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1982,7 +2017,7 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     if (t.sorted) {
       val (s, e) = topSlice(lo, hi)
       new PinotColumnarReader(path, columns, skipFilters, limit,
-        expectedTypes, slice = Some((s, e)))
+        expectedTypes, slice = Some((s, e)), jsonEq = jsonEq)
     } else
       new PinotValueTopNReader(path, columns, t, expectedTypes, lo, hi)
   }
@@ -1994,10 +2029,10 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
       case PinotSlicePartition(p, s, e) =>
         return if (scanTopN.isDefined) topNReader(p, s, e)
         else new PinotColumnarReader(p, columns, skipFilters, limit,
-          expectedTypes, slice = Some((s, e)))
+          expectedTypes, slice = Some((s, e)), jsonEq = jsonEq)
       case PinotGroupPartition(paths) =>
         return new PinotSegmentChainReader(paths, columns, skipFilters,
-          limit, expectedTypes, scanTopN)
+          limit, expectedTypes, scanTopN, jsonEq)
       case PinotChainPartition(paths) =>
         // pushed rows are [offset, pushedLimit): the emission budget is
         // their difference (Spark pushed limit = user limit + offset)
@@ -2012,7 +2047,7 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
         topNReader(path, 0, PinotScan.segmentDocsStrict(path).toInt)
       case None =>
         new PinotColumnarReader(path, columns, skipFilters, limit,
-          expectedTypes)
+          expectedTypes, jsonEq = jsonEq)
     }
   }
 }
@@ -2234,7 +2269,8 @@ class PinotValueTopNReader(path: String, columns: Array[String],
 class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
     skipFilters: Array[Filter], limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)],
-    scanTopN: Option[ScanTopN] = None)
+    scanTopN: Option[ScanTopN] = None,
+    jsonEq: Seq[(String, String, String)] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = 0
@@ -2257,7 +2293,7 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
           0, PinotScan.segmentDocsStrict(path).toInt)
       case None =>
         new PinotColumnarReader(path, columns, skipFilters, limit,
-          expectedTypes)
+          expectedTypes, jsonEq = jsonEq)
     }
 
   @scala.annotation.tailrec
@@ -2339,7 +2375,8 @@ class PinotChainedLimitReader(paths: Seq[String], columns: Array[String],
 class PinotColumnarReader(segmentPath: String, columns: Array[String],
     skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None,
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
-    slice: Option[(Int, Int)] = None)
+    slice: Option[(Int, Int)] = None,
+    jsonEq: Seq[(String, String, String)] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchSize = 8192
@@ -2351,7 +2388,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     * value proves the segment contributes no rows — skip it without
     * decoding any forward index (dictionaries are tiny vs columns).
     */
-  private lazy val segmentCanMatch: Boolean = skipFilters.forall {
+  private lazy val segmentCanMatch: Boolean = jsonCanMatch && skipFilters.forall {
     case EqualTo(attr, value) =>
       dictMayContain(attr, Seq(value)) &&
         bloomMayContain(attr, Seq(value)) &&
@@ -2386,6 +2423,30 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   private def colMeta(attr: String): Option[graft.pinot.ColumnMetadata] =
     try Some(reader.metadata.column(attr)) catch { case _: Throwable => None }
+
+  /** JSON-index candidate set (EXTENSION — the capability of Pinot's
+    * `jsonIndexColumns`; see [[graft.pinot.JsonIndexSection]]): AND
+    * across the pushed `get_json_object(col, path) = value` equality
+    * probes the column's index can answer soundly. None when no probe
+    * is index-answerable (no index / refused path / odd probe) — the
+    * scan then decodes normally and the residual filter decides.
+    */
+  private lazy val jsonEqBitmap
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    var acc: org.roaringbitmap.buffer.MutableRoaringBitmap = null
+    jsonEq.foreach { case (c, p, v) =>
+      if (colMeta(c).exists(m => m.isSingleValue && m.hasJsonIndex)) {
+        val ji = try reader.jsonIndex(c) catch { case _: Throwable => None }
+        ji.flatMap(_.matchBitmap(p, v)).foreach { m =>
+          if (acc == null) acc = m.clone() else acc.and(m)
+        }
+      }
+    }
+    Option(acc)
+  }
+
+  /** Empty JSON candidate set proves the segment contributes no rows. */
+  private lazy val jsonCanMatch: Boolean = jsonEqBitmap.forall(!_.isEmpty)
 
   /** `col > v` can match only if segment max > v (maxSide), `col < v`
     * only if segment min < v. Unknown metadata or unsupported types →
@@ -2513,7 +2574,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     // limit pushdown only happens with no residual filters, so the two
     // never coexist — but skipping docs under a limit cap would change
     // WHICH rows count toward it, so guard anyway
-    if (limit.isDefined || skipFilters.isEmpty) None
+    if (limit.isDefined || (skipFilters.isEmpty && jsonEq.isEmpty)) None
     else {
       var acc: org.roaringbitmap.buffer.MutableRoaringBitmap = null
       skipFilters.foreach { f =>
@@ -2541,6 +2602,10 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
           case _ => None
         }
         fb.foreach { m => if (acc == null) acc = m else acc.and(m) }
+      }
+      // pushed get_json_object equality probes: json-index candidate AND
+      jsonEqBitmap.foreach { m =>
+        if (acc == null) acc = m.clone() else acc.and(m)
       }
       Option(acc)
     }

@@ -35,13 +35,14 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard) extends WriteBuilder {
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
       timeCol, starTreeSpec, bloomCols, rangeCols, textCols, sortedCol,
-      textAnalyzer)
+      textAnalyzer, jsonIdxCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
@@ -49,7 +50,7 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
         jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-        textCols, sortedCol, textAnalyzer)
+        textCols, sortedCol, textAnalyzer, jsonIdxCols)
   }
 }
 
@@ -63,14 +64,15 @@ class PinotStreamingWrite(path: String, tableName: String,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
       jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-      textCols, sortedCol, textAnalyzer)
+      textCols, sortedCol, textAnalyzer, jsonIdxCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -106,12 +108,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard) extends BatchWrite {
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
       jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
-      rangeCols, textCols, sortedCol, textAnalyzer)
+      rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -171,14 +174,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -192,7 +196,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -285,6 +290,13 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     if (!ok) throw new PinotFormatException(
       s"textIndexColumns entry $tc must be an existing STRING column")
   }
+  // json indexes: single-value STRING (usually also in jsonColumns)
+  jsonIdxCols.foreach { jc =>
+    val ok = schema.fieldNames.contains(jc) &&
+      schema(jc).dataType == StringType
+    if (!ok) throw new PinotFormatException(
+      s"jsonIndexColumns entry $jc must be an existing STRING column")
+  }
   // sorted column (Pinot's sortedColumn table config): rows are SORTED
   // by it at write time, so every segment records isSorted=true and the
   // scan's sorted sub-segment ranging applies by construction
@@ -340,7 +352,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -354,7 +366,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     rangeCols: Set[String] = Set.empty,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
-    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard)
+    textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
+    jsonIdxCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -571,7 +584,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
       }.toMap
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
       nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols,
-      textCols = textCols, textAnalyzer = textAnalyzer)
+      textCols = textCols, textAnalyzer = textAnalyzer,
+      jsonIdxCols = jsonIdxCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

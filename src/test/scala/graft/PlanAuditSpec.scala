@@ -191,6 +191,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("pushedOffset=100"), leaf)
   }
 
+  test("q129 routes its json equality probe into the scan") {
+    val leaf = finalPlan("q129_pinot_json_index").collectLeaves().head.toString
+    assert(leaf.contains("jsonEq=[props $.k=42"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction
