@@ -339,4 +339,36 @@ class SegmentIOSpec extends SparkTestBase {
         assert(r.nullVector("score").get.toArray.toSeq === Seq(2, 5, 8))
       } finally r.close()
     }
+
+  test("hybrid cold open budget: one manifest GET per side, zero " +
+      "per-segment probes (controller/hybrid budget, r10)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("segio_hybrid")
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "ts")
+    // batch writes refresh the manifest at commit on BOTH sides
+    mk(0 until 100).repartition(1).write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(root.resolve("hv_OFFLINE").toString)
+    mk(80 until 150).repartition(1).write.format("pinot").mode("append")
+      .option("timeColumn", "ts").save(root.resolve("hv_REALTIME").toString)
+    val counting = new CountingSegmentIO(LocalSegmentIO)
+    SegmentIO.withOverride(_.startsWith(root.toString), counting) {
+      val df = graft.sources.pinot.PinotHybrid.load(spark, root.toString, "hv")
+      // both sides open cold through the manifest: exactly 2 metadata
+      // GETs (one manifest per side), no per-segment round trips, and
+      // the boundary comes from cached metadata only
+      assert(counting.count("readFully") === 2, counting.calls)
+      assert(counting.count("exists") === 0, counting.calls)
+      assert(counting.count("listFiles") === 0, counting.calls)
+      assert(counting.count("listAll") === 0, counting.calls)
+      // time-boundary dedup still exact through the counted stack
+      // (execution-side segment opens legitimately read their own
+      // sections — only the PLANNING budget is pinned above)
+      assert(df.count() === 150)
+      import org.apache.spark.sql.functions.sum
+      assert(df.agg(sum("id")).collect()(0).getLong(0) ===
+        (0 until 150).map(_.toLong).sum)
+    }
+  }
 }

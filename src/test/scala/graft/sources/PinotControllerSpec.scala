@@ -140,4 +140,41 @@ class PinotControllerSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(s2.sql("SELECT count(*) AS c FROM pinotr.default.rtStats")
       .head().getLong(0) === 3)
   }
+
+  test("controller cold open budget: per open, ONE listing + ONE manifest " +
+      "GET, zero per-segment probes") {
+    import graft.pinot.{CountingSegmentIO, LocalSegmentIO, SegmentIO, TableManifest}
+    val root = Files.createTempDirectory("pinot_ctrl_budget")
+    val tableDir = root.resolve("budStats_OFFLINE")
+    (0 until 5).foreach { s =>
+      SegmentWriter.write(tableDir.resolve(s"seg$s"), "budStats", s"seg$s",
+        Seq(SegmentWriter.IntCol("v", Array.tabulate(100)(identity))))
+    }
+    TableManifest.refresh(tableDir)
+    tablesResponse = (200, """{"tables": ["budStats"]}""")
+    segmentsResponse = (200,
+      """[{"OFFLINE": ["seg0", "seg1", "seg2", "seg3", "seg4"]}]""")
+    val counting = new CountingSegmentIO(LocalSegmentIO)
+    // the catalog routes through SegmentIO.forPath(data_dir) — match the
+    // table ROOT, not the table dir
+    SegmentIO.withOverride(_.startsWith(root.toString), counting) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.pcb", "graft.sources.pinot.PinotCatalog")
+      s2.conf.set("spark.sql.catalog.pcb.data_dir", root.toString)
+      s2.conf.set("spark.sql.catalog.pcb.controller_url", baseUrl)
+      assert(s2.sql("SELECT count(*) AS c FROM pcb.default.budStats")
+        .head().getLong(0) === 500)
+    }
+    // the r9 path probed exists() per segment (1-2 round trips each);
+    // now the listing answers layout resolution and validates the
+    // manifest, so every open costs exactly 1 listing + 1 GET
+    assert(counting.count("exists") === 0, counting.calls)
+    assert(counting.count("listFiles") === 0, counting.calls)
+    assert(counting.count("listAll") === 0, counting.calls)
+    assert(counting.count("size") === 0, counting.calls)
+    val opens = counting.count("listTree")
+    assert(opens >= 1, counting.calls)
+    assert(counting.count("readFully") === opens,
+      s"per-segment metadata GETs leaked past the manifest: ${counting.calls}")
+  }
 }
