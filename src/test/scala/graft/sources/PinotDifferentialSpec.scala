@@ -362,4 +362,52 @@ class PinotDifferentialSpec extends SparkTestBase {
       assert(counting.count("listTree") <= 2 + 60, counting.calls)
     }
   }
+
+  test("random queries under manifest mutations (fresh / stale / foreign " +
+      "/ missing) agree with the parquet twin (seed fixed)") {
+    // Hunts the manifest's wholesale-fallback path, not just spec'd
+    // cases: every state mutates a segment's metadata.properties in
+    // place (fingerprint churn forces a COLD re-open through the table
+    // cache) and then leaves the manifest current, stale, foreign, or
+    // absent — 15 random queries per state must stay parquet-identical.
+    val dir = java.nio.file.Paths.get(pinotDir)
+    val manifest = dir.resolve(graft.pinot.TableManifest.FileName)
+    def doctorSeg(): Unit = {
+      val seg = graft.sources.pinot.PinotSegments.discover(pinotDir).head
+      val mp = seg.resolve("metadata.properties")
+      Files.write(mp,
+        (new String(Files.readAllBytes(mp), "UTF-8") + "\n#mut\n")
+          .getBytes("UTF-8"))
+    }
+    val states: Seq[(String, () => Unit)] = Seq(
+      "fresh" -> (() => { doctorSeg()
+        graft.pinot.TableManifest.refresh(dir) }),       // one-GET path
+      "stale" -> (() => { graft.pinot.TableManifest.refresh(dir)
+        doctorSeg() }),                                   // stamp mismatch
+      "foreign" -> (() => { doctorSeg()
+        Files.write(manifest,
+          "graft-manifest-v1\nnot|a|valid|line\n".getBytes("UTF-8")) }),
+      "missing" -> (() => { doctorSeg()
+        Files.deleteIfExists(manifest); () }))
+    states.foreach { case (label, mutate) =>
+      mutate()
+      val df = spark.read.format("pinot").load(pinotDir)
+      (1 to 15).foreach { round =>
+        val (q, rowChoiceFree) = randQuery()
+        if (rowChoiceFree) {
+          val got = q(df).count()
+          val cnt = q(parquet).count()
+          assert(got === cnt,
+            s"manifest[$label] round $round: count diverged ($got vs $cnt)")
+        } else {
+          val a = q(df).collect().map(_.toString).sorted.toSeq
+          val b = q(parquet).collect().map(_.toString).sorted.toSeq
+          assert(a === b, s"manifest[$label] round $round: diverged — " +
+            s"pinot ${a.length} rows vs parquet ${b.length}; " +
+            "first pinot-only: " + (a.toSet -- b.toSet).headOption +
+            "; first parquet-only: " + (b.toSet -- a.toSet).headOption)
+        }
+      }
+    }
+  }
 }
