@@ -111,8 +111,23 @@ object MakeScale {
       .withColumn("l_suppkey",
         (col("l_suppkey") + lit(sMax * r)).cast(df.schema("l_suppkey").dataType))),
       "lineitem")
-    save(replicate(events, (df, r) => df.withColumn("event_id",
-      (col("event_id") + lit(eMax * r)).cast(df.schema("event_id").dataType))),
+    // events: event_id AND user_id offset, ts shifted past the replica
+    // before it — keeping (user_id, ts) identical across replicas would
+    // create cross-replica timestamp TIES that as-of joins and session
+    // windows resolve engine-dependently (observed: q53/q62 diverged
+    // between Spark and DuckDB on plain-copy replication)
+    val uMax = maxOf(events, "user_id")
+    // timestampdiff/add (not cast-to-long): ts is TIMESTAMP_NTZ, which
+    // Spark 4 refuses to cast to BIGINT — and timestampadd keeps NTZ
+    val tsSpanSec = events
+      .agg(expr("timestampdiff(SECOND, min(ts), max(ts))"))
+      .head().getLong(0) + 3600L
+    save(replicate(events, (df, r) => df
+      .withColumn("event_id",
+        (col("event_id") + lit(eMax * r)).cast(df.schema("event_id").dataType))
+      .withColumn("user_id",
+        (col("user_id") + lit(uMax * r)).cast(df.schema("user_id").dataType))
+      .withColumn("ts", expr(s"timestampadd(SECOND, ${tsSpanSec * r}L, ts)"))),
       "events")
 
     // documents: per-replica vocabulary permutation (word w at sorted
