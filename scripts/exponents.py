@@ -13,11 +13,12 @@ import json, math, sys
 def load(p):
     with open(p) as f:
         txt = f.read()
-    # file may be a raw sbt log; find the JSON line
+    # file may be a raw sbt log (lines prefixed "[info] "); find the
+    # JSON line and strip anything before its first brace
     for line in txt.splitlines():
-        line = line.strip()
-        if line.startswith('{') and '"queries"' in line:
-            return json.loads(line)
+        i = line.find('{')
+        if i >= 0 and '"queries"' in line:
+            return json.loads(line[i:])
     return json.loads(txt)
 
 a = load(sys.argv[1])
