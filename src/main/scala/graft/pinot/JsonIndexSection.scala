@@ -36,11 +36,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    (longer leaves are not indexed), and never the string "null"
   *    (JSON null rendering differs across engines). Anything else →
   *    `None`, scan decodes normally.
+  *  - IN-list probes ([[matchAnyBitmap]]) union the postings of each
+  *    value; ONE ineligible value refuses the whole probe (a doc
+  *    matching that value would have no posting to find it by).
+  *  - Path-EXISTS probes ([[existsBitmap]], serving pushed
+  *    `get_json_object(col, path) IS NOT NULL`) union every posting
+  *    under the path. Sound only when every leaf ever seen at the path
+  *    was posted, so v2 records `unpostedLeafPaths` — paths where some
+  *    doc holds a leaf skipped at build time (string/number literal
+  *    > MaxValueLen, or an explicit JSON null, whose rendering is
+  *    engine-delicate) — and exists refuses those, plus every v1
+  *    section (the set is unknown there).
   *
   * Section (`{column}.json_index`):
   * {{{
   *   8B magic | i32 version
   *   i32 numRefusedPaths | each (i32 len, utf8)
+  *   i32 numUnpostedLeafPaths | each (i32 len, utf8)   // version ≥ 2
   *   i32 oddBytes | serialized RoaringBitmap (oddDocs)
   *   i32 numKeys | each (i32 len, utf8)       // sorted `pathvalue`
   *   (numKeys+1) × i32 offsets (absolute) | RoaringBitmaps
@@ -51,7 +63,8 @@ final class JsonIndexSection(
     raw: Array[Byte],
     offsets: Array[Int],
     refusedPaths: Set[String],
-    oddDocs: org.roaringbitmap.buffer.ImmutableRoaringBitmap) {
+    oddDocs: org.roaringbitmap.buffer.ImmutableRoaringBitmap,
+    unpostedLeafPaths: Option[Set[String]]) {
 
   import JsonIndexSection._
 
@@ -68,23 +81,65 @@ final class JsonIndexSection(
     * doc); the caller must then not prune.
     */
   def matchBitmap(path: String, value: String)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] =
+    matchAnyBitmap(path, Seq(value))
+
+  /** Docs where `get_json_object(col, path)` may equal ANY of `values`
+    * (a pushed IN-list): the union of each value's posting, OR'd with
+    * the odd-doc set. One ineligible value refuses the whole probe —
+    * its matches would have no posting, so pruning on the rest would
+    * drop rows. An EMPTY value list is a valid probe (IN () matches
+    * nothing): only the odd docs stay candidates.
+    */
+  def matchAnyBitmap(path: String, values: Seq[String])
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
-    if (value == null || value == "null" || value.length > MaxValueLen)
-      return None
+    if (values.exists(v =>
+        v == null || v == "null" || v.length > MaxValueLen)) return None
     if (!isSimplePath(path)) return None
     if (refusedPaths.contains(path)) return None
     val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap
-    val i = java.util.Arrays.binarySearch(
-      keys.asInstanceOf[Array[AnyRef]], path + Sep + value)
-    if (i >= 0) acc.or(bitmap(i))
+    values.foreach { v =>
+      val i = java.util.Arrays.binarySearch(
+        keys.asInstanceOf[Array[AnyRef]], path + Sep + v)
+      if (i >= 0) acc.or(bitmap(i))
+    }
     acc.or(oddDocs)
     Some(acc)
+  }
+
+  /** Docs where `get_json_object(col, path)` may be non-null (a pushed
+    * `IS NOT NULL` probe): the union of every posting under the path,
+    * OR'd with the odd-doc set. Refuses on v1 sections (no
+    * unposted-leaf record), on paths that ever held an unposted leaf
+    * (long literal / explicit JSON null — such docs have no posting
+    * yet the engine may render a value), and on refused paths (object/
+    * array leaves render as JSON text, which postings do not model).
+    */
+  def existsBitmap(path: String)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    if (!isSimplePath(path)) return None
+    if (refusedPaths.contains(path)) return None
+    unpostedLeafPaths match {
+      case Some(unposted) if !unposted.contains(path) =>
+        val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap
+        val prefix = path + Sep
+        var i = java.util.Arrays.binarySearch(
+          keys.asInstanceOf[Array[AnyRef]], prefix)
+        if (i < 0) i = -i - 1 // first key ≥ prefix (Sep sorts below all values)
+        while (i < keys.length && keys(i).startsWith(prefix)) {
+          acc.or(bitmap(i))
+          i += 1
+        }
+        acc.or(oddDocs)
+        Some(acc)
+      case _ => None
+    }
   }
 }
 
 object JsonIndexSection {
 
-  val Version = 1
+  val Version = 2 // v2: adds unpostedLeafPaths (exists-probe soundness)
   val IndexType = "json_index"
   val Sep = '\u0001'
 
@@ -173,9 +228,13 @@ object JsonIndexSection {
       s.substring(start, i)
     }
 
-    /** Walks one value at `path`, emitting leaf pairs / refusals. */
+    /** Walks one value at `path`, emitting leaf pairs / refusals;
+      * `unposted` reports a leaf legitimately skipped from the postings
+      * (long literal, explicit JSON null) so exists-probes can refuse.
+      */
     private def value(path: String, depth: Int,
-        emit: (String, String) => Unit, refuse: String => Unit): Unit = {
+        emit: (String, String) => Unit, refuse: String => Unit,
+        unposted: String => Unit): Unit = {
       if (depth > MaxDepth) odd()
       ws()
       if (i >= s.length) odd()
@@ -195,7 +254,7 @@ object JsonIndexSection {
               if (!seen.add(k)) odd() // duplicate key: rendering ambiguous
               ws(); expect(':')
               val childPath = if (path.isEmpty) "$." + k else path + "." + k
-              value(childPath, depth + 1, emit, refuse)
+              value(childPath, depth + 1, emit, refuse, unposted)
               ws()
               if (i < s.length && s.charAt(i) == ',') i += 1
               else { expect('}'); more = false }
@@ -219,25 +278,28 @@ object JsonIndexSection {
         case '"' =>
           val v = stringLit()
           if (path.isEmpty) odd()
-          if (v.length <= MaxValueLen) emit(path, v)
+          if (v.length <= MaxValueLen) emit(path, v) else unposted(path)
         case _ =>
           val lit = bareLit()
           if (path.isEmpty) odd()
-          if (lit == "null") () // never indexed; probes refuse "null"
+          // explicit JSON null: never indexed (equality probes refuse
+          // "null"; exists-probes refuse the path — rendering is
+          // engine-delicate)
+          if (lit == "null") unposted(path)
           else if (lit == "true" || lit == "false") emit(path, lit)
           else {
             // verbatim number literal; sanity-check it parses so stray
             // garbage lands in oddDocs instead of the vocabulary
             try { java.lang.Double.parseDouble(lit); () }
             catch { case _: NumberFormatException => odd() }
-            if (lit.length <= MaxValueLen) emit(path, lit)
+            if (lit.length <= MaxValueLen) emit(path, lit) else unposted(path)
           }
       }
     }
 
     def parseDoc(emit: (String, String) => Unit,
-        refuse: String => Unit): Unit = {
-      value("", 0, emit, refuse)
+        refuse: String => Unit, unposted: String => Unit): Unit = {
+      value("", 0, emit, refuse, unposted)
       ws()
       if (i != s.length) odd() // trailing garbage
     }
@@ -247,6 +309,7 @@ object JsonIndexSection {
     val postings = scala.collection.mutable.HashMap
       .empty[String, org.roaringbitmap.RoaringBitmap]
     val refused = scala.collection.mutable.HashSet.empty[String]
+    val unposted = scala.collection.mutable.HashSet.empty[String]
     val odd = new org.roaringbitmap.RoaringBitmap
     var doc = 0
     values.foreach { v =>
@@ -256,7 +319,8 @@ object JsonIndexSection {
         try {
           new Parser(v).parseDoc(
             (p, lit) => pairs += ((p, lit)),
-            p => { refused += p; () })
+            p => { refused += p; () },
+            p => { unposted += p; () })
           pairs.foreach { case (p, lit) =>
             postings.getOrElseUpdate(p + Sep + lit,
               new org.roaringbitmap.RoaringBitmap).add(doc)
@@ -267,6 +331,7 @@ object JsonIndexSection {
     }
     val keys = postings.keys.toArray.sorted
     val refusedArr = refused.toArray.sorted
+    val unpostedArr = unposted.toArray.sorted
     val oddBytes = {
       odd.runOptimize()
       val bos = new ByteArrayOutputStream()
@@ -275,8 +340,10 @@ object JsonIndexSection {
     }
     val keyBytes = keys.map(_.getBytes(UTF_8))
     val refusedBytes = refusedArr.map(_.getBytes(UTF_8))
+    val unpostedBytes = unpostedArr.map(_.getBytes(UTF_8))
     val header = 8 + 4 +
       4 + refusedBytes.map(_.length + 4).sum +
+      4 + unpostedBytes.map(_.length + 4).sum +
       4 + oddBytes.length +
       4 + keyBytes.map(_.length + 4).sum +
       4 * (keys.length + 1)
@@ -295,6 +362,8 @@ object JsonIndexSection {
     buf.putInt(Version)
     buf.putInt(refusedBytes.length)
     refusedBytes.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.putInt(unpostedBytes.length)
+    unpostedBytes.foreach { b => buf.putInt(b.length); buf.put(b) }
     buf.putInt(oddBytes.length)
     buf.put(oddBytes)
     buf.putInt(keys.length)
@@ -310,7 +379,7 @@ object JsonIndexSection {
     if (magic != PinotDictionary.MagicMarker)
       throw new PinotFormatException(f"json_index section: bad magic 0x$magic%x")
     val version = buf.getInt
-    if (version != Version)
+    if (version < 1 || version > Version)
       throw new PinotFormatException(s"json_index: unsupported version $version")
     def str(): String = {
       val len = buf.getInt
@@ -324,6 +393,14 @@ object JsonIndexSection {
     if (nRefused < 0 || nRefused.toLong * 4 > buf.remaining)
       throw new PinotFormatException("json_index: corrupt refused count")
     val refused = (0 until nRefused).map(_ => str()).toSet
+    val unposted: Option[Set[String]] =
+      if (version < 2) None // v1: unknown → exists-probes refuse
+      else {
+        val n = buf.getInt
+        if (n < 0 || n.toLong * 4 > buf.remaining)
+          throw new PinotFormatException("json_index: corrupt unposted count")
+        Some((0 until n).map(_ => str()).toSet)
+      }
     val oddLen = buf.getInt
     if (oddLen < 0 || oddLen > buf.remaining)
       throw new PinotFormatException("json_index: corrupt odd-doc length")
@@ -338,6 +415,6 @@ object JsonIndexSection {
     val offsets = new Array[Int](nk + 1)
     var i = 0
     while (i <= nk) { offsets(i) = buf.getInt; i += 1 }
-    new JsonIndexSection(keys, bytes, offsets, refused, odd)
+    new JsonIndexSection(keys, bytes, offsets, refused, odd, unposted)
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.sources.pinot.{PinotScan, PinotSegmentTable}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GetJsonObject, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GetJsonObject, In, InSet, IsNotNull, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -9,9 +9,10 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Routes `get_json_object(col, '$.path') = 'value'` equality predicates
-  * over a Pinot relation into the scan (EXTENSION — the pushdown half of
-  * Pinot's `jsonIndexColumns` capability; see
+/** Routes `get_json_object(col, '$.path')` probes — `= 'value'`,
+  * `IN ('a','b',…)`, `<=> 'value'`, and `IS NOT NULL` — over a Pinot
+  * relation into the scan (EXTENSION — the pushdown half of Pinot's
+  * `jsonIndexColumns` capability; see
   * [[graft.pinot.JsonIndexSection]]).
   *
   * V1 source filters cannot carry an embedded function call, so the
@@ -22,32 +23,71 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluation stays authoritative, so running without this rule (or
   * without the index) changes performance, never results.
   *
+  * Soundness of each probe form:
+  *  - `= v` / `<=> v` (non-null v): candidates = docs that may render
+  *    v at the path.
+  *  - `IN (v1…vn)`: null literals are DROPPED from the list before
+  *    encoding — `x IN (null, …)` is never TRUE via the null, so the
+  *    candidate set of the non-null values is a superset of the rows
+  *    the filter keeps. An all-null / empty list is not pushed.
+  *  - `IS NOT NULL`: candidates = docs where the path may yield any
+  *    value ([[graft.pinot.JsonIndexSection.existsBitmap]]).
+  *
   * Registered through `graft.functions.GraftExtensions`
   * (injectOptimizerRule → operator-optimization batch, which runs
   * before V2 scan pushdown builds the scan).
   */
 object JsonIndexRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def triplesOf(cond: Expression): Seq[(String, String, String)] =
+  private object Probe {
+    def unapply(e: Expression): Option[(AttributeReference, String)] =
+      e match {
+        case GetJsonObject(a: AttributeReference,
+            Literal(p: UTF8String, StringType)) => Some((a, p.toString))
+        case _ => None
+      }
+  }
+
+  private def probesOf(cond: Expression): Seq[PinotScan.JsonProbe] =
     splitConjunctivePredicates(cond).collect {
-      case EqualTo(GetJsonObject(a: AttributeReference,
-          Literal(p: UTF8String, StringType)),
-          Literal(v: UTF8String, StringType)) if v != null =>
-        (a.name, p.toString, v.toString)
-      case EqualTo(Literal(v: UTF8String, StringType),
-          GetJsonObject(a: AttributeReference,
-            Literal(p: UTF8String, StringType))) if v != null =>
-        (a.name, p.toString, v.toString)
+      case EqualTo(Probe(a, p), Literal(v: UTF8String, StringType))
+          if v != null =>
+        (a.name, p, Some(Seq(v.toString)))
+      case EqualTo(Literal(v: UTF8String, StringType), Probe(a, p))
+          if v != null =>
+        (a.name, p, Some(Seq(v.toString)))
+      case EqualNullSafe(Probe(a, p), Literal(v: UTF8String, StringType))
+          if v != null =>
+        (a.name, p, Some(Seq(v.toString)))
+      case EqualNullSafe(Literal(v: UTF8String, StringType), Probe(a, p))
+          if v != null =>
+        (a.name, p, Some(Seq(v.toString)))
+      case In(Probe(a, p), list)
+          if list.nonEmpty && list.forall {
+            case Literal(_, StringType) => true
+            case _ => false
+          } && list.exists { case Literal(v, _) => v != null } =>
+        val vs = list.collect {
+          case Literal(v: UTF8String, StringType) if v != null => v.toString
+        }.distinct.sorted
+        (a.name, p, Some(vs))
+      case InSet(Probe(a, p), hset) if hset.exists(_ != null) =>
+        val vs = hset.iterator.collect {
+          case v: UTF8String => v.toString
+        }.toSeq.distinct.sorted
+        (a.name, p, Some(vs))
+      case IsNotNull(Probe(a, p)) =>
+        (a.name, p, None)
     }.distinct
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, rel: DataSourceV2Relation)
         if rel.table.isInstanceOf[PinotSegmentTable] =>
-      val triples = triplesOf(cond)
+      val probes = probesOf(cond)
         .filter { case (c, _, _) => rel.output.exists(_.name == c) }
-      if (triples.isEmpty) f
+      if (probes.isEmpty) f
       else {
-        val encoded = PinotScan.encodeJsonEq(triples)
+        val encoded = PinotScan.encodeJsonProbes(probes)
         if (encoded == rel.options.get(PinotScan.JsonEqOptionKey)) f // fixed point
         else {
           val m = new java.util.HashMap[String, String](

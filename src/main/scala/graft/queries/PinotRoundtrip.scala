@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 9 // r10: events fixture gains a json index
+  private val LayoutVersion = 10 // r10: props2 variant-shape json column
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -89,18 +89,34 @@ object PinotRoundtrip {
       s"graft_pinot_rt_v$LayoutVersion$key")
     val tableDir = root.resolve("eventsPinot_OFFLINE")
     if (!Files.exists(tableDir)) {
+      // props2: a second json column with VARIED document shapes so
+      // IN-list and IS-NOT-NULL probes have bite — nested objects
+      // (refused path), >MaxValueLen leaves (unposted path: exists
+      // refuses), keys present only in some docs. Derived purely from
+      // event_id so the DuckDB oracle can rebuild the same strings.
+      val m = (col("event_id") % 10).cast("string")
+      val j = col("event_id") % 7
+      val props2 = when(j === 0,
+          concat(lit("{\"tag\": {\"x\": 1}, \"n\": "), m, lit("}")))
+        .when(j === 1,
+          concat(lit("{\"pad\": \""), lit("x" * 280), lit("\", \"n\": "),
+            m, lit("}")))
+        .when(j === 2,
+          concat(lit("{\"k2\": \"t"), m, lit("\", \"n\": "), m, lit("}")))
+        .otherwise(concat(lit("{\"n\": "), m, lit("}")))
       Tables.load(s, d, "events")
         .orderBy("event_id")
         .limit(20000)
         .select(
           col("event_id"), col("event_type"), col("props"),
+          props2.as("props2"),
           // exact decimal from integers: (event_id % 1000) * 0.25, scale 4
           ((col("event_id") % 1000).cast("decimal(12,2)") *
             lit("0.25").cast("decimal(6,2)")).as("amount"))
         .repartition(2)
         .write.format("pinot").mode("append")
-        .option("jsonColumns", "props")
-        .option("jsonIndexColumns", "props")
+        .option("jsonColumns", "props,props2")
+        .option("jsonIndexColumns", "props,props2")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -523,6 +539,23 @@ object PinotRoundtrip {
         .orderBy("event_type")
     }),
 
+    // JSON index, IN-list + IS-NOT-NULL probe forms (v2): both route
+    // into the scan via JsonIndexRule — the IN unions postings, the
+    // IS NOT NULL unions every posting under the path (and the fixture
+    // plants nested-object and over-long leaves on OTHER paths so the
+    // refusal machinery runs in the same scan). Residual Filter stays
+    // authoritative; the oracle recomputes props2 from events.parquet
+    // and would catch one dropped or phantom row.
+    "q130_pinot_json_in_exists" -> ((s, d) => {
+      val p = s.read.format("pinot").load(jsonDecTable(s, d))
+      p.filter(get_json_object(col("props2"), "$.n").isin("2", "5", "8") &&
+          get_json_object(col("props2"), "$.k2").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // Nullable columns (null-value vector) through write→segment→scan:
     // COUNT(col) vs COUNT(*), SUM over nulls, IS NULL filters and
     // null-aware grouping must all see EXACTLY the planted nulls — a
@@ -910,6 +943,28 @@ object PinotRoundtrip {
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM subset WHERE json_extract_string(props, '$.k') = '42'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q130_pinot_json_in_exists" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |        '{"tag": {"x": 1}, "n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 1 THEN
+        |        '{"pad": "' || repeat('x', 280) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 2 THEN
+        |        '{"k2": "t' || CAST(event_id % 10 AS VARCHAR) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      ELSE '{"n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |    END AS props2
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM subset
+        |WHERE json_extract_string(props2, '$.n') IN ('2', '5', '8')
+        |  AND json_extract_string(props2, '$.k2') IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q84_pinot_hybrid" ->

@@ -220,10 +220,11 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     new PinotScanBuilder(segmentPaths, tableSchema, tableDir,
       splitTargetBytes = options.getLong("splitTargetBytes",
         PinotScan.DefaultSplitTargetBytes),
-      // injected by graft.plans.JsonIndexRule: get_json_object equality
-      // probes have no V1 source-filter form, so they arrive as a
-      // relation option (always ALSO kept residual by the rule)
-      jsonEq = PinotScan.decodeJsonEq(
+      // injected by graft.plans.JsonIndexRule: get_json_object probes
+      // (equality / IN-list / IS NOT NULL) have no V1 source-filter
+      // form, so they arrive as a relation option (always ALSO kept
+      // residual by the rule)
+      jsonEq = PinotScan.decodeJsonProbes(
         options.get(PinotScan.JsonEqOptionKey)))
 
   override def newWriteBuilder(

@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     tableDir: Option[String] = None,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
-    jsonEq: Seq[(String, String, String)] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownOffset
@@ -749,7 +749,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     tableDir: Option[String] = None, fullLimit: Boolean = false,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
     scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None,
-    jsonEq: Seq[(String, String, String)] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -937,8 +937,11 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"skipFilters=[${skipFilters.mkString(",")}], " +
       s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
       (if (jsonEq.isEmpty) ""
-       else ", jsonEq=[" + jsonEq.map { case (c, p, v) =>
-         s"$c $p=$v" }.mkString(",") + "]") +
+       else ", jsonEq=[" + jsonEq.map {
+         case (c, p, Some(Seq(v))) => s"$c $p=$v"
+         case (c, p, Some(vs)) => s"$c $p in(${vs.mkString(",")})"
+         case (c, p, None) => s"$c $p exists"
+       }.mkString(",") + "]") +
       offset.fold("")(o => s", pushedOffset=$o") +
       scanTopN.fold("")(t =>
         s", pushedTopN=[${if (t.sorted) "sorted" else "value"} ${t.column}" +
@@ -1743,30 +1746,45 @@ object PinotScan {
   private def prefetchTimeoutMs: Long =
     java.lang.Long.getLong("graft.pinot.metaFetchTimeoutMs", 30000L)
 
-  /** Read-option key carrying pushed `get_json_object(col, path) = v`
-    * equality probes from the [[graft.plans.JsonIndexRule]] optimizer
-    * rule into the scan (V1 source filters cannot express them). Value:
-    * comma-joined triples of colon-joined url-base64 fields.
+  /** One pushed json probe: `(column, path, values)`.
+    * `values = Some(vs)` is an equality / IN-list (candidate docs may
+    * equal ANY of vs — never encoded empty; the rule drops degenerate
+    * lists); `values = None` is a path-EXISTS probe
+    * (`get_json_object(col, path) IS NOT NULL`).
+    */
+  type JsonProbe = (String, String, Option[Seq[String]])
+
+  /** Read-option key carrying pushed `get_json_object` probes
+    * (equality / IN-list / IS NOT NULL) from the
+    * [[graft.plans.JsonIndexRule]] optimizer rule into the scan (V1
+    * source filters cannot express them). Value: comma-joined probes of
+    * colon-joined url-base64 fields — `col:path` is an exists probe,
+    * `col:path:v1[:v2…]` an equality/IN-list.
     */
   val JsonEqOptionKey = "graft.jsonEqFilters"
 
-  def encodeJsonEq(triples: Seq[(String, String, String)]): String = {
+  def encodeJsonProbes(probes: Seq[JsonProbe]): String = {
     val enc = java.util.Base64.getUrlEncoder.withoutPadding
     def b64(s: String) =
       enc.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    triples.map { case (c, p, v) => s"${b64(c)}:${b64(p)}:${b64(v)}" }
-      .mkString(",")
+    probes.map { case (c, p, vs) =>
+      (Seq(b64(c), b64(p)) ++ vs.getOrElse(Nil).map(b64)).mkString(":")
+    }.mkString(",")
   }
 
-  def decodeJsonEq(s: String): Seq[(String, String, String)] =
+  def decodeJsonProbes(s: String): Seq[JsonProbe] =
     if (s == null || s.isEmpty) Nil
     else s.split(',').toSeq.flatMap { t =>
+      def un(x: String) = new String(
+        java.util.Base64.getUrlDecoder.decode(x),
+        java.nio.charset.StandardCharsets.UTF_8)
       t.split(':') match {
-        case Array(c, p, v) =>
-          def un(x: String) = new String(
-            java.util.Base64.getUrlDecoder.decode(x),
-            java.nio.charset.StandardCharsets.UTF_8)
-          try Some((un(c), un(p), un(v)))
+        case Array(c, p) =>
+          try Some((un(c), un(p), None: Option[Seq[String]]))
+          catch { case _: IllegalArgumentException => None }
+        case a if a.length > 2 =>
+          try Some((un(a(0)), un(a(1)),
+            Some(a.drop(2).toSeq.map(un)): Option[Seq[String]]))
           catch { case _: IllegalArgumentException => None }
         case _ => None
       }
@@ -1990,7 +2008,7 @@ class PinotReaderFactory(columns: Array[String], skipFilters: Array[Filter],
     limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
     scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None,
-    jsonEq: Seq[(String, String, String)] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -2270,7 +2288,7 @@ class PinotSegmentChainReader(paths: Seq[String], columns: Array[String],
     skipFilters: Array[Filter], limit: Option[Int],
     expectedTypes: Map[String, (PinotType, Boolean)],
     scanTopN: Option[ScanTopN] = None,
-    jsonEq: Seq[(String, String, String)] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = 0
@@ -2376,7 +2394,7 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
     skipFilters: Array[Filter] = Array.empty, limit: Option[Int] = None,
     expectedTypes: Map[String, (PinotType, Boolean)] = Map.empty,
     slice: Option[(Int, Int)] = None,
-    jsonEq: Seq[(String, String, String)] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchSize = 8192
@@ -2426,18 +2444,23 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
 
   /** JSON-index candidate set (EXTENSION — the capability of Pinot's
     * `jsonIndexColumns`; see [[graft.pinot.JsonIndexSection]]): AND
-    * across the pushed `get_json_object(col, path) = value` equality
-    * probes the column's index can answer soundly. None when no probe
-    * is index-answerable (no index / refused path / odd probe) — the
-    * scan then decodes normally and the residual filter decides.
+    * across the pushed `get_json_object` probes (equality / IN-list /
+    * IS NOT NULL) the column's index can answer soundly. None when no
+    * probe is index-answerable (no index / refused path / odd probe) —
+    * the scan then decodes normally and the residual filter decides.
     */
   private lazy val jsonEqBitmap
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
     var acc: org.roaringbitmap.buffer.MutableRoaringBitmap = null
-    jsonEq.foreach { case (c, p, v) =>
+    jsonEq.foreach { case (c, p, vs) =>
       if (colMeta(c).exists(m => m.isSingleValue && m.hasJsonIndex)) {
         val ji = try reader.jsonIndex(c) catch { case _: Throwable => None }
-        ji.flatMap(_.matchBitmap(p, v)).foreach { m =>
+        ji.flatMap { sec =>
+          vs match {
+            case Some(values) => sec.matchAnyBitmap(p, values)
+            case None => sec.existsBitmap(p)
+          }
+        }.foreach { m =>
           if (acc == null) acc = m.clone() else acc.and(m)
         }
       }

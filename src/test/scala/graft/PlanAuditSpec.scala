@@ -196,6 +196,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("jsonEq=[props $.k=42"), leaf)
   }
 
+  test("q130 routes its json IN-list and exists probes into the scan") {
+    val leaf =
+      finalPlan("q130_pinot_json_in_exists").collectLeaves().head.toString
+    assert(leaf.contains("props2 $.n in(2,5,8)"), leaf)
+    assert(leaf.contains("props2 $.k2 exists"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

@@ -52,6 +52,93 @@ class JsonIndexSpec extends SparkTestBase {
     assert(sec.matchBitmap("$", "x").isEmpty)
     assert(sec.matchBitmap("k", "x").isEmpty)
     assert(sec.matchBitmap("$.k", "x" * 300).isEmpty, "long value refuses")
+
+    // IN-list probes: union of the value postings; one ineligible value
+    // refuses the whole probe
+    def anyM(path: String, vs: String*): Option[Seq[Int]] =
+      sec.matchAnyBitmap(path, vs).map(_.toArray.toSeq)
+    assert(anyM("$.k", "42", "7") === Some((Seq(0, 2, 6) ++ odd).sorted))
+    assert(anyM("$.cat", "red", "nosuch") === Some((Seq(0, 3) ++ odd).sorted))
+    assert(anyM("$.k", "42", "null").isEmpty, "'null' in list refuses")
+    assert(anyM("$.k", "42", "x" * 300).isEmpty, "long value in list refuses")
+    assert(anyM("$.meta", "x", "y").isEmpty, "refused path refuses IN too")
+    assert(anyM("$.cat") === Some(odd), "empty IN: only odd docs remain")
+
+    // exists probes: union of every posting under the path
+    def ex(path: String): Option[Seq[Int]] =
+      sec.existsBitmap(path).map(_.toArray.toSeq)
+    assert(ex("$.cat") === Some((Seq(0, 1, 3) ++ odd).sorted))
+    assert(ex("$.meta.region") === Some((Seq(2) ++ odd).sorted))
+    assert(ex("$.nosuch") === Some(odd))
+    assert(ex("$.k").isEmpty,
+      "a path with an explicit JSON null leaf refuses exists")
+    assert(ex("$.meta").isEmpty, "object-leaf path refuses exists")
+    assert(ex("$.arr").isEmpty, "array-leaf path refuses exists")
+    assert(ex("$.arr[0]").isEmpty, "bracket path refuses exists")
+  }
+
+  test("exists refuses on over-long leaves; v1 sections refuse exists") {
+    val docs = Array(
+      s"""{"pad": "${"y" * 300}", "n": 1}""", // long leaf on $.pad
+      """{"pad": "short", "n": 2}""",
+      """{"n": 3}""")
+    val sec = JsonIndexSection.deserialize(JsonIndexSection.build(docs.iterator))
+    // $.pad held an unposted (over-long) leaf in doc 0: exists must
+    // refuse — doc 0 WOULD satisfy IS NOT NULL but has no posting
+    assert(sec.existsBitmap("$.pad").isEmpty)
+    // $.n is fully posted: exists answers
+    assert(sec.existsBitmap("$.n").map(_.toArray.toSeq) === Some(Seq(0, 1, 2)))
+    // equality probing is unaffected (long probes refuse by length)
+    assert(sec.matchBitmap("$.pad", "short").map(_.toArray.toSeq) ===
+      Some(Seq(1)))
+
+    // hand-built v1 section (no unposted-leaf record): equality works,
+    // exists refuses — the set is unknown there
+    val v2 = JsonIndexSection.build(Array("""{"a": 1}""").iterator)
+    val v1 = craftV1(Map("$.a" + JsonIndexSection.Sep + "1" -> Seq(0)))
+    val sec1 = JsonIndexSection.deserialize(v1)
+    assert(sec1.matchBitmap("$.a", "1").map(_.toArray.toSeq) === Some(Seq(0)))
+    assert(sec1.existsBitmap("$.a").isEmpty, "v1: exists must refuse")
+    // and the v2 bytes of the same docs DO answer exists
+    assert(JsonIndexSection.deserialize(v2).existsBitmap("$.a")
+      .map(_.toArray.toSeq) === Some(Seq(0)))
+  }
+
+  /** Serializes a minimal VERSION-1 json-index section (the pre-r10
+    * layout: no unposted-leaf-paths block) so the reader's
+    * backward-compat path is exercised without checked-in binaries.
+    */
+  private def craftV1(postings: Map[String, Seq[Int]]): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets.UTF_8
+    def bmBytes(docs: Seq[Int]): Array[Byte] = {
+      val bm = new org.roaringbitmap.RoaringBitmap
+      docs.foreach(bm.add)
+      bm.runOptimize()
+      val bos = new ByteArrayOutputStream()
+      bm.serialize(new java.io.DataOutputStream(bos))
+      bos.toByteArray
+    }
+    val keys = postings.keys.toArray.sorted
+    val keyBytes = keys.map(_.getBytes(UTF_8))
+    val oddBytes = bmBytes(Nil)
+    val bodies = keys.map(k => bmBytes(postings(k)))
+    val header = 8 + 4 + 4 + 4 + oddBytes.length +
+      4 + keyBytes.map(_.length + 4).sum + 4 * (keys.length + 1)
+    val buf = ByteBuffer.allocate(header + bodies.map(_.length).sum)
+    buf.putLong(graft.pinot.PinotDictionary.MagicMarker)
+    buf.putInt(1) // version 1
+    buf.putInt(0) // no refused paths
+    buf.putInt(oddBytes.length)
+    buf.put(oddBytes)
+    buf.putInt(keys.length)
+    keyBytes.foreach { b => buf.putInt(b.length); buf.put(b) }
+    var off = header
+    buf.putInt(off)
+    bodies.foreach { b => off += b.length; buf.putInt(off) }
+    bodies.foreach(buf.put)
+    buf.array()
   }
 
   test("candidate superset covers every Spark get_json_object match") {
@@ -76,20 +163,55 @@ class JsonIndexSpec extends SparkTestBase {
     }
   }
 
+  test("exists candidates cover every Spark IS NOT NULL match") {
+    // including docs with explicit JSON nulls and over-long leaves:
+    // whatever Spark keeps under `get_json_object(...).isNotNull` MUST
+    // be in the candidate set whenever the index answers at all
+    val docs = Array(
+      """{"a": 1, "b": "x"}""", """{"a": "s"}""", """{"b": true}""",
+      """{"a": null}""", s"""{"a": "${"z" * 300}"}""", """{"a": 0.5}""",
+      """broken{""", """{"c": {"d": 1}}""")
+    val sec = JsonIndexSection.deserialize(JsonIndexSection.build(docs.iterator))
+    import spark.implicits._
+    val df = docs.toSeq.toDF("j")
+    for (path <- Seq("$.a", "$.b", "$.c", "$.c.d", "$.nosuch")) {
+      val sparkNn = df.withColumn("i", monotonically_increasing_id())
+        .filter(get_json_object(col("j"), path).isNotNull)
+        .collect().map(_.getLong(1).toInt).toSet
+      sec.existsBitmap(path) match {
+        case Some(bm) =>
+          val cand = bm.toArray.toSet
+          assert(sparkNn.subsetOf(cand),
+            s"exists $path: spark $sparkNn not in candidates $cand")
+        case None =>
+          // refusal is always allowed; $.a MUST refuse (null + long
+          // leaves), $.c MUST refuse (object leaf)
+          ()
+      }
+    }
+    assert(sec.existsBitmap("$.a").isEmpty, "$.a holds unposted leaves")
+    assert(sec.existsBitmap("$.c").isEmpty, "$.c is an object leaf")
+    assert(sec.existsBitmap("$.b").nonEmpty, "$.b is fully posted")
+    assert(sec.existsBitmap("$.c.d").nonEmpty)
+  }
+
   test("json equality probes decode only windows holding candidates") {
     val root = Files.createTempDirectory("pinot_json")
     val tdir = root.resolve("docs_OFFLINE")
     val docs = 40000
     val needleAt = Set(3, 20001, 39998)
+    val rareAt = Set(7, 31007) // docs carrying the `rare` key at all
     val js = Array.tabulate(docs)(i =>
       if (needleAt(i)) s"""{"k": $i, "cat": "needle"}"""
+      else if (rareAt(i)) s"""{"k": $i, "cat": "rarecat$i", "rare": "r$i"}"""
       else s"""{"k": $i, "cat": "common${i % 911}"}""")
     SegmentWriter.write(tdir.resolve("seg0"), "docs", "seg0", Seq(
       SegmentWriter.StringRawCol("props", js,
         VarByteChunkV4.Lz4LengthPrefixed, 4096),
       SegmentWriter.IntCol("id", Array.tabulate(docs)(identity))),
       jsonIdxCols = Set("props"))
-    def decodedRows(jsonEq: Seq[(String, String, String)]): Int = {
+    def decodedRows(jsonEq: Seq[graft.sources.pinot.PinotScan.JsonProbe])
+        : Int = {
       val r = new graft.sources.pinot.PinotColumnarReader(
         s"$tdir/seg0/v3", Array("props", "id"), Array.empty, None,
         jsonEq = jsonEq)
@@ -97,13 +219,24 @@ class JsonIndexSpec extends SparkTestBase {
       while (r.next()) rows += r.get().numRows()
       rows
     }
+    def eq(c: String, p: String, v: String*)
+        : graft.sources.pinot.PinotScan.JsonProbe = (c, p, Some(v.toSeq))
     // 3 scattered candidate docs → ≤3 windows decode
-    val hits = decodedRows(Seq(("props", "$.cat", "needle")))
+    val hits = decodedRows(Seq(eq("props", "$.cat", "needle")))
     assert(hits <= 3 * 8192, s"expected ≤3 windows, decoded $hits rows")
     // absent value → segment pruned outright
-    assert(decodedRows(Seq(("props", "$.cat", "nosuchvalue"))) === 0)
+    assert(decodedRows(Seq(eq("props", "$.cat", "nosuchvalue"))) === 0)
     // refused probe (bracket path) → full decode, still correct
-    assert(decodedRows(Seq(("props", "$.cat[0]", "x"))) === docs)
+    assert(decodedRows(Seq(eq("props", "$.cat[0]", "x"))) === docs)
+    // IN-list: candidates = union of both values' windows (3 + 1 docs)
+    val inHits = decodedRows(Seq(eq("props", "$.cat", "needle", "rarecat7")))
+    assert(inHits <= 4 * 8192 && inHits > 0,
+      s"IN probe decoded $inHits rows")
+    // exists probe: only the windows holding the 2 docs with the key
+    val exHits = decodedRows(Seq(("props", "$.rare", None)))
+    assert(exHits <= 2 * 8192, s"exists probe decoded $exHits rows")
+    // exists on a universal key: no skip, full decode
+    assert(decodedRows(Seq(("props", "$.k", None))) === docs)
 
     // e2e through the optimizer rule: predicate stays residual (exact
     // rows), scan description shows the routed probe
@@ -119,6 +252,24 @@ class JsonIndexSpec extends SparkTestBase {
     val df2 = spark.read.format("pinot").load(tdir.toString)
       .filter(lit("needle") === get_json_object(col("props"), "$.cat"))
     assert(df2.count() === 3)
+
+    // IN-list + IS NOT NULL probes route through the rule, stay exact
+    val df3 = spark.read.format("pinot").load(tdir.toString)
+      .filter(get_json_object(col("props"), "$.cat")
+          .isin("needle", "rarecat7") &&
+        get_json_object(col("props"), "$.rare").isNotNull)
+    assert(df3.count() === 1) // only doc 7 carries both
+    val leaf3 = df3.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf3.contains("$.cat in(needle,rarecat7)"), leaf3)
+    assert(leaf3.contains("$.rare exists"), leaf3)
+    // a 13-value list converts to InSet past Spark's threshold and
+    // still routes
+    val many = (0 until 12).map(i => s"zz$i") :+ "needle"
+    val df4 = spark.read.format("pinot").load(tdir.toString)
+      .filter(get_json_object(col("props"), "$.cat").isin(many: _*))
+    assert(df4.count() === 3)
+    val leaf4 = df4.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf4.contains("$.cat in("), leaf4)
   }
 
   test("index absent: probes route but never prune (full decode, exact)") {

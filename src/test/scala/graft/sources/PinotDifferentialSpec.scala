@@ -46,7 +46,7 @@ class PinotDifferentialSpec extends SparkTestBase {
     var base = 0
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Option[Double], String, String, Boolean,
-        java.sql.Timestamp)]
+        java.sql.Timestamp, String)]
     segSizes.zipWithIndex.foreach { case (n, s) =>
       val k = Array.tabulate(n)(i => base + i) // sorted, disjoint ranges
       val v = Array.tabulate(n)(i => ((base + i) * 2654435761L) % 10000 - 5000)
@@ -64,6 +64,23 @@ class PinotDifferentialSpec extends SparkTestBase {
       val nulls = Array.range(0, n).filter(i => (base + i) % 173 == 0)
       val b = Array.tabulate(n)(i => (base + i) % 3 == 0)
       val tsMillis = Array.tabulate(n)(i => 1700000000000L + (base + i) * 1000L)
+      // json column with every shape the index must survive: nested
+      // objects (refused path), malformed docs (odd), over-long and
+      // explicit-null leaves (unposted → exists refuses), keys present
+      // only in some docs — random eq/IN/exists draws then hunt the
+      // posting, refusal, AND odd-doc paths against Spark's own
+      // get_json_object on the parquet twin
+      val js = Array.tabulate(n) { i =>
+        val id = base + i
+        (id % 11) match {
+          case 0 => s"""{"a": ${id % 23}, "deep": {"z": "s${id % 7}"}}"""
+          case 1 => "broken{"
+          case 2 => s"""{"pad": "${"y" * 300}", "a": ${id % 23}}"""
+          case 3 => """{"a": null}"""
+          case 4 => s"""{"b": "t${id % 13}"}"""
+          case _ => s"""{"a": ${id % 23}, "b": "t${id % 13}"}"""
+        }
+      }
       SegmentWriter.write(pdir.resolve(s"seg$s"), "d", s"seg$s", Seq(
         SegmentWriter.IntCol("k", k),
         SegmentWriter.LongRawCol("v", v),
@@ -72,20 +89,23 @@ class PinotDifferentialSpec extends SparkTestBase {
         SegmentWriter.StringRawCol("body", body,
           VarByteChunkV4.Lz4LengthPrefixed, 4096),
         SegmentWriter.BoolCol("b", b),
-        SegmentWriter.TimestampCol("ts", tsMillis)),
+        SegmentWriter.TimestampCol("ts", tsMillis),
+        SegmentWriter.StringRawCol("js", js,
+          VarByteChunkV4.Lz4LengthPrefixed, 4096)),
         invertedCols = Set("tag"),
         nullVectors = Map("m" -> nulls),
-        bloomCols = Set("v"), rangeCols = Set("v"), textCols = Set("body"))
+        bloomCols = Set("v"), rangeCols = Set("v"), textCols = Set("body"),
+        jsonIdxCols = Set("js"))
       val nullSet = nulls.toSet
       (0 until n).foreach { i =>
         rows += ((k(i), v(i), if (nullSet(i)) None else Some(m(i)), tag(i),
-          body(i), b(i), new java.sql.Timestamp(tsMillis(i))))
+          body(i), b(i), new java.sql.Timestamp(tsMillis(i)), js(i)))
       }
       base += n
     }
     import spark.implicits._
     val pq = root.resolve("twin_parquet").toString
-    rows.toSeq.toDF("k", "v", "m", "tag", "body", "b", "ts").coalesce(2)
+    rows.toSeq.toDF("k", "v", "m", "tag", "body", "b", "ts", "js").coalesce(2)
       .write.parquet(pq)
     (pdir.toString, pq)
   }
@@ -116,7 +136,7 @@ class PinotDifferentialSpec extends SparkTestBase {
 
   private def pinot: DataFrame = spark.read.format("pinot").load(pinotDir)
   private def parquet: DataFrame = spark.read.parquet(parquetDir)
-    .select("k", "v", "m", "tag", "body", "b", "ts") // pinot column order
+    .select("k", "v", "m", "tag", "body", "b", "ts", "js") // pinot col order
   private def pinotDim: DataFrame =
     spark.read.format("pinot").load(dimPinotDir)
   private def parquetDim: DataFrame = spark.read.parquet(dimParquetDir)
@@ -127,7 +147,7 @@ class PinotDifferentialSpec extends SparkTestBase {
     def leaf(): Column = {
       val (a, b, c, d) = (rnd.nextInt(14000), rnd.nextInt(10000) - 5000,
         rnd.nextInt(42), rnd.nextInt(110))
-      rnd.nextInt(13) match {
+      rnd.nextInt(16) match {
         case 0 => col("k") > a
         case 1 => col("k") <= a
         case 2 => col("v") === b.toLong
@@ -146,6 +166,25 @@ class PinotDifferentialSpec extends SparkTestBase {
           col("ts") > lit(new java.sql.Timestamp(1700000000000L + a * 1000L))
         case 11 =>
           col("ts") <= lit(new java.sql.Timestamp(1700000000000L + a * 1000L))
+        case 12 => // json equality: hits posting, miss, refused ("null",
+          // over-long) and odd-doc paths of the json index
+          val (path, value) = rnd.nextInt(6) match {
+            case 0 => ("$.a", s"${rnd.nextInt(25)}")
+            case 1 => ("$.b", s"t${rnd.nextInt(15)}")
+            case 2 => ("$.deep.z", s"s${rnd.nextInt(8)}")
+            case 3 => ("$.deep", "s1") // refused path: residual decides
+            case 4 => ("$.a", "null") // refused value: residual decides
+            case _ => ("$.pad", "y" * 300) // over-long: refused
+          }
+          get_json_object(col("js"), path) === value
+        case 13 => // json IN-list (union of postings, or refusal)
+          val vs = Seq.fill(rnd.nextInt(3) + 1)(s"${rnd.nextInt(25)}")
+          get_json_object(col("js"), "$.a").isin(vs: _*)
+        case 14 => // json path-exists; $.a/$.pad/$.deep refuse (null /
+          // long / object leaves), $.b and $.deep.z answer
+          val path = Seq("$.a", "$.b", "$.deep.z", "$.deep", "$.pad",
+            "$.nosuch")(rnd.nextInt(6))
+          get_json_object(col("js"), path).isNotNull
         case _ =>
           col("body").startsWith(if (rnd.nextBoolean()) "needle" else "tok1")
       }
@@ -166,8 +205,8 @@ class PinotDifferentialSpec extends SparkTestBase {
       pred.fold(df)(df.filter(_))
     rnd.nextInt(7) match {
       case 0 =>
-        val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts"))
-          .take(rnd.nextInt(5) + 1).map(col)
+        val cols = rnd.shuffle(Seq("k", "v", "m", "tag", "body", "b", "ts",
+          "js")).take(rnd.nextInt(5) + 1).map(col)
         val lim = if (rnd.nextBoolean()) Some(rnd.nextInt(40) + 1) else None
         // filterless draws with an offset hit the r8 pushed-offset chain;
         // row CONTENT is order-dependent either way, so these stay
