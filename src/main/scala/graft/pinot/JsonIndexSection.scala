@@ -116,6 +116,41 @@ final class JsonIndexSection(
     * array leaves render as JSON text, which postings do not model).
     */
   def existsBitmap(path: String)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] =
+    postedPathUnion(path, _ => true)
+
+  /** Docs where `get_json_object(col, path)` may fall inside the
+    * string range `(lo, hi)` with the given bound inclusivities
+    * (serving pushed `>` / `>=` / `<` / `<=` against a string
+    * literal): the union of the path's postings whose rendered value
+    * lies in the range under EXACTLY Spark's string ordering —
+    * `UTF8String` comparison is unsigned lexicographic over UTF-8
+    * bytes, which [[JsonIndexSection.utf8Compare]] reproduces. Same
+    * refusal set as exists: a doc whose leaf was not posted (long
+    * literal) could satisfy the range invisibly — JSON nulls also land
+    * there, conservatively (a null never satisfies a comparison, but
+    * one shared set keeps the format small).
+    */
+  def rangeBitmap(path: String, lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean)
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] =
+    postedPathUnion(path, { v =>
+      lo.forall { b =>
+        val c = utf8Compare(v, b)
+        if (loInc) c >= 0 else c > 0
+      } && hi.forall { b =>
+        val c = utf8Compare(v, b)
+        if (hiInc) c <= 0 else c < 0
+      }
+    })
+
+  /** Union of the path's postings whose VALUE satisfies `keep`, OR'd
+    * with the odd docs; refuses (None) whenever some leaf at the path
+    * may be missing from the postings — not simple / refused (object
+    * or array leaves render as JSON text) / unposted-leaf recorded /
+    * v1 section (unposted set unknown).
+    */
+  private def postedPathUnion(path: String, keep: String => Boolean)
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
     if (!isSimplePath(path)) return None
     if (refusedPaths.contains(path)) return None
@@ -127,7 +162,7 @@ final class JsonIndexSection(
           keys.asInstanceOf[Array[AnyRef]], prefix)
         if (i < 0) i = -i - 1 // first key ≥ prefix (Sep sorts below all values)
         while (i < keys.length && keys(i).startsWith(prefix)) {
-          acc.or(bitmap(i))
+          if (keep(keys(i).substring(prefix.length))) acc.or(bitmap(i))
           i += 1
         }
         acc.or(oddDocs)
@@ -155,6 +190,24 @@ object JsonIndexSection {
     k.nonEmpty && k.forall(c => c == '_' ||
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9'))
+
+  /** Spark's string ordering: unsigned lexicographic comparison of the
+    * UTF-8 encodings (`UTF8String.compareTo`). Java's `String.compareTo`
+    * differs on supplementary characters (UTF-16 surrogates order below
+    * some BMP code points), so comparisons go through bytes.
+    */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8)
+    val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** `$.k1.k2...` with every step in the indexable key alphabet. */
   def isSimplePath(p: String): Boolean = {

@@ -1,7 +1,8 @@
 package graft.plans
 
 import graft.sources.pinot.{PinotScan, PinotSegmentTable}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GetJsonObject, In, InSet, IsNotNull, Literal, PredicateHelper}
+import graft.sources.pinot.PinotScan.{JsonEqProbe, JsonExistsProbe, JsonRangeProbe}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GetJsonObject, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -10,7 +11,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Routes `get_json_object(col, '$.path')` probes — `= 'value'`,
-  * `IN ('a','b',…)`, `<=> 'value'`, and `IS NOT NULL` — over a Pinot
+  * `IN ('a','b',…)`, `<=> 'value'`, `IS NOT NULL`, and string ranges
+  * (`>` / `>=` / `<` / `<=` against a literal, e.g.
+  * `get_json_object(c, '$.date') >= '2024-01-01'`) — over a Pinot
   * relation into the scan (EXTENSION — the pushdown half of Pinot's
   * `jsonIndexColumns` capability; see
   * [[graft.pinot.JsonIndexSection]]).
@@ -32,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the filter keeps. An all-null / empty list is not pushed.
   *  - `IS NOT NULL`: candidates = docs where the path may yield any
   *    value ([[graft.pinot.JsonIndexSection.existsBitmap]]).
+  *  - Ranges: candidates = docs whose rendered value may lie in the
+  *    bound interval under Spark's own UTF8String byte order
+  *    ([[graft.pinot.JsonIndexSection.rangeBitmap]]; a NULL rendering
+  *    never satisfies a comparison, so exists-grade refusal keeps the
+  *    superset sound).
   *
   * Registered through `graft.functions.GraftExtensions`
   * (injectOptimizerRule → operator-optimization batch, which runs
@@ -52,16 +60,16 @@ object JsonIndexRule extends Rule[LogicalPlan] with PredicateHelper {
     splitConjunctivePredicates(cond).collect {
       case EqualTo(Probe(a, p), Literal(v: UTF8String, StringType))
           if v != null =>
-        (a.name, p, Some(Seq(v.toString)))
+        JsonEqProbe(a.name, p, Seq(v.toString))
       case EqualTo(Literal(v: UTF8String, StringType), Probe(a, p))
           if v != null =>
-        (a.name, p, Some(Seq(v.toString)))
+        JsonEqProbe(a.name, p, Seq(v.toString))
       case EqualNullSafe(Probe(a, p), Literal(v: UTF8String, StringType))
           if v != null =>
-        (a.name, p, Some(Seq(v.toString)))
+        JsonEqProbe(a.name, p, Seq(v.toString))
       case EqualNullSafe(Literal(v: UTF8String, StringType), Probe(a, p))
           if v != null =>
-        (a.name, p, Some(Seq(v.toString)))
+        JsonEqProbe(a.name, p, Seq(v.toString))
       case In(Probe(a, p), list)
           if list.nonEmpty && list.forall {
             case Literal(_, StringType) => true
@@ -70,21 +78,54 @@ object JsonIndexRule extends Rule[LogicalPlan] with PredicateHelper {
         val vs = list.collect {
           case Literal(v: UTF8String, StringType) if v != null => v.toString
         }.distinct.sorted
-        (a.name, p, Some(vs))
+        JsonEqProbe(a.name, p, vs)
       case InSet(Probe(a, p), hset) if hset.exists(_ != null) =>
         val vs = hset.iterator.collect {
           case v: UTF8String => v.toString
         }.toSeq.distinct.sorted
-        (a.name, p, Some(vs))
+        JsonEqProbe(a.name, p, vs)
       case IsNotNull(Probe(a, p)) =>
-        (a.name, p, None)
+        JsonExistsProbe(a.name, p)
+      // string ranges, both operand orders (`lit > probe` ≡ `probe < lit`)
+      case GreaterThan(Probe(a, p), Literal(v: UTF8String, StringType))
+          if v != null =>
+        JsonRangeProbe(a.name, p, Some(v.toString), loInc = false, None,
+          hiInc = false)
+      case GreaterThan(Literal(v: UTF8String, StringType), Probe(a, p))
+          if v != null =>
+        JsonRangeProbe(a.name, p, None, loInc = false, Some(v.toString),
+          hiInc = false)
+      case GreaterThanOrEqual(Probe(a, p),
+          Literal(v: UTF8String, StringType)) if v != null =>
+        JsonRangeProbe(a.name, p, Some(v.toString), loInc = true, None,
+          hiInc = false)
+      case GreaterThanOrEqual(Literal(v: UTF8String, StringType),
+          Probe(a, p)) if v != null =>
+        JsonRangeProbe(a.name, p, None, loInc = false, Some(v.toString),
+          hiInc = true)
+      case LessThan(Probe(a, p), Literal(v: UTF8String, StringType))
+          if v != null =>
+        JsonRangeProbe(a.name, p, None, loInc = false, Some(v.toString),
+          hiInc = false)
+      case LessThan(Literal(v: UTF8String, StringType), Probe(a, p))
+          if v != null =>
+        JsonRangeProbe(a.name, p, Some(v.toString), loInc = false, None,
+          hiInc = false)
+      case LessThanOrEqual(Probe(a, p), Literal(v: UTF8String, StringType))
+          if v != null =>
+        JsonRangeProbe(a.name, p, None, loInc = false, Some(v.toString),
+          hiInc = true)
+      case LessThanOrEqual(Literal(v: UTF8String, StringType), Probe(a, p))
+          if v != null =>
+        JsonRangeProbe(a.name, p, Some(v.toString), loInc = true, None,
+          hiInc = false)
     }.distinct
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, rel: DataSourceV2Relation)
         if rel.table.isInstanceOf[PinotSegmentTable] =>
       val probes = probesOf(cond)
-        .filter { case (c, _, _) => rel.output.exists(_.name == c) }
+        .filter(pr => rel.output.exists(_.name == pr.col))
       if (probes.isEmpty) f
       else {
         val encoded = PinotScan.encodeJsonProbes(probes)

@@ -556,6 +556,22 @@ object PinotRoundtrip {
         .orderBy("event_type")
     }),
 
+    // JSON index, string-RANGE probe form: `>= '3' AND < '8'` on the
+    // single-digit $.n renders byte-order compare == numeric compare,
+    // so DuckDB's binary varchar collation reproduces it exactly. The
+    // range unions the in-interval postings of the path (the fixture's
+    // nested/over-long shapes sit on OTHER paths in the same scan);
+    // residual Filter stays authoritative.
+    "q131_pinot_json_range" -> ((s, d) => {
+      val p = s.read.format("pinot").load(jsonDecTable(s, d))
+      p.filter(get_json_object(col("props2"), "$.n") >= "3" &&
+          get_json_object(col("props2"), "$.n") < "8")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // Nullable columns (null-value vector) through write→segment→scan:
     // COUNT(col) vs COUNT(*), SUM over nulls, IS NULL filters and
     // null-aware grouping must all see EXACTLY the planted nulls — a
@@ -965,6 +981,28 @@ object PinotRoundtrip {
         |FROM subset
         |WHERE json_extract_string(props2, '$.n') IN ('2', '5', '8')
         |  AND json_extract_string(props2, '$.k2') IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q131_pinot_json_range" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |        '{"tag": {"x": 1}, "n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 1 THEN
+        |        '{"pad": "' || repeat('x', 280) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 2 THEN
+        |        '{"k2": "t' || CAST(event_id % 10 AS VARCHAR) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      ELSE '{"n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |    END AS props2
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM subset
+        |WHERE json_extract_string(props2, '$.n') >= '3'
+        |  AND json_extract_string(props2, '$.n') < '8'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q84_pinot_hybrid" ->

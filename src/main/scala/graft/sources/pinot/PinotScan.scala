@@ -938,9 +938,14 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       s"limit=${limit.getOrElse(-1)}, splitTarget=$splitTargetBytes" +
       (if (jsonEq.isEmpty) ""
        else ", jsonEq=[" + jsonEq.map {
-         case (c, p, Some(Seq(v))) => s"$c $p=$v"
-         case (c, p, Some(vs)) => s"$c $p in(${vs.mkString(",")})"
-         case (c, p, None) => s"$c $p exists"
+         case PinotScan.JsonEqProbe(c, p, Seq(v)) => s"$c $p=$v"
+         case PinotScan.JsonEqProbe(c, p, vs) =>
+           s"$c $p in(${vs.mkString(",")})"
+         case PinotScan.JsonExistsProbe(c, p) => s"$c $p exists"
+         case PinotScan.JsonRangeProbe(c, p, lo, loInc, hi, hiInc) =>
+           val l = lo.fold("")(v => if (loInc) s">=$v" else s">$v")
+           val h = hi.fold("")(v => if (hiInc) s"<=$v" else s"<$v")
+           s"$c $p$l$h"
        }.mkString(",") + "]") +
       offset.fold("")(o => s", pushedOffset=$o") +
       scanTopN.fold("")(t =>
@@ -1746,20 +1751,37 @@ object PinotScan {
   private def prefetchTimeoutMs: Long =
     java.lang.Long.getLong("graft.pinot.metaFetchTimeoutMs", 30000L)
 
-  /** One pushed json probe: `(column, path, values)`.
-    * `values = Some(vs)` is an equality / IN-list (candidate docs may
-    * equal ANY of vs — never encoded empty; the rule drops degenerate
-    * lists); `values = None` is a path-EXISTS probe
-    * (`get_json_object(col, path) IS NOT NULL`).
+  /** One pushed `get_json_object(col, path)` probe; the index answers
+    * each with an advisory candidate superset (residual authoritative).
     */
-  type JsonProbe = (String, String, Option[Seq[String]])
+  sealed trait JsonProbe extends Serializable {
+    def col: String
+    def path: String
+  }
+  /** `= v` / `<=> v` / `IN (v1…vn)` — candidates may equal ANY of
+    * `values` (never empty; the rule drops degenerate lists).
+    */
+  final case class JsonEqProbe(col: String, path: String,
+      values: Seq[String]) extends JsonProbe
+  /** `IS NOT NULL` — candidates where the path may yield any value. */
+  final case class JsonExistsProbe(col: String, path: String)
+      extends JsonProbe
+  /** `> / >= / < / <=` against a string literal — candidates whose
+    * rendered value may fall inside `(lo, hi)` with the given bound
+    * inclusivities, in Spark's UTF8String (unsigned UTF-8 byte) order.
+    */
+  final case class JsonRangeProbe(col: String, path: String,
+      lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean) extends JsonProbe
 
   /** Read-option key carrying pushed `get_json_object` probes
-    * (equality / IN-list / IS NOT NULL) from the
+    * (equality / IN-list / IS NOT NULL / string range) from the
     * [[graft.plans.JsonIndexRule]] optimizer rule into the scan (V1
     * source filters cannot express them). Value: comma-joined probes of
-    * colon-joined url-base64 fields — `col:path` is an exists probe,
-    * `col:path:v1[:v2…]` an equality/IN-list.
+    * colon-joined url-base64 fields, tagged by kind:
+    * `e:col:path:v1[:v2…]` equality/IN, `x:col:path` exists,
+    * `r:col:path:loTag:lo:hiTag:hi` range (`loTag`/`hiTag` one of
+    * `i` inclusive / `s` strict / `n` none; absent bound encodes "").
     */
   val JsonEqOptionKey = "graft.jsonEqFilters"
 
@@ -1767,8 +1789,15 @@ object PinotScan {
     val enc = java.util.Base64.getUrlEncoder.withoutPadding
     def b64(s: String) =
       enc.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    probes.map { case (c, p, vs) =>
-      (Seq(b64(c), b64(p)) ++ vs.getOrElse(Nil).map(b64)).mkString(":")
+    def tag(b: Option[String], inc: Boolean) =
+      if (b.isEmpty) "n" else if (inc) "i" else "s"
+    probes.map {
+      case JsonEqProbe(c, p, vs) =>
+        (Seq("e", b64(c), b64(p)) ++ vs.map(b64)).mkString(":")
+      case JsonExistsProbe(c, p) => s"x:${b64(c)}:${b64(p)}"
+      case JsonRangeProbe(c, p, lo, loInc, hi, hiInc) =>
+        Seq("r", b64(c), b64(p), tag(lo, loInc), b64(lo.getOrElse("")),
+          tag(hi, hiInc), b64(hi.getOrElse(""))).mkString(":")
     }.mkString(",")
   }
 
@@ -1778,16 +1807,26 @@ object PinotScan {
       def un(x: String) = new String(
         java.util.Base64.getUrlDecoder.decode(x),
         java.nio.charset.StandardCharsets.UTF_8)
-      t.split(':') match {
-        case Array(c, p) =>
-          try Some((un(c), un(p), None: Option[Seq[String]]))
-          catch { case _: IllegalArgumentException => None }
-        case a if a.length > 2 =>
-          try Some((un(a(0)), un(a(1)),
-            Some(a.drop(2).toSeq.map(un)): Option[Seq[String]]))
-          catch { case _: IllegalArgumentException => None }
-        case _ => None
-      }
+      def bound(tag: String, v: String): Option[(Option[String], Boolean)] =
+        tag match {
+          case "n" => Some((None, false))
+          case "i" => Some((Some(un(v)), true))
+          case "s" => Some((Some(un(v)), false))
+          case _ => None
+        }
+      try {
+        // limit -1: keep trailing empty fields (b64 of "" is empty —
+        // an absent range bound or an empty-string equality value)
+        t.split(":", -1) match {
+          case a if a.length > 3 && a(0) == "e" =>
+            Some(JsonEqProbe(un(a(1)), un(a(2)), a.drop(3).toSeq.map(un)))
+          case Array("x", c, p) => Some(JsonExistsProbe(un(c), un(p)))
+          case Array("r", c, p, lt, lv, ht, hv) =>
+            for ((lo, loInc) <- bound(lt, lv); (hi, hiInc) <- bound(ht, hv))
+              yield JsonRangeProbe(un(c), un(p), lo, loInc, hi, hiInc)
+          case _ => None
+        }
+      } catch { case _: IllegalArgumentException => None }
     }
 
   /** Default task sizing target (Spark's files.maxPartitionBytes). Set
@@ -2452,13 +2491,17 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
   private lazy val jsonEqBitmap
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
     var acc: org.roaringbitmap.buffer.MutableRoaringBitmap = null
-    jsonEq.foreach { case (c, p, vs) =>
-      if (colMeta(c).exists(m => m.isSingleValue && m.hasJsonIndex)) {
-        val ji = try reader.jsonIndex(c) catch { case _: Throwable => None }
+    jsonEq.foreach { probe =>
+      if (colMeta(probe.col).exists(m => m.isSingleValue && m.hasJsonIndex)) {
+        val ji = try reader.jsonIndex(probe.col)
+          catch { case _: Throwable => None }
         ji.flatMap { sec =>
-          vs match {
-            case Some(values) => sec.matchAnyBitmap(p, values)
-            case None => sec.existsBitmap(p)
+          probe match {
+            case PinotScan.JsonEqProbe(_, p, values) =>
+              sec.matchAnyBitmap(p, values)
+            case PinotScan.JsonExistsProbe(_, p) => sec.existsBitmap(p)
+            case PinotScan.JsonRangeProbe(_, p, lo, loInc, hi, hiInc) =>
+              sec.rangeBitmap(p, lo, loInc, hi, hiInc)
           }
         }.foreach { m =>
           if (acc == null) acc = m.clone() else acc.and(m)

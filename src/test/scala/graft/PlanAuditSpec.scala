@@ -203,6 +203,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("props2 $.k2 exists"), leaf)
   }
 
+  test("q131 routes its json string-range probes into the scan") {
+    val leaf =
+      finalPlan("q131_pinot_json_range").collectLeaves().head.toString
+    assert(leaf.contains("props2 $.n>=3"), leaf)
+    assert(leaf.contains("props2 $.n<8"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

@@ -75,6 +75,22 @@ class JsonIndexSpec extends SparkTestBase {
     assert(ex("$.meta").isEmpty, "object-leaf path refuses exists")
     assert(ex("$.arr").isEmpty, "array-leaf path refuses exists")
     assert(ex("$.arr[0]").isEmpty, "bracket path refuses exists")
+
+    // string-range probes: byte-order interval over the path's postings
+    def rg(path: String, lo: Option[String], loInc: Boolean,
+        hi: Option[String], hiInc: Boolean): Option[Seq[Int]] =
+      sec.rangeBitmap(path, lo, loInc, hi, hiInc).map(_.toArray.toSeq)
+    assert(rg("$.cat", Some("blue"), true, Some("red"), false) ===
+      Some((Seq(1) ++ odd).sorted), "[blue, red) keeps only blue")
+    assert(rg("$.cat", Some("blue"), false, None, false) ===
+      Some((Seq(0, 3) ++ odd).sorted), "(blue, ∞) keeps red")
+    assert(rg("$.cat", None, false, Some("blue"), true) ===
+      Some((Seq(1) ++ odd).sorted))
+    assert(rg("$.cat", Some("z"), false, None, false) === Some(odd))
+    assert(rg("$.k", Some("1"), true, None, false).isEmpty,
+      "a path with unposted leaves refuses ranges (exists-grade)")
+    assert(rg("$.meta", None, false, Some("z"), true).isEmpty,
+      "object-leaf path refuses ranges")
   }
 
   test("exists refuses on over-long leaves; v1 sections refuse exists") {
@@ -193,6 +209,32 @@ class JsonIndexSpec extends SparkTestBase {
     assert(sec.existsBitmap("$.c").isEmpty, "$.c is an object leaf")
     assert(sec.existsBitmap("$.b").nonEmpty, "$.b is fully posted")
     assert(sec.existsBitmap("$.c.d").nonEmpty)
+
+    // range candidates cover every Spark comparison match (byte order)
+    for (bound <- Seq("a", "t", "true", "u", "x", "z");
+         (loInc, hiSide) <- Seq((true, false), (false, false),
+           (false, true), (true, true))) {
+      val g = get_json_object(col("j"), "$.b")
+      val pred = (hiSide, loInc) match {
+        case (false, true) => g >= bound
+        case (false, false) => g > bound
+        case (true, true) => g <= bound
+        case (true, false) => g < bound
+      }
+      val sparkM = df.withColumn("i", monotonically_increasing_id())
+        .filter(pred).collect().map(_.getLong(1).toInt).toSet
+      val bm =
+        if (hiSide) sec.rangeBitmap("$.b", None, loInc = false,
+          Some(bound), loInc)
+        else sec.rangeBitmap("$.b", Some(bound), loInc, None, hiInc = false)
+      bm.foreach { m =>
+        val cand = m.toArray.toSet
+        assert(sparkM.subsetOf(cand),
+          s"range $$.b ${if (hiSide) "<" else ">"}${if (loInc) "=" else ""} " +
+            s"$bound: spark $sparkM not in $cand")
+      }
+      assert(bm.nonEmpty, "$.b must answer ranges (fully posted)")
+    }
   }
 
   test("json equality probes decode only windows holding candidates") {
@@ -220,7 +262,8 @@ class JsonIndexSpec extends SparkTestBase {
       rows
     }
     def eq(c: String, p: String, v: String*)
-        : graft.sources.pinot.PinotScan.JsonProbe = (c, p, Some(v.toSeq))
+        : graft.sources.pinot.PinotScan.JsonProbe =
+      graft.sources.pinot.PinotScan.JsonEqProbe(c, p, v.toSeq)
     // 3 scattered candidate docs → ≤3 windows decode
     val hits = decodedRows(Seq(eq("props", "$.cat", "needle")))
     assert(hits <= 3 * 8192, s"expected ≤3 windows, decoded $hits rows")
@@ -233,10 +276,19 @@ class JsonIndexSpec extends SparkTestBase {
     assert(inHits <= 4 * 8192 && inHits > 0,
       s"IN probe decoded $inHits rows")
     // exists probe: only the windows holding the 2 docs with the key
-    val exHits = decodedRows(Seq(("props", "$.rare", None)))
+    val exHits = decodedRows(Seq(
+      graft.sources.pinot.PinotScan.JsonExistsProbe("props", "$.rare")))
     assert(exHits <= 2 * 8192, s"exists probe decoded $exHits rows")
     // exists on a universal key: no skip, full decode
-    assert(decodedRows(Seq(("props", "$.k", None))) === docs)
+    assert(decodedRows(Seq(
+      graft.sources.pinot.PinotScan.JsonExistsProbe("props", "$.k"))) === docs)
+    // range probe: only windows whose values fall in the byte-order
+    // interval — rarecat7/rarecat31007 sort between "rarecat" and
+    // "rarecau", needle and common* fall outside
+    val rgHits = decodedRows(Seq(
+      graft.sources.pinot.PinotScan.JsonRangeProbe("props", "$.cat",
+        Some("rarecat"), loInc = true, Some("rarecau"), hiInc = false)))
+    assert(rgHits <= 2 * 8192, s"range probe decoded $rgHits rows")
 
     // e2e through the optimizer rule: predicate stays residual (exact
     // rows), scan description shows the routed probe
@@ -270,6 +322,15 @@ class JsonIndexSpec extends SparkTestBase {
     assert(df4.count() === 3)
     val leaf4 = df4.queryExecution.executedPlan.collectLeaves().head.toString
     assert(leaf4.contains("$.cat in("), leaf4)
+
+    // string-range probes route and stay exact (both operand orders)
+    val df5 = spark.read.format("pinot").load(tdir.toString)
+      .filter(get_json_object(col("props"), "$.cat") >= "rarecat" &&
+        lit("rarecau") > get_json_object(col("props"), "$.cat"))
+    assert(df5.count() === 2)
+    val leaf5 = df5.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf5.contains("$.cat>=rarecat"), leaf5)
+    assert(leaf5.contains("$.cat<rarecau"), leaf5)
   }
 
   test("index absent: probes route but never prune (full decode, exact)") {

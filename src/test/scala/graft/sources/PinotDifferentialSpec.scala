@@ -147,7 +147,7 @@ class PinotDifferentialSpec extends SparkTestBase {
     def leaf(): Column = {
       val (a, b, c, d) = (rnd.nextInt(14000), rnd.nextInt(10000) - 5000,
         rnd.nextInt(42), rnd.nextInt(110))
-      rnd.nextInt(16) match {
+      rnd.nextInt(17) match {
         case 0 => col("k") > a
         case 1 => col("k") <= a
         case 2 => col("v") === b.toLong
@@ -185,6 +185,20 @@ class PinotDifferentialSpec extends SparkTestBase {
           val path = Seq("$.a", "$.b", "$.deep.z", "$.deep", "$.pad",
             "$.nosuch")(rnd.nextInt(6))
           get_json_object(col("js"), path).isNotNull
+        case 15 => // json string range (UTF-8 byte-order compare vs the
+          // index's posting scan; $.a refuses → residual-only)
+          val (path, bound) = rnd.nextInt(3) match {
+            case 0 => ("$.b", s"t${rnd.nextInt(15)}")
+            case 1 => ("$.deep.z", s"s${rnd.nextInt(8)}")
+            case _ => ("$.a", s"${rnd.nextInt(25)}")
+          }
+          val g = get_json_object(col("js"), path)
+          rnd.nextInt(4) match {
+            case 0 => g > bound
+            case 1 => g >= bound
+            case 2 => g < bound
+            case _ => g <= bound
+          }
         case _ =>
           col("body").startsWith(if (rnd.nextBoolean()) "needle" else "tok1")
       }
