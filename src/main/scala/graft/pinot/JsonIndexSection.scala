@@ -144,6 +144,32 @@ final class JsonIndexSection(
       }
     })
 
+  /** Docs PROVABLY non-null at the path — the union of every posting
+    * under it, with no odd-doc OR (serving pushed
+    * `get_json_object(col, path) IS NULL`: the caller complements this
+    * over the segment's doc range). Sound with NO refusal cases: a
+    * posted pair means the flattener vouched for the doc and placed a
+    * scalar at exactly this path, so `get_json_object` returns it —
+    * while docs with refused, unposted, odd, or absent leaves are
+    * simply NOT in the union and stay IS-NULL candidates. An
+    * over-approximation of the candidate set (e.g. a nested-object
+    * leaf, which renders non-null but is never posted) only costs
+    * decode work, never rows.
+    */
+  def notNullBitmap(path: String)
+      : org.roaringbitmap.buffer.MutableRoaringBitmap = {
+    val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap
+    val prefix = path + Sep
+    var i = java.util.Arrays.binarySearch(
+      keys.asInstanceOf[Array[AnyRef]], prefix)
+    if (i < 0) i = -i - 1
+    while (i < keys.length && keys(i).startsWith(prefix)) {
+      acc.or(bitmap(i))
+      i += 1
+    }
+    acc
+  }
+
   /** Union of the path's postings whose VALUE satisfies `keep`, OR'd
     * with the odd docs; refuses (None) whenever some leaf at the path
     * may be missing from the postings — not simple / refused (object

@@ -1,8 +1,8 @@
 package graft.plans
 
 import graft.sources.pinot.{PinotScan, PinotSegmentTable}
-import graft.sources.pinot.PinotScan.{JsonEqProbe, JsonExistsProbe, JsonRangeProbe}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GetJsonObject, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import graft.sources.pinot.PinotScan.{JsonEqProbe, JsonExistsProbe, JsonNullProbe, JsonRangeProbe}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GetJsonObject, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -11,7 +11,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Routes `get_json_object(col, '$.path')` probes — `= 'value'`,
-  * `IN ('a','b',…)`, `<=> 'value'`, `IS NOT NULL`, and string ranges
+  * `IN ('a','b',…)`, `<=> 'value'`, `IS NOT NULL`, `IS NULL`, and
+  * string ranges
   * (`>` / `>=` / `<` / `<=` against a literal, e.g.
   * `get_json_object(c, '$.date') >= '2024-01-01'`) — over a Pinot
   * relation into the scan (EXTENSION — the pushdown half of Pinot's
@@ -35,6 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the filter keeps. An all-null / empty list is not pushed.
   *  - `IS NOT NULL`: candidates = docs where the path may yield any
   *    value ([[graft.pinot.JsonIndexSection.existsBitmap]]).
+  *  - `IS NULL`: candidates = complement of the docs the index PROVES
+  *    non-null ([[graft.pinot.JsonIndexSection.notNullBitmap]]; always
+  *    answerable — a posting is a proof, everything else stays a
+  *    candidate).
   *  - Ranges: candidates = docs whose rendered value may lie in the
   *    bound interval under Spark's own UTF8String byte order
   *    ([[graft.pinot.JsonIndexSection.rangeBitmap]]; a NULL rendering
@@ -86,6 +91,8 @@ object JsonIndexRule extends Rule[LogicalPlan] with PredicateHelper {
         JsonEqProbe(a.name, p, vs)
       case IsNotNull(Probe(a, p)) =>
         JsonExistsProbe(a.name, p)
+      case IsNull(Probe(a, p)) =>
+        JsonNullProbe(a.name, p)
       // string ranges, both operand orders (`lit > probe` ≡ `probe < lit`)
       case GreaterThan(Probe(a, p), Literal(v: UTF8String, StringType))
           if v != null =>

@@ -572,6 +572,20 @@ object PinotRoundtrip {
         .orderBy("event_type")
     }),
 
+    // JSON index, IS-NULL probe form: "docs missing the key" — the one
+    // probe with NO refusal cases (candidates = complement of the
+    // provably-non-null postings), combined with an equality so the
+    // scan ANDs an exclusion set with a posting set.
+    "q132_pinot_json_isnull" -> ((s, d) => {
+      val p = s.read.format("pinot").load(jsonDecTable(s, d))
+      p.filter(get_json_object(col("props2"), "$.k2").isNull &&
+          get_json_object(col("props2"), "$.n") === "4")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("sum_id"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // Nullable columns (null-value vector) through write→segment→scan:
     // COUNT(col) vs COUNT(*), SUM over nulls, IS NULL filters and
     // null-aware grouping must all see EXACTLY the planted nulls — a
@@ -1003,6 +1017,28 @@ object PinotRoundtrip {
         |FROM subset
         |WHERE json_extract_string(props2, '$.n') >= '3'
         |  AND json_extract_string(props2, '$.n') < '8'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q132_pinot_json_isnull" ->
+      """WITH subset AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |        '{"tag": {"x": 1}, "n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 1 THEN
+        |        '{"pad": "' || repeat('x', 280) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      WHEN event_id % 7 = 2 THEN
+        |        '{"k2": "t' || CAST(event_id % 10 AS VARCHAR) || '", "n": ' ||
+        |          CAST(event_id % 10 AS VARCHAR) || '}'
+        |      ELSE '{"n": ' || CAST(event_id % 10 AS VARCHAR) || '}'
+        |    END AS props2
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM subset
+        |WHERE json_extract_string(props2, '$.k2') IS NULL
+        |  AND json_extract_string(props2, '$.n') = '4'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q84_pinot_hybrid" ->

@@ -942,6 +942,7 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
          case PinotScan.JsonEqProbe(c, p, vs) =>
            s"$c $p in(${vs.mkString(",")})"
          case PinotScan.JsonExistsProbe(c, p) => s"$c $p exists"
+         case PinotScan.JsonNullProbe(c, p) => s"$c $p isnull"
          case PinotScan.JsonRangeProbe(c, p, lo, loInc, hi, hiInc) =>
            val l = lo.fold("")(v => if (loInc) s">=$v" else s">$v")
            val h = hi.fold("")(v => if (hiInc) s"<=$v" else s"<$v")
@@ -1773,6 +1774,12 @@ object PinotScan {
   final case class JsonRangeProbe(col: String, path: String,
       lo: Option[String], loInc: Boolean,
       hi: Option[String], hiInc: Boolean) extends JsonProbe
+  /** `IS NULL` — candidates are everything except the docs the index
+    * PROVES non-null at the path (complemented scan-side over the
+    * segment's doc range); always answerable, no refusal cases.
+    */
+  final case class JsonNullProbe(col: String, path: String)
+      extends JsonProbe
 
   /** Read-option key carrying pushed `get_json_object` probes
     * (equality / IN-list / IS NOT NULL / string range) from the
@@ -1780,6 +1787,7 @@ object PinotScan {
     * source filters cannot express them). Value: comma-joined probes of
     * colon-joined url-base64 fields, tagged by kind:
     * `e:col:path:v1[:v2…]` equality/IN, `x:col:path` exists,
+    * `z:col:path` is-null,
     * `r:col:path:loTag:lo:hiTag:hi` range (`loTag`/`hiTag` one of
     * `i` inclusive / `s` strict / `n` none; absent bound encodes "").
     */
@@ -1795,6 +1803,7 @@ object PinotScan {
       case JsonEqProbe(c, p, vs) =>
         (Seq("e", b64(c), b64(p)) ++ vs.map(b64)).mkString(":")
       case JsonExistsProbe(c, p) => s"x:${b64(c)}:${b64(p)}"
+      case JsonNullProbe(c, p) => s"z:${b64(c)}:${b64(p)}"
       case JsonRangeProbe(c, p, lo, loInc, hi, hiInc) =>
         Seq("r", b64(c), b64(p), tag(lo, loInc), b64(lo.getOrElse("")),
           tag(hi, hiInc), b64(hi.getOrElse(""))).mkString(":")
@@ -1821,6 +1830,7 @@ object PinotScan {
           case a if a.length > 3 && a(0) == "e" =>
             Some(JsonEqProbe(un(a(1)), un(a(2)), a.drop(3).toSeq.map(un)))
           case Array("x", c, p) => Some(JsonExistsProbe(un(c), un(p)))
+          case Array("z", c, p) => Some(JsonNullProbe(un(c), un(p)))
           case Array("r", c, p, lt, lv, ht, hv) =>
             for ((lo, loInc) <- bound(lt, lv); (hi, hiInc) <- bound(ht, hv))
               yield JsonRangeProbe(un(c), un(p), lo, loInc, hi, hiInc)
@@ -2502,6 +2512,11 @@ class PinotColumnarReader(segmentPath: String, columns: Array[String],
             case PinotScan.JsonExistsProbe(_, p) => sec.existsBitmap(p)
             case PinotScan.JsonRangeProbe(_, p, lo, loInc, hi, hiInc) =>
               sec.rangeBitmap(p, lo, loInc, hi, hiInc)
+            case PinotScan.JsonNullProbe(_, p) =>
+              // candidates = complement of the provably-non-null docs
+              val nn = sec.notNullBitmap(p)
+              nn.flip(0L, reader.metadata.totalDocs.toLong)
+              Some(nn)
           }
         }.foreach { m =>
           if (acc == null) acc = m.clone() else acc.and(m)

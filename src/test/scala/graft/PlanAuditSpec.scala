@@ -210,6 +210,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaf.contains("props2 $.n<8"), leaf)
   }
 
+  test("q132 routes its json is-null probe into the scan") {
+    val leaf =
+      finalPlan("q132_pinot_json_isnull").collectLeaves().head.toString
+    assert(leaf.contains("props2 $.k2 isnull"), leaf)
+    assert(leaf.contains("props2 $.n=4"), leaf)
+  }
+
   test("q48 queries the persisted IVF index: no k-means job in the plan") {
     val plan = finalPlan("q48_knn_ivf").toString
     // a per-query k-means would show as the centroid construction

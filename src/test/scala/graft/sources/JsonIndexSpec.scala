@@ -91,6 +91,16 @@ class JsonIndexSpec extends SparkTestBase {
       "a path with unposted leaves refuses ranges (exists-grade)")
     assert(rg("$.meta", None, false, Some("z"), true).isEmpty,
       "object-leaf path refuses ranges")
+
+    // IS-NULL support: the PROVABLY-non-null union (no odd docs, no
+    // refusals — a posting is a proof; the scan complements it)
+    def nn(path: String): Seq[Int] =
+      sec.notNullBitmap(path).toArray.toSeq
+    assert(nn("$.cat") === Seq(0, 1, 3))
+    assert(nn("$.k") === Seq(0, 1, 2, 6), "null leaf in doc 5 NOT proven")
+    assert(nn("$.meta.region") === Seq(2))
+    assert(nn("$.meta") === Nil, "object leaves are never posted")
+    assert(nn("$.nosuch") === Nil)
   }
 
   test("exists refuses on over-long leaves; v1 sections refuse exists") {
@@ -204,6 +214,15 @@ class JsonIndexSpec extends SparkTestBase {
           // leaves), $.c MUST refuse (object leaf)
           ()
       }
+      // IS NULL: Spark's null rows must all lie in the complement of
+      // the provably-non-null union (always answered, never refused)
+      val sparkNull = df.withColumn("i", monotonically_increasing_id())
+        .filter(get_json_object(col("j"), path).isNull)
+        .collect().map(_.getLong(1).toInt).toSet
+      val nullCand = docs.indices.toSet -- sec.notNullBitmap(path)
+        .toArray.toSet
+      assert(sparkNull.subsetOf(nullCand),
+        s"isnull $path: spark $sparkNull not in candidates $nullCand")
     }
     assert(sec.existsBitmap("$.a").isEmpty, "$.a holds unposted leaves")
     assert(sec.existsBitmap("$.c").isEmpty, "$.c is an object leaf")
@@ -282,6 +301,10 @@ class JsonIndexSpec extends SparkTestBase {
     // exists on a universal key: no skip, full decode
     assert(decodedRows(Seq(
       graft.sources.pinot.PinotScan.JsonExistsProbe("props", "$.k"))) === docs)
+    // IS NULL on a universal key: every doc proven non-null → segment
+    // pruned outright
+    assert(decodedRows(Seq(
+      graft.sources.pinot.PinotScan.JsonNullProbe("props", "$.k"))) === 0)
     // range probe: only windows whose values fall in the byte-order
     // interval — rarecat7/rarecat31007 sort between "rarecat" and
     // "rarecau", needle and common* fall outside
@@ -331,6 +354,14 @@ class JsonIndexSpec extends SparkTestBase {
     val leaf5 = df5.queryExecution.executedPlan.collectLeaves().head.toString
     assert(leaf5.contains("$.cat>=rarecat"), leaf5)
     assert(leaf5.contains("$.cat<rarecau"), leaf5)
+
+    // IS NULL routes and stays exact: every doc except the two `rare`
+    // carriers lacks the key
+    val df6 = spark.read.format("pinot").load(tdir.toString)
+      .filter(get_json_object(col("props"), "$.rare").isNull)
+    assert(df6.count() === docs - 2)
+    val leaf6 = df6.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf6.contains("$.rare isnull"), leaf6)
   }
 
   test("index absent: probes route but never prune (full decode, exact)") {

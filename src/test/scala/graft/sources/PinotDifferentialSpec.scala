@@ -180,11 +180,14 @@ class PinotDifferentialSpec extends SparkTestBase {
         case 13 => // json IN-list (union of postings, or refusal)
           val vs = Seq.fill(rnd.nextInt(3) + 1)(s"${rnd.nextInt(25)}")
           get_json_object(col("js"), "$.a").isin(vs: _*)
-        case 14 => // json path-exists; $.a/$.pad/$.deep refuse (null /
-          // long / object leaves), $.b and $.deep.z answer
+        case 14 => // json path-exists / is-null; $.a/$.pad/$.deep refuse
+          // exists (null / long / object leaves), $.b and $.deep.z
+          // answer; IS NULL always answers via the proven-non-null
+          // complement
           val path = Seq("$.a", "$.b", "$.deep.z", "$.deep", "$.pad",
             "$.nosuch")(rnd.nextInt(6))
-          get_json_object(col("js"), path).isNotNull
+          val g = get_json_object(col("js"), path)
+          if (rnd.nextBoolean()) g.isNotNull else g.isNull
         case 15 => // json string range (UTF-8 byte-order compare vs the
           // index's posting scan; $.a refuses → residual-only)
           val (path, bound) = rnd.nextInt(3) match {
