@@ -27,6 +27,8 @@ object SparkEntry {
       graft.queries.Embeddings.queries ++
       graft.queries.SketchDedup.queries ++
       graft.queries.Events.queries ++
+      graft.queries.Funnel.queries ++
+      graft.queries.Sketches.queries ++
       graft.queries.Media.queries ++
       graft.queries.Complex.queries ++
       graft.queries.Advanced.queries ++
@@ -47,6 +49,8 @@ object SparkEntry {
       graft.queries.Embeddings.oracleSql ++
       graft.queries.SketchDedup.oracleSql ++
       graft.queries.Events.oracleSql ++
+      graft.queries.Funnel.oracleSql ++
+      graft.queries.Sketches.oracleSql ++
       graft.queries.Media.oracleSql ++
       graft.queries.Complex.oracleSql ++
       graft.queries.Advanced.oracleSql ++

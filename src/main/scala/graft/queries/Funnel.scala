@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics: the Spark-native analog of Pinot's
+  * FUNNEL_COUNT / FUNNEL_COMPLETE_COUNT / FUNNEL_MAX_STEP aggregation
+  * family (reference exposes none of these; Pinot docs define the
+  * semantics: per correlation key, steps must match in order, each
+  * strictly after the previous, all within `windowSize` of step 1).
+  *
+  * Plan shape (the one you'd want at 100 TB):
+  *   1. the step-type IN-list filter and 3-column projection reach the
+  *      scan (pushed filters + pruned ReadSchema) — non-funnel events
+  *      never leave the source;
+  *   2. ONE hash exchange on user_id; the chained "first step-k strictly
+  *      after step-(k-1), inside the window" minimums are whole-partition
+  *      Window aggregates stacked on that single exchange (window over
+  *      window — Catalyst plans Exchange → Window × 3, no join, no
+  *      re-shuffle);
+  *   3. the per-user collapse (groupBy user_id) reuses the same
+  *      partitioning, so the whole funnel costs exactly one shuffle of
+  *      (user_id, ts, event_type) for step-typed events only.
+  *
+  * Window state is bounded by one user's funnel-typed events (the same
+  * per-key-bounded assumption every sessionization engine makes); users
+  * are the parallelism unit, so 1000 executors scale linearly in users.
+  */
+object Funnel {
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Funnel steps, in order, and the completion window. */
+  private val steps = Seq("signup", "view", "purchase")
+  private val windowExpr = "INTERVAL 48 HOURS"
+
+  /** Per-user first-match timestamps t1..t3 of the ordered windowed
+    * funnel, one row per user that has at least one step-typed event.
+    */
+  private def perUserStepTimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val e = events
+      .filter(col("event_type").isin(steps: _*))
+      .select("user_id", "ts", "event_type")
+    val withT1 = e.withColumn(
+      "t1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
+    val deadline = col("t1") + expr(windowExpr)
+    val withT2 = withT1.withColumn(
+      "t2", min(when(col("event_type") === steps(1) &&
+        col("ts") > col("t1") && col("ts") <= deadline, col("ts"))).over(w))
+    val withT3 = withT2.withColumn(
+      "t3", min(when(col("event_type") === steps(2) &&
+        col("ts") > col("t2") && col("ts") <= deadline, col("ts"))).over(w))
+    withT3.groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Funnel step counts + conversion (Pinot FUNNEL_COUNT /
+    // FUNNEL_COMPLETE_COUNT): one row with users reaching each step.
+    "q133_funnel_count" -> ((s, d) =>
+      perUserStepTimes(ev(s, d))
+        .agg(
+          count(col("t1")).as("step1_users"),
+          count(col("t2")).as("step2_users"),
+          count(col("t3")).as("step3_users"))
+        .withColumn("conversion_pct",
+          round(col("step3_users") * lit(100.0) / col("step1_users"), 2))),
+
+    // Per-user deepest step reached (Pinot FUNNEL_MAX_STEP), with the
+    // step-1 timestamp for auditability. Ordered for the row-order hash.
+    "q134_funnel_max_step" -> ((s, d) =>
+      perUserStepTimes(ev(s, d))
+        .select(
+          col("user_id"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("max_step"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("step1_ts"))
+        .orderBy("user_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q133_funnel_count" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS step1_users,
+        |       (SELECT count(*) FROM s2) AS step2_users,
+        |       (SELECT count(*) FROM s3) AS step3_users,
+        |       round((SELECT count(*) FROM s3) * 100.0::DOUBLE
+        |             / (SELECT count(*) FROM s1), 2) AS conversion_pct""".stripMargin,
+
+    "q134_funnel_max_step" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |       WHEN s2.t2 IS NOT NULL THEN 2
+        |       WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS max_step,
+        |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS step1_ts
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{FreqItemsAgg, KmvSketchAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates (Pinot's DataSketches family, absent from the
+  * reference connector): frequent-strings heavy hitters and theta-style
+  * distinct sketches with set operations. Both run in their EXACT regime
+  * at oracle scale (distinct cardinality below the sketch capacity), so
+  * the DuckDB hashes gate them fully; the approximate regime is
+  * property-tested in SketchAggSpec with its published error bounds.
+  */
+object Sketches {
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** 100 distinct props values exist at every SF; 256 keeps Misra–Gries
+    * exact (no decrement can ever fire) while still exercising the full
+    * sketch machinery (map-side partials, merge, ranked eval).
+    */
+  private val freqCapacity = 256
+
+  /** Cohort key is the user-day (who did what on which day): ~2.7k
+    * distinct at sf0.01, ~27k at sf0.1, ~190k ceiling at sf1. k = 2¹⁸
+    * keeps the sketches unsaturated (exact, including intersections)
+    * through sf1; beyond that they degrade gracefully to ~0.2% error —
+    * which is the point of a sketch. Partials only ever hold the
+    * partition-local distinct count, so small scales ship small buffers.
+    */
+  private val kmvK = 1 << 18
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Heavy hitters: top-10 most frequent props payloads. ONE sketch row
+    // leaves each partition regardless of key cardinality.
+    "q135_frequent_strings" -> ((s, d) =>
+      ev(s, d)
+        .agg(FreqItemsAgg.freqItems(col("props"), freqCapacity).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(10)),
+
+    // Theta-sketch cohort algebra over USER-DAYS (who did what on which
+    // day): per-event-type sketches, then union/intersection ESTIMATES
+    // computed purely on the collapsed sketches (array expressions — the
+    // raw events are scanned exactly once).
+    "q136_theta_distinct" -> ((s, d) => {
+      val sk = ev(s, d)
+        .groupBy("event_type")
+        .agg(KmvSketchAgg.kmvSketch(
+          xxhash64(col("user_id"), to_date(col("ts"))), kmvK).as("sk"))
+      val v = sk.filter(col("event_type") === "view").select(col("sk").as("sk_v"))
+      val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+      v.crossJoin(p).select(
+        KmvSketchAgg.distinctEstimate(col("sk_v"), kmvK).as("view_userdays"),
+        KmvSketchAgg.distinctEstimate(col("sk_p"), kmvK).as("purchase_userdays"),
+        KmvSketchAgg.unionEstimate(col("sk_v"), col("sk_p"), kmvK).as("either_userdays"),
+        KmvSketchAgg.intersectEstimate(col("sk_v"), col("sk_p"), kmvK).as("both_userdays"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q135_frequent_strings" ->
+      """SELECT props AS item, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q136_theta_distinct" ->
+      """SELECT
+        |  (SELECT count(DISTINCT (user_id, CAST(ts AS DATE))) FROM events
+        |   WHERE event_type = 'view') AS view_userdays,
+        |  (SELECT count(DISTINCT (user_id, CAST(ts AS DATE))) FROM events
+        |   WHERE event_type = 'purchase') AS purchase_userdays,
+        |  (SELECT count(DISTINCT (user_id, CAST(ts AS DATE))) FROM events
+        |   WHERE event_type IN ('view', 'purchase')) AS either_userdays,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events
+        |     WHERE event_type = 'view'
+        |     INTERSECT
+        |     SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events
+        |     WHERE event_type = 'purchase')) AS both_userdays""".stripMargin
+  )
+}

@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q128_semdedup_keeper", // q46's theta pair join feeding the keeper
     // scalar-subquery threshold: a ONE-ROW broadcast crossed against the
     // probe side (exactly how Spark executes `> (SELECT avg ...)`)
-    "q126_tpch_q22")
+    "q126_tpch_q22",
+    // theta-sketch set algebra: ONE collapsed sketch row per cohort,
+    // crossed 1×1 so the union/intersect estimators see both arrays —
+    // the raw events were already reduced by the aggregate
+    "q136_theta_distinct")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {

@@ -1,0 +1,115 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Ordered windowed funnel (q133/q134): semantics on adversarial
+  * hand-built histories, then a plan audit — the whole funnel must cost
+  * exactly ONE shuffle with the step-type filter pushed to the scan.
+  */
+class FunnelSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Events table shaped like the real one, from (user, ts, type). */
+  private def mkEvents(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.zipWithIndex
+      .map { case ((u, t, ty), i) =>
+        (i.toLong, ts(t), u, ty, 1.0, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def maxSteps(dir: String): Map[Long, Int] =
+    SparkEntry_q134(dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def SparkEntry_q134(dir: String): DataFrame =
+    Funnel.queries("q134_funnel_max_step")(spark, dir)
+
+  test("steps must match strictly in order") {
+    val dir = mkEvents(Seq(
+      // u1: textbook signup -> view -> purchase, hours apart
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 01:00:00", "view"),
+      (1L, "2024-01-01 02:00:00", "purchase"),
+      // u2: purchase BEFORE the view — stops at step 2
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 02:00:00", "view"),
+      (2L, "2024-01-01 01:00:00", "purchase"),
+      // u3: never signs up — step 0 even with view+purchase
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-01 01:00:00", "purchase")))
+    assert(maxSteps(dir) === Map(1L -> 3, 2L -> 2, 3L -> 0))
+  }
+
+  test("simultaneous events do not chain (strictly after)") {
+    val dir = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:00:00", "view"), // same instant: not after
+      (1L, "2024-01-01 01:00:00", "purchase")))
+    assert(maxSteps(dir) === Map(1L -> 1))
+  }
+
+  test("the 48h window anchors at step 1") {
+    val dir = mkEvents(Seq(
+      // u1: view at +47h, purchase at +47h30 — inside
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 23:00:00", "view"),
+      (1L, "2024-01-02 23:30:00", "purchase"),
+      // u2: view inside, purchase at +49h — outside, even though it is
+      // within 48h of the VIEW (window anchors at step 1)
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-02 23:00:00", "view"),
+      (2L, "2024-01-03 01:00:00", "purchase"),
+      // u3: first view outside the window entirely
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-03 01:00:00", "view")))
+    assert(maxSteps(dir) === Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("first qualifying match wins: a later in-window view cannot resurrect") {
+    // the FIRST view after signup fixes t2; the purchase between the two
+    // views is before t2, and the later view is not re-anchored
+    val dir = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 05:00:00", "view"),
+      (1L, "2024-01-01 03:00:00", "purchase"),
+      (1L, "2024-01-01 06:00:00", "purchase")))
+    assert(maxSteps(dir) === Map(1L -> 3))
+    val dir2 = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 05:00:00", "view"),
+      (1L, "2024-01-01 03:00:00", "purchase")))
+    assert(maxSteps(dir2) === Map(1L -> 2))
+  }
+
+  test("funnel counts line up with the per-user max steps on real data") {
+    val counts = Funnel.queries("q133_funnel_count")(spark, sfDir).head()
+    val steps = maxSteps(sfDir)
+    assert(counts.getLong(0) === steps.values.count(_ >= 1).toLong)
+    assert(counts.getLong(1) === steps.values.count(_ >= 2).toLong)
+    assert(counts.getLong(2) === steps.values.count(_ >= 3).toLong)
+  }
+
+  test("plan: ONE shuffle total, and the step-type filter reaches the scan") {
+    val df = SparkEntry_q134(sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) {
+      case s: ShuffleExchangeExec => s }
+    // one hash exchange on user_id feeds Window×3 + the final aggregate;
+    // the orderBy adds its range exchange — nothing else may shuffle
+    assert(shuffles.size <= 2, s"funnel must not re-shuffle:\n$plan")
+    val scans = plan.toString()
+    assert(scans.contains("PushedFilters") && scans.contains("In(event_type"),
+      s"step-type IN filter not pushed:\n$scans")
+  }
+}
