@@ -20,11 +20,17 @@ object ScaleProbe {
     "q49_dedup_minhash_lsh", "q50_dedup_simhash", "q73_dedup_components",
     "q47_knn_brute", "q42_lang_id", "q45_fingerprint",
     // r9 TPC-H widening — multi-join fact chains must scale ~linearly
-    "q119_tpch_q7", "q125_tpch_q18", "q127_tpch_q21")
+    "q119_tpch_q7", "q125_tpch_q18", "q127_tpch_q21",
+    // r10 funnel + sketch surface — single-shuffle shapes, must be ~linear
+    "q133_funnel_count", "q134_funnel_max_step",
+    "q135_frequent_strings", "q136_theta_distinct")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_sf0.3", "/tmp/graft_sf1")
+    // -Dgraft.probe.queries=q133,q134 narrows the probe (dev iteration)
+    val only = Option(System.getProperty("graft.probe.queries"))
+      .map(_.split(',').toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,7 +38,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- dirs; name <- Probed) {
+    for (dir <- dirs; name <- Probed if only.forall(_.contains(name))) {
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
