@@ -147,6 +147,93 @@ object EventPipelines {
       }
   }
 
+  case class FunnelState(t1: Long, pending: List[(Long, Int)])
+  case class FunnelOut(user_id: Long, max_step: Int, step1_ms: Long)
+
+  /** Streaming ordered-windowed funnel — q133/q134's batch semantics
+    * (steps strictly in order, all within `windowMs` of the FIRST step-1
+    * event) resolved continuously: each user's funnel emits exactly when
+    * the watermark passes `t1 + windowMs`, at which point every event
+    * that could legally affect the outcome has either arrived or been
+    * dropped as late — so the emitted row equals the batch fold over the
+    * watermark-respecting history.
+    *
+    * State per user is (min step-1 ts, pending later-step events), with
+    * two pruning rules that keep it bounded without losing exactness:
+    * a step-1 arrival only ever LOWERS t1 (it's a min), so later-step
+    * events past the CURRENT deadline can never qualify and are dropped;
+    * pre-t1 later-step events are kept because an earlier signup may yet
+    * make them eligible. Users that never produce a step-1 event are
+    * garbage-collected one window past the watermark and emit max_step 0
+    * (step1_ms = -1), mirroring q134's step-0 rows.
+    */
+  def statefulFunnel(
+      events: Dataset[Event],
+      steps: Seq[String] = Seq("signup", "view", "purchase"),
+      windowMs: Long = 48L * 3600 * 1000): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val None1 = Long.MaxValue
+
+    def resolve(uid: Long, s: FunnelState): FunnelOut = {
+      if (s.t1 == None1) return FunnelOut(uid, 0, -1L)
+      val deadline = s.t1 + windowMs
+      val inWin = s.pending.filter { case (t, _) => t > s.t1 && t <= deadline }
+      val t2 = inWin.collect { case (t, 1) => t }
+        .minOption.getOrElse(None1)
+      val t3 = inWin.collect { case (t, 2) if t > t2 => t }
+        .minOption.getOrElse(None1)
+      val maxStep = if (t3 != None1) 3 else if (t2 != None1) 2 else 1
+      FunnelOut(uid, maxStep, s.t1)
+    }
+
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(resolve(uid, s))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(None1, Nil))
+            var t1 = prev.t1
+            var pending = prev.pending
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              stepIdx(e.event_type) match {
+                case 0 => if (t < t1) t1 = t
+                case k => pending = (t, k) :: pending
+              }
+            }
+            if (t1 != None1) pending =
+              pending.filter { case (t, _) => t <= t1 + windowMs }
+            val wm = state.getCurrentWatermarkMs()
+            if (t1 != None1 && t1 + windowMs <= wm) {
+              // the window already closed under the watermark (deep-late
+              // step 1): resolve immediately instead of scheduling a
+              // timeout in the past
+              state.remove()
+              Iterator.single(resolve(uid, FunnelState(t1, pending)))
+            } else {
+              state.update(FunnelState(t1, pending))
+              // GC horizon for never-signed-up users anchors at their
+              // latest EVENT time (the watermark can still be 0 in the
+              // first micro-batch; an epoch-relative timeout would fire
+              // immediately and drop the buffered events)
+              val lastSeen = pending.foldLeft(wm) {
+                case (m, (t, _)) => math.max(m, t) }
+              state.setTimeoutTimestamp(
+                if (t1 != None1) t1 + windowMs else lastSeen + windowMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   case class LatestOut(user_id: Long, last_ms: Long, last_id: Long,
       last_type: String, last_value: Double, n_versions: Long)
 

@@ -214,6 +214,75 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("statefulFunnel resolves each user at window close (q134 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val win = 60L * 60000 // 60-minute funnel window for test scale
+    val mem = MemoryStream[Event]
+    val q = statefulFunnel(mem.toDS(),
+        steps = Seq("signup", "view", "purchase"), windowMs = win)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // u1: textbook completion inside the window
+        Event(0, ts(0), 1, "signup", 0), Event(1, ts(10), 1, "view", 0),
+        Event(2, ts(20), 1, "purchase", 0),
+        // u2: purchase BEFORE the first view — stops at step 2
+        Event(3, ts(0), 2, "signup", 0), Event(4, ts(10), 2, "purchase", 0),
+        Event(5, ts(20), 2, "view", 0),
+        // u3: never signs up — garbage-collected as step 0
+        Event(6, ts(5), 3, "view", 0), Event(7, ts(10), 3, "purchase", 0),
+        // u4: view at the SAME instant as signup must not chain
+        Event(8, ts(0), 4, "signup", 0), Event(9, ts(0), 4, "view", 0),
+        Event(10, ts(30), 4, "purchase", 0))
+      q.processAllAvailable()
+      // push the watermark far past every deadline (and u3's GC horizon)
+      mem.addData(Event(99, ts(300), 9, "signup", 0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(600), 9, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got.filter(_._1 <= 4) === Set(
+        (1L, 3, ts(0).getTime), (2L, 2, ts(0).getTime),
+        (3L, 0, -1L), (4L, 1, ts(0).getTime)))
+      // the watermark-pusher user resolves too, once ITS window closes
+      // (its view at ts 600 is outside its own 60-min window → step 1)
+      assert(got.filter(_._1 == 9L) === Set((9L, 1, ts(300).getTime)))
+    } finally q.stop()
+  }
+
+  test("statefulFunnel folds out-of-order arrivals exactly (buffered pre-step-1 events)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val win = 60L * 60000
+    val mem = MemoryStream[Event]
+    val q = statefulFunnel(mem.toDS(),
+        steps = Seq("signup", "view", "purchase"), windowMs = win)
+      .writeStream.format("memory").queryName("funnel_ooo_stream")
+      .outputMode("append").start()
+    try {
+      // the view arrives FIRST, before any signup exists for the user;
+      // it must be buffered because a later-arriving earlier signup can
+      // still make it eligible
+      mem.addData(Event(0, ts(30), 1, "view", 0))
+      q.processAllAvailable()
+      // signup arrives out of order (ts 25 < the view's 30, but above
+      // the watermark, which sits at 20) — anchors t1 and re-qualifies
+      // the buffered view
+      mem.addData(Event(1, ts(25), 1, "signup", 0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(40), 1, "purchase", 0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(500), 9, "signup", 0)) // watermark pusher
+      q.processAllAvailable()
+      val got = spark.table("funnel_ooo_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 3, ts(25).getTime)))
+    } finally q.stop()
+  }
+
   test("batch sessionize over the events table matches the q53 oracle shape") {
     val df = graft.SparkEntry.queries("q53_events_sessions")(spark, sfDir)
     val rows = df.collect()
