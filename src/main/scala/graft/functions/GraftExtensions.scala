@@ -66,5 +66,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayLongReduceAgg(args.head, ArrayLongReduceAgg.SumOp)
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "freq_items(col, capacity) takes exactly 2 arguments")
+        FreqItemsAgg(args.head, foldableInt(args(1), "freq_items capacity"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "kmv_sketch(hashed_col, k) takes exactly 2 arguments")
+        KmvSketchAgg(args.head, foldableInt(args(1), "kmv_sketch k"))
+          .toAggregateExpression()
+      }))
+  }
+
+  /** Evaluates a foldable int argument (capacity/k) at registration. */
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }

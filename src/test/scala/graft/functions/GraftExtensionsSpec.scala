@@ -80,4 +80,31 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("dot_q") ||
       e.getMessage.toLowerCase.contains("array<bigint>"))
   }
+
+  test("freq_items callable via SQL with grouping") {
+    spark.range(0, 100)
+      .selectExpr("id % 2 AS g", "CAST(id % 5 AS STRING) AS s")
+      .createOrReplaceTempView("fi")
+    val rows = spark.sql(
+      """SELECT g, freq_items(s, 16) AS sk FROM fi GROUP BY g ORDER BY g""")
+      .collect()
+    assert(rows.length === 2)
+    // 5 distinct values, 10 occurrences each per group — exact regime
+    rows.foreach { r =>
+      val entries = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(entries.length === 5)
+      assert(entries.forall(_.getLong(1) === 10L))
+    }
+  }
+
+  test("kmv_sketch callable via SQL; k must be a literal") {
+    val n = spark.sql(
+      """SELECT size(kmv_sketch(xxhash64(id), 64)) AS n
+        |FROM range(0, 40)""".stripMargin).head().getInt(0)
+    assert(n === 40)
+    val e = intercept[Exception](
+      spark.sql("SELECT kmv_sketch(xxhash64(id), id + 1) FROM range(5)")
+        .collect())
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }

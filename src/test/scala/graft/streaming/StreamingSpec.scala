@@ -283,6 +283,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sketch aggregates run under streaming state and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(
+        xxhash64(col("user_id")), 64).as("sk"))
+      .select(col("event_type"),
+        graft.functions.KmvSketchAgg.distinctEstimate(col("sk"), 64).as("d"))
+    val q = agg(mem.toDF())
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches so the sketch buffer round-trips the state store
+      mem.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmv_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = agg(eventsDf(sample))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed("view") === 2L) // users 1 and 2 viewed
+  }
+
   test("batch sessionize over the events table matches the q53 oracle shape") {
     val df = graft.SparkEntry.queries("q53_events_sessions")(spark, sfDir)
     val rows = df.collect()
