@@ -242,7 +242,12 @@ object Bench {
         val clean = rs.filterNot(contendedRep)
         val use = if (clean.length >= 2) clean else rs
         val ts = use.map(_.sec).sorted
-        results(name) = ts(ts.length / 2)
+        // true median: even-count rep sets (one rep discarded as
+        // contended) average the middle two instead of taking the upper,
+        // which upper-biased every 2-clean-rep query on a loaded box
+        results(name) =
+          if (ts.length % 2 == 1) ts(ts.length / 2)
+          else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
         resultsMin(name) = ts.head
         starts(name) = rs.head.startSec
       }
@@ -302,7 +307,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""queries_min":$fullQsMin,""" +
-        s""""median_protocol":"median over reps whose [start,end] interval overlaps no hot probe (ST >1.3x / MT >1.5x best); all reps used when fewer than 2 clean",""" +
+        s""""median_protocol":"median over reps whose [start,end] interval overlaps no hot probe (ST >1.3x / MT >1.5x best); even-count rep sets average the middle two; all reps used when fewer than 2 clean",""" +
         s""""query_start_offsets_sec":$startsJson,""" +
         s""""query_reps":$repsJson,""" +
         s""""contention_probes":$probesJson,""" +
