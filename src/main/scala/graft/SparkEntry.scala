@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Funnel.queries ++
       graft.queries.Sketches.queries ++
+      graft.queries.Geo.queries ++
       graft.queries.Media.queries ++
       graft.queries.Complex.queries ++
       graft.queries.Advanced.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       graft.queries.Events.oracleSql ++
       graft.queries.Funnel.oracleSql ++
       graft.queries.Sketches.oracleSql ++
+      graft.queries.Geo.oracleSql ++
       graft.queries.Media.oracleSql ++
       graft.queries.Complex.oracleSql ++
       graft.queries.Advanced.oracleSql ++
