@@ -209,9 +209,17 @@ object EventPipelines {
                 case k => pending = (t, k) :: pending
               }
             }
+            val wm = state.getCurrentWatermarkMs()
             if (t1 != None1) pending =
               pending.filter { case (t, _) => t <= t1 + windowMs }
-            val wm = state.getCurrentWatermarkMs()
+            else pending = pending.filter { case (t, _) => t > wm }
+            // the else-branch prune is exactness-preserving: with no
+            // step-1 anchor yet, a pending event at ts v can only ever
+            // qualify under a FUTURE step-1 with t1 < v; future arrivals
+            // sit above the watermark (later ones are dropped as late),
+            // so t1 > wm ≥ v is impossible to satisfy — v is dead. This
+            // bounds a never-signing-up spammer's state to the lateness
+            // horizon instead of its whole history.
             if (t1 != None1 && t1 + windowMs <= wm) {
               // the window already closed under the watermark (deep-late
               // step 1): resolve immediately instead of scheduling a
