@@ -32,15 +32,24 @@ object Funnel {
 
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
-  /** Funnel steps, in order, and the completion window. */
+  /** Funnel steps, in order, and the completion window (q133/q134). */
   private val steps = Seq("signup", "view", "purchase")
   private val windowExpr = "INTERVAL 48 HOURS"
 
   /** Per-user first-match timestamps t1..t3 of the ordered windowed
     * funnel, one row per user that has at least one step-typed event.
+    * `strictIncrease` = Pinot's STRICT_INCREASE mode (each step strictly
+    * after the previous); false = the default mode, where a same-instant
+    * event still advances the funnel (ts ≥ previous).
     */
-  private def perUserStepTimes(events: DataFrame): DataFrame = {
+  private[queries] def perUserStepTimes(
+      events: DataFrame,
+      steps: Seq[String] = steps,
+      windowExpr: String = windowExpr,
+      strictIncrease: Boolean = true): DataFrame = {
     val w = Window.partitionBy("user_id")
+    def after(ts: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      if (strictIncrease) ts > prev else ts >= prev
     val e = events
       .filter(col("event_type").isin(steps: _*))
       .select("user_id", "ts", "event_type")
@@ -49,10 +58,10 @@ object Funnel {
     val deadline = col("t1") + expr(windowExpr)
     val withT2 = withT1.withColumn(
       "t2", min(when(col("event_type") === steps(1) &&
-        col("ts") > col("t1") && col("ts") <= deadline, col("ts"))).over(w))
+        after(col("ts"), col("t1")) && col("ts") <= deadline, col("ts"))).over(w))
     val withT3 = withT2.withColumn(
       "t3", min(when(col("event_type") === steps(2) &&
-        col("ts") > col("t2") && col("ts") <= deadline, col("ts"))).over(w))
+        after(col("ts"), col("t2")) && col("ts") <= deadline, col("ts"))).over(w))
     withT3.groupBy("user_id")
       .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
   }
@@ -80,7 +89,19 @@ object Funnel {
             .when(col("t1").isNotNull, 1)
             .otherwise(0).as("max_step"),
           date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("step1_ts"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Default (non-strict) mode over a different step set and window:
+    // a same-instant event still advances the funnel (Pinot's default;
+    // q133/q134 are STRICT_INCREASE).
+    "q139_funnel_nonstrict" -> ((s, d) =>
+      perUserStepTimes(ev(s, d),
+        steps = Seq("click", "view", "purchase"),
+        windowExpr = "INTERVAL 24 HOURS", strictIncrease = false)
+        .agg(
+          count(col("t1")).as("step1_users"),
+          count(col("t2")).as("step2_users"),
+          count(col("t3")).as("step3_users")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,6 +143,22 @@ object Funnel {
         |FROM (SELECT DISTINCT user_id FROM e) u
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q139_funnel_nonstrict" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('click','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS step1_users,
+        |       (SELECT count(*) FROM s2) AS step2_users,
+        |       (SELECT count(*) FROM s3) AS step3_users""".stripMargin
   )
 }

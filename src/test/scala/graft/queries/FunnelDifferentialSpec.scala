@@ -22,7 +22,8 @@ class FunnelDifferentialSpec extends SparkTestBase {
   /** Production shape: stacked whole-partition windows (mirrors
     * Funnel.perUserStepTimes for an arbitrary step list/window).
     */
-  private def windowChain(steps: Seq[String], windowMs: Long): Map[Long, Int] = {
+  private def windowChain(steps: Seq[String], windowMs: Long,
+      strict: Boolean): Map[Long, Int] = {
     val w = Window.partitionBy("user_id")
     val e = Tables.load(spark, sfDir, "events")
       .filter(col("event_type").isin(steps: _*))
@@ -31,9 +32,11 @@ class FunnelDifferentialSpec extends SparkTestBase {
       "t1", min(when(col("event_type") === steps.head, col("ts"))).over(w))
     val deadline = expr(s"t1 + make_dt_interval(0, 0, 0, $windowMs / 1000.0)")
     for (k <- 1 until steps.length) {
+      val prev = col(s"t$k")
+      val ok = if (strict) col("ts") > prev else col("ts") >= prev
       df = df.withColumn(s"t${k + 1}",
         min(when(col("event_type") === steps(k) &&
-          col("ts") > col(s"t$k") && col("ts") <= deadline,
+          ok && col("ts") <= deadline,
           col("ts"))).over(w))
     }
     val tCols = (1 to steps.length).map(k => min(s"t$k").as(s"t$k"))
@@ -47,7 +50,8 @@ class FunnelDifferentialSpec extends SparkTestBase {
   }
 
   /** Independent oracle: per-user chronological fold. */
-  private def sortFold(steps: Seq[String], windowMs: Long): Map[Long, Int] = {
+  private def sortFold(steps: Seq[String], windowMs: Long,
+      strict: Boolean): Map[Long, Int] = {
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     Tables.load(spark, sfDir, "events")
@@ -73,7 +77,8 @@ class FunnelDifferentialSpec extends SparkTestBase {
             var done = false
             while (!done && reached < steps.length) {
               sorted.find { case (us, ty) =>
-                stepIdx(ty) == reached && us > lastTs && us <= deadline
+                stepIdx(ty) == reached && us <= deadline &&
+                  (if (strict) us > lastTs else us >= lastTs)
               } match {
                 case Some((us, _)) => lastTs = us; reached += 1
                 case None => done = true
@@ -91,17 +96,20 @@ class FunnelDifferentialSpec extends SparkTestBase {
       val len = 2 + rnd.nextInt(2) // 2- or 3-step funnels
       val steps = rnd.shuffle(eventTypes).take(len)
       val windowMs = (1L + rnd.nextInt(96)) * 3600 * 1000
-      val a = windowChain(steps, windowMs)
-      val b = sortFold(steps, windowMs)
+      val strict = rnd.nextBoolean()
+      val a = windowChain(steps, windowMs, strict)
+      val b = sortFold(steps, windowMs, strict)
       assert(a === b,
-        s"draw $i: steps=$steps windowMs=$windowMs diverged " +
+        s"draw $i: steps=$steps windowMs=$windowMs strict=$strict diverged " +
           s"(chain=${a.toSeq.sorted.take(5)}... fold=${b.toSeq.sorted.take(5)}...)")
     }
   }
 
   test("the declared q133/q134 config agrees between both implementations") {
-    val a = windowChain(Seq("signup", "view", "purchase"), 48L * 3600 * 1000)
-    val b = sortFold(Seq("signup", "view", "purchase"), 48L * 3600 * 1000)
+    val a = windowChain(Seq("signup", "view", "purchase"), 48L * 3600 * 1000,
+      strict = true)
+    val b = sortFold(Seq("signup", "view", "purchase"), 48L * 3600 * 1000,
+      strict = true)
     assert(a === b)
     val q134 = Funnel.queries("q134_funnel_max_step")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

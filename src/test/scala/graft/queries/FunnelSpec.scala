@@ -91,6 +91,21 @@ class FunnelSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(maxSteps(dir2) === Map(1L -> 2))
   }
 
+  test("non-strict (default) mode chains same-instant events; strict does not") {
+    import org.apache.spark.sql.functions.col
+    val dir = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:00", "purchase")))
+    def run(strict: Boolean) =
+      Funnel.perUserStepTimes(
+        graft.Tables.load(spark, dir, "events"), strictIncrease = strict)
+        .select(col("t1").isNotNull, col("t2").isNotNull, col("t3").isNotNull)
+        .head()
+    assert(run(strict = true).toSeq === Seq(true, false, false))
+    assert(run(strict = false).toSeq === Seq(true, true, true))
+  }
+
   test("funnel counts line up with the per-user max steps on real data") {
     val counts = Funnel.queries("q133_funnel_count")(spark, sfDir).head()
     val steps = maxSteps(sfDir)
