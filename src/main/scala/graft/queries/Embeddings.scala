@@ -303,6 +303,65 @@ object Embeddings {
           col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       Components.roots(pairs, "vec_id")(s)
+    }),
+
+    // Product-quantization compressed search (the third ANN family next
+    // to IVF q48 and int8 q90): 8 subspaces × 8 dims, K=32 codewords per
+    // subspace sampled DETERMINISTICALLY from the corpus (the first 32
+    // vectors' subvectors), candidates ranked by integer ADC distance to
+    // each vector's codeword RECONSTRUCTION, over-fetched
+    // max(100, n/20) deep, then exact-cosine re-ranked to top-5 — the
+    // standard compressed-scan + re-rank production pipeline. Every step
+    // is exact integer/deterministic, so unlike IVF (k-means seeding →
+    // no_oracle) the WHOLE pipeline hash-oracles in DuckDB. At 100 TB
+    // the scan reads 8 bytes of codes per vector instead of 256 bytes of
+    // floats; recall is corpus-dependent (this corpus is deliberately
+    // isotropic — the adversarial case for every pruning ANN; PqAnnSpec
+    // records the measured candidate recall).
+    "q140_knn_pq" -> ((s, d) => {
+      val K = 32
+      val e = emb(s, d).select("vec_id", "qvec", "dotself")
+      val n = Tables.load(s, d, "embeddings").count()
+      val fetch = math.max(100L, n / 20)
+      val cb = e.filter(col("vec_id") < K)
+        .agg(collect_list(struct(col("vec_id"), col("qvec"))).as("cbs"))
+        .select(expr("transform(array_sort(cbs), c -> c.qvec)").as("cb"))
+      val sq = (a: String, b: String) => s"(($a) - ($b)) * (($a) - ($b))"
+      val subDist = sq("element_at(qvec, m*8+i)",
+        "element_at(element_at(cb, k+1), m*8+i)")
+      val enc = e.crossJoin(broadcast(cb))
+        .withColumn("recon", expr(
+          s"""flatten(transform(sequence(0, 7), m ->
+             |  slice(element_at(cb, 1 + CAST(aggregate(sequence(0, ${K - 1}),
+             |      9223372036854775807L,
+             |      (best, k) -> least(best,
+             |        aggregate(sequence(1, 8), 0L,
+             |          (acc, i) -> acc + $subDist) * $K + k))
+             |    % $K AS INT)),
+             |  m*8+1, 8)))""".stripMargin.replace("\n", " ")))
+        .select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
+          col("dotself").as("n_self"), col("recon"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
+          col("dotself").as("q_self"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(asc("adc"), asc("n_id"))
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      broadcast(q).join(enc, col("q_id") =!= col("n_id"))
+        .withColumn("adc", expr(
+          "aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+            sq("element_at(q_vec, i)", "element_at(recon, i)") + ")"))
+        .withColumn("crank", row_number().over(wAdc))
+        .filter(col("crank") <= fetch)
+        .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
+        .withColumn("cos_sim", col("dot").cast("double") /
+          sqrt(col("q_self").cast("double") * col("n_self").cast("double")))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -423,6 +482,49 @@ object Embeddings {
         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
         |SELECT u AS vec_id, min(v) AS component_root,
         |  (u = min(v)) AS is_canonical
-        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
+
+    // full PQ pipeline: deterministic sampled codebook -> per-subspace
+    // argmin encode (packed (dist, k) min for the tie-break) -> codeword
+    // reconstruction -> integer ADC over-fetch -> exact-cosine re-rank
+    "q140_knn_pq" -> (qvecCte +
+      """
+        |, CB AS (SELECT list(qvec ORDER BY vec_id) AS cb FROM E
+        |         WHERE vec_id < 32),
+        |ENC AS (
+        |  SELECT vec_id, qvec, dotself,
+        |    flatten(list_transform(range(0, 8), m ->
+        |      list_slice(cb[1 + CAST(list_min(list_transform(range(0, 32),
+        |          k -> list_sum(list_transform(range(1, 9), i ->
+        |            (qvec[m*8+i] - cb[k+1][m*8+i])
+        |            * (qvec[m*8+i] - cb[k+1][m*8+i])))
+        |          * 32 + k)) % 32 AS INTEGER)],
+        |        m*8+1, m*8+8))) AS recon
+        |  FROM S CROSS JOIN CB),
+        |J AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.qvec[i] - n.recon[i]) * (q.qvec[i] - n.recon[i]))) AS adc,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.qvec[i] * n.qvec[i])) AS dot,
+        |    q.dotself AS q_self, n.dotself AS n_self
+        |  FROM S q JOIN ENC n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+        |C AS (
+        |  SELECT q_id, n_id, dot, q_self, n_self,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc ASC, n_id ASC) AS crank
+        |  FROM J),
+        |R AS (
+        |  SELECT q_id, n_id,
+        |    dot / sqrt(CAST(q_self AS DOUBLE) * n_self) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot / sqrt(CAST(q_self AS DOUBLE) * n_self) DESC,
+        |        n_id ASC) AS rank
+        |  FROM C
+        |  WHERE crank <= (SELECT greatest(100, count(*) // 20)
+        |                  FROM embeddings))
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        |  round(cos_sim, 4) AS cos_sim
+        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   )
 }

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkTestBase {
     // theta-sketch set algebra: ONE collapsed sketch row per cohort,
     // crossed 1×1 so the union/intersect estimators see both arrays —
     // the raw events were already reduced by the aggregate
-    "q136_theta_distinct")
+    "q136_theta_distinct",
+    // PQ: the ONE-ROW codebook crossed into the encode scan + the q47-
+    // style broadcast-probe theta join for candidate ranking
+    "q140_knn_pq")
 
   test("no accidental cartesian / nested-loop joins anywhere") {
     for (name <- SparkEntry.queries.keys if !intendedNestedLoop(name)) {
