@@ -25,7 +25,9 @@ object ScaleProbe {
     "q133_funnel_count", "q134_funnel_max_step",
     "q135_frequent_strings", "q136_theta_distinct",
     // r10 geo — grid equi-join + single-scan argmin, must be ~linear
-    "q137_geofence_count", "q138_nearest_region")
+    "q137_geofence_count", "q138_nearest_region",
+    // r10 PQ — encode scan + broadcast-probe ADC, must be ~linear
+    "q140_knn_pq")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

@@ -326,21 +326,14 @@ object Embeddings {
       val cb = e.filter(col("vec_id") < K)
         .agg(collect_list(struct(col("vec_id"), col("qvec"))).as("cbs"))
         .select(expr("transform(array_sort(cbs), c -> c.qvec)").as("cb"))
-      val sq = (a: String, b: String) => s"(($a) - ($b)) * (($a) - ($b))"
-      val subDist = sq("element_at(qvec, m*8+i)",
-        "element_at(element_at(cb, k+1), m*8+i)")
       val enc = e.crossJoin(broadcast(cb))
-        .withColumn("recon", expr(
-          s"""flatten(transform(sequence(0, 7), m ->
-             |  slice(element_at(cb, 1 + CAST(aggregate(sequence(0, ${K - 1}),
-             |      9223372036854775807L,
-             |      (best, k) -> least(best,
-             |        aggregate(sequence(1, 8), 0L,
-             |          (acc, i) -> acc + $subDist) * $K + k))
-             |    % $K AS INT)),
-             |  m*8+1, 8)))""".stripMargin.replace("\n", " ")))
+        .withColumn("recon", graft.functions.PqReconstruct
+          .pqReconstruct(col("qvec"), col("cb"), 8))
         .select(col("vec_id").as("n_id"), col("qvec").as("n_vec"),
-          col("dotself").as("n_self"), col("recon"))
+          col("dotself").as("n_self"), col("recon"),
+          // reconstruction self-product, once per CANDIDATE, so the
+          // per-(query, candidate) ADC below is pure codegen'd dot math
+          dotq(col("recon"), col("recon")).as("n_rself"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"),
           col("dotself").as("q_self"))
@@ -349,9 +342,11 @@ object Embeddings {
       val wCos = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
       broadcast(q).join(enc, col("q_id") =!= col("n_id"))
-        .withColumn("adc", expr(
-          "aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
-            sq("element_at(q_vec, i)", "element_at(recon, i)") + ")"))
+        // L2²(q, recon) = q·q + recon·recon − 2·q·recon — three codegen
+        // dot products instead of an interpreted 64-term lambda on the
+        // O(queries × corpus) hot path
+        .withColumn("adc", col("q_self") + col("n_rself")
+          - lit(2L) * dotq(col("q_vec"), col("recon")))
         .withColumn("crank", row_number().over(wAdc))
         .filter(col("crank") <= fetch)
         .withColumn("dot", dotq(col("q_vec"), col("n_vec")))
