@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinctAgg].getName, "bitmap_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "bitmap_distinct(col) takes exactly 1 argument")
+        BitmapDistinctAgg(args.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (args: Seq[Expression]) => {

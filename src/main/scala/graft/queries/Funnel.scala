@@ -101,7 +101,22 @@ object Funnel {
         .agg(
           count(col("t1")).as("step1_users"),
           count(col("t2")).as("step2_users"),
-          count(col("t3")).as("step3_users")))
+          count(col("t3")).as("step3_users"))),
+
+    // Funnel TREND: the same per-user chain cohorted by the week each
+    // user entered the funnel (week of t1) — how conversion moves over
+    // time, the report every funnel dashboard draws. Same single-shuffle
+    // engine; the cohort grouping is a tiny post-aggregate.
+    "q142_funnel_trend" -> ((s, d) =>
+      perUserStepTimes(ev(s, d))
+        .filter(col("t1").isNotNull)
+        .groupBy(date_format(date_trunc("week", col("t1")),
+          "yyyy-MM-dd").as("week_start"))
+        .agg(
+          count(col("t1")).as("entered"),
+          count(col("t2")).as("reached_step2"),
+          count(col("t3")).as("converted"))
+        .orderBy("week_start"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,6 +174,25 @@ object Funnel {
         |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1)
         |SELECT (SELECT count(*) FROM s1) AS step1_users,
         |       (SELECT count(*) FROM s2) AS step2_users,
-        |       (SELECT count(*) FROM s3) AS step3_users""".stripMargin
+        |       (SELECT count(*) FROM s3) AS step3_users""".stripMargin,
+
+    "q142_funnel_trend" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1)
+        |SELECT strftime(date_trunc('week', s1.t1), '%Y-%m-%d') AS week_start,
+        |  count(s1.t1) AS entered,
+        |  count(s2.t2) AS reached_step2,
+        |  count(s3.t3) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY week_start""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{FreqItemsAgg, KmvSketchAgg}
+import graft.functions.{BitmapDistinctAgg, FreqItemsAgg, KmvSketchAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +58,22 @@ object Sketches {
         KmvSketchAgg.distinctEstimate(col("sk_p"), kmvK).as("purchase_userdays"),
         KmvSketchAgg.unionEstimate(col("sk_v"), col("sk_p"), kmvK).as("either_userdays"),
         KmvSketchAgg.intersectEstimate(col("sk_v"), col("sk_p"), kmvK).as("both_userdays"))
-    })
+    }),
+
+    // Exact distinct via Roaring64 bitmaps (Pinot DISTINCT_COUNT_BITMAP):
+    // one compressed bitmap per (group, partition) crosses the wire —
+    // never the per-(group, value) pair shuffle count(distinct) plans.
+    "q141_bitmap_distinct" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(
+          BitmapDistinctAgg.bitmapDistinct(col("user_id")).as("users"),
+          BitmapDistinctAgg.bitmapDistinct(
+            col("user_id") * lit(100000L) + datediff(
+              to_date(col("ts")), lit("1970-01-01").cast("date")))
+            .as("user_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,6 +94,15 @@ object Sketches {
         |     WHERE event_type = 'view'
         |     INTERSECT
         |     SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events
-        |     WHERE event_type = 'purchase')) AS both_userdays""".stripMargin
+        |     WHERE event_type = 'purchase')) AS both_userdays""".stripMargin,
+
+    "q141_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS users,
+        |  count(DISTINCT user_id * 100000
+        |    + datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |    AS user_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -74,6 +74,31 @@ class SketchAggSpec extends SparkTestBase {
     assert(m === Map("x" -> 2L, "y" -> 1L))
   }
 
+  // ---------- BitmapDistinctAgg ----------
+
+  test("bitmap_distinct is exact across partitions and groups") {
+    val d = spark.range(0, 100000, 1, 16)
+      .select((col("id") % 7).as("g"),
+        // duplicated, clustered, and gap-ridden key space
+        ((col("id") % 4096) * 3L + (col("id") % 5)).as("k"))
+    val got = d.groupBy("g")
+      .agg(BitmapDistinctAgg.bitmapDistinct(col("k")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = d.groupBy("g").agg(countDistinct("k").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
+  test("bitmap_distinct handles negative keys, nulls, and empty groups") {
+    import spark.implicits._
+    val d = Seq((1L, Some(-5L)), (1L, Some(-5L)), (1L, Some(Long.MinValue)),
+      (1L, None), (2L, None)).toDF("g", "k")
+    val got = d.groupBy("g")
+      .agg(BitmapDistinctAgg.bitmapDistinct(col("k")).as("n"))
+      .orderBy("g").collect().map(_.getLong(1)).toList
+    assert(got === List(2L, 0L))
+  }
+
   // ---------- KmvSketchAgg ----------
 
   private val k = 1024
