@@ -27,7 +27,9 @@ object ScaleProbe {
     // r10 geo — grid equi-join + single-scan argmin, must be ~linear
     "q137_geofence_count", "q138_nearest_region",
     // r10 PQ — encode scan + broadcast-probe ADC, must be ~linear
-    "q140_knn_pq")
+    "q140_knn_pq",
+    // r10 bitmap distinct + funnel trend — single-shuffle, ~linear
+    "q141_bitmap_distinct", "q142_funnel_trend")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

@@ -97,6 +97,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bitmap_distinct callable via SQL") {
+    val n = spark.sql(
+      "SELECT bitmap_distinct(id % 97) AS n FROM range(0, 10000)")
+      .head().getLong(0)
+    assert(n === 97L)
+  }
+
   test("kmv_sketch callable via SQL; k must be a literal") {
     val n = spark.sql(
       """SELECT size(kmv_sketch(xxhash64(id), 64)) AS n
