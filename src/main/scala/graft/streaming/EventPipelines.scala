@@ -151,8 +151,10 @@ object EventPipelines {
   case class FunnelOut(user_id: Long, max_step: Int, step1_ms: Long)
 
   /** Streaming ordered-windowed funnel — q133/q134's batch semantics
-    * (steps strictly in order, all within `windowMs` of the FIRST step-1
-    * event) resolved continuously: each user's funnel emits exactly when
+    * (steps in order — strictly after the previous by default, at-or-
+    * after under `strictIncrease = false` to mirror q139's default
+    * Pinot mode — all within `windowMs` of the FIRST step-1 event)
+    * resolved continuously: each user's funnel emits exactly when
     * the watermark passes `t1 + windowMs`, at which point every event
     * that could legally affect the outcome has either arrived or been
     * dropped as late — so the emitted row equals the batch fold over the
@@ -170,18 +172,23 @@ object EventPipelines {
   def statefulFunnel(
       events: Dataset[Event],
       steps: Seq[String] = Seq("signup", "view", "purchase"),
-      windowMs: Long = 48L * 3600 * 1000): Dataset[FunnelOut] = {
+      windowMs: Long = 48L * 3600 * 1000,
+      strictIncrease: Boolean = true): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val None1 = Long.MaxValue
 
+    def after(t: Long, prev: Long): Boolean =
+      if (strictIncrease) t > prev else t >= prev
+
     def resolve(uid: Long, s: FunnelState): FunnelOut = {
       if (s.t1 == None1) return FunnelOut(uid, 0, -1L)
       val deadline = s.t1 + windowMs
-      val inWin = s.pending.filter { case (t, _) => t > s.t1 && t <= deadline }
+      val inWin = s.pending.filter { case (t, _) =>
+        after(t, s.t1) && t <= deadline }
       val t2 = inWin.collect { case (t, 1) => t }
         .minOption.getOrElse(None1)
-      val t3 = inWin.collect { case (t, 2) if t > t2 => t }
+      val t3 = inWin.collect { case (t, 2) if after(t, t2) => t }
         .minOption.getOrElse(None1)
       val maxStep = if (t3 != None1) 3 else if (t2 != None1) 2 else 1
       FunnelOut(uid, maxStep, s.t1)

@@ -74,6 +74,47 @@ class SketchAggSpec extends SparkTestBase {
     assert(m === Map("x" -> 2L, "y" -> 1L))
   }
 
+  test("seeded random configs: every sketch agrees with exact aggregation") {
+    val rnd = new scala.util.Random(20260815L)
+    for (i <- 1 to 8) {
+      val distinct = 5 + rnd.nextInt(200)
+      val cap = 8 + rnd.nextInt(120)
+      val rows = 2000 + rnd.nextInt(8000)
+      val parts = 1 + rnd.nextInt(16)
+      val d = spark.range(0, rows, 1, parts)
+        .select(((col("id") * 2654435761L) % distinct).as("kl"))
+        .select(col("kl").cast("string").as("s"), col("kl"))
+      val exactDistinct = d.select(countDistinct("kl")).head().getLong(0)
+      // kmv is exact below saturation
+      if (exactDistinct <= cap) {
+        val est = d.agg(KmvSketchAgg.kmvSketch(xxhash64(col("kl")), cap).as("sk"))
+          .select(KmvSketchAgg.distinctEstimate(col("sk"), cap))
+          .head().getLong(0)
+        assert(est === exactDistinct, s"draw $i kmv")
+      }
+      // bitmap is always exact
+      val bm = d.agg(BitmapDistinctAgg.bitmapDistinct(col("kl")))
+        .head().getLong(0)
+      assert(bm === exactDistinct, s"draw $i bitmap")
+      // freq_items: exact below capacity, MG-bounded above
+      val sketch = d.agg(FreqItemsAgg.freqItems(col("s"), cap).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = d.groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (exactDistinct <= cap) assert(sketch === exact, s"draw $i freq exact")
+      else {
+        val slack = rows.toLong / (cap + 1)
+        sketch.foreach { case (item, est) =>
+          val t = exact(item)
+          assert(est <= t && est >= t - slack,
+            s"draw $i freq bound violated for $item: $est vs $t (slack $slack)")
+        }
+      }
+    }
+  }
+
   // ---------- BitmapDistinctAgg ----------
 
   test("bitmap_distinct is exact across partitions and groups") {

@@ -253,6 +253,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("statefulFunnel non-strict mode chains same-instant events (q139 parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = statefulFunnel(mem.toDS(),
+        steps = Seq("signup", "view", "purchase"),
+        windowMs = 60L * 60000, strictIncrease = false)
+      .writeStream.format("memory").queryName("funnel_ns_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(0, ts(0), 1, "signup", 0), Event(1, ts(0), 1, "view", 0),
+        Event(2, ts(0), 1, "purchase", 0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(500), 9, "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_ns_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got.filter(_._1 == 1L) === Set((1L, 3)))
+    } finally q.stop()
+  }
+
   test("statefulFunnel folds out-of-order arrivals exactly (buffered pre-step-1 events)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
