@@ -165,9 +165,24 @@ object EventPipelines {
     * a step-1 arrival only ever LOWERS t1 (it's a min), so later-step
     * events past the CURRENT deadline can never qualify and are dropped;
     * pre-t1 later-step events are kept because an earlier signup may yet
-    * make them eligible. Users that never produce a step-1 event are
-    * garbage-collected one window past the watermark and emit max_step 0
-    * (step1_ms = -1), mirroring q134's step-0 rows.
+    * make them eligible. Users with no step-1 anchor age out SILENTLY
+    * one window past their latest event — emitting a step-0 verdict
+    * there would be claiming "never signs up" about an unbounded future
+    * (and a later signup would contradict it with a second row); q134's
+    * step-0 rows exist only because batch sees a closed world. The
+    * silent removal is exact for users who DO sign up later: everything
+    * it discards is below the watermark, and a future anchor must sit
+    * above it, so nothing discarded could ever have qualified.
+    *
+    * RE-ENTRY: a step-1 event arriving after the user's previous funnel
+    * window has resolved starts a NEW funnel (one output row per entry,
+    * keyed by `step1_ms`). The batch q134 anchors once at the user's
+    * global min step-1 ts; its row corresponds to the stream's
+    * FIRST-entry row (min `step1_ms` per user), which is exact because
+    * the first resolution sees every watermark-respecting event inside
+    * its window. Continuous funnels genuinely re-enter (that's the
+    * point of running them on a stream); collapse to q134 by taking
+    * each user's min-`step1_ms` row.
     */
   def statefulFunnel(
       events: Dataset[Event],
@@ -204,7 +219,11 @@ object EventPipelines {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(resolve(uid, s))
+            // no anchor by the GC horizon → age out silently (see
+            // Scaladoc: a step-0 verdict about an open future would be
+            // wrong the moment a signup arrives)
+            if (s.t1 == None1) Iterator.empty
+            else Iterator.single(resolve(uid, s))
           } else {
             val prev = state.getOption.getOrElse(FunnelState(None1, Nil))
             var t1 = prev.t1

@@ -231,7 +231,8 @@ class StreamingSpec extends SparkTestBase {
         // u2: purchase BEFORE the first view — stops at step 2
         Event(3, ts(0), 2, "signup", 0), Event(4, ts(10), 2, "purchase", 0),
         Event(5, ts(20), 2, "view", 0),
-        // u3: never signs up — garbage-collected as step 0
+        // u3: never signs up — must age out SILENTLY (no step-0 row;
+        // the batch q134 emits one only because batch is a closed world)
         Event(6, ts(5), 3, "view", 0), Event(7, ts(10), 3, "purchase", 0),
         // u4: view at the SAME instant as signup must not chain
         Event(8, ts(0), 4, "signup", 0), Event(9, ts(0), 4, "view", 0),
@@ -246,7 +247,8 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(got.filter(_._1 <= 4) === Set(
         (1L, 3, ts(0).getTime), (2L, 2, ts(0).getTime),
-        (3L, 0, -1L), (4L, 1, ts(0).getTime)))
+        (4L, 1, ts(0).getTime)))
+      assert(!got.exists(_._1 == 3L), "anchorless user must age out silently")
       // the watermark-pusher user resolves too, once ITS window closes
       // (its view at ts 600 is outside its own 60-min window → step 1)
       assert(got.filter(_._1 == 9L) === Set((9L, 1, ts(300).getTime)))
@@ -303,6 +305,67 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(got === Set((1L, 3, ts(25).getTime)))
     } finally q.stop()
+  }
+
+  test("random streams: statefulFunnel equals the batch fold under watermark-respecting arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("signup", "view", "purchase", "click", "error")
+    val winMs = 60L * 60000
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val evs = (0 until 200).map { i =>
+        Event(i.toLong, ts(rnd.nextInt(600).toLong), rnd.nextInt(40).toLong,
+          types(rnd.nextInt(types.length)), 0.0)
+      }
+      // arrival order = ts + jitter < the 10-min watermark delay: when an
+      // event arrives, everything seen so far is < its ts + 10 min, so
+      // the watermark (max seen − 10 min) sits strictly below its ts —
+      // out-of-order but never late-dropped, the regime the exactness
+      // claim covers
+      val arrival = evs.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
+      val mem = MemoryStream[Event]
+      val q = statefulFunnel(mem.toDS(), windowMs = winMs)
+        .writeStream.format("memory").queryName(s"funnel_rand_$trial")
+        .outputMode("append").start()
+      try {
+        arrival.grouped(23).foreach { batch =>
+          mem.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        mem.addData(Event(9999, ts(100000), 999, "signup", 0.0)) // flush
+        q.processAllAvailable()
+        mem.addData(Event(10000, ts(200000), 999, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // one row per funnel ENTRY; q134 parity is the FIRST-entry row
+      // (min step1_ms) per user — later signups past a closed window
+      // legitimately re-enter the funnel on a stream
+      val streamed = (spark.table(s"funnel_rand_$trial")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (uid, rows) =>
+          uid -> rows.minBy(_._3)._2
+        }.toMap) - 999L
+      // independent batch fold (the q134 semantics, minutes in ms);
+      // anchorless users are absent from the stream BY DESIGN (an open
+      // world can't prove "never signs up"), so the expectation only
+      // covers users with a step-1 event
+      val stepIdx = Map("signup" -> 0, "view" -> 1, "purchase" -> 2)
+      val expected = evs.filter(e => stepIdx.contains(e.event_type))
+        .groupBy(_.user_id)
+        .flatMap { case (uid, es) =>
+          val byStep = (0 to 2).map(k =>
+            es.filter(e => stepIdx(e.event_type) == k)
+              .map(_.ts.getTime).sorted)
+          byStep(0).headOption.map { t1 =>
+            val dl = t1 + winMs
+            val t2 = byStep(1).find(t => t > t1 && t <= dl)
+            val t3 = t2.flatMap(t2v => byStep(2).find(t => t > t2v && t <= dl))
+            uid -> (if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1)
+          }
+        }
+      assert(streamed === expected, s"trial $trial diverged")
+    }
   }
 
   test("sketch aggregates run under streaming state and match batch") {
