@@ -130,7 +130,15 @@ object EventPipelines {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                  // a cross-batch out-of-order event may precede s.last
+                  // by up to the watermark delay; extending with min/max
+                  // (not blind last := t) keeps the session's true span —
+                  // a shrunk `last` made the NEXT gap check split
+                  // sessions that the totally-ordered fold keeps whole.
+                  // Correct because gap (30 min) > lateness (10 min): an
+                  // admitted event can never belong to a PRIOR session.
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   out ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))

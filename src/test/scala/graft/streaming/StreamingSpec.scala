@@ -368,6 +368,110 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("statefulSessionize: a shrunk-last out-of-order arrival must not split the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = statefulSessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(0, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(28), 1, "view", 2.0)) // last -> 28
+      q.processAllAvailable()
+      // arrives late-but-in-watermark (wm = 18): true order 0,20,28 —
+      // with `last` blindly set to 20, the next event at 52 would read a
+      // 32-min gap and split the session the ordered fold keeps whole
+      mem.addData(Event(2, ts(20), 1, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(52), 1, "view", 8.0)) // 52-28=24 <= 30: same session
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(1000), 9, "view", 0.0)) // flush
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(2000), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo_stream").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+        .toList
+      assert(got === List((ts(0).getTime, ts(52).getTime, 4, 15.0)),
+        "the out-of-order arrival split or corrupted the session")
+    } finally q.stop()
+  }
+
+  test("random streams: statefulSessionize equals the per-user fold; latestWins equals max_by") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60000
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 3) {
+      val evs = (0 until 150).map { i =>
+        Event(i.toLong, ts(rnd.nextInt(400).toLong), rnd.nextInt(15).toLong,
+          "view", (rnd.nextInt(90) + 1).toDouble)
+      }
+      val arrival = evs.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
+      val mem = MemoryStream[Event]
+      val q = statefulSessionize(mem.toDS())
+        .writeStream.format("memory").queryName(s"sess_rand_$trial")
+        .outputMode("append").start()
+      try {
+        arrival.grouped(17).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        mem.addData(Event(9999, ts(100000), 999, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(10000, ts(200000), 999, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(s"sess_rand_$trial")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4)))
+        .filterNot(_._1 == 999L).toSet
+      // fold over the TOTALLY ordered per-user history, same gap rule
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        val sessions = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Int, Double)]
+        var cur: Option[(Long, Long, Int, Double)] = None
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some((s, l, n, sum)) if t - l <= gapMs =>
+              Some((s, t, n + 1, sum + e.value))
+            case Some(done) =>
+              sessions += done; Some((t, t, 1, e.value))
+            case None => Some((t, t, 1, e.value))
+          }
+        }
+        cur.foreach(sessions += _)
+        sessions.map { case (s, l, n, sum) => (uid, s, l, n, sum) }
+      }.toSet
+      assert(streamed === expected, s"sessionize trial $trial diverged")
+
+      // latestWins: the final emission per key must equal the batch
+      // max_by winner with every version counted
+      val mem2 = MemoryStream[Event]
+      val q2 = latestWins(mem2.toDS())
+        .writeStream.format("memory").queryName(s"lw_rand_$trial")
+        .outputMode("update").start()
+      try {
+        arrival.grouped(17).foreach { b => mem2.addData(b: _*); q2.processAllAvailable() }
+      } finally q2.stop()
+      val lastRows = spark.table(s"lw_rand_$trial").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(5))))
+        .groupBy(_._1).map { case (uid, rows) =>
+          // update mode appends to the memory sink: the winner is the
+          // row with the max version count (monotone per key)
+          uid -> rows.map(_._2).maxBy(_._3)
+        }
+      val exp2 = evs.groupBy(_.user_id).map { case (uid, es) =>
+        val w = es.maxBy(e => (e.ts.getTime, e.event_id))
+        uid -> ((w.ts.getTime, w.event_id, es.size.toLong))
+      }
+      assert(lastRows === exp2, s"latestWins trial $trial diverged")
+    }
+  }
+
   test("sketch aggregates run under streaming state and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
