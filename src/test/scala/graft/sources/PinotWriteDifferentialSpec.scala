@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Randomized WRITE-path differential: seeded random (schema, data,
+  * partitioning, index options, sorted column) draws go through
+  * `df.write.format("pinot")`, read back whole, and must equal the
+  * original DataFrame; half the draws then COMPACT the table and must
+  * still equal it. The read-path differential (PinotDifferentialSpec)
+  * hunts queries over one fixed fixture — this hunts the WRITER ×
+  * encoder × index-builder × compactor matrix itself.
+  */
+class PinotWriteDifferentialSpec extends SparkTestBase {
+
+  private val Draws = 10
+
+  // override locally with GRAFT_DIFF_SEED for a fresh hunt (same knob
+  // as PinotDifferentialSpec)
+  private val seed = sys.env.get("GRAFT_DIFF_SEED")
+    .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(87543L)
+
+  test(s"$Draws random write/read(/compact) round-trips are lossless") {
+    val rnd = new scala.util.Random(seed)
+    for (draw <- 1 to Draws) {
+      val rows = 500 + rnd.nextInt(4000)
+      val parts = 1 + rnd.nextInt(4)
+      val dictCard = 2 + rnd.nextInt(40)
+      // column pool: key + a random subset of typed columns (dict_str
+      // always present so index options always have a target)
+      val optional = rnd.shuffle(Seq("i32", "f32", "f64", "raw_str", "b", "t"))
+        .take(2 + rnd.nextInt(4))
+      val cols = Seq("k", "dict_str") ++ optional
+      var df = spark.range(0, rows, 1, parts)
+        .select(Seq(
+          col("id").as("k"),
+          concat(lit("cat"), (col("id") % dictCard).cast("string"))
+            .as("dict_str")) ++
+          optional.map {
+            case "i32" => ((col("id") * 37) % 1000).cast("int").as("i32")
+            case "f32" => (col("id") * 0.25).cast("float").as("f32")
+            case "f64" => (col("id") * 1.75 - rows / 2).as("f64")
+            case "raw_str" => concat(lit("uid-"),
+              md5(col("id").cast("string"))).as("raw_str")
+            case "b" => (col("id") % 3 === 0).as("b")
+            case "t" => timestamp_micros(col("id") * 1000000L +
+              lit(1704067200000000L)).as("t")
+          }: _*)
+      // shuffle row order so segments are not globally sorted unless the
+      // sortedColumn option asks for it
+      df = df.orderBy(md5(col("k").cast("string"))).cache()
+
+      val dir = Files.createTempDirectory("pinot_wdiff")
+        .resolve(s"wdiff${draw}_OFFLINE").toString
+      var w = df.write.format("pinot").mode("append")
+      if (rnd.nextBoolean()) w = w.option("sortedColumn", "k")
+      if (rnd.nextBoolean()) w = w.option("bloomFilterColumns", "dict_str")
+      if (rnd.nextBoolean()) w = w.option("invertedIndexColumns", "dict_str")
+      if (rnd.nextBoolean() && cols.contains("i32"))
+        w = w.option("rangeIndexColumns", "i32")
+      w.save(dir)
+
+      def check(stage: String): Unit = {
+        val back = spark.read.format("pinot").load(dir)
+          .select(cols.map(col): _*).orderBy("k").collect().toSeq
+        val want = df.select(cols.map(col): _*).orderBy("k").collect().toSeq
+        assert(back === want, s"draw $draw ($stage) round-trip diverged")
+        // one pushed filter probe per stage: dictionary equality on the
+        // low-cardinality column must agree with the DataFrame twin
+        val probe = s"cat${rnd.nextInt(dictCard)}"
+        val got = spark.read.format("pinot").load(dir)
+          .filter(col("dict_str") === probe).count()
+        assert(got === df.filter(col("dict_str") === probe).count(),
+          s"draw $draw ($stage) filtered count diverged")
+      }
+      check("written")
+      if (rnd.nextBoolean()) {
+        graft.pinot.PinotCompact.compact(dir)
+        check("compacted")
+      }
+      df.unpersist()
+    }
+  }
+}
