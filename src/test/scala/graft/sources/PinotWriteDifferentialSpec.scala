@@ -84,4 +84,34 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
       df.unpersist()
     }
   }
+
+  test("random merge-ROLLUPs equal the groupBy twin") {
+    val rnd = new scala.util.Random(seed + 1)
+    for (draw <- 1 to 5) {
+      val rows = 500 + rnd.nextInt(3000)
+      val parts = 1 + rnd.nextInt(4)
+      val dimCard = 2 + rnd.nextInt(12)
+      // metric values are small integers (exact in double under ANY
+      // accumulation order), so sum-equality is deterministic
+      val df = spark.range(0, rows, 1, parts).select(
+        concat(lit("d"), (col("id") % dimCard).cast("string")).as("dim"),
+        ((col("id") * 31) % 5).cast("int").as("bucket"),
+        (col("id") % 13).as("m_long"),
+        (col("id") % 7).cast("double").as("m_double"))
+        .cache()
+      val dir = Files.createTempDirectory("pinot_rdiff")
+        .resolve(s"rdiff${draw}_OFFLINE").toString
+      df.write.format("pinot").mode("append").save(dir)
+      graft.pinot.PinotCompact.rollup(dir,
+        dims = Seq("dim", "bucket"), metrics = Seq("m_long", "m_double"))
+      val back = spark.read.format("pinot").load(dir)
+        .select("dim", "bucket", "m_long", "m_double")
+        .orderBy("dim", "bucket").collect().toSeq
+      val want = df.groupBy("dim", "bucket")
+        .agg(sum("m_long").as("m_long"), sum("m_double").as("m_double"))
+        .orderBy("dim", "bucket").collect().toSeq
+      assert(back === want, s"rollup draw $draw diverged")
+      df.unpersist()
+    }
+  }
 }
