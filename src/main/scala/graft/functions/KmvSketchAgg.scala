@@ -130,38 +130,60 @@ object KmvSketchAgg {
 
   private val two64 = math.pow(2.0, 64)
 
-  /** Normalized coordinate of a signed 64-bit hash: monotone map to [0,1). */
-  private def norm(h: Column): Column = h.cast("double") / lit(two64) + lit(0.5)
+  /** Normalized coordinate of a signed 64-bit hash, for SCALING (1/θ)
+    * only — the below-θ CUT always compares raw hashes in signed-long
+    * space, because the double map rounds hashes within ~2¹⁰ of
+    * Long.MaxValue up to exactly 1.0, which would exclude a value from
+    * its own sketch even in the exact (unsaturated) regime. Clamped to
+    * nextDown(1.0) so the same rounding can't zero-inflate 1/θ.
+    */
+  private def norm(h: Column): Column =
+    least(h.cast("double") / lit(two64) + lit(0.5), lit(Math.nextDown(1.0)))
+
+  /** The cut value in LONG space: the k-th (largest kept) hash when
+    * saturated, else NULL meaning "no cut — the sketch is exact".
+    */
+  private def cutLong(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, lit(null).cast("long"))
+      .otherwise(element_at(sketch, k))
+
+  /** Count of hashes strictly below the long-space cut (all of them
+    * when the cut is NULL / the sketch unsaturated).
+    */
+  private def below(arr: Column, cut: Column): Column =
+    when(cut.isNull, size(arr))
+      .otherwise(size(filter(arr, h => h < cut)))
+
+  private def scaleOf(cut: Column): Column =
+    when(cut.isNull, lit(1.0)).otherwise(norm(cut))
 
   /** θ of one sketch: norm of its k-th (largest kept) value when
     * saturated, else 1.0 (the sketch holds every distinct hash).
     */
-  def theta(sketch: Column, k: Int): Column =
-    when(size(sketch) < k, lit(1.0))
-      .otherwise(norm(element_at(sketch, k)))
+  def theta(sketch: Column, k: Int): Column = scaleOf(cutLong(sketch, k))
 
   /** Distinct-count estimate of one sketch (exact below saturation). */
   def distinctEstimate(sketch: Column, k: Int): Column = {
-    val th = theta(sketch, k)
-    val below = size(filter(sketch, h => norm(h) < th))
-    round(below.cast("double") / th).cast("long")
+    val cut = cutLong(sketch, k)
+    round(below(sketch, cut).cast("double") / scaleOf(cut)).cast("long")
   }
 
   /** Theta-sketch union estimate: cut both to min(θa, θb), count the
-    * combined distinct survivors, scale by 1/θ.
+    * combined distinct survivors, scale by 1/θ. `least` skips NULLs, so
+    * an unsaturated side contributes no cut — exactly the θ=1 case.
     */
   def unionEstimate(a: Column, b: Column, k: Int): Column = {
-    val th = least(theta(a, k), theta(b, k))
-    val survivors = size(filter(array_union(a, b), h => norm(h) < th))
-    round(survivors.cast("double") / th).cast("long")
+    val cut = least(cutLong(a, k), cutLong(b, k))
+    round(below(array_union(a, b), cut).cast("double") / scaleOf(cut))
+      .cast("long")
   }
 
   /** Theta-sketch intersection estimate: common hashes below min-θ,
     * scaled by 1/θ. Exact when both sketches are unsaturated.
     */
   def intersectEstimate(a: Column, b: Column, k: Int): Column = {
-    val th = least(theta(a, k), theta(b, k))
-    val survivors = size(filter(array_intersect(a, b), h => norm(h) < th))
-    round(survivors.cast("double") / th).cast("long")
+    val cut = least(cutLong(a, k), cutLong(b, k))
+    round(below(array_intersect(a, b), cut).cast("double") / scaleOf(cut))
+      .cast("long")
   }
 }

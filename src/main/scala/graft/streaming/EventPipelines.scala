@@ -108,12 +108,18 @@ object EventPipelines {
     * when 30 minutes pass with no events for the user (event-time timeout
     * driven by the watermark). Demonstrates arbitrary stateful processing
     * beyond built-in session_window.
+    *
+    * Pass `applyWatermark = false` when the caller already watermarked
+    * the input — e.g. a union of independently-lagging sources, where
+    * per-source watermarks (min-combined by Spark) admit events far
+    * behind the fastest source; Spark disallows re-watermarking there.
     */
-  def statefulSessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+  def statefulSessionize(
+      events: Dataset[Event],
+      applyWatermark: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
-    events
-      .withWatermark("ts", "10 minutes")
+    (if (applyWatermark) events.withWatermark("ts", "10 minutes") else events)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -126,7 +132,35 @@ object EventPipelines {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var out = List.empty[SessionOut]
             var cur = state.getOption
-            for (e <- sorted) {
+            // An admitted event more than gap BEFORE the carried session's
+            // start belongs to a DISTINCT EARLIER session — `t - s.last`
+            // alone is satisfied by any past t (negative delta). The
+            // watermark is global, so a user whose own events run ahead of
+            // other streams can legally receive one. Sorted order puts all
+            // such stragglers in a prefix; fold them as their own session
+            // chain and emit now (their last event is still > gap before
+            // cur.start, so none can bridge into the carried session).
+            val (stragglers, mainEvents) = cur match {
+              case Some(s) => sorted.span(_.ts.getTime < s.start - gapMs)
+              case None => (Seq.empty[Event], sorted)
+            }
+            var early: Option[SessionState] = None
+            for (e <- stragglers) {
+              val t = e.ts.getTime
+              early match {
+                case Some(s) if t - s.last <= gapMs =>
+                  early = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
+                  early = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  early = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            early.foreach(s =>
+              out ::= SessionOut(userId, s.start, s.last, s.n, s.sum))
+            for (e <- mainEvents) {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
@@ -135,8 +169,9 @@ object EventPipelines {
                   // (not blind last := t) keeps the session's true span —
                   // a shrunk `last` made the NEXT gap check split
                   // sessions that the totally-ordered fold keeps whole.
-                  // Correct because gap (30 min) > lateness (10 min): an
-                  // admitted event can never belong to a PRIOR session.
+                  // (t >= s.start - gapMs holds here: earlier events went
+                  // to the straggler prefix, and mid-batch sessions start
+                  // at their own first event under sorted order.)
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
@@ -155,7 +190,8 @@ object EventPipelines {
       }
   }
 
-  case class FunnelState(t1: Long, pending: List[(Long, Int)])
+  case class FunnelState(t1: Long, pending: List[(Long, Int)],
+      anchors: List[Long])
   case class FunnelOut(user_id: Long, max_step: Int, step1_ms: Long)
 
   /** Streaming ordered-windowed funnel — q133/q134's batch semantics
@@ -182,15 +218,23 @@ object EventPipelines {
     * it discards is below the watermark, and a future anchor must sit
     * above it, so nothing discarded could ever have qualified.
     *
-    * RE-ENTRY: a step-1 event arriving after the user's previous funnel
-    * window has resolved starts a NEW funnel (one output row per entry,
-    * keyed by `step1_ms`). The batch q134 anchors once at the user's
-    * global min step-1 ts; its row corresponds to the stream's
-    * FIRST-entry row (min `step1_ms` per user), which is exact because
-    * the first resolution sees every watermark-respecting event inside
-    * its window. Continuous funnels genuinely re-enter (that's the
-    * point of running them on a stream); collapse to q134 by taking
-    * each user's min-`step1_ms` row.
+    * RE-ENTRY: a step-1 event PAST the current funnel's window starts a
+    * NEW funnel (one output row per entry, keyed by `step1_ms`). Entry
+    * anchors form the greedy chain over the user's step-1 times: the
+    * first anchor is the global min; each next anchor is the min step-1
+    * time strictly past the previous anchor's deadline. Step-1 events
+    * INSIDE an entry's window are absorbed (they can never anchor: for
+    * an absorbed s ≤ a + windowMs to resurrect, a future lower anchor
+    * a' < s − windowMs would have to arrive, but future arrivals sit at
+    * or above the watermark and every stored time is ≤ wm + lateness
+    * < wm + windowMs — impossible while windowMs exceeds the lateness
+    * horizon, which the `require` below enforces). Anchors are carried
+    * in state, so a signup arriving in the same batch as — or before —
+    * the prior funnel's resolution re-seeds the state instead of being
+    * dropped with it. The batch q134 anchors once at the user's global
+    * min step-1 ts; its row corresponds to the stream's FIRST-entry row
+    * (min `step1_ms` per user). Collapse to q134 by taking each user's
+    * min-`step1_ms` row.
     */
   def statefulFunnel(
       events: Dataset[Event],
@@ -200,21 +244,37 @@ object EventPipelines {
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val None1 = Long.MaxValue
+    // the anchor-chain compression and the anchorless prune are exact
+    // only while an admitted event can never sit a full window below a
+    // future arrival; Spark admits events down to the watermark, so the
+    // window must exceed the 10-minute lateness horizon set below
+    require(windowMs > 10L * 60 * 1000,
+      s"funnel windowMs ($windowMs) must exceed the 10-minute lateness horizon")
 
     def after(t: Long, prev: Long): Boolean =
       if (strictIncrease) t > prev else t >= prev
 
-    def resolve(uid: Long, s: FunnelState): FunnelOut = {
-      if (s.t1 == None1) return FunnelOut(uid, 0, -1L)
-      val deadline = s.t1 + windowMs
-      val inWin = s.pending.filter { case (t, _) =>
-        after(t, s.t1) && t <= deadline }
+    def resolve(uid: Long, t1: Long, pending: List[(Long, Int)]): FunnelOut = {
+      val deadline = t1 + windowMs
+      val inWin = pending.filter { case (t, _) =>
+        after(t, t1) && t <= deadline }
       val t2 = inWin.collect { case (t, 1) => t }
         .minOption.getOrElse(None1)
       val t3 = inWin.collect { case (t, 2) if after(t, t2) => t }
         .minOption.getOrElse(None1)
       val maxStep = if (t3 != None1) 3 else if (t2 != None1) 2 else 1
-      FunnelOut(uid, maxStep, s.t1)
+      FunnelOut(uid, maxStep, t1)
+    }
+
+    /** Greedy entry chain over all known step-1 times: head anchors the
+      * current funnel, tail are future-entry anchors past its deadline.
+      */
+    def chainOf(step1s: Seq[Long]): List[Long] = {
+      var chain = List.empty[Long]
+      step1s.sorted.foreach { s =>
+        if (chain.isEmpty || s > chain.head + windowMs) chain ::= s
+      }
+      chain.reverse
     }
 
     events
@@ -224,55 +284,67 @@ object EventPipelines {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            // no anchor by the GC horizon → age out silently (see
-            // Scaladoc: a step-0 verdict about an open future would be
-            // wrong the moment a signup arrives)
-            if (s.t1 == None1) Iterator.empty
-            else Iterator.single(resolve(uid, s))
-          } else {
-            val prev = state.getOption.getOrElse(FunnelState(None1, Nil))
-            var t1 = prev.t1
-            var pending = prev.pending
-            rows.foreach { e =>
-              val t = e.ts.getTime
-              stepIdx(e.event_type) match {
-                case 0 => if (t < t1) t1 = t
-                case k => pending = (t, k) :: pending
-              }
-            }
-            val wm = state.getCurrentWatermarkMs()
-            if (t1 != None1) pending =
-              pending.filter { case (t, _) => t <= t1 + windowMs }
-            else pending = pending.filter { case (t, _) => t > wm }
-            // the else-branch prune is exactness-preserving: with no
-            // step-1 anchor yet, a pending event at ts v can only ever
-            // qualify under a FUTURE step-1 with t1 < v; future arrivals
-            // sit above the watermark (later ones are dropped as late),
-            // so t1 > wm ≥ v is impossible to satisfy — v is dead. This
-            // bounds a never-signing-up spammer's state to the lateness
-            // horizon instead of its whole history.
-            if (t1 != None1 && t1 + windowMs <= wm) {
-              // the window already closed under the watermark (deep-late
-              // step 1): resolve immediately instead of scheduling a
-              // timeout in the past
-              state.remove()
-              Iterator.single(resolve(uid, FunnelState(t1, pending)))
-            } else {
-              state.update(FunnelState(t1, pending))
-              // GC horizon for never-signed-up users anchors at their
-              // latest EVENT time (the watermark can still be 0 in the
-              // first micro-batch; an epoch-relative timeout would fire
-              // immediately and drop the buffered events)
-              val lastSeen = pending.foldLeft(wm) {
-                case (m, (t, _)) => math.max(m, t) }
-              state.setTimeoutTimestamp(
-                if (t1 != None1) t1 + windowMs else lastSeen + windowMs)
-              Iterator.empty
+          // timeout firings and data batches run the SAME drain: fold new
+          // events (none on timeout) into the state, then resolve every
+          // entry whose window the watermark has closed
+          val prev = state.getOption.getOrElse(FunnelState(None1, Nil, Nil))
+          var step1s = List.empty[Long]
+          if (prev.t1 != None1) step1s ::= prev.t1
+          step1s = prev.anchors reverse_::: step1s
+          var pending = prev.pending
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            stepIdx(e.event_type) match {
+              case 0 => step1s ::= t
+              case k => pending = (t, k) :: pending
             }
           }
+          var chain = chainOf(step1s)
+          var t1 = chain.headOption.getOrElse(None1)
+          if (chain.nonEmpty) chain = chain.tail
+          val wm = state.getCurrentWatermarkMs()
+          // keep a pending event iff it can still qualify: inside the
+          // current entry's window, inside a KNOWN future anchor's window
+          // (once the watermark passes the current deadline — a timeout
+          // firing — an event for the next entry can sit at or below wm,
+          // so the anchor clause is load-bearing, not belt-and-braces),
+          // or above the watermark, where a yet-unseen step-1 anchor
+          // a ≥ wm may still claim it (at t == wm only in non-strict
+          // mode, where t >= a chains). With no anchor at all only the
+          // above-watermark clause applies, which bounds a never-
+          // signing-up spammer's state to the lateness horizon.
+          def keep(t: Long): Boolean =
+            (t1 != None1 && t <= t1 + windowMs) ||
+              chain.exists(a => after(t, a) && t <= a + windowMs) ||
+              (if (strictIncrease) t > wm else t >= wm)
+          pending = pending.filter { case (t, _) => keep(t) }
+          // drain every entry already closed under the watermark — a
+          // deep-late step 1, or a timeout firing; re-seed from the next
+          // anchor instead of dropping it with the resolved entry
+          var out = List.empty[FunnelOut]
+          while (t1 != None1 && t1 + windowMs <= wm) {
+            out ::= resolve(uid, t1, pending)
+            t1 = chain.headOption.getOrElse(None1)
+            if (chain.nonEmpty) chain = chain.tail
+            pending = pending.filter { case (t, _) => keep(t) }
+          }
+          if (t1 == None1 && pending.isEmpty) {
+            // nothing live: anchorless users age out SILENTLY (see
+            // Scaladoc: a step-0 verdict about an open future would be
+            // wrong the moment a signup arrives)
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelState(t1, pending, chain))
+            // GC horizon for never-signed-up users anchors at their
+            // latest EVENT time (the watermark can still be 0 in the
+            // first micro-batch; an epoch-relative timeout would fire
+            // immediately and drop the buffered events)
+            val lastSeen = pending.foldLeft(wm) {
+              case (m, (t, _)) => math.max(m, t) }
+            state.setTimeoutTimestamp(
+              if (t1 != None1) t1 + windowMs else lastSeen + windowMs)
+          }
+          out.reverseIterator
       }
   }
 

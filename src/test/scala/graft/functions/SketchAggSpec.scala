@@ -184,6 +184,29 @@ class SketchAggSpec extends SparkTestBase {
     assert(arr === arr.sorted)
   }
 
+  test("kmv: hashes adjacent to Long.MaxValue stay inside their own sketch") {
+    // the double map h/2^64 + 0.5 rounds hashes within ~2^10 of
+    // Long.MaxValue up to exactly 1.0 — a norm-space cut then excludes
+    // the value from its own sketch even in the exact (unsaturated)
+    // regime; the cut must compare in signed-long space (ADVICE r10)
+    val sk = array(lit(Long.MinValue + 5L), lit(7L), lit(Long.MaxValue - 100L))
+    val kk = 8 // size 3 < k: exact regime, every value must count
+    val row = spark.range(1)
+      .select(
+        KmvSketchAgg.distinctEstimate(sk, kk).as("d"),
+        KmvSketchAgg.unionEstimate(sk, array(lit(7L)), kk).as("u"),
+        KmvSketchAgg.intersectEstimate(sk, sk, kk).as("i"))
+      .head()
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === 3L)
+    assert(row.getLong(2) === 3L)
+    // saturated with the same pathological cut value: theta clamps to
+    // nextDown(1.0) instead of collapsing, estimate stays finite/sane
+    val sat = spark.range(1)
+      .select(KmvSketchAgg.distinctEstimate(sk, 3).as("d")).head().getLong(0)
+    assert(sat === 2L) // k-1 below the k-th value, theta ~ 1.0
+  }
+
   test("kmv saturated union/intersect stay near truth") {
     // cohorts of 20k with 10k shared; k=1024 saturates both
     val a = spark.range(0, 20000, 1, 8).select(lit("a").as("g"), col("id"))

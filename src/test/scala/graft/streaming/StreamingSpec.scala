@@ -307,6 +307,79 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("statefulFunnel re-enters on a signup past the previous window (ADVICE r10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val win = 60L * 60000
+    val mem = MemoryStream[Event]
+    val q = statefulFunnel(mem.toDS(),
+        steps = Seq("signup", "view", "purchase"), windowMs = win)
+      .writeStream.format("memory").queryName("funnel_reentry_stream")
+      .outputMode("append").start()
+    try {
+      // entry 1: full completion inside [0, 60]
+      mem.addData(Event(0, ts(0), 1, "signup", 0),
+        Event(1, ts(10), 1, "view", 0), Event(2, ts(20), 1, "purchase", 0))
+      q.processAllAvailable()
+      // the SECOND signup (ts 100 > deadline 60) arrives in the same
+      // batch that pushes the watermark past entry 1's deadline — the
+      // old code resolved entry 1, removed state, and silently lost it
+      mem.addData(Event(3, ts(100), 1, "signup", 0),
+        Event(4, ts(110), 1, "view", 0),
+        Event(5, ts(130), 9, "signup", 0)) // watermark pusher → wm 120
+      q.processAllAvailable()
+      mem.addData(Event(6, ts(300), 9, "view", 0)) // close entry 2
+      q.processAllAvailable()
+      mem.addData(Event(7, ts(600), 9, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_reentry_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter(_._1 == 1L).toSet
+      assert(got === Set((1L, 3, ts(0).getTime), (1L, 2, ts(100).getTime)),
+        "second funnel entry was dropped with the first's resolution")
+    } finally q.stop()
+  }
+
+  test("statefulSessionize: an admitted event a gap BEFORE the session is its own session (ADVICE r10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two pre-watermarked sources: the global watermark is their MIN, so
+    // user 1's session can run far ahead of it — exactly the regime where
+    // a bare `t - last <= gap` check over-merges a distant-past event
+    val mem1 = MemoryStream[Event]
+    val mem2 = MemoryStream[Event]
+    val unioned = mem1.toDS().withWatermark("ts", "10 minutes")
+      .union(mem2.toDS().withWatermark("ts", "10 minutes"))
+    val q = statefulSessionize(unioned, applyWatermark = false)
+      .writeStream.format("memory").queryName("sess_straggler_stream")
+      .outputMode("append").start()
+    try {
+      mem1.addData(Event(0, ts(100), 1, "view", 1.0),
+        Event(1, ts(105), 1, "view", 2.0))
+      mem2.addData(Event(2, ts(20), 2, "view", 0.0)) // laggard: wm stays 10
+      q.processAllAvailable()
+      // ts 60 is admissible (>= wm 10) but 40 min BEFORE session start —
+      // a distinct earlier session, not a backward extension
+      mem1.addData(Event(3, ts(60), 1, "view", 4.0))
+      q.processAllAvailable()
+      // flush both sources so every session times out
+      mem1.addData(Event(98, ts(1000), 9, "view", 0.0))
+      mem2.addData(Event(99, ts(1000), 8, "view", 0.0))
+      q.processAllAvailable()
+      mem1.addData(Event(100, ts(2000), 9, "view", 0.0))
+      mem2.addData(Event(101, ts(2000), 8, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_straggler_stream").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+        .toSet
+      assert(got === Set(
+        (ts(60).getTime, ts(60).getTime, 1, 4.0),
+        (ts(100).getTime, ts(105).getTime, 2, 3.0)),
+        "the straggler was merged into a session it precedes by > gap")
+    } finally q.stop()
+  }
+
   test("random streams: statefulFunnel equals the batch fold under watermark-respecting arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -338,18 +411,14 @@ class StreamingSpec extends SparkTestBase {
         mem.addData(Event(10000, ts(200000), 999, "view", 0.0))
         q.processAllAvailable()
       } finally q.stop()
-      // one row per funnel ENTRY; q134 parity is the FIRST-entry row
-      // (min step1_ms) per user — later signups past a closed window
-      // legitimately re-enter the funnel on a stream
-      val streamed = (spark.table(s"funnel_rand_$trial")
+      // one row per funnel ENTRY (greedy anchor chain over the user's
+      // step-1 times: first anchor = global min, each next = min step-1
+      // strictly past the previous deadline); anchorless users are
+      // absent from the stream BY DESIGN (an open world can't prove
+      // "never signs up")
+      val streamed = spark.table(s"funnel_rand_$trial")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-        .groupBy(_._1).map { case (uid, rows) =>
-          uid -> rows.minBy(_._3)._2
-        }.toMap) - 999L
-      // independent batch fold (the q134 semantics, minutes in ms);
-      // anchorless users are absent from the stream BY DESIGN (an open
-      // world can't prove "never signs up"), so the expectation only
-      // covers users with a step-1 event
+        .filterNot(_._1 == 999L).toSet
       val stepIdx = Map("signup" -> 0, "view" -> 1, "purchase" -> 2)
       val expected = evs.filter(e => stepIdx.contains(e.event_type))
         .groupBy(_.user_id)
@@ -357,14 +426,24 @@ class StreamingSpec extends SparkTestBase {
           val byStep = (0 to 2).map(k =>
             es.filter(e => stepIdx(e.event_type) == k)
               .map(_.ts.getTime).sorted)
-          byStep(0).headOption.map { t1 =>
+          var anchors = List.empty[Long]
+          byStep(0).foreach { s =>
+            if (anchors.isEmpty || s > anchors.head + winMs) anchors ::= s
+          }
+          anchors.reverse.map { t1 =>
             val dl = t1 + winMs
             val t2 = byStep(1).find(t => t > t1 && t <= dl)
             val t3 = t2.flatMap(t2v => byStep(2).find(t => t > t2v && t <= dl))
-            uid -> (if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1)
+            (uid, if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1, t1)
           }
-        }
+        }.toSet
       assert(streamed === expected, s"trial $trial diverged")
+      // q134 parity is the FIRST-entry row (min step1_ms) per user
+      val firstEntries = streamed.groupBy(_._1)
+        .map { case (uid, rows) => uid -> rows.minBy(_._3)._2 }
+      val expectedFirst = expected.groupBy(_._1)
+        .map { case (uid, rows) => uid -> rows.minBy(_._3)._2 }
+      assert(firstEntries === expectedFirst, s"trial $trial q134 parity")
     }
   }
 
