@@ -16,7 +16,7 @@ object ScaleProbe {
 
   private val Probed = Seq(
     "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q46_cosine_pairs",
-    "q112_cosine_pairs_blocked",
+    "q112_cosine_pairs_blocked", "q128_semdedup_keeper",
     "q49_dedup_minhash_lsh", "q50_dedup_simhash", "q73_dedup_components",
     "q47_knn_brute", "q42_lang_id", "q45_fingerprint",
     // r9 TPC-H widening — multi-join fact chains must scale ~linearly

@@ -13,13 +13,16 @@ import graft.functions.GraftFunctions.dotq
   * both engines produce bit-identical results (float accumulation order
   * never matters). 64-dim · |x|≲10 keeps every product < 2^63.
   *
-  * Scale notes (100 TB): brute-force pair join is quadratic — it is the
-  * *correctness baseline*. The scale paths are q48 (IVF: route each query
-  * to nprobe nearest centroids, search only those partitions — the
-  * centroid table broadcasts) and the LSH variants in SketchDedup. The
-  * query side of q47 is a small broadcast against the big side, so KNN is
-  * one scan of the corpus with a per-partition top-k (TakeOrdered), no
-  * full shuffle of candidates.
+  * Scale notes (100 TB): exact pair enumeration is quadratic COMPUTE by
+  * nature, so every declared pair query runs the BLOCKED pair-scan
+  * ([[blockedPairsRaw]]: B² block tasks, shuffle volume B·corpus, never
+  * n² join rows); the naive all-pairs join survives only as the
+  * spec-only differential twin. Approximate paths for larger corpora:
+  * q48 (IVF: route each query to nprobe nearest centroids, search only
+  * those partitions — the centroid table broadcasts) and the LSH
+  * variants in SketchDedup. The query side of q47 is a small broadcast
+  * against the big side, so KNN is one scan of the corpus with a
+  * per-query top-k, no full shuffle of candidates.
   */
 object Embeddings {
 
@@ -62,6 +65,111 @@ object Embeddings {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Exact near-dup pair scan (cos >= 0.4, decided as 25·dot² >= 4·na·nb
+    * in int64 — no float threshold can flip a pair), executed as a
+    * BLOCKED pair-scan: vectors pack into ~48 dense blocks, block PAIRS
+    * join (B² small rows moving block payloads, never n² rows), and each
+    * task runs the dot products as tight int64 loops over packed arrays —
+    * no per-pair row dematerialization, no n²-row join output feeding a
+    * filter. At cos >= 0.4 no sketch family can prune (a random 90° pair
+    * passes ~64% of hyperplane-LSH bands tuned for 0.4 recall), so the
+    * honest scale path for EXACT pair enumeration is making the quadratic
+    * compute cheap and distributable: B² block tasks saturate any
+    * cluster, shuffle volume is B·corpus (each block is copied B times),
+    * and per-task memory is two blocks. This single plan backs q46, q112
+    * AND q128's edge feed; the naive all-pairs join survives only as the
+    * spec-only differential twin [[quadraticPairsRaw]] (240 s vs ~6 s at
+    * sf1 for identical output).
+    *
+    * Returns (id_a, id_b, dot, sa, sb) for the surviving pairs.
+    */
+  private[queries] def blockedPairsRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select(col("vec_id"), col("qvec"), col("dotself"))
+    val n = Tables.load(s, d, "embeddings").count()
+    require(n <= 2000000L,
+      s"exact pair enumeration is O(n^2) COMPUTE (distributed over block " +
+        s"pairs) and refuses $n vectors (max 2M); above that use the " +
+        "sketch paths (q48/q49/q50) or raise the threshold")
+    val blockSize = math.max(1024L, (n + 47) / 48)
+    val blocks = e
+      .withColumn("bid", (col("vec_id") / lit(blockSize)).cast("int"))
+      .select("bid", "vec_id", "dotself", "qvec")
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (bid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val k = rows.length
+        val dim = if (k > 0) rows(0)._4.length else 0
+        val vecs = new Array[Long](k * dim)
+        var i = 0
+        while (i < k) {
+          System.arraycopy(rows(i)._4, 0, vecs, i * dim, dim); i += 1
+        }
+        (bid, rows.map(_._2), rows.map(_._3), vecs)
+      }
+    blocks.as("x")
+      .joinWith(blocks.as("y"), col("x._1") <= col("y._1"))
+      .flatMap { case ((ba, idsA, selfA, vecsA), (bb, idsB, selfB, vecsB)) =>
+        val ka = idsA.length
+        val kb = idsB.length
+        val dim = if (ka > 0) vecsA.length / ka else 0
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < ka) {
+          // same block: strictly-upper pairs; cross block: all pairs
+          // (bid order ⇒ every a-id < every b-id — vec_ids are dense)
+          var j = if (ba == bb) i + 1 else 0
+          val sa = selfA(i)
+          val baseA = i * dim
+          while (j < kb) {
+            var dot = 0L
+            var t = 0
+            val baseB = j * dim
+            while (t < dim) {
+              dot += vecsA(baseA + t) * vecsB(baseB + t); t += 1
+            }
+            if (dot > 0 && dot * dot * 25 >= sa * selfB(j) * 4)
+              out += ((idsA(i), idsB(j), dot, sa, selfB(j)))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "dot", "sa", "sb")
+  }
+
+  /** The naive all-pairs join twin of [[blockedPairsRaw]] — O(n²) ROWS
+    * through the join, kept ONLY as the differential oracle for specs
+    * (PipelineOpsSpec proves blocked === quadratic). Never declared as a
+    * query; refuses corpora over 100k vectors at plan-build time.
+    */
+  private[graft] def quadraticPairsRaw(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.load(s, d, "embeddings").count()
+    require(n <= 100000L,
+      s"the all-pairs differential twin refuses $n vectors (max 100000); " +
+        "every declared query runs the blocked pair-scan instead")
+    val e = emb(s, d)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("dot"), col("a.dotself").as("sa"), col("b.dotself").as("sb"))
+  }
+
+  /** Shared post-math for the pair queries: cosine from the integer raw
+    * columns, identical in q46 and q112 so the shared oracle hash-matches.
+    */
+  private def pairsWithCosine(raw: DataFrame): DataFrame =
+    raw.select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("sa").cast("double") * col("sb").cast("double")),
+          4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+
   /** IVF ANN top-5 over the persisted index ([[IvfIndex]]): probe-rank
     * against the broadcast centroid table, search only the probed
     * clusters (literal partition pruning on disk). Shared by q48 and the
@@ -103,35 +211,12 @@ object Embeddings {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Near-dup pairs by cosine >= 0.4, decided as 25*dot^2 >= 4*na*nb in
-    // int64 (0.4^2 = 4/25) — no float threshold can flip a pair.
-    //
-    // ⚠️ ALL-PAIRS O(n²) JOIN — CORRECTNESS BASELINE ONLY. This shape
-    // exists to hash-oracle the exact pair set at test scale; it does NOT
-    // survive a large corpus (n² row blowup). Production near-dup at
-    // 100 TB goes through the bucketed scale paths: q48 (IVF), q49
-    // (MinHash+LSH), q50 (SimHash), each spec-verified for recall against
-    // this exact baseline. The do-not-copy warning is ENFORCED: the
-    // baseline refuses corpora over 100k vectors at plan-build time (one
-    // parquet-stats count) instead of melting a cluster quietly.
-    "q46_cosine_pairs" -> ((s, d) => {
-      val n = Tables.load(s, d, "embeddings").count()
-      require(n <= 100000L,
-        s"q46_cosine_pairs is the O(n^2) correctness baseline and refuses " +
-          s"$n vectors (max 100000); use q112 (blocked exact pair-scan), " +
-          "q48 (IVF), q49 (MinHash+LSH) or q50 (SimHash) at scale")
-      val e = emb(s, d)
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
-        .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
-        .select(
-          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(col("dot").cast("double") /
-            sqrt(col("a.dotself").cast("double") * col("b.dotself").cast("double")),
-            4).as("cos_sim"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Near-dup pairs by cosine >= 0.4 via the BLOCKED exact pair-scan
+    // ([[blockedPairsRaw]]) — the scalable plan IS the declared query
+    // (r10 verdict: the old all-pairs join cost 240 s at sf1 for output
+    // q112 produces in ~6 s; the quadratic twin survives only as the
+    // spec-only differential [[quadraticPairsRaw]]).
+    "q46_cosine_pairs" -> ((s, d) => pairsWithCosine(blockedPairsRaw(s, d))),
 
     // Brute-force cosine top-5 per query (queries = vec_id < 10). The
     // query side broadcasts; candidates rank per-query via row_number.
@@ -204,82 +289,11 @@ object Embeddings {
         .orderBy("q_id", "rnk")
     }),
 
-    // EXACT near-dup pairs at scale: blocked pair-scan. Same output (and
-    // the same DuckDB oracle) as q46, radically different plan: vectors
-    // pack into ~48 dense blocks, block PAIRS join (B² small rows moving
-    // block payloads, never n² rows), and each task runs the dot products
-    // as tight int64 loops over packed arrays — no per-pair row
-    // dematerialization, no n²-row join output feeding a filter. At
-    // cos >= 0.4 no sketch family can prune (a random 90° pair passes
-    // ~64% of hyperplane-LSH bands tuned for 0.4 recall), so the honest
-    // scale path for EXACT pair enumeration is making the quadratic
-    // compute cheap and distributable: B² block tasks saturate any
-    // cluster, shuffle volume is B·corpus (each block copied B times),
-    // and per-task memory is two blocks. q46 measured 153.8 s at 20k
-    // vectors; this plan does the same 12.8G mult-adds in seconds.
-    "q112_cosine_pairs_blocked" -> ((s, d) => {
-      import s.implicits._
-      val e = emb(s, d).select(col("vec_id"), col("qvec"), col("dotself"))
-      val n = Tables.load(s, d, "embeddings").count()
-      require(n <= 2000000L,
-        s"q112 is exact O(n^2) COMPUTE (distributed over block pairs) and " +
-          s"refuses $n vectors (max 2M); above that use the sketch paths " +
-          "(q48/q49/q50) or raise the threshold")
-      val blockSize = math.max(1024L, (n + 47) / 48)
-      val blocks = e
-        .withColumn("bid", (col("vec_id") / lit(blockSize)).cast("int"))
-        .select("bid", "vec_id", "dotself", "qvec")
-        .as[(Int, Long, Long, Array[Long])]
-        .groupByKey(_._1)
-        .mapGroups { (bid, it) =>
-          val rows = it.toArray.sortBy(_._2)
-          val k = rows.length
-          val dim = if (k > 0) rows(0)._4.length else 0
-          val vecs = new Array[Long](k * dim)
-          var i = 0
-          while (i < k) {
-            System.arraycopy(rows(i)._4, 0, vecs, i * dim, dim); i += 1
-          }
-          (bid, rows.map(_._2), rows.map(_._3), vecs)
-        }
-      val raw = blocks.as("x")
-        .joinWith(blocks.as("y"), col("x._1") <= col("y._1"))
-        .flatMap { case ((ba, idsA, selfA, vecsA), (bb, idsB, selfB, vecsB)) =>
-          val ka = idsA.length
-          val kb = idsB.length
-          val dim = if (ka > 0) vecsA.length / ka else 0
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long, Long)]
-          var i = 0
-          while (i < ka) {
-            // same block: strictly-upper pairs; cross block: all pairs
-            // (bid order ⇒ every a-id < every b-id — vec_ids are dense)
-            var j = if (ba == bb) i + 1 else 0
-            val sa = selfA(i)
-            val baseA = i * dim
-            while (j < kb) {
-              var dot = 0L
-              var t = 0
-              val baseB = j * dim
-              while (t < dim) {
-                dot += vecsA(baseA + t) * vecsB(baseB + t); t += 1
-              }
-              if (dot > 0 && dot * dot * 25 >= sa * selfB(j) * 4)
-                out += ((idsA(i), idsB(j), dot, sa, selfB(j)))
-              j += 1
-            }
-            i += 1
-          }
-          out
-        }
-        .toDF("id_a", "id_b", "dot", "sa", "sb")
-      // identical post-math to q46 so the shared oracle hash-matches
-      raw.select(col("id_a"), col("id_b"),
-          round(col("dot").cast("double") /
-            sqrt(col("sa").cast("double") * col("sb").cast("double")),
-            4).as("cos_sim"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Blocked exact pair-scan under its historical name — identical plan
+    // and output to q46 since r11 (the blocked plan became the declared
+    // q46; the name stays so the scaling table keeps its history).
+    "q112_cosine_pairs_blocked" -> ((s, d) =>
+      pairsWithCosine(blockedPairsRaw(s, d))),
 
     // SemDeDup-style EXACT semantic dedup keeper: embedding-cosine
     // near-dup pairs (cos >= 0.4 — EXACTLY q46's quantized compare; the
@@ -287,21 +301,11 @@ object Embeddings {
     // synthetic corpus tops out at cos 0.51) -> connected components
     // -> keep the min vec_id per component. Output covers pair
     // endpoints: dropped rows are is_canonical=false with their keeper
-    // in component_root. O(n^2) correctness baseline with the same
-    // guard as q46; the scale paths are the sketch/IVF families
-    // (q48-q50, q112) feeding the same [[Components]] keeper.
+    // in component_root. The edge feed is the BLOCKED pair-scan (r11:
+    // the keeper no longer rides a quadratic join; the 2M-vector guard
+    // comes from [[blockedPairsRaw]]).
     "q128_semdedup_keeper" -> ((s, d) => {
-      val n = Tables.load(s, d, "embeddings").count()
-      require(n <= 100000L,
-        s"q128_semdedup_keeper is the O(n^2) correctness baseline and " +
-          s"refuses $n vectors (max 100000); feed Components.roots from " +
-          "q112 (blocked exact), q48 (IVF) or q49/q50 (sketches) at scale")
-      val e = emb(s, d)
-      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", dotq(col("a.qvec"), col("b.qvec")))
-        .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * 25 >= col("a.dotself") * col("b.dotself") * 4)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val pairs = blockedPairsRaw(s, d).select("id_a", "id_b")
       Components.roots(pairs, "vec_id")(s)
     }),
 

@@ -58,15 +58,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fastCov >= 0.8, s"fast-path simhash covered only $fastCov")
   }
 
-  test("q46 refuses corpora beyond its all-pairs bound") {
+  test("pair-scan guards: quadratic twin refuses >100k, blocked q46 plans it fine") {
     val dir = java.nio.file.Files.createTempDirectory("big_emb")
     spark.range(100001).selectExpr("id AS vec_id", "CAST(id % 7 AS INT) AS label",
       "array_repeat(CAST(0.5 AS FLOAT), 4) AS embedding")
       .write.parquet(s"$dir/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {
-      SparkEntry.queries("q46_cosine_pairs")(spark, dir.toString)
+      graft.queries.Embeddings.quadraticPairsRaw(spark, dir.toString)
     }
     assert(e.getMessage.contains("refuses"), e.getMessage)
+    // the DECLARED q46 is the blocked scan since r11: 100k+1 vectors must
+    // plan without a refusal (its own guard sits at 2M)
+    SparkEntry.queries("q46_cosine_pairs")(spark, dir.toString)
   }
 
   test("cosine pair detection is symmetric-free and thresholded") {
@@ -77,10 +80,20 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
-  test("blocked pair-scan (q112) emits exactly the q46 pair set") {
-    val exact = run("q46_cosine_pairs").collect().map(_.toSeq).toSeq
-    val blocked = run("q112_cosine_pairs_blocked").collect().map(_.toSeq).toSeq
-    assert(blocked === exact)
+  test("blocked pair-scan emits exactly the quadratic twin's pair set") {
+    import org.apache.spark.sql.functions._
+    // q46 IS the blocked plan since r11; the differential oracle is the
+    // spec-only quadratic join over the same corpus
+    val quad = graft.queries.Embeddings.quadraticPairsRaw(spark, sf)
+      .select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("sa").cast("double") * col("sb").cast("double")),
+          4).as("cos_sim"))
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val blocked = run("q46_cosine_pairs").collect().map(_.toSeq).toSeq
+    assert(blocked === quad)
+    val q112 = run("q112_cosine_pairs_blocked").collect().map(_.toSeq).toSeq
+    assert(q112 === quad)
   }
 
   test("brute-force knn returns 5 ranked neighbors per query") {
