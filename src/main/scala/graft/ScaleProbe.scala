@@ -23,6 +23,8 @@ object ScaleProbe {
     "q119_tpch_q7", "q125_tpch_q18", "q127_tpch_q21",
     // r10 funnel + sketch surface — single-shuffle shapes, must be ~linear
     "q133_funnel_count", "q134_funnel_max_step",
+    // r11 funnel widening — step durations + session-correlated variant
+    "q143_funnel_step_durations", "q144_funnel_sessions",
     "q135_frequent_strings", "q136_theta_distinct",
     // r10 geo — grid equi-join + single-scan argmin, must be ~linear
     "q137_geofence_count", "q138_nearest_region",

@@ -46,13 +46,29 @@ object Funnel {
       events: DataFrame,
       steps: Seq[String] = steps,
       windowExpr: String = windowExpr,
-      strictIncrease: Boolean = true): DataFrame = {
-    val w = Window.partitionBy("user_id")
-    def after(ts: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      strictIncrease: Boolean = true): DataFrame =
+    perKeyStepTimes(events.select("user_id", "ts", "event_type")
+        .filter(col("event_type").isin(steps: _*)),
+      Seq("user_id"), steps, windowExpr, strictIncrease)
+
+  /** The funnel engine generalized over the CORRELATE-BY key (Pinot's
+    * funnel aggregations take an arbitrary correlation column): same
+    * stacked-window chain, partitioned by `keys`. Input must already be
+    * filtered to step-typed events and carry (keys..., ts, event_type).
+    * When `keys` extend user_id (e.g. a derived session index), the
+    * partitioning still hashes on the SAME exchange cardinality class —
+    * one shuffle, sessions of one user land together only if the first
+    * key is user_id, which every caller here preserves.
+    */
+  private[queries] def perKeyStepTimes(
+      e: DataFrame,
+      keys: Seq[String],
+      steps: Seq[String],
+      windowExpr: String,
+      strictIncrease: Boolean): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    def after(ts: Column, prev: Column) =
       if (strictIncrease) ts > prev else ts >= prev
-    val e = events
-      .filter(col("event_type").isin(steps: _*))
-      .select("user_id", "ts", "event_type")
     val withT1 = e.withColumn(
       "t1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
     val deadline = col("t1") + expr(windowExpr)
@@ -62,7 +78,7 @@ object Funnel {
     val withT3 = withT2.withColumn(
       "t3", min(when(col("event_type") === steps(2) &&
         after(col("ts"), col("t2")) && col("ts") <= deadline, col("ts"))).over(w))
-    withT3.groupBy("user_id")
+    withT3.groupBy(keys.map(col): _*)
       .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
   }
 
@@ -116,7 +132,57 @@ object Funnel {
           count(col("t1")).as("entered"),
           count(col("t2")).as("reached_step2"),
           count(col("t3")).as("converted"))
-        .orderBy("week_start"))
+        .orderBy("week_start")),
+
+    // Per-step DROP-OFF DURATIONS (Pinot FUNNEL_STEP_DURATION_STATS):
+    // how long converters took between consecutive steps. Exact integer
+    // millisecond diffs aggregate to min/max/sum; the single avg division
+    // happens once over exact integers, so the oracle hash-matches.
+    "q143_funnel_step_durations" -> ((s, d) =>
+      perUserStepTimes(ev(s, d))
+        .select(
+          (unix_millis(col("t2")) - unix_millis(col("t1"))).as("d12"),
+          (unix_millis(col("t3")) - unix_millis(col("t2"))).as("d23"))
+        .agg(
+          count(col("d12")).as("n_step2"),
+          round(sum(col("d12")).cast("double") /
+            (count(col("d12")) * lit(1000.0)), 2).as("avg_sec_1_2"),
+          min(col("d12")).as("min_ms_1_2"),
+          max(col("d12")).as("max_ms_1_2"),
+          count(col("d23")).as("n_step3"),
+          round(sum(col("d23")).cast("double") /
+            (count(col("d23")) * lit(1000.0)), 2).as("avg_sec_2_3"),
+          min(col("d23")).as("min_ms_2_3"),
+          max(col("d23")).as("max_ms_2_3"))),
+
+    // CORRELATE BY SESSION (Pinot funnel aggs take an arbitrary
+    // correlation key): gap-sessionize the step-typed events (30-min
+    // gap) with ONE ordered window over the same user_id exchange, then
+    // run the identical step chain per (user_id, session_idx) — a funnel
+    // that must complete without the user leaving. The cumulative-sum
+    // session index uses the default RANGE frame, so same-instant ties
+    // share a session index deterministically in both engines.
+    "q144_funnel_sessions" -> ((s, d) => {
+      val e = ev(s, d)
+        .filter(col("event_type").isin(steps: _*))
+        .select("user_id", "ts", "event_type")
+      val wOrd = Window.partitionBy("user_id").orderBy("ts")
+      val sess = e
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(wOrd).isNull ||
+            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(wOrd))
+              > 30L * 60 * 1000, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy("ts")))
+      perKeyStepTimes(sess.select("user_id", "session_idx", "ts", "event_type"),
+        Seq("user_id", "session_idx"), steps, "INTERVAL 2 HOURS",
+        strictIncrease = true)
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count(col("t1")).as("entered"),
+          count(col("t2")).as("reached_step2"),
+          count(col("t3")).as("converted"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,6 +259,59 @@ object Funnel {
         |  count(s2.t2) AS reached_step2,
         |  count(s3.t3) AS converted
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |GROUP BY 1 ORDER BY week_start""".stripMargin
+        |GROUP BY 1 ORDER BY week_start""".stripMargin,
+
+    "q143_funnel_step_durations" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |d AS (SELECT epoch_ms(s2.t2) - epoch_ms(s1.t1) AS d12,
+        |             epoch_ms(s3.t3) - epoch_ms(s2.t2) AS d23
+        |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT count(d12) AS n_step2,
+        |  round(CAST(sum(d12) AS DOUBLE) / (count(d12) * 1000.0::DOUBLE), 2)
+        |    AS avg_sec_1_2,
+        |  min(d12) AS min_ms_1_2, max(d12) AS max_ms_1_2,
+        |  count(d23) AS n_step3,
+        |  round(CAST(sum(d23) AS DOUBLE) / (count(d23) * 1000.0::DOUBLE), 2)
+        |    AS avg_sec_2_3,
+        |  min(d23) AS min_ms_2_3, max(d23) AS max_ms_2_3
+        |FROM d""".stripMargin,
+
+    "q144_funnel_sessions" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |flagged AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts, event_type,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+        |    AS session_idx FROM flagged),
+        |s1 AS (SELECT user_id, session_idx, min(ts) AS t1 FROM sess
+        |       WHERE event_type = 'signup' GROUP BY 1, 2),
+        |s2 AS (SELECT e.user_id, e.session_idx, min(e.ts) AS t2
+        |       FROM sess e JOIN s1 USING (user_id, session_idx)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 2 HOUR GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, e.session_idx, min(e.ts) AS t3
+        |       FROM sess e JOIN s2 USING (user_id, session_idx)
+        |                   JOIN s1 USING (user_id, session_idx)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 2 HOUR GROUP BY 1, 2),
+        |allsess AS (SELECT DISTINCT user_id, session_idx FROM sess)
+        |SELECT (SELECT count(*) FROM allsess) AS n_sessions,
+        |       (SELECT count(*) FROM s1) AS entered,
+        |       (SELECT count(*) FROM s2) AS reached_step2,
+        |       (SELECT count(*) FROM s3) AS converted""".stripMargin
   )
 }

@@ -114,6 +114,50 @@ class FunnelSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(counts.getLong(2) === steps.values.count(_ >= 3).toLong)
   }
 
+  test("step durations measure the first-match transition times exactly") {
+    val dir = mkEvents(Seq(
+      // u1: signup 00:00, first eligible view 00:10, first purchase 00:40
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:10:00", "view"),
+      (1L, "2024-01-01 00:40:00", "purchase"),
+      (1L, "2024-01-01 01:00:00", "view"), // later view must not count
+      // u2: stops at step 2 after 30 min
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 00:30:00", "view"),
+      // u3: signup only — contributes to neither duration
+      (3L, "2024-01-01 00:00:00", "signup")))
+    val r = Funnel.queries("q143_funnel_step_durations")(spark, dir).head()
+    assert(r.getLong(0) === 2L) // n_step2
+    assert(r.getDouble(1) === 1200.0) // avg(600, 1800) seconds
+    assert(r.getLong(2) === 600000L) // min_ms_1_2
+    assert(r.getLong(3) === 1800000L) // max_ms_1_2
+    assert(r.getLong(4) === 1L) // n_step3
+    assert(r.getDouble(5) === 1800.0) // 00:10 -> 00:40
+    assert(r.getLong(6) === 1800000L)
+    assert(r.getLong(7) === 1800000L)
+  }
+
+  test("session-correlated funnel resets at a 30-minute gap") {
+    val dir = mkEvents(Seq(
+      // u1 session 1: full completion within one session
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:05:00", "view"),
+      (1L, "2024-01-01 00:10:00", "purchase"),
+      // 40-min gap -> u1 session 2: signup then view, no purchase
+      (1L, "2024-01-01 00:50:00", "signup"),
+      (1L, "2024-01-01 00:55:00", "view"),
+      // u2: view+purchase land in a DIFFERENT session than the signup,
+      // so no session converts even though the user-level funnel would
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 01:00:00", "view"),
+      (2L, "2024-01-01 01:05:00", "purchase")))
+    val r = Funnel.queries("q144_funnel_sessions")(spark, dir).head()
+    assert(r.getLong(0) === 4L, "n_sessions") // u1: 2, u2: 2
+    assert(r.getLong(1) === 3L, "entered") // u1 s1, u1 s2, u2 s1
+    assert(r.getLong(2) === 2L, "reached_step2") // u1 s1, u1 s2
+    assert(r.getLong(3) === 1L, "converted") // u1 s1 only
+  }
+
   test("plan: ONE shuffle total, and the step-type filter reaches the scan") {
     val df = SparkEntry_q134(sfDir)
     df.collect()
