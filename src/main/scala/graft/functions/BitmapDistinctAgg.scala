@@ -94,3 +94,85 @@ object BitmapDistinctAgg {
       BitmapDistinctAgg(GraftSqlBridge.toExpression(c))
         .toAggregateExpression())
 }
+
+/** Merge of PRE-BUILT bitmap sketches (binary
+  * [[graft.pinot.SketchSection]] payloads of kind `bitmap`, one per
+  * segment) into an exact distinct count — the query-time half of
+  * Pinot's stored-sketch DISTINCT path: the input rows are a few KB of
+  * sketch each, never the raw column, and only one OR-ed bitmap per
+  * partition crosses the wire.
+  */
+case class BitmapMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge_distinct requires binary sketch payloads, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(buf: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sk = graft.pinot.SketchSection.deserialize(v.asInstanceOf[Array[Byte]])
+      require(sk.bitmap != null,
+        "bitmap_merge_distinct: section is not a bitmap sketch")
+      buf.or(sk.bitmap)
+    }
+    buf
+  }
+
+  override def merge(a: Roaring64Bitmap, b: Roaring64Bitmap): Roaring64Bitmap = {
+    a.or(b)
+    a
+  }
+
+  override def eval(buf: Roaring64Bitmap): Any = buf.getLongCardinality
+
+  override def serialize(buf: Roaring64Bitmap): Array[Byte] = {
+    buf.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    buf.serialize(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val buf = new Roaring64Bitmap()
+    buf.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): BitmapMergeAgg =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "bitmap_merge_distinct"
+}
+
+object BitmapMergeAgg {
+
+  /** Exact distinct count from per-segment stored bitmap sketches. */
+  def bitmapMergeDistinct(c: Column): Column =
+    GraftSqlBridge.toColumn(
+      BitmapMergeAgg(GraftSqlBridge.toExpression(c))
+        .toAggregateExpression())
+}

@@ -84,6 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapDistinctAgg(args.head).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("bitmap_merge_distinct"),
+      new ExpressionInfo(classOf[BitmapMergeAgg].getName, "bitmap_merge_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "bitmap_merge_distinct(sketch_bytes) takes exactly 1 argument")
+        BitmapMergeAgg(args.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (args: Seq[Expression]) => {

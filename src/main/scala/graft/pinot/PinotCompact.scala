@@ -120,6 +120,8 @@ object PinotCompact {
     val texts = meta.columns.collect {
       case (c, cm) if cm.hasTextIndex => c }.toSet
     val texAnalyzers = textAnalyzersByCol(Seq(r), texts)
+    val sketches = meta.columns.collect {
+      case (c, cm) if cm.sketchSpec.isDefined => c -> cm.sketchSpec.get }
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -128,7 +130,8 @@ object PinotCompact {
     r.close()
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
-      formatVersion, ranges, texts, textAnalyzers = texAnalyzers)
+      formatVersion, ranges, texts, textAnalyzers = texAnalyzers,
+      sketchCols = sketches)
   }
 
   /** Merge-ROLLUP compaction (EXTENSION — Pinot's MergeRollupTask):

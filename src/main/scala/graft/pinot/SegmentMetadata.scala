@@ -70,7 +70,13 @@ final case class ColumnMetadata(
       * `jsonIndexColumns` capability): pushed json-path equality
       * probes resolve to flattened path=value posting bitmaps.
       */
-    hasJsonIndex: Boolean = false)
+    hasJsonIndex: Boolean = false,
+    /** Stored distinct-sketch spec (`kmv<k>` / `bitmap`; EXTENSION —
+      * the capability of Pinot's ingestion-time sketch columns): a
+      * [[SketchSection]] exists for this column, mergeable at query
+      * time without forward-index IO.
+      */
+    sketchSpec: Option[String] = None)
 
 /** Segment-level metadata parsed from the Java-properties file
   * `metadata.properties` (reference: pinot-segment/src/metadata.rs:44-239).
@@ -163,7 +169,8 @@ object SegmentMetadata {
         hasBloomFilter = prop("hasBloomFilter").contains("true"),
         hasRangeIndex = prop("hasRangeIndex").contains("true"),
         hasTextIndex = prop("hasTextIndex").contains("true"),
-        hasJsonIndex = prop("hasJsonIndex").contains("true"))
+        hasJsonIndex = prop("hasJsonIndex").contains("true"),
+        sketchSpec = prop("sketch").filter(_.nonEmpty))
     }
 
     def csv(key: String): Seq[String] = props.get(key).toSeq

@@ -354,6 +354,17 @@ final class SegmentReader private (
   def jsonIndex(name: String): Option[JsonIndexSection] =
     sectionOpt(name, JsonIndexSection.IndexType).map(JsonIndexSection.deserialize)
 
+  /** Stored distinct sketch (EXTENSION — the capability of Pinot's
+    * ingestion-time THETA_SKETCH/BITMAP columns; see [[SketchSection]]):
+    * a few-KB summary merged across segments WITHOUT forward-index IO.
+    */
+  def sketch(name: String): Option[SketchSection.Sketch] =
+    sectionOpt(name, SketchSection.IndexType).map(SketchSection.deserialize)
+
+  /** Raw stored sketch bytes (the scan-side merge ships these whole). */
+  def sketchBytes(name: String): Option[Array[Byte]] =
+    sectionOpt(name, SketchSection.IndexType)
+
   /** Just the text-index analyzer id, read from the fixed header offset
     * (magic 8B | version i32 | analyzer i32) — maintenance ops ask only
     * this, and full `textIndex` deserialization decodes the entire
@@ -488,7 +499,17 @@ object SegmentReader {
         }
       }
     }
+
+    private[pinot] def clearForTests(): Unit = synchronized {
+      values.clear(); order.clear(); total = 0L
+    }
   }
+
+  /** TEST SEAM: empty the JVM-wide section cache so counted-IO specs
+    * measure real reads instead of cache hits.
+    */
+  private[graft] def clearSectionCacheForTests(): Unit =
+    sectionCache.clearForTests()
 
   /** Auto-detects the IO layer: URI-scheme paths (file://, hdfs://,
     * object stores) go through [[HadoopSegmentIO]], plain paths through
@@ -554,6 +575,7 @@ object SegmentReader {
       ".bitmap.range" -> RangeSection.IndexType,
       ".text.inv" -> TextIndexSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
+      ".distinct.sketch" -> SketchSection.IndexType,
       ".dict" -> "dictionary")
     io.listFiles(root).flatMap { f =>
       val n = io.fileName(f)

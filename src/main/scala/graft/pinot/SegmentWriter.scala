@@ -121,7 +121,8 @@ object SegmentWriter {
       textCols: Set[String] = Set.empty,
       textAnalyzer: Int = TextIndexSection.AnalyzerStandard,
       textAnalyzers: Map[String, Int] = Map.empty,
-      jsonIdxCols: Set[String] = Set.empty): Path = {
+      jsonIdxCols: Set[String] = Set.empty,
+      sketchCols: Map[String, String] = Map.empty): Path = {
     require(columns.nonEmpty, "need at least one column")
     val totalDocs = columns.head.length
     require(columns.forall(_.length == totalDocs), "ragged columns")
@@ -587,6 +588,67 @@ object SegmentWriter {
       props ++= s"column.$jc.hasJsonIndex=true\n"
     }
 
+    // Ingestion-time distinct sketches (the capability of Pinot's
+    // pre-aggregated THETA_SKETCH/BITMAP columns): per-column KMV or
+    // Roaring64 summaries merged at query time WITHOUT re-reading the
+    // forward index — see [[SketchSection]]
+    // Hashes use Spark's xxhash64 semantics (seed 42) so stored sketches
+    // compose with query-time KmvSketchAgg sketches over the same values.
+    def xx(v: Any): Long = v match {
+      case i: Int => org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(i, 42L)
+      case l: Long => org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(l, 42L)
+      case s: String =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      case other => throw new PinotFormatException(
+        s"sketch hash: unsupported value class ${other.getClass}")
+    }
+    def sketchHashes(cd: ColumnData): Option[Iterator[Long]] = cd match {
+      case IntCol(_, v) => Some(v.iterator.map(xx))
+      case LongCol(_, v) => Some(v.iterator.map(xx))
+      case IntRawCol(_, v, _, _) => Some(v.iterator.map(xx))
+      case LongRawCol(_, v, _, _) => Some(v.iterator.map(xx))
+      case StringDictCol(_, v, _) => Some(v.iterator.map(xx))
+      case StringRawCol(_, v, _, _, _) => Some(v.iterator.map(xx))
+      // Spark's xxhash64(timestamp) hashes the internal MICROsecond long
+      case TimestampCol(_, ms) => Some(ms.iterator.map(m => xx(m * 1000L)))
+      case _ => None
+    }
+    def sketchLongs(cd: ColumnData): Option[Iterator[Long]] = cd match {
+      case IntCol(_, v) => Some(v.iterator.map(_.toLong))
+      case LongCol(_, v) => Some(v.iterator)
+      case IntRawCol(_, v, _, _) => Some(v.iterator.map(_.toLong))
+      case LongRawCol(_, v, _, _) => Some(v.iterator)
+      case TimestampCol(_, ms) => Some(ms.iterator)
+      // strings have no natural long: the bitmap stores xxhash64 values
+      // (exact modulo 64-bit collisions — the DISTINCT_COUNT_BITMAP trade)
+      case StringDictCol(_, v, _) => Some(v.iterator.map(xx))
+      case StringRawCol(_, v, _, _, _) => Some(v.iterator.map(xx))
+      case _ => None
+    }
+    sketchCols.foreach { case (sc, specStr) =>
+      val spec = SketchSection.parseSpec(specStr)
+      val cd = columns.find(_.name == sc).getOrElse(
+        throw new PinotFormatException(s"sketchColumns: unknown column $sc"))
+      val bytes = spec match {
+        case SketchSection.KmvSpec(k) =>
+          val vals = sketchHashes(cd).getOrElse(
+            throw new PinotFormatException(
+              s"sketchColumns entry $sc: single-value scalar required"))
+          SketchSection.buildKmv(vals, k)
+        case SketchSection.BitmapSpec =>
+          val vals = sketchLongs(cd).getOrElse(
+            throw new PinotFormatException(
+              s"sketchColumns entry $sc: single-value scalar required"))
+          SketchSection.buildBitmap(vals)
+      }
+      addSection(sc, SketchSection.IndexType, bytes)
+      props ++= s"column.$sc.sketch=${spec.render}\n"
+    }
+
     // Star-tree: recompute each dim's dict ids with the SAME deterministic
     // distinct+sort the column encoders above used, aggregate leaf records,
     // and write the section + declaration properties.
@@ -677,6 +739,7 @@ object SegmentWriter {
           case "bloom_filter" => s"$col.bloom.filter"
           case RangeSection.IndexType => s"$col.bitmap.range"
           case TextIndexSection.IndexType => s"$col.text.inv"
+          case SketchSection.IndexType => s"$col.distinct.sketch"
           case StarTree.SectionType => "star_tree_index"
           case other =>
             throw new PinotFormatException(s"no v1 file name for $other")

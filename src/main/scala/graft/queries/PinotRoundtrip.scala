@@ -432,7 +432,46 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Sketch fixture: events subset with INGESTION-TIME distinct sketches
+    * (a bitmap over user_id, a kmv1024 over the 100-distinct-value props
+    * column — both exact at every SF) — see
+    * [[graft.pinot.SketchSection]].
+    */
+  private def sketchTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsSketch_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_id"), col("user_id"), col("props"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .option("sketchColumns", "user_id:bitmap,props:kmv1024")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DISTINCT answered from SEGMENT-STORED sketches (the capability of
+    // Pinot's ingestion-time THETA_SKETCH/BITMAP columns): the scan
+    // range-reads ONLY each segment's few-KB sketch section and merges —
+    // zero forward-index IO (SketchSectionSpec counts it); the oracle
+    // computes the true distincts from the original parquet, so a wrong
+    // sketch build, store, or merge breaks the hash. Exact regime by
+    // construction: bitmap is always exact, props has 100 < 1024
+    // distinct values.
+    "q145_pinot_sketch_distinct" -> ((s, d) => {
+      val dir = sketchTable(s, d)
+      graft.sources.pinot.PinotSketches
+        .bitmapDistinct(s, dir, "user_id", "distinct_users")
+        .crossJoin(graft.sources.pinot.PinotSketches
+          .kmvDistinct(s, dir, "props", 1024, "distinct_props"))
+    }),
+
     // Star-tree-answered GROUP BY (grouping a dim SUBSET, so each task
     // rolls pre-aggregated records up over the ungrouped dim): the scan
     // never reads the forward index, and the oracle aggregates the
@@ -881,6 +920,14 @@ object PinotRoundtrip {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the true distincts over EXACTLY the fixture's row subset
+    "q145_pinot_sketch_distinct" ->
+      """WITH sub AS (SELECT user_id, props FROM
+        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT count(DISTINCT user_id) AS distinct_users,
+        |       count(DISTINCT props) AS distinct_props
+        |FROM sub""".stripMargin,
+
     "q86_pinot_startree" ->
       """WITH subset AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -305,9 +305,24 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     val jsonIdxCols = Option(info.options.get("jsonIndexColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // `.option("sketchColumns", "user_id:bitmap,props:kmv1024")`: store a
+    // per-segment distinct sketch per column (the capability of Pinot's
+    // ingestion-time THETA_SKETCH/BITMAP columns) — DISTINCT queries
+    // merge stored sketches without re-reading the forward index
+    // (see [[graft.pinot.SketchSection]] / [[PinotSketches]])
+    val sketchCols = Option(info.options.get("sketchColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { ent =>
+        ent.split(":") match {
+          case Array(c, spec) => c.trim -> spec.trim
+          case _ => throw new IllegalArgumentException(
+            s"sketchColumns entry '$ent' must be <column>:<kmv<k>|bitmap>")
+        }
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
     new PinotWriteBuilder(dir, tableName, info.schema(), info.queryId(),
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols,
+      sketchCols)
   }
 }
 

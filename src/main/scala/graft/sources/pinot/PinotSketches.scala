@@ -1,0 +1,98 @@
+package graft.sources.pinot
+
+import graft.functions.{BitmapMergeAgg, KmvSketchAgg}
+import graft.pinot.{PinotFormatException, SegmentIO, SegmentReader, SketchSection}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-time merge of SEGMENT-STORED distinct sketches (written via
+  * `.option("sketchColumns", ...)` — see [[graft.pinot.SketchSection]]):
+  * the analog of Pinot answering DISTINCT_COUNT_THETA_SKETCH /
+  * DISTINCT_COUNT_BITMAP from ingestion-time sketches by merging stored
+  * summaries, never re-scanning raw rows.
+  *
+  * Plan shape at 100 TB: ONE task per segment opens the segment's
+  * metadata + index map and range-reads ONLY the few-KB sketch section
+  * (the forward index — the petabyte part — is never touched;
+  * SketchSectionSpec counts the IO to prove it), then a single partial
+  * aggregate merges: one bitmap / one ≤k hash array per partition
+  * crosses the wire. Against a year of segments this is KBs of IO per
+  * segment instead of a full-column scan.
+  */
+object PinotSketches {
+
+  private def segDirs(tableDir: String): Seq[String] = {
+    val dirs = PinotSegments.discoverDirs(tableDir, SegmentIO.forPath(tableDir))
+    if (dirs.isEmpty)
+      throw new PinotFormatException(s"no segments under $tableDir")
+    dirs
+  }
+
+  /** Per-segment stored sketch payloads for `column`, one row per
+    * segment: (segment, sketch bytes). Fails loudly if any segment lacks
+    * the sketch — a silent partial merge would under-count.
+    */
+  def segmentSketches(s: SparkSession, tableDir: String,
+      column: String): DataFrame = {
+    import s.implicits._
+    val dirs = segDirs(tableDir)
+    val slices = math.max(1, math.min(dirs.size,
+      4 * s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(dirs, slices)
+      .map { dir =>
+        val r = SegmentReader.open(dir, SegmentIO.forPath(dir))
+        try {
+          val bytes = r.sketchBytes(column).getOrElse(
+            throw new PinotFormatException(
+              s"segment $dir has no stored sketch for column $column"))
+          (dir, bytes)
+        } finally r.close()
+      }
+      .toDF("segment", "sketch")
+  }
+
+  /** Exact distinct count of `column` from stored BITMAP sketches: one
+    * OR-merge over per-segment Roaring64 bitmaps.
+    */
+  def bitmapDistinct(s: SparkSession, tableDir: String, column: String,
+      as: String = "distinct_count"): DataFrame =
+    segmentSketches(s, tableDir, column)
+      .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
+
+  /** Distinct count of `column` from stored KMV sketches (exact while
+    * every segment's sketch is unsaturated — the bottom-k of a union of
+    * bottom-k summaries is the union's bottom-k): stored hash arrays
+    * re-aggregate through the SAME query-time [[KmvSketchAgg]], so
+    * stored sketches also compose with ad-hoc `kmv_sketch(xxhash64(x))`
+    * cohorts for union/intersection estimates.
+    */
+  def kmvDistinct(s: SparkSession, tableDir: String, column: String, k: Int,
+      as: String = "distinct_count"): DataFrame = {
+    import s.implicits._
+    val dirs = segDirs(tableDir)
+    val slices = math.max(1, math.min(dirs.size,
+      4 * s.sparkContext.defaultParallelism))
+    val hashes = s.sparkContext.parallelize(dirs, slices)
+      .flatMap { dir =>
+        val r = SegmentReader.open(dir, SegmentIO.forPath(dir))
+        try {
+          val bytes = r.sketchBytes(column).getOrElse(
+            throw new PinotFormatException(
+              s"segment $dir has no stored sketch for column $column"))
+          val sk = SketchSection.deserialize(bytes)
+          sk.spec match {
+            case SketchSection.KmvSpec(sk2) if sk2 == k => sk.kmvHashes
+            case SketchSection.KmvSpec(other) =>
+              throw new PinotFormatException(
+                s"segment $dir stores kmv$other for $column, expected kmv$k")
+            case _ => throw new PinotFormatException(
+              s"segment $dir stores a bitmap sketch for $column, expected kmv$k")
+          }
+        } finally r.close()
+      }
+      .toDF("hash")
+    hashes
+      .agg(KmvSketchAgg.kmvSketch(col("hash"), k).as("sk"))
+      .select(KmvSketchAgg.distinctEstimate(col("sk"), k).as(as))
+  }
+}

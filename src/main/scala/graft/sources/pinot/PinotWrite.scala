@@ -36,13 +36,14 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty) extends WriteBuilder {
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PinotBatchWrite(path, tableName,
       schema, queryId, partitionCols, jsonCols, invCols, nullableCols,
       timeCol, starTreeSpec, bloomCols, rangeCols, textCols, sortedCol,
-      textAnalyzer, jsonIdxCols)
+      textAnalyzer, jsonIdxCols, sketchCols)
     // streaming sink: each micro-batch epoch commits its own segments
     // (how a _REALTIME table fills up, which the discovery walk and the
     // catalog then serve with the same batch read path); carries the same
@@ -50,7 +51,7 @@ class PinotWriteBuilder(path: String, tableName: String, schema: StructType,
     override def toStreaming: streaming.StreamingWrite =
       new PinotStreamingWrite(path, tableName, schema, queryId,
         jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-        textCols, sortedCol, textAnalyzer, jsonIdxCols)
+        textCols, sortedCol, textAnalyzer, jsonIdxCols, sketchCols)
   }
 }
 
@@ -65,14 +66,15 @@ class PinotStreamingWrite(path: String, tableName: String,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty)
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     PinotStreamingWriterFactory(path, tableName, schema, queryId,
       jsonCols, invCols, nullableCols, starTreeSpec, bloomCols, rangeCols,
-      textCols, sortedCol, textAnalyzer, jsonIdxCols)
+      textCols, sortedCol, textAnalyzer, jsonIdxCols, sketchCols)
 
   private def delegate = new PinotBatchWrite(path, tableName, schema, queryId)
 
@@ -109,12 +111,13 @@ class PinotBatchWrite(path: String, tableName: String, schema: StructType,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty) extends BatchWrite {
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PinotWriterFactory(path, tableName, schema, queryId, partitionCols,
       jsonCols, invCols, nullableCols, timeCol, starTreeSpec, bloomCols,
-      rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
+      rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols, sketchCols)
 
   /** Idempotent per segment: a replayed commit (streaming epoch retry —
     * Spark's StreamingWrite contract requires `commit(epochId)` to be
@@ -175,14 +178,15 @@ case class PinotStreamingWriterFactory(path: String, tableName: String,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty)
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema,
       s"${queryId}_e$epochId", partitionId, taskId,
       Seq.empty, jsonCols, invCols, nullableCols, None, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols, sketchCols)
 }
 
 class PinotWriterFactory(path: String, tableName: String, schema: StructType,
@@ -197,7 +201,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty)
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty)
     extends DataWriterFactory {
 
   // validate up front so the failure is a clean analysis-time error
@@ -297,6 +302,18 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     if (!ok) throw new PinotFormatException(
       s"jsonIndexColumns entry $jc must be an existing STRING column")
   }
+  // stored distinct sketches: single-value int/long/string/timestamp
+  // columns; the spec string must parse (kmv<k> / bitmap)
+  sketchCols.foreach { case (sc, spec) =>
+    graft.pinot.SketchSection.parseSpec(spec)
+    val ok = schema.fieldNames.contains(sc) && (schema(sc).dataType match {
+      case IntegerType | LongType | StringType | TimestampType => true
+      case _ => false
+    })
+    if (!ok) throw new PinotFormatException(
+      s"sketchColumns entry $sc must be an existing INT/LONG/STRING/" +
+        "TIMESTAMP column")
+  }
   // sorted column (Pinot's sortedColumn table config): rows are SORTED
   // by it at write time, so every segment records isSorted=true and the
   // scan's sorted sub-segment ranging applies by construction
@@ -352,7 +369,7 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PinotDataWriter(path, tableName, schema, queryId, partitionId, taskId,
       partitionCols, jsonCols, invCols, nullableCols, timeCol, starTreeSpec,
-      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols)
+      bloomCols, rangeCols, textCols, sortedCol, textAnalyzer, jsonIdxCols, sketchCols)
 }
 
 class PinotDataWriter(path: String, tableName: String, schema: StructType,
@@ -367,7 +384,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     textCols: Set[String] = Set.empty,
     sortedCol: Option[String] = None,
     textAnalyzer: Int = graft.pinot.TextIndexSection.AnalyzerStandard,
-    jsonIdxCols: Set[String] = Set.empty)
+    jsonIdxCols: Set[String] = Set.empty,
+    sketchCols: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
 
   // star-tree dims must stay dictionary-encoded (records address dict
@@ -585,7 +603,8 @@ class PinotDataWriter(path: String, tableName: String, schema: StructType,
     SegmentWriter.write(tmpDir, tableName, s"seg_$suffix", cols, invCols,
       nullVecs, timeCol, starTreeSpec, bloomCols, rangeCols = rangeCols,
       textCols = textCols, textAnalyzer = textAnalyzer,
-      jsonIdxCols = jsonIdxCols)
+      jsonIdxCols = jsonIdxCols,
+      sketchCols = sketchCols)
     flushed += ((tmpDir.toString, s"seg_$suffix"))
     segSeq += 1
   }

@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkTestBase {
     // crossed 1×1 so the union/intersect estimators see both arrays —
     // the raw events were already reduced by the aggregate
     "q136_theta_distinct",
+    // stored-sketch distinct: two single-row merged-sketch aggregates
+    // crossed 1×1 into the output row
+    "q145_pinot_sketch_distinct",
     // PQ: the ONE-ROW codebook crossed into the encode scan + the q47-
     // style broadcast-probe theta join for candidate ranking
     "q140_knn_pq")
