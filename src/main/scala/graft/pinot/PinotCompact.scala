@@ -82,13 +82,25 @@ object PinotCompact {
       metas.forall(_.columns(c).hasBloomFilter)).toSet
     val rangeCols = colNames.filter(c =>
       metas.forall(_.columns(c).hasRangeIndex)).toSet
+    // json indexes and stored sketches too (sketches only when every
+    // source segment agrees on the spec — a mixed-spec merge would
+    // silently change estimator semantics)
+    val jsonIdxCols = colNames.filter(c =>
+      metas.forall(_.columns(c).hasJsonIndex)).toSet
+    val sketchCols = colNames.flatMap { c =>
+      metas.map(_.columns(c).sketchSpec).distinct match {
+        case Seq(Some(sp)) => Some(c -> sp)
+        case _ => None
+      }
+    }.toMap
 
     val mergedName = s"merged_${first.tableName}_0"
     val tmp = root.resolve(s"tmp_compact_$mergedName")
     SegmentWriter.write(tmp, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
       rangeCols = rangeCols, textCols = textCols,
-      textAnalyzers = textAnalyzers)
+      textAnalyzers = textAnalyzers, jsonIdxCols = jsonIdxCols,
+      sketchCols = sketchCols)
     val check = SegmentReader.open(tmp)
     try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
@@ -122,6 +134,8 @@ object PinotCompact {
     val texAnalyzers = textAnalyzersByCol(Seq(r), texts)
     val sketches = meta.columns.collect {
       case (c, cm) if cm.sketchSpec.isDefined => c -> cm.sketchSpec.get }
+    val jsonIdx = meta.columns.collect {
+      case (c, cm) if cm.hasJsonIndex => c }.toSet
     val starSpec =
       if (meta.starTreeDims.nonEmpty)
         Some(StarTree.Spec(meta.starTreeDims,
@@ -131,7 +145,7 @@ object PinotCompact {
     SegmentWriter.write(Paths.get(destDir), meta.tableName, meta.segmentName,
       cols, inverted, nullVectors, meta.timeColumn, starSpec, blooms,
       formatVersion, ranges, texts, textAnalyzers = texAnalyzers,
-      sketchCols = sketches)
+      sketchCols = sketches, jsonIdxCols = jsonIdx)
   }
 
   /** Merge-ROLLUP compaction (EXTENSION — Pinot's MergeRollupTask):

@@ -576,6 +576,7 @@ object SegmentReader {
       ".text.inv" -> TextIndexSection.IndexType,
       ".bloom.filter" -> "bloom_filter",
       ".distinct.sketch" -> SketchSection.IndexType,
+      ".json.idx" -> JsonIndexSection.IndexType,
       ".dict" -> "dictionary")
     io.listFiles(root).flatMap { f =>
       val n = io.fileName(f)

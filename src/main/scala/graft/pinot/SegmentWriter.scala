@@ -740,6 +740,7 @@ object SegmentWriter {
           case RangeSection.IndexType => s"$col.bitmap.range"
           case TextIndexSection.IndexType => s"$col.text.inv"
           case SketchSection.IndexType => s"$col.distinct.sketch"
+          case JsonIndexSection.IndexType => s"$col.json.idx"
           case StarTree.SectionType => "star_tree_index"
           case other =>
             throw new PinotFormatException(s"no v1 file name for $other")

@@ -85,6 +85,98 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("60 index-bearing draws: pushdown answers equal the DataFrame twin") {
+    // the r10 differential drew plain round-trips; this hunt FUZZES the
+    // index build+probe matrix — every draw toggles json/text/range/
+    // bloom/inverted/sketch options, then probes the shapes each index
+    // serves (equality, IN, IS NULL, substring, range, distinct) and
+    // compares (count, sum(k)) against the in-memory DataFrame twin; a
+    // random half compacts and re-probes, so index survival through the
+    // compactor is fuzzed too
+    val rnd = new scala.util.Random(seed + 2)
+    for (draw <- 1 to 60) {
+      val rows = 300 + rnd.nextInt(900)
+      val parts = 1 + rnd.nextInt(3)
+      val dictCard = 2 + rnd.nextInt(30)
+      val jsonCard = 2 + rnd.nextInt(9)
+      val tokCard = 2 + rnd.nextInt(12)
+      val df = spark.range(0, rows, 1, parts).select(
+        col("id").as("k"),
+        concat(lit("cat"), (col("id") % dictCard).cast("string"))
+          .as("dict_str"),
+        ((col("id") * 37) % 1000).cast("int").as("i32"),
+        concat(lit("uid-"), md5(col("id").cast("string"))).as("raw_str"),
+        // json docs: sometimes-null column, sometimes-missing key
+        when(col("id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(to_json(struct(
+            (col("id") % jsonCard).cast("string").as("v"),
+            when(col("id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("s"), (col("id") % 5).cast("string")))
+              .as("s")))).as("doc"),
+        // text: 3 space-joined tokens from a small vocabulary
+        concat_ws(" ",
+          concat(lit("tok"), (col("id") % tokCard).cast("string")),
+          concat(lit("tok"), ((col("id") * 7) % tokCard).cast("string")),
+          concat(lit("w"), (col("id") % 3).cast("string"))).as("text"))
+        .orderBy(md5(col("k").cast("string"))).cache()
+
+      val dir = Files.createTempDirectory("pinot_idiff")
+        .resolve(s"idiff${draw}_OFFLINE").toString
+      var w = df.write.format("pinot").mode("append")
+        .option("jsonColumns", "doc")
+        .option("nullableColumns", "doc")
+      if (rnd.nextBoolean()) w = w.option("jsonIndexColumns", "doc")
+      if (rnd.nextBoolean()) w = w.option("textIndexColumns", "text")
+      if (rnd.nextBoolean()) w = w.option("rangeIndexColumns", "i32")
+      if (rnd.nextBoolean()) w = w.option("bloomFilterColumns", "raw_str")
+      if (rnd.nextBoolean()) w = w.option("invertedIndexColumns", "dict_str")
+      val sketched = rnd.nextBoolean()
+      if (sketched) w = w.option("sketchColumns", "k:bitmap,dict_str:kmv64")
+      if (rnd.nextBoolean()) w = w.option("sortedColumn", "k")
+      w.save(dir)
+
+      def sig(d: DataFrame): (Long, Long) = {
+        val r = d.agg(count(lit(1)), coalesce(sum("k"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def check(stage: String): Unit = {
+        val back = spark.read.format("pinot").load(dir)
+        def probe(name: String, p: DataFrame => DataFrame): Unit =
+          assert(sig(p(back)) === sig(p(df)),
+            s"draw $draw ($stage) probe '$name' diverged")
+        probe("json eq", _.filter(
+          get_json_object(col("doc"), "$.v") === (draw % jsonCard).toString))
+        probe("json in", _.filter(get_json_object(col("doc"), "$.s")
+          .isin("s0", "s3")))
+        probe("json null", _.filter(
+          get_json_object(col("doc"), "$.s").isNull))
+        probe("text contains", _.filter(
+          col("text").contains(s"tok${draw % tokCard}")))
+        probe("range", _.filter(col("i32") > 200 && col("i32") <= 700))
+        probe("bloom eq", _.filter(col("raw_str") ===
+          df.select("raw_str").head().getString(0)))
+        probe("dict eq", _.filter(
+          col("dict_str") === s"cat${draw % dictCard}"))
+        if (sketched) {
+          assert(graft.sources.pinot.PinotSketches
+            .bitmapDistinct(spark, dir, "k").head().getLong(0) ===
+            df.select("k").distinct().count(),
+            s"draw $draw ($stage) bitmap sketch distinct diverged")
+          assert(graft.sources.pinot.PinotSketches
+            .kmvDistinct(spark, dir, "dict_str", 64).head().getLong(0) ===
+            df.select("dict_str").distinct().count(),
+            s"draw $draw ($stage) kmv sketch distinct diverged")
+        }
+      }
+      check("written")
+      if (rnd.nextBoolean()) {
+        graft.pinot.PinotCompact.compact(dir)
+        check("compacted")
+      }
+      df.unpersist()
+    }
+  }
+
   test("random merge-ROLLUPs equal the groupBy twin") {
     val rnd = new scala.util.Random(seed + 1)
     for (draw <- 1 to 5) {
