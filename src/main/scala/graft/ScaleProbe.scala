@@ -25,6 +25,8 @@ object ScaleProbe {
     "q133_funnel_count", "q134_funnel_max_step",
     // r11 funnel widening — step durations + session-correlated variant
     "q143_funnel_step_durations", "q144_funnel_sessions",
+    // r11 stored-sketch distinct — per-segment sketch merge, ~flat
+    "q145_pinot_sketch_distinct",
     "q135_frequent_strings", "q136_theta_distinct",
     // r10 geo — grid equi-join + single-scan argmin, must be ~linear
     "q137_geofence_count", "q138_nearest_region",
