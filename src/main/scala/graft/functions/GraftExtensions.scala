@@ -92,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapMergeAgg(args.head).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("kmv_merge_estimate"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "kmv_merge_estimate(sketch_bytes, k) takes exactly 2 arguments")
+        KmvMergeAgg(args.head, foldableInt(args(1), "kmv_merge_estimate k"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (args: Seq[Expression]) => {

@@ -118,6 +118,122 @@ case class KmvSketchAgg(
   override def prettyName: String = "kmv_sketch"
 }
 
+/** Merge of PRE-BUILT KMV sketches (binary [[graft.pinot.SketchSection]]
+  * payloads of kind `kmv<k>`, e.g. the per-group sketch column a
+  * [[graft.pinot.PinotCompact.rollup]] with `sketchMetrics` stores) into
+  * a distinct-count estimate — exact while the merged sketch stays
+  * unsaturated (the bottom-k of a union of bottom-k summaries IS the
+  * union's bottom-k). Each input row is a ≤k-hash summary, never raw
+  * data, and one merged buffer per partition crosses the wire.
+  */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 8, s"kmv_merge_estimate k must be >= 8, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_merge_estimate requires binary sketch payloads, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { if (buf.add(h)) buf.pollLast(); () }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sk = graft.pinot.SketchSection.deserialize(v.asInstanceOf[Array[Byte]])
+      val stored = sk.spec match {
+        case graft.pinot.SketchSection.KmvSpec(sk2) =>
+          require(sk2 == k,
+            s"kmv_merge_estimate(k=$k) fed a kmv$sk2 sketch"); sk.kmvHashes
+        case _ => throw new IllegalArgumentException(
+          "kmv_merge_estimate: section is not a kmv sketch")
+      }
+      var i = 0
+      while (i < stored.length) { offer(buf, stored(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(
+      a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    // same estimator as KmvSketchAgg.distinctEstimate, computed directly:
+    // unsaturated => exact count; saturated => (k-1) / norm(k-th)
+    if (buf.size < k) buf.size.toLong
+    else {
+      val cut = buf.last().longValue()
+      val below = buf.size - 1
+      val norm = math.min(
+        cut.toDouble / math.pow(2.0, 64) + 0.5, Math.nextDown(1.0))
+      math.round(below.toDouble / norm)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "kmv_merge_estimate"
+}
+
+object KmvMergeAgg {
+
+  /** Distinct-count estimate from pre-built kmv<k> sketch payloads. */
+  def kmvMergeEstimate(c: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(
+      KmvMergeAgg(GraftSqlBridge.toExpression(c), k)
+        .toAggregateExpression())
+}
+
 object KmvSketchAgg {
 
   /** Bottom-k sketch of a pre-hashed bigint column (use `xxhash64(col)`),

@@ -159,17 +159,30 @@ object PinotCompact {
     * Constraints (Pinot's, enforced here): every column is either a dim
     * or a SUM metric; metrics are numeric; no nullable columns; dims may
     * be any scalar type. Indexes requested on dims survive (rebuilt).
+    *
+    * `sketchMetrics` (EXTENSION — Pinot's ingestion-time
+    * DISTINCT_COUNT_THETA_SKETCH/BITMAP aggregation in MergeRollupTask):
+    * the named columns roll up to ONE serialized [[SketchSection]]
+    * per group, stored as a BYTES column — a `bitmap` keeps the group's
+    * exact distinct raw long values (strings keep xxhash64 values), a
+    * `kmv<k>` keeps the bottom-k of the group's Spark-xxhash64 values.
+    * Query time merges the per-group sketches (`bitmap_merge_distinct` /
+    * `kmv_merge_estimate`) — grouped DISTINCT answers survive the
+    * rollup even though the raw rows are gone.
     */
   def rollup(tableDir: String, dims: Seq[String],
-      metrics: Seq[String]): Path = {
+      metrics: Seq[String],
+      sketchMetrics: Map[String, String] = Map.empty): Path = {
     val root = Paths.get(tableDir)
     val segDirs = segmentDirs(tableDir)
     val readers = segDirs.map(d => SegmentReader.open(d))
     val metas = readers.map(_.metadata)
     val first = metas.head
     val colNames = first.columns.keys.toSeq
-    require((dims ++ metrics).toSet == colNames.toSet,
-      s"rollup: dims ++ metrics must cover exactly the schema $colNames")
+    require((dims ++ metrics ++ sketchMetrics.keys).toSet == colNames.toSet,
+      s"rollup: dims ++ metrics ++ sketchMetrics must cover exactly the " +
+        s"schema $colNames")
+    sketchMetrics.values.foreach(SketchSection.parseSpec)
     require(metas.forall(m => colNames.forall(c => !m.columns(c).hasNullVector)),
       "rollup: nullable columns cannot roll up")
     val (cols, _) = materialize(readers)
@@ -190,6 +203,18 @@ object PinotCompact {
       case other => throw new PinotFormatException(
         s"rollup: unsupported dim column kind for ${other.name}")
     }
+    def groupSketch(nm: String,
+        order: Array[scala.collection.mutable.ArrayBuffer[Int]],
+        longOf: Int => Long, hashOf: Int => Long): SegmentWriter.ColumnData =
+      SegmentWriter.BytesRawCol(nm, order.map { g =>
+        SketchSection.parseSpec(sketchMetrics(nm)) match {
+          case SketchSection.KmvSpec(k) =>
+            SketchSection.buildKmv(g.iterator.map(hashOf), k)
+          case SketchSection.BitmapSpec =>
+            SketchSection.buildBitmap(g.iterator.map(longOf))
+        }
+      })
+
     // group doc ids by dim tuple, FIRST-SEEN order (deterministic: doc order)
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[Int]]
@@ -216,6 +241,26 @@ object PinotCompact {
         SegmentWriter.BoolCol(nm, order.map(g => v(g.head)))
       case SegmentWriter.TimestampCol(nm, v) if dims.contains(nm) =>
         SegmentWriter.TimestampCol(nm, order.map(g => v(g.head)))
+      // sketch metrics: one serialized SketchSection per group
+      case SegmentWriter.IntCol(nm, v) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order, i => v(i).toLong, i => SketchSection.xxhash(v(i)))
+      case SegmentWriter.LongCol(nm, v) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order, i => v(i), i => SketchSection.xxhash(v(i)))
+      case SegmentWriter.IntRawCol(nm, v, _, _) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order, i => v(i).toLong, i => SketchSection.xxhash(v(i)))
+      case SegmentWriter.LongRawCol(nm, v, _, _) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order, i => v(i), i => SketchSection.xxhash(v(i)))
+      case SegmentWriter.TimestampCol(nm, v) if sketchMetrics.contains(nm) =>
+        // bitmap keeps raw millis; kmv hashes Spark's MICROsecond long
+        groupSketch(nm, order, i => v(i),
+          i => SketchSection.xxhash(v(i) * 1000L))
+      case SegmentWriter.StringDictCol(nm, v, _) if sketchMetrics.contains(nm) =>
+        // strings have no natural long: both kinds keep xxhash64 values
+        groupSketch(nm, order, i => SketchSection.xxhash(v(i)),
+          i => SketchSection.xxhash(v(i)))
+      case SegmentWriter.StringRawCol(nm, v, _, _, _) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order, i => SketchSection.xxhash(v(i)),
+          i => SketchSection.xxhash(v(i)))
       // metrics: exact SUM per group (int widens to long-safe via math)
       case SegmentWriter.IntCol(nm, v) =>
         SegmentWriter.IntCol(nm, order.map(g =>

@@ -594,18 +594,7 @@ object SegmentWriter {
     // forward index — see [[SketchSection]]
     // Hashes use Spark's xxhash64 semantics (seed 42) so stored sketches
     // compose with query-time KmvSketchAgg sketches over the same values.
-    def xx(v: Any): Long = v match {
-      case i: Int => org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashInt(i, 42L)
-      case l: Long => org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(l, 42L)
-      case s: String =>
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-      case other => throw new PinotFormatException(
-        s"sketch hash: unsupported value class ${other.getClass}")
-    }
+    def xx(v: Any): Long = SketchSection.xxhash(v)
     def sketchHashes(cd: ColumnData): Option[Iterator[Long]] = cd match {
       case IntCol(_, v) => Some(v.iterator.map(xx))
       case LongCol(_, v) => Some(v.iterator.map(xx))

@@ -51,6 +51,23 @@ object SketchSection {
   }
   case object BitmapSpec extends Spec { def render = "bitmap" }
 
+  /** Spark-`xxhash64` (seed 42) of a raw int/long/string value — the
+    * hash every KMV sketch in the repo uses, so stored, rolled-up, and
+    * query-time sketches all compose.
+    */
+  def xxhash(v: Any): Long = v match {
+    case i: Int => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(i, 42L)
+    case l: Long => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(l, 42L)
+    case s: String =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    case other => throw new PinotFormatException(
+      s"sketch hash: unsupported value class ${other.getClass}")
+  }
+
   /** Parse a spec string: `kmv<k>` or `bitmap`. */
   def parseSpec(s: String): Spec = s.trim match {
     case "bitmap" => BitmapSpec

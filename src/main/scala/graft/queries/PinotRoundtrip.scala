@@ -455,7 +455,54 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Rollup-sketch fixture: events subset rolled up per event_type with
+    * user_id aggregated to a bitmap sketch COLUMN and props to a kmv1024
+    * sketch column ([[graft.pinot.PinotCompact.rollup]] sketchMetrics) —
+    * the model of Pinot's ingestion-time DISTINCT_COUNT_THETA_SKETCH:
+    * raw rows are GONE after the rollup, grouped distincts survive.
+    */
+  private def rollupSketchTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsRollSk_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_type"), col("user_id"), col("props"),
+          lit(1).as("cnt"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.pinot.PinotCompact.rollup(tableDir.toString,
+        dims = Seq("event_type"), metrics = Seq("cnt"),
+        sketchMetrics = Map("user_id" -> "bitmap", "props" -> "kmv1024"))
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Grouped DISTINCT over a ROLLED-UP table whose raw rows are gone:
+    // the rollup stored one sketch per (event_type) group
+    // (DISTINCT_COUNT_THETA_SKETCH's ingestion-time model); the query
+    // merges the per-group sketch column — bitmap (exact) for users,
+    // kmv1024 (exact: 100 distinct props) for props — next to the
+    // summed count. The oracle computes the true grouped distincts
+    // from the original parquet rows the rollup consumed.
+    "q146_pinot_rollup_sketch" -> ((s, d) => {
+      val dir = rollupSketchTable(s, d)
+      s.read.format("pinot").load(dir)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.BitmapMergeAgg.bitmapMergeDistinct(col("user_id"))
+            .as("distinct_users"),
+          graft.functions.KmvMergeAgg.kmvMergeEstimate(col("props"), 1024)
+            .as("distinct_props"),
+          sum("cnt").as("events"))
+        .orderBy("event_type")
+    }),
+
     // DISTINCT answered from SEGMENT-STORED sketches (the capability of
     // Pinot's ingestion-time THETA_SKETCH/BITMAP columns): the scan
     // range-reads ONLY each segment's few-KB sketch section and merges —
@@ -920,6 +967,16 @@ object PinotRoundtrip {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the true grouped distincts over the rows the rollup consumed
+    "q146_pinot_rollup_sketch" ->
+      """WITH sub AS (SELECT event_type, user_id, props FROM
+        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       count(DISTINCT props) AS distinct_props,
+        |       CAST(count(*) AS BIGINT) AS events
+        |FROM sub GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // the true distincts over EXACTLY the fixture's row subset
     "q145_pinot_sketch_distinct" ->
       """WITH sub AS (SELECT user_id, props FROM

@@ -136,6 +136,45 @@ class SketchSectionSpec extends SparkTestBase {
     assert(u === 51L) // 41 stored + 10 new, exact (both unsaturated)
   }
 
+  test("rollup sketchMetrics: grouped distincts survive the rollup exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("roll_sk").resolve("rs_OFFLINE").toString
+    val df = (0 until 4000).map { i =>
+      (s"g${i % 5}", (i % (37 + i % 5)).toLong, s"p${i % 23}", 1)
+    }.toDF("g", "uid", "p", "cnt")
+    df.repartition(3).write.format("pinot").mode("append").save(dir)
+    PinotCompact.rollup(dir, dims = Seq("g"), metrics = Seq("cnt"),
+      sketchMetrics = Map("uid" -> "bitmap", "p" -> "kmv64"))
+    val back = spark.read.format("pinot").load(dir)
+      .groupBy("g")
+      .agg(
+        graft.functions.BitmapMergeAgg.bitmapMergeDistinct(col("uid"))
+          .as("du"),
+        graft.functions.KmvMergeAgg.kmvMergeEstimate(col("p"), 64).as("dp"),
+        sum("cnt").as("n"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = df.groupBy("g")
+      .agg(countDistinct(col("uid")).as("du"),
+        countDistinct(col("p")).as("dp"), count(lit(1)).as("n"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(back === want, "rolled-up sketch distincts diverged from the twin")
+    // the raw rows are really gone: one row per group remains
+    assert(spark.read.format("pinot").load(dir).count() === 5L)
+    // SQL registration works for both merge aggregates
+    spark.read.format("pinot").load(dir).createOrReplaceTempView("rolled_sk")
+    val viaSql = spark.sql(
+      """SELECT g, bitmap_merge_distinct(uid) AS du,
+        |       kmv_merge_estimate(p, 64) AS dp
+        |FROM rolled_sk GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === want.map(t => (t._1, t._2, t._3)))
+  }
+
   test("sketch sections survive v1 conversion and report in metadata") {
     val (dir, nUsers, _) = writeFixture()
     val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(

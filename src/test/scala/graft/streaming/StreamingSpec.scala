@@ -386,7 +386,11 @@ class StreamingSpec extends SparkTestBase {
     val types = Seq("signup", "view", "purchase", "click", "error")
     val winMs = 60L * 60000
     val rnd = new scala.util.Random(20260815L)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 4) {
+      // trials alternate STRICT and NON-STRICT (default Pinot) modes, so
+      // the >=-chains and the t == wm anchorless-prune boundary (ADVICE
+      // r10) are randomized-hunted too, not just spot-tested
+      val strict = trial % 2 == 1
       val evs = (0 until 200).map { i =>
         Event(i.toLong, ts(rnd.nextInt(600).toLong), rnd.nextInt(40).toLong,
           types(rnd.nextInt(types.length)), 0.0)
@@ -398,7 +402,8 @@ class StreamingSpec extends SparkTestBase {
       // claim covers
       val arrival = evs.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
       val mem = MemoryStream[Event]
-      val q = statefulFunnel(mem.toDS(), windowMs = winMs)
+      val q = statefulFunnel(mem.toDS(), windowMs = winMs,
+          strictIncrease = strict)
         .writeStream.format("memory").queryName(s"funnel_rand_$trial")
         .outputMode("append").start()
       try {
@@ -420,6 +425,8 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .filterNot(_._1 == 999L).toSet
       val stepIdx = Map("signup" -> 0, "view" -> 1, "purchase" -> 2)
+      def after(t: Long, prev: Long): Boolean =
+        if (strict) t > prev else t >= prev
       val expected = evs.filter(e => stepIdx.contains(e.event_type))
         .groupBy(_.user_id)
         .flatMap { case (uid, es) =>
@@ -432,12 +439,13 @@ class StreamingSpec extends SparkTestBase {
           }
           anchors.reverse.map { t1 =>
             val dl = t1 + winMs
-            val t2 = byStep(1).find(t => t > t1 && t <= dl)
-            val t3 = t2.flatMap(t2v => byStep(2).find(t => t > t2v && t <= dl))
+            val t2 = byStep(1).find(t => after(t, t1) && t <= dl)
+            val t3 = t2.flatMap(t2v =>
+              byStep(2).find(t => after(t, t2v) && t <= dl))
             (uid, if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1, t1)
           }
         }.toSet
-      assert(streamed === expected, s"trial $trial diverged")
+      assert(streamed === expected, s"trial $trial (strict=$strict) diverged")
       // q134 parity is the FIRST-entry row (min step1_ms) per user
       val firstEntries = streamed.groupBy(_._1)
         .map { case (uid, rows) => uid -> rows.minBy(_._3)._2 }
