@@ -52,9 +52,12 @@ object Funnel {
       Seq("user_id"), steps, windowExpr, strictIncrease)
 
   /** The funnel engine generalized over the CORRELATE-BY key (Pinot's
-    * funnel aggregations take an arbitrary correlation column): same
-    * stacked-window chain, partitioned by `keys`. Input must already be
-    * filtered to step-typed events and carry (keys..., ts, event_type).
+    * funnel aggregations take an arbitrary correlation column) and over
+    * ANY number of steps: the chained "first step-k after step-(k-1),
+    * inside the window" minimums stack as one Window aggregate per step
+    * on the SAME single exchange, partitioned by `keys`. Input must
+    * already be filtered to step-typed events and carry
+    * (keys..., ts, event_type). Output: one row per key with t1..tN.
     * When `keys` extend user_id (e.g. a derived session index), the
     * partitioning still hashes on the SAME exchange cardinality class —
     * one shuffle, sessions of one user land together only if the first
@@ -66,20 +69,22 @@ object Funnel {
       steps: Seq[String],
       windowExpr: String,
       strictIncrease: Boolean): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least 2 steps")
     val w = Window.partitionBy(keys.map(col): _*)
     def after(ts: Column, prev: Column) =
       if (strictIncrease) ts > prev else ts >= prev
-    val withT1 = e.withColumn(
+    var df = e.withColumn(
       "t1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
     val deadline = col("t1") + expr(windowExpr)
-    val withT2 = withT1.withColumn(
-      "t2", min(when(col("event_type") === steps(1) &&
-        after(col("ts"), col("t1")) && col("ts") <= deadline, col("ts"))).over(w))
-    val withT3 = withT2.withColumn(
-      "t3", min(when(col("event_type") === steps(2) &&
-        after(col("ts"), col("t2")) && col("ts") <= deadline, col("ts"))).over(w))
-    withT3.groupBy(keys.map(col): _*)
-      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    for (k <- 2 to steps.length) {
+      df = df.withColumn(
+        s"t$k", min(when(col("event_type") === steps(k - 1) &&
+          after(col("ts"), col(s"t${k - 1}")) && col("ts") <= deadline,
+          col("ts"))).over(w))
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(min("t1").as("t1"),
+        (2 to steps.length).map(k => min(s"t$k").as(s"t$k")): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -154,6 +159,19 @@ object Funnel {
             (count(col("d23")) * lit(1000.0)), 2).as("avg_sec_2_3"),
           min(col("d23")).as("min_ms_2_3"),
           max(col("d23")).as("max_ms_2_3"))),
+
+    // FOUR-step funnel (Pinot funnel aggregations take an arbitrary
+    // step list; the engine chains one window aggregate per step on the
+    // same single exchange): signup -> click -> view -> purchase, with
+    // per-step reach counts.
+    "q147_funnel_four_steps" -> ((s, d) =>
+      perUserStepTimes(ev(s, d),
+        steps = Seq("signup", "click", "view", "purchase"))
+        .agg(
+          count(col("t1")).as("step1_users"),
+          count(col("t2")).as("step2_users"),
+          count(col("t3")).as("step3_users"),
+          count(col("t4")).as("step4_users"))),
 
     // CORRELATE BY SESSION (Pinot funnel aggs take an arbitrary
     // correlation key): gap-sessionize the step-typed events (30-min
@@ -260,6 +278,27 @@ object Funnel {
         |  count(s3.t3) AS converted
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |GROUP BY 1 ORDER BY week_start""".stripMargin,
+
+    "q147_funnel_four_steps" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |     WHERE event_type IN ('signup','click','view','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4
+        |       FROM e JOIN s3 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS step1_users,
+        |       (SELECT count(*) FROM s2) AS step2_users,
+        |       (SELECT count(*) FROM s3) AS step3_users,
+        |       (SELECT count(*) FROM s4) AS step4_users""".stripMargin,
 
     "q143_funnel_step_durations" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events

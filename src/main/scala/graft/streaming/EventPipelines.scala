@@ -255,14 +255,22 @@ object EventPipelines {
       if (strictIncrease) t > prev else t >= prev
 
     def resolve(uid: Long, t1: Long, pending: List[(Long, Int)]): FunnelOut = {
+      // fold the chain over ANY number of steps (batch parity:
+      // Funnel.perKeyStepTimes generalizes the same way)
       val deadline = t1 + windowMs
       val inWin = pending.filter { case (t, _) =>
         after(t, t1) && t <= deadline }
-      val t2 = inWin.collect { case (t, 1) => t }
-        .minOption.getOrElse(None1)
-      val t3 = inWin.collect { case (t, 2) if after(t, t2) => t }
-        .minOption.getOrElse(None1)
-      val maxStep = if (t3 != None1) 3 else if (t2 != None1) 2 else 1
+      var prev = t1
+      var maxStep = 1
+      var k = 1
+      var chained = true
+      while (chained && k < steps.length) {
+        inWin.collect { case (t, kk) if kk == k && after(t, prev) => t }
+          .minOption match {
+          case Some(t) => prev = t; k += 1; maxStep = k
+          case None => chained = false
+        }
+      }
       FunnelOut(uid, maxStep, t1)
     }
 
