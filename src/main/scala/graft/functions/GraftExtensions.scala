@@ -92,6 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapMergeAgg(args.head).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3,
+          "kll_quantiles(col, k, q1[, q2, ...]) takes a column, k, and " +
+            "at least one fraction")
+        KllSketchAgg(args.head, foldableInt(args(1), "kll_quantiles k"),
+          args.drop(2).map(foldableDouble(_, "kll_quantiles fraction")))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_merge_estimate"),
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_estimate"),
       (args: Seq[Expression]) => {
@@ -112,6 +123,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   /** Evaluates a foldable int argument (capacity/k) at registration. */
+  private def foldableDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+  }
+
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {

@@ -73,10 +73,57 @@ object Sketches {
               to_date(col("ts")), lit("1970-01-01").cast("date")))
             .as("user_days"),
           count(lit(1)).as("n_events"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Mergeable quantile sketch (Pinot PERCENTILE_KLL): the per-user
+    // spend distribution per event type — the inner aggregate sums
+    // integer-quantized cents (order-independent, engine-exact), the KLL
+    // sketch summarizes users. k = 2¹⁷ keeps the sketch in its EXACT
+    // nearest-rank regime through sf1 (~15k users/type at sf1); the
+    // saturated regime is property-tested in KllSketchSpec. One ≤O(k)
+    // summary per group per partition crosses the wire — never the full
+    // value list Spark's exact `percentile` shuffles.
+    "q148_kll_user_spend" -> ((s, d) => {
+      val perUser = ev(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      perUser
+        .groupBy("event_type")
+        .agg(graft.functions.KllSketchAgg.kllQuantiles(
+          col("cents").cast("double"), 1 << 17,
+          Seq(0.1, 0.5, 0.9, 0.99)).as("qarr"),
+          count(lit(1)).as("n_users"))
+        .select(col("event_type"),
+          element_at(col("qarr"), 1).cast("long").as("p10_cents"),
+          element_at(col("qarr"), 2).cast("long").as("p50_cents"),
+          element_at(col("qarr"), 3).cast("long").as("p90_cents"),
+          element_at(col("qarr"), 4).cast("long").as("p99_cents"),
+          col("n_users"))
+        .orderBy("event_type")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // nearest-rank percentiles: smallest cents with rank >= ceil(q*n),
+    // exactly the sketch's exact-regime estimator; ::DOUBLE keeps the
+    // ceil argument in IEEE arithmetic on both engines (DuckDB decimal
+    // literals would ceil differently at representable boundaries)
+    "q148_kll_user_spend" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM u)
+        |SELECT event_type,
+        |  min(CASE WHEN rn >= ceil(0.1::DOUBLE * n) THEN cents END) AS p10_cents,
+        |  min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN cents END) AS p90_cents,
+        |  min(CASE WHEN rn >= ceil(0.99::DOUBLE * n) THEN cents END) AS p99_cents,
+        |  count(*) AS n_users
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q135_frequent_strings" ->
       """SELECT props AS item, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
