@@ -103,6 +103,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_merge_quantiles"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3,
+          "kll_merge_quantiles(sketch_bytes, k, q1[, ...]) takes a binary " +
+            "column, k, and at least one fraction")
+        KllMergeAgg(args.head, foldableInt(args(1), "kll_merge_quantiles k"),
+          args.drop(2).map(foldableDouble(_, "kll_merge_quantiles fraction")))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_merge_estimate"),
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_estimate"),
       (args: Seq[Expression]) => {

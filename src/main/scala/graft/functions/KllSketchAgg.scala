@@ -105,6 +105,98 @@ case class KllSketchAgg(
   override def prettyName: String = "kll_quantiles"
 }
 
+/** Merge of PRE-BUILT KLL sketches (binary [[graft.pinot.SketchSection]]
+  * payloads of kind `kll<k>` — per-segment stored sketches or the
+  * per-group sketch column a rollup with `sketchMetrics` stores) into
+  * quantile estimates: the PERCENTILE_KLL-over-stored-sketches path.
+  * Each input row is one bounded summary, never raw data.
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketchAgg.Buf] {
+
+  require(k >= 8, s"kll_merge_quantiles k must be >= 8, got $k")
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    s"kll_merge_quantiles fractions must be in [0, 1]: $qs")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_quantiles requires binary sketch payloads, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): KllSketchAgg.Buf =
+    new KllSketchAgg.Buf(k)
+
+  override def update(buf: KllSketchAgg.Buf, input: InternalRow): KllSketchAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sk = graft.pinot.SketchSection.deserialize(v.asInstanceOf[Array[Byte]])
+      sk.spec match {
+        case graft.pinot.SketchSection.KllSpec(sk2) =>
+          require(sk2 == k,
+            s"kll_merge_quantiles(k=$k) fed a kll$sk2 sketch")
+          buf.mergeIn(sk.kll)
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_quantiles: section is not a kll sketch")
+      }
+    }
+    buf
+  }
+
+  override def merge(a: KllSketchAgg.Buf, b: KllSketchAgg.Buf): KllSketchAgg.Buf = {
+    a.mergeIn(b)
+    a
+  }
+
+  override def eval(buf: KllSketchAgg.Buf): Any = {
+    val est = buf.quantiles(qs)
+    val out = new Array[Any](qs.length)
+    var i = 0
+    while (i < qs.length) {
+      out(i) = if (est == null) null else java.lang.Double.valueOf(est(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KllSketchAgg.Buf): Array[Byte] = buf.serialize()
+
+  override def deserialize(bytes: Array[Byte]): KllSketchAgg.Buf =
+    KllSketchAgg.Buf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "kll_merge_quantiles"
+}
+
+object KllMergeAgg {
+
+  /** Quantile estimates from pre-built kll<k> sketch payloads. */
+  def kllMergeQuantiles(c: Column, k: Int, qs: Seq[Double]): Column =
+    GraftSqlBridge.toColumn(
+      KllMergeAgg(GraftSqlBridge.toExpression(c), k, qs)
+        .toAggregateExpression())
+}
+
 object KllSketchAgg {
 
   /** Quantile estimates of a double column at the given fractions, as

@@ -205,13 +205,18 @@ object PinotCompact {
     }
     def groupSketch(nm: String,
         order: Array[scala.collection.mutable.ArrayBuffer[Int]],
-        longOf: Int => Long, hashOf: Int => Long): SegmentWriter.ColumnData =
+        longOf: Int => Long, hashOf: Int => Long,
+        dblOf: Int => Double = null): SegmentWriter.ColumnData =
       SegmentWriter.BytesRawCol(nm, order.map { g =>
         SketchSection.parseSpec(sketchMetrics(nm)) match {
           case SketchSection.KmvSpec(k) =>
             SketchSection.buildKmv(g.iterator.map(hashOf), k)
           case SketchSection.BitmapSpec =>
             SketchSection.buildBitmap(g.iterator.map(longOf))
+          case SketchSection.KllSpec(k) =>
+            if (dblOf == null) throw new PinotFormatException(
+              s"rollup sketch metric $nm: kll needs a NUMERIC column")
+            SketchSection.buildKll(g.iterator.map(dblOf), k)
         }
       })
 
@@ -243,17 +248,35 @@ object PinotCompact {
         SegmentWriter.TimestampCol(nm, order.map(g => v(g.head)))
       // sketch metrics: one serialized SketchSection per group
       case SegmentWriter.IntCol(nm, v) if sketchMetrics.contains(nm) =>
-        groupSketch(nm, order, i => v(i).toLong, i => SketchSection.xxhash(v(i)))
+        groupSketch(nm, order, i => v(i).toLong,
+          i => SketchSection.xxhash(v(i)), i => v(i).toDouble)
       case SegmentWriter.LongCol(nm, v) if sketchMetrics.contains(nm) =>
-        groupSketch(nm, order, i => v(i), i => SketchSection.xxhash(v(i)))
+        groupSketch(nm, order, i => v(i),
+          i => SketchSection.xxhash(v(i)), i => v(i).toDouble)
       case SegmentWriter.IntRawCol(nm, v, _, _) if sketchMetrics.contains(nm) =>
-        groupSketch(nm, order, i => v(i).toLong, i => SketchSection.xxhash(v(i)))
+        groupSketch(nm, order, i => v(i).toLong,
+          i => SketchSection.xxhash(v(i)), i => v(i).toDouble)
       case SegmentWriter.LongRawCol(nm, v, _, _) if sketchMetrics.contains(nm) =>
-        groupSketch(nm, order, i => v(i), i => SketchSection.xxhash(v(i)))
+        groupSketch(nm, order, i => v(i),
+          i => SketchSection.xxhash(v(i)), i => v(i).toDouble)
+      case SegmentWriter.DoubleCol(nm, v) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order,
+          i => throw new PinotFormatException(
+            s"rollup sketch metric $nm: bitmap needs an integral column"),
+          i => throw new PinotFormatException(
+            s"rollup sketch metric $nm: kmv needs an integral/string column"),
+          i => v(i))
+      case SegmentWriter.DoubleRawCol(nm, v, _, _) if sketchMetrics.contains(nm) =>
+        groupSketch(nm, order,
+          i => throw new PinotFormatException(
+            s"rollup sketch metric $nm: bitmap needs an integral column"),
+          i => throw new PinotFormatException(
+            s"rollup sketch metric $nm: kmv needs an integral/string column"),
+          i => v(i))
       case SegmentWriter.TimestampCol(nm, v) if sketchMetrics.contains(nm) =>
         // bitmap keeps raw millis; kmv hashes Spark's MICROsecond long
         groupSketch(nm, order, i => v(i),
-          i => SketchSection.xxhash(v(i) * 1000L))
+          i => SketchSection.xxhash(v(i) * 1000L), i => v(i).toDouble)
       case SegmentWriter.StringDictCol(nm, v, _) if sketchMetrics.contains(nm) =>
         // strings have no natural long: both kinds keep xxhash64 values
         groupSketch(nm, order, i => SketchSection.xxhash(v(i)),

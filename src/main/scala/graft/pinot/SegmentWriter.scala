@@ -618,6 +618,18 @@ object SegmentWriter {
       case StringRawCol(_, v, _, _, _) => Some(v.iterator.map(xx))
       case _ => None
     }
+    def sketchDoubles(cd: ColumnData): Option[Iterator[Double]] = cd match {
+      case IntCol(_, v) => Some(v.iterator.map(_.toDouble))
+      case LongCol(_, v) => Some(v.iterator.map(_.toDouble))
+      case FloatCol(_, v) => Some(v.iterator.map(_.toDouble))
+      case DoubleCol(_, v) => Some(v.iterator)
+      case IntRawCol(_, v, _, _) => Some(v.iterator.map(_.toDouble))
+      case LongRawCol(_, v, _, _) => Some(v.iterator.map(_.toDouble))
+      case FloatRawCol(_, v, _, _) => Some(v.iterator.map(_.toDouble))
+      case DoubleRawCol(_, v, _, _) => Some(v.iterator)
+      case TimestampCol(_, ms) => Some(ms.iterator.map(_.toDouble))
+      case _ => None
+    }
     sketchCols.foreach { case (sc, specStr) =>
       val spec = SketchSection.parseSpec(specStr)
       val cd = columns.find(_.name == sc).getOrElse(
@@ -633,6 +645,11 @@ object SegmentWriter {
             throw new PinotFormatException(
               s"sketchColumns entry $sc: single-value scalar required"))
           SketchSection.buildBitmap(vals)
+        case SketchSection.KllSpec(k) =>
+          val vals = sketchDoubles(cd).getOrElse(
+            throw new PinotFormatException(
+              s"sketchColumns entry $sc: kll needs a single-value NUMERIC column"))
+          SketchSection.buildKll(vals, k)
       }
       addSection(sc, SketchSection.IndexType, bytes)
       props ++= s"column.$sc.sketch=${spec.render}\n"

@@ -12,8 +12,8 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
   * re-scanning raw rows; the reference reads no secondary structures at
   * all, table.rs:162).
   *
-  * Two kinds, mirroring the repo's query-time aggregates so stored and
-  * query-time sketches COMPOSE:
+  * Three kinds, mirroring the repo's query-time aggregates so stored
+  * and query-time sketches COMPOSE:
   *
   *  - `kmv<k>`: bottom-k of the column's xxhash64 values (seed 42 —
   *    exactly Spark's `xxhash64(col)`, so a stored sketch unions /
@@ -25,6 +25,10 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
   *    columns store xxhash64 hashes instead (exact modulo 64-bit hash
   *    collisions, the same trade Pinot's DISTINCT_COUNT_BITMAP makes on
   *    dictionary ids vs values).
+  *  - `kll<k>`: a [[graft.functions.KllSketchAgg]] quantile sketch over
+  *    the column's numeric values (Pinot's PERCENTILE_KLL as an
+  *    ingestion-time aggregation) — percentile answers survive rollups
+  *    and merge across segments; exact nearest-rank below k.
   *
   * At 100 TB: a DISTINCT over a year of segments reads a few KB of
   * sketch section per segment and merges — the raw forward indexes
@@ -43,6 +47,7 @@ object SketchSection {
   private val Version: Byte = 1
   private val KindKmv: Byte = 0
   private val KindBitmap: Byte = 1
+  private val KindKll: Byte = 2
 
   sealed trait Spec { def render: String }
   final case class KmvSpec(k: Int) extends Spec {
@@ -50,6 +55,10 @@ object SketchSection {
     def render = s"kmv$k"
   }
   case object BitmapSpec extends Spec { def render = "bitmap" }
+  final case class KllSpec(k: Int) extends Spec {
+    require(k >= 8, s"kll sketch k must be >= 8, got $k")
+    def render = s"kll$k"
+  }
 
   /** Spark-`xxhash64` (seed 42) of a raw int/long/string value — the
     * hash every KMV sketch in the repo uses, so stored, rolled-up, and
@@ -68,21 +77,26 @@ object SketchSection {
       s"sketch hash: unsupported value class ${other.getClass}")
   }
 
-  /** Parse a spec string: `kmv<k>` or `bitmap`. */
+  /** Parse a spec string: `kmv<k>`, `kll<k>`, or `bitmap`. */
   def parseSpec(s: String): Spec = s.trim match {
     case "bitmap" => BitmapSpec
+    case kll if kll.startsWith("kll") =>
+      val k = kll.drop(3).toIntOption.getOrElse(
+        throw new PinotFormatException(s"bad sketch spec '$s' (kll<k>)"))
+      KllSpec(k)
     case kmv if kmv.startsWith("kmv") =>
       val k = kmv.drop(3).toIntOption.getOrElse(
         throw new PinotFormatException(s"bad sketch spec '$s' (kmv<k>)"))
       KmvSpec(k)
     case other =>
       throw new PinotFormatException(
-        s"bad sketch spec '$other' (expected kmv<k> or bitmap)")
+        s"bad sketch spec '$other' (expected kmv<k>, kll<k>, or bitmap)")
   }
 
-  /** Deserialized section: exactly one of the two payloads is set. */
+  /** Deserialized section: exactly one of the payloads is set. */
   final case class Sketch(spec: Spec, kmvHashes: Array[Long],
-      bitmap: Roaring64Bitmap)
+      bitmap: Roaring64Bitmap,
+      kll: graft.functions.KllSketchAgg.Buf = null)
 
   /** Bottom-k of DISTINCT pre-hashed values, sorted signed-ascending —
     * the same summary [[graft.functions.KmvSketchAgg]] emits.
@@ -117,6 +131,20 @@ object SketchSection {
     bb.array()
   }
 
+  /** KLL quantile sketch over the column's numeric values (see
+    * [[graft.functions.KllSketchAgg]]) — percentile answers survive a
+    * rollup / merge across segments; exact nearest-rank below k.
+    */
+  def buildKll(values: Iterator[Double], k: Int): Array[Byte] = {
+    val buf = new graft.functions.KllSketchAgg.Buf(k)
+    while (values.hasNext) buf.insert(values.next())
+    val body = buf.serialize()
+    val bb = ByteBuffer.allocate(8 + 1 + 1 + 4 + 4 + body.length)
+    bb.putLong(Magic).put(Version).put(KindKll).putInt(k)
+      .putInt(body.length).put(body)
+    bb.array()
+  }
+
   def deserialize(bytes: Array[Byte]): Sketch = {
     val bb = ByteBuffer.wrap(bytes)
     if (bb.getLong != Magic)
@@ -140,6 +168,13 @@ object SketchSection {
         val bm = new Roaring64Bitmap()
         bm.deserialize(new DataInputStream(new ByteArrayInputStream(body)))
         Sketch(BitmapSpec, null, bm)
+      case KindKll =>
+        val k = bb.getInt
+        val len = bb.getInt
+        val body = new Array[Byte](len)
+        bb.get(body)
+        Sketch(KllSpec(k), null, null,
+          graft.functions.KllSketchAgg.Buf.deserialize(body))
       case other =>
         throw new PinotFormatException(s"sketch section: unknown kind $other")
     }

@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 10 // r10: props2 variant-shape json column
+  private val LayoutVersion = 11 // r11: sketch fixtures (+value kll section)
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -446,10 +446,10 @@ object PinotRoundtrip {
       Tables.load(s, d, "events")
         .orderBy("event_id")
         .limit(20000)
-        .select(col("event_id"), col("user_id"), col("props"))
+        .select(col("event_id"), col("user_id"), col("props"), col("value"))
         .repartition(3)
         .write.format("pinot").mode("append")
-        .option("sketchColumns", "user_id:bitmap,props:kmv1024")
+        .option("sketchColumns", "user_id:bitmap,props:kmv1024,value:kll32768")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -482,7 +482,54 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Rollup-KLL fixture: integer-cents event values rolled up per
+    * event_type with the cents column aggregated to a kll32768 sketch
+    * column — Pinot's PERCENTILE_KLL as a MergeRollupTask aggregation.
+    */
+  private def rollupKllTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsRollKll_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          lit(1).as("cnt"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.pinot.PinotCompact.rollup(tableDir.toString,
+        dims = Seq("event_type"), metrics = Seq("cnt"),
+        sketchMetrics = Map("cents" -> "kll32768"))
+    }
+    tableDir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PERCENTILES over a ROLLED-UP table whose raw rows are gone: the
+    // rollup stored one kll32768 sketch per event_type (k > the 20k
+    // fixture rows, so the exact nearest-rank regime holds and the
+    // DuckDB truth hash-matches); the query merges the per-group sketch
+    // column next to the summed count.
+    "q149_pinot_rollup_kll" -> ((s, d) => {
+      val dir = rollupKllTable(s, d)
+      s.read.format("pinot").load(dir)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.KllMergeAgg.kllMergeQuantiles(
+            col("cents"), 32768, Seq(0.5, 0.9, 0.99)).as("qarr"),
+          sum("cnt").as("n_events"))
+        .select(col("event_type"),
+          element_at(col("qarr"), 1).cast("long").as("p50_cents"),
+          element_at(col("qarr"), 2).cast("long").as("p90_cents"),
+          element_at(col("qarr"), 3).cast("long").as("p99_cents"),
+          col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Grouped DISTINCT over a ROLLED-UP table whose raw rows are gone:
     // the rollup stored one sketch per (event_type) group
     // (DISTINCT_COUNT_THETA_SKETCH's ingestion-time model); the query
@@ -517,6 +564,12 @@ object PinotRoundtrip {
         .bitmapDistinct(s, dir, "user_id", "distinct_users")
         .crossJoin(graft.sources.pinot.PinotSketches
           .kmvDistinct(s, dir, "props", 1024, "distinct_props"))
+        // stored KLL sections (k=32768 > the 20k fixture rows: exact
+        // nearest-rank) merged across the 3 segments
+        .crossJoin(graft.sources.pinot.PinotSketches
+          .kllQuantiles(s, dir, "value", 32768, Seq(0.5, 0.9), "qv")
+          .select(element_at(col("qv"), 1).as("p50_value"),
+            element_at(col("qv"), 2).as("p90_value")))
     }),
 
     // Star-tree-answered GROUP BY (grouping a dim SUBSET, so each task
@@ -967,6 +1020,22 @@ object PinotRoundtrip {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // true nearest-rank percentiles over the rows the rollup consumed
+    "q149_pinot_rollup_kll" ->
+      """WITH sub AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM
+        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM sub)
+        |SELECT event_type,
+        |  min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN cents END) AS p90_cents,
+        |  min(CASE WHEN rn >= ceil(0.99::DOUBLE * n) THEN cents END) AS p99_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // the true grouped distincts over the rows the rollup consumed
     "q146_pinot_rollup_sketch" ->
       """WITH sub AS (SELECT event_type, user_id, props FROM
@@ -977,13 +1046,21 @@ object PinotRoundtrip {
         |       CAST(count(*) AS BIGINT) AS events
         |FROM sub GROUP BY 1 ORDER BY event_type""".stripMargin,
 
-    // the true distincts over EXACTLY the fixture's row subset
+    // the true distincts + nearest-rank quantiles over EXACTLY the
+    // fixture's row subset
     "q145_pinot_sketch_distinct" ->
-      """WITH sub AS (SELECT user_id, props FROM
-        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000))
-        |SELECT count(DISTINCT user_id) AS distinct_users,
-        |       count(DISTINCT props) AS distinct_props
-        |FROM sub""".stripMargin,
+      """WITH sub AS (SELECT user_id, props, value FROM
+        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |r AS (SELECT value,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM sub)
+        |SELECT (SELECT count(DISTINCT user_id) FROM sub) AS distinct_users,
+        |       (SELECT count(DISTINCT props) FROM sub) AS distinct_props,
+        |       min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN value END)
+        |         AS p50_value,
+        |       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN value END)
+        |         AS p90_value
+        |FROM r""".stripMargin,
 
     "q86_pinot_startree" ->
       """WITH subset AS (

@@ -59,6 +59,18 @@ object PinotSketches {
     segmentSketches(s, tableDir, column)
       .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
 
+  /** Quantile estimates of `column` from stored KLL sketches (exact
+    * nearest-rank while the merged sketch is unsaturated): per-segment
+    * summaries merge through [[graft.functions.KllMergeAgg]] — the
+    * PERCENTILE_KLL-over-stored-sketches path; the raw column never
+    * re-reads.
+    */
+  def kllQuantiles(s: SparkSession, tableDir: String, column: String,
+      k: Int, qs: Seq[Double], as: String = "quantiles"): DataFrame =
+    segmentSketches(s, tableDir, column)
+      .agg(graft.functions.KllMergeAgg
+        .kllMergeQuantiles(col("sketch"), k, qs).as(as))
+
   /** Distinct count of `column` from stored KMV sketches (exact while
     * every segment's sketch is unsaturated — the bottom-k of a union of
     * bottom-k summaries is the union's bottom-k): stored hash arrays

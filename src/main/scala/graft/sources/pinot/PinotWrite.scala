@@ -302,17 +302,26 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
     if (!ok) throw new PinotFormatException(
       s"jsonIndexColumns entry $jc must be an existing STRING column")
   }
-  // stored distinct sketches: single-value int/long/string/timestamp
-  // columns; the spec string must parse (kmv<k> / bitmap)
+  // stored sketches: the spec string must parse (kmv<k> / kll<k> /
+  // bitmap); kmv/bitmap take int/long/string/timestamp, kll any numeric
   sketchCols.foreach { case (sc, spec) =>
-    graft.pinot.SketchSection.parseSpec(spec)
-    val ok = schema.fieldNames.contains(sc) && (schema(sc).dataType match {
-      case IntegerType | LongType | StringType | TimestampType => true
-      case _ => false
-    })
+    val parsed = graft.pinot.SketchSection.parseSpec(spec)
+    val dt = if (schema.fieldNames.contains(sc)) Some(schema(sc).dataType)
+      else None
+    val ok = parsed match {
+      case graft.pinot.SketchSection.KllSpec(_) => dt.exists {
+        case IntegerType | LongType | FloatType | DoubleType |
+             TimestampType => true
+        case _ => false
+      }
+      case _ => dt.exists {
+        case IntegerType | LongType | StringType | TimestampType => true
+        case _ => false
+      }
+    }
     if (!ok) throw new PinotFormatException(
-      s"sketchColumns entry $sc must be an existing INT/LONG/STRING/" +
-        "TIMESTAMP column")
+      s"sketchColumns entry $sc ($spec) must be an existing " +
+        "INT/LONG/STRING/TIMESTAMP column (kll: any numeric)")
   }
   // sorted column (Pinot's sortedColumn table config): rows are SORTED
   // by it at write time, so every segment records isSorted=true and the
