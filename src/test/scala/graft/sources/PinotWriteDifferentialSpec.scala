@@ -131,7 +131,10 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
       if (rnd.nextBoolean()) w = w.option("bloomFilterColumns", "raw_str")
       if (rnd.nextBoolean()) w = w.option("invertedIndexColumns", "dict_str")
       val sketched = rnd.nextBoolean()
-      if (sketched) w = w.option("sketchColumns", "k:bitmap,dict_str:kmv64")
+      // k=4096 > max rows keeps the KLL in its exact nearest-rank regime,
+      // so the quantile probe below compares EXACTLY against the twin
+      if (sketched) w = w.option("sketchColumns",
+        "k:bitmap,dict_str:kmv64,i32:kll4096")
       if (rnd.nextBoolean()) w = w.option("sortedColumn", "k")
       w.save(dir)
 
@@ -166,6 +169,17 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
             .kmvDistinct(spark, dir, "dict_str", 64).head().getLong(0) ===
             df.select("dict_str").distinct().count(),
             s"draw $draw ($stage) kmv sketch distinct diverged")
+          val gotQ = graft.sources.pinot.PinotSketches
+            .kllQuantiles(spark, dir, "i32", 4096, Seq(0.25, 0.5, 0.9))
+            .head().getSeq[Double](0)
+          val sortedVals = df.select("i32").collect()
+            .map(_.getInt(0).toDouble).sorted
+          val wantQ = Seq(0.25, 0.5, 0.9).map { q =>
+            val t = math.max(1L, math.ceil(q * sortedVals.length).toLong)
+            sortedVals(t.toInt - 1)
+          }
+          assert(gotQ === wantQ,
+            s"draw $draw ($stage) kll sketch quantiles diverged")
         }
       }
       check("written")
