@@ -180,28 +180,41 @@ object Funnel {
     // that must complete without the user leaving. The cumulative-sum
     // session index uses the default RANGE frame, so same-instant ties
     // share a session index deterministically in both engines.
-    "q144_funnel_sessions" -> ((s, d) => {
-      val e = ev(s, d)
-        .filter(col("event_type").isin(steps: _*))
-        .select("user_id", "ts", "event_type")
-      val wOrd = Window.partitionBy("user_id").orderBy("ts")
-      val sess = e
-        .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(wOrd).isNull ||
-            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(wOrd))
-              > 30L * 60 * 1000, 1).otherwise(0))
-        .withColumn("session_idx", sum(col("new_sess")).over(
-          Window.partitionBy("user_id").orderBy("ts")))
-      perKeyStepTimes(sess.select("user_id", "session_idx", "ts", "event_type"),
-        Seq("user_id", "session_idx"), steps, "INTERVAL 2 HOURS",
-        strictIncrease = true)
+    "q144_funnel_sessions" -> ((s, d) =>
+      perSessionStepTimes(ev(s, d), steps, 30L * 60 * 1000,
+        "INTERVAL 2 HOURS")
         .agg(
           count(lit(1)).as("n_sessions"),
           count(col("t1")).as("entered"),
           count(col("t2")).as("reached_step2"),
-          count(col("t3")).as("converted"))
-    })
+          count(col("t3")).as("converted")))
   )
+
+  /** q144's engine, parametrized (the FunnelDifferentialSpec hunts it
+    * against an independent sessionize-then-fold): gap-sessionize the
+    * step-typed events with ONE ordered window over the same user_id
+    * exchange, then the step chain per (user_id, session_idx).
+    */
+  private[queries] def perSessionStepTimes(
+      events: DataFrame,
+      steps: Seq[String],
+      gapMs: Long,
+      windowExpr: String,
+      strictIncrease: Boolean = true): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin(steps: _*))
+      .select("user_id", "ts", "event_type")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts")
+    val sess = e
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(wOrd).isNull ||
+          unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(wOrd))
+            > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        Window.partitionBy("user_id").orderBy("ts")))
+    perKeyStepTimes(sess.select("user_id", "session_idx", "ts", "event_type"),
+      Seq("user_id", "session_idx"), steps, windowExpr, strictIncrease)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q133_funnel_count" ->

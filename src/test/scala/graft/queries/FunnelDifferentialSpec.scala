@@ -93,7 +93,7 @@ class FunnelDifferentialSpec extends SparkTestBase {
   test("random funnel configs: window-chain matches the per-user fold") {
     val rnd = new Random(20260815L)
     for (i <- 1 to 12) {
-      val len = 2 + rnd.nextInt(2) // 2- or 3-step funnels
+      val len = 2 + rnd.nextInt(4) // 2- to 5-step funnels (N-step engine)
       val steps = rnd.shuffle(eventTypes).take(len)
       val windowMs = (1L + rnd.nextInt(96)) * 3600 * 1000
       val strict = rnd.nextBoolean()
@@ -102,6 +102,76 @@ class FunnelDifferentialSpec extends SparkTestBase {
       assert(a === b,
         s"draw $i: steps=$steps windowMs=$windowMs strict=$strict diverged " +
           s"(chain=${a.toSeq.sorted.take(5)}... fold=${b.toSeq.sorted.take(5)}...)")
+    }
+  }
+
+  /** Independent session oracle: per-user sort → gap-split → chain-fold
+    * each session. Returns (user, session_idx) -> max_step.
+    */
+  private def sessionSortFold(steps: Seq[String], gapMs: Long,
+      windowMs: Long, strict: Boolean): Map[(Long, Long), Int] = {
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .collect().groupBy(_._1).toSeq
+      .flatMap { case (uid, rows) =>
+        val sorted = rows.map { case (_, ms, ty) => (ms, ty) }.sortBy(_._1)
+        // gap-split into sessions (ties share a session by construction)
+        val sessions = scala.collection.mutable.ListBuffer
+          .empty[Vector[(Long, String)]]
+        sorted.foreach { e =>
+          if (sessions.nonEmpty && e._1 - sessions.last.last._1 <= gapMs)
+            sessions(sessions.length - 1) = sessions.last :+ e
+          else sessions += Vector(e)
+        }
+        sessions.zipWithIndex.map { case (es, i) =>
+          val t1 = es.collectFirst { case (ms, ty) if stepIdx(ty) == 0 => ms }
+          val maxStep = t1 match {
+            case None => 0
+            case Some(anchor) =>
+              val deadline = anchor + windowMs
+              var reached = 1
+              var lastTs = anchor
+              var done = false
+              while (!done && reached < steps.length) {
+                es.find { case (ms, ty) =>
+                  stepIdx(ty) == reached && ms <= deadline &&
+                    (if (strict) ms > lastTs else ms >= lastTs)
+                } match {
+                  case Some((ms, _)) => lastTs = ms; reached += 1
+                  case None => done = true
+                }
+              }
+              reached
+          }
+          (uid, (i + 1).toLong) -> maxStep
+        }
+      }.toMap
+  }
+
+  test("random session-funnel configs: the q144 engine matches the gap-split fold") {
+    val rnd = new Random(77110815L)
+    for (i <- 1 to 8) {
+      val len = 2 + rnd.nextInt(3)
+      val steps = rnd.shuffle(eventTypes).take(len)
+      val gapMs = (10L + rnd.nextInt(50)) * 60 * 1000 // 10-60 min
+      val windowMs = (1L + rnd.nextInt(4)) * 3600 * 1000 // 1-4 h
+      val strict = rnd.nextBoolean()
+      val prod = Funnel.perSessionStepTimes(
+          Tables.load(spark, sfDir, "events"), steps, gapMs,
+          s"INTERVAL ${windowMs / 1000} SECONDS", strict)
+        .collect().map { r =>
+          val maxStep = (len + 1 to 2 by -1)
+            .find(c => !r.isNullAt(c)).map(_ - 1).getOrElse(0)
+          (r.getLong(0), r.getLong(1)) -> maxStep
+        }.toMap
+      val fold = sessionSortFold(steps, gapMs, windowMs, strict)
+      assert(prod === fold,
+        s"draw $i: steps=$steps gap=${gapMs / 60000}m window=${windowMs / 3600000}h strict=$strict diverged")
     }
   }
 
