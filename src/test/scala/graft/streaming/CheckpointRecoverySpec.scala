@@ -95,6 +95,60 @@ class CheckpointRecoverySpec extends SparkTestBase {
       "pre-restart funnel state (anchor/pending/timeout) was lost")
   }
 
+  test("randomized stop/restart: funnel output equals the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("signup", "view", "purchase", "click")
+    val winMs = 60L * 60000
+    val rnd = new scala.util.Random(1911L)
+    for (trial <- 1 to 2) {
+      val evs = (0 until 120).map { i =>
+        Event(i.toLong, ts(rnd.nextInt(500).toLong), rnd.nextInt(25).toLong,
+          types(rnd.nextInt(types.length)), 0.0)
+      }
+      val arrival = evs.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
+      val batches = arrival.grouped(16).toSeq
+      val flush = Seq(
+        Seq(Event(9999, ts(100000), 999, "signup", 0.0)),
+        Seq(Event(10000, ts(200000), 999, "view", 0.0)))
+
+      // run A: uninterrupted reference
+      val memA = MemoryStream[Event]
+      val qA = statefulFunnel(memA.toDS(), windowMs = winMs)
+        .writeStream.format("memory").queryName(s"ckpt_ref_$trial")
+        .outputMode("append").start()
+      try (batches ++ flush).foreach { b =>
+        memA.addData(b: _*); qA.processAllAvailable()
+      } finally qA.stop()
+      val ref = spark.table(s"ckpt_ref_$trial").as[FunnelOut]
+        .collect().filterNot(_.user_id == 999L).toSet
+
+      // run B: same data, stopped at a RANDOM batch boundary and
+      // restarted from the checkpoint
+      val ckpt = tmp(s"rand_ckpt_$trial")
+      val out = tmp(s"rand_out_$trial")
+      val memB = MemoryStream[Event]
+      def start(): StreamingQuery = statefulFunnel(memB.toDS(),
+          windowMs = winMs)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val stopAfter = 1 + rnd.nextInt(batches.length - 1)
+      var qB = start()
+      try batches.take(stopAfter).foreach { b =>
+        memB.addData(b: _*); qB.processAllAvailable()
+      } finally qB.stop()
+      qB = start()
+      try (batches.drop(stopAfter) ++ flush).foreach { b =>
+        memB.addData(b: _*); qB.processAllAvailable()
+      } finally qB.stop()
+      val got = spark.read.parquet(out).as[FunnelOut]
+        .collect().filterNot(_.user_id == 999L).toSet
+      assert(got === ref,
+        s"trial $trial (stop after $stopAfter/${batches.length} batches) " +
+          "diverged from the uninterrupted run")
+    }
+  }
+
   test("latestWins: version counts and the winner survive a stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
