@@ -131,6 +131,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketchAgg(args.head, foldableInt(args(1), "kmv_sketch k"))
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinctAgg].getName, "hll_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "hll_distinct(hashed_col, p) takes exactly 2 arguments")
+        HllDistinctAgg(args.head, foldableInt(args(1), "hll_distinct p"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge_estimate"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "hll_merge_estimate(sketch_bytes, p) takes exactly 2 arguments")
+        HllMergeAgg(args.head, foldableInt(args(1), "hll_merge_estimate p"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sketch_build"),
+      new ExpressionInfo(classOf[SketchBuildAgg].getName, "sketch_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sketch_build(col, 'bitmap'|'kmv<k>'|'kll<k>'|'hll<p>') takes " +
+            "exactly 2 arguments")
+        SketchBuildAgg(args.head, foldableString(args(1), "sketch_build spec"))
+          .toAggregateExpression()
+      }))
+  }
+
+  private def foldableString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
   }
 
   /** Evaluates a foldable int argument (capacity/k) at registration. */

@@ -217,6 +217,8 @@ object PinotCompact {
             if (dblOf == null) throw new PinotFormatException(
               s"rollup sketch metric $nm: kll needs a NUMERIC column")
             SketchSection.buildKll(g.iterator.map(dblOf), k)
+          case SketchSection.HllSpec(p) =>
+            SketchSection.buildHll(g.iterator.map(hashOf), p)
         }
       })
 

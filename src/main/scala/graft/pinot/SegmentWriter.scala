@@ -650,6 +650,11 @@ object SegmentWriter {
             throw new PinotFormatException(
               s"sketchColumns entry $sc: kll needs a single-value NUMERIC column"))
           SketchSection.buildKll(vals, k)
+        case SketchSection.HllSpec(p) =>
+          val vals = sketchHashes(cd).getOrElse(
+            throw new PinotFormatException(
+              s"sketchColumns entry $sc: single-value scalar required"))
+          SketchSection.buildHll(vals, p)
       }
       addSection(sc, SketchSection.IndexType, bytes)
       props ++= s"column.$sc.sketch=${spec.render}\n"

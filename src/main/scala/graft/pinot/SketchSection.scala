@@ -37,8 +37,12 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
   * bytes move.
   *
   * Payload layout (big-endian): magic long, version byte, kind byte
-  * (0 = kmv, 1 = bitmap), k int (0 for bitmap), n int, then n longs
-  * (kmv: sorted hash values) or a serialized Roaring64 bitmap.
+  * (0 = kmv, 1 = bitmap, 2 = kll, 3 = hll), k int (0 for bitmap; p for
+  * hll), then a count int whose meaning is per-kind — kmv: the number
+  * of hash longs that follow; bitmap / kll / hll: the byte length of
+  * the serialized body that follows (Roaring64 portable bytes, a
+  * [[graft.functions.KllSketchAgg.Buf]], or a
+  * [[graft.functions.HllSketch]] body respectively).
   */
 object SketchSection {
 
@@ -48,6 +52,7 @@ object SketchSection {
   private val KindKmv: Byte = 0
   private val KindBitmap: Byte = 1
   private val KindKll: Byte = 2
+  private val KindHll: Byte = 3
 
   sealed trait Spec { def render: String }
   final case class KmvSpec(k: Int) extends Spec {
@@ -58,6 +63,10 @@ object SketchSection {
   final case class KllSpec(k: Int) extends Spec {
     require(k >= 8, s"kll sketch k must be >= 8, got $k")
     def render = s"kll$k"
+  }
+  final case class HllSpec(p: Int) extends Spec {
+    require(p >= 4 && p <= 18, s"hll sketch p must be in [4, 18], got $p")
+    def render = s"hll$p"
   }
 
   /** Spark-`xxhash64` (seed 42) of a raw int/long/string value — the
@@ -77,7 +86,7 @@ object SketchSection {
       s"sketch hash: unsupported value class ${other.getClass}")
   }
 
-  /** Parse a spec string: `kmv<k>`, `kll<k>`, or `bitmap`. */
+  /** Parse a spec string: `kmv<k>`, `kll<k>`, `hll<p>`, or `bitmap`. */
   def parseSpec(s: String): Spec = s.trim match {
     case "bitmap" => BitmapSpec
     case kll if kll.startsWith("kll") =>
@@ -88,15 +97,20 @@ object SketchSection {
       val k = kmv.drop(3).toIntOption.getOrElse(
         throw new PinotFormatException(s"bad sketch spec '$s' (kmv<k>)"))
       KmvSpec(k)
+    case hll if hll.startsWith("hll") =>
+      val p = hll.drop(3).toIntOption.getOrElse(
+        throw new PinotFormatException(s"bad sketch spec '$s' (hll<p>)"))
+      HllSpec(p)
     case other =>
       throw new PinotFormatException(
-        s"bad sketch spec '$other' (expected kmv<k>, kll<k>, or bitmap)")
+        s"bad sketch spec '$other' (expected kmv<k>, kll<k>, hll<p>, or bitmap)")
   }
 
   /** Deserialized section: exactly one of the payloads is set. */
   final case class Sketch(spec: Spec, kmvHashes: Array[Long],
       bitmap: Roaring64Bitmap,
-      kll: graft.functions.KllSketchAgg.Buf = null)
+      kll: graft.functions.KllSketchAgg.Buf = null,
+      hll: graft.functions.HllSketch = null)
 
   /** Bottom-k of DISTINCT pre-hashed values, sorted signed-ascending —
     * the same summary [[graft.functions.KmvSketchAgg]] emits.
@@ -108,6 +122,11 @@ object SketchSection {
       if (buf.size < k) { buf.add(h); () }
       else if (h < buf.last()) { if (buf.add(h)) buf.pollLast(); () }
     }
+    serializeKmv(buf, k)
+  }
+
+  /** Frame an already-built bottom-k hash set as a kmv<k> payload. */
+  def serializeKmv(buf: java.util.TreeSet[java.lang.Long], k: Int): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 1 + 1 + 4 + 4 + 8 * buf.size)
     bb.putLong(Magic).put(Version).put(KindKmv).putInt(k).putInt(buf.size)
     val it = buf.iterator()
@@ -119,6 +138,11 @@ object SketchSection {
   def buildBitmap(values: Iterator[Long]): Array[Byte] = {
     val bm = new Roaring64Bitmap()
     while (values.hasNext) bm.addLong(values.next())
+    serializeBitmap(bm)
+  }
+
+  /** Frame an already-built Roaring64 bitmap as a bitmap payload. */
+  def serializeBitmap(bm: Roaring64Bitmap): Array[Byte] = {
     bm.runOptimize()
     val bos = new ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
@@ -138,9 +162,33 @@ object SketchSection {
   def buildKll(values: Iterator[Double], k: Int): Array[Byte] = {
     val buf = new graft.functions.KllSketchAgg.Buf(k)
     while (values.hasNext) buf.insert(values.next())
+    serializeKll(buf)
+  }
+
+  /** Frame an already-built KLL compactor stack as a kll<k> payload. */
+  def serializeKll(buf: graft.functions.KllSketchAgg.Buf): Array[Byte] = {
     val body = buf.serialize()
     val bb = ByteBuffer.allocate(8 + 1 + 1 + 4 + 4 + body.length)
-    bb.putLong(Magic).put(Version).put(KindKll).putInt(k)
+    bb.putLong(Magic).put(Version).put(KindKll).putInt(buf.k)
+      .putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** HLL distinct sketch over the column's pre-hashed values (see
+    * [[graft.functions.HllSketch]] — exact while sparse, ≤ 2^p/4
+    * distinct; ~1.04/√2^p standard error dense).
+    */
+  def buildHll(hashes: Iterator[Long], p: Int): Array[Byte] = {
+    val h = new graft.functions.HllSketch(p)
+    while (hashes.hasNext) h.addHash(hashes.next())
+    serializeHll(h)
+  }
+
+  /** Frame an already-built HLL sketch as an hll<p> payload. */
+  def serializeHll(h: graft.functions.HllSketch): Array[Byte] = {
+    val body = h.serializeBody()
+    val bb = ByteBuffer.allocate(8 + 1 + 1 + 4 + 4 + body.length)
+    bb.putLong(Magic).put(Version).put(KindHll).putInt(h.p)
       .putInt(body.length).put(body)
     bb.array()
   }
@@ -175,6 +223,13 @@ object SketchSection {
         bb.get(body)
         Sketch(KllSpec(k), null, null,
           graft.functions.KllSketchAgg.Buf.deserialize(body))
+      case KindHll =>
+        val p = bb.getInt
+        val len = bb.getInt
+        val body = new Array[Byte](len)
+        bb.get(body)
+        Sketch(HllSpec(p), null, null, null,
+          graft.functions.HllSketch.deserializeBody(p, body))
       case other =>
         throw new PinotFormatException(s"sketch section: unknown kind $other")
     }

@@ -482,6 +482,60 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Lambda-merge fixture: the COLD 60% of the events subset
+    * (event_id % 10 < 6) segment-encoded WITH stored sketch sections on
+    * all four query columns; the remaining 40% stays in parquet as the
+    * un-sketched DELTA that q150 sketches at query time. hll18's sparse
+    * limit (2^18/4 = 65536) exceeds the 20k subset cap, so the hll leg
+    * is in its exact regime at every SF.
+    */
+  private def lambdaTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsLambda_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .filter(col("event_id") % 10 < 6)
+        .select(col("event_id"), col("user_id"), col("props"), col("value"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .option("sketchColumns",
+          "user_id:bitmap,props:kmv1024,value:kll32768,event_id:hll18")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
+  /** Rollup-HLL fixture: events subset rolled up per event_type with
+    * user_id aggregated to an hll16 sketch COLUMN — Pinot's
+    * DISTINCT_COUNT_HLL as a MergeRollupTask ingestion aggregation. The
+    * per-type user cardinality stays far below hll16's sparse limit
+    * (2^16/4 = 16384) at every test SF, so the merged estimates are
+    * EXACT and the DuckDB oracle hash-checks them.
+    */
+  private def rollupHllTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsRollHll_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_type"), col("user_id"), lit(1).as("cnt"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.pinot.PinotCompact.rollup(tableDir.toString,
+        dims = Seq("event_type"), metrics = Seq("cnt"),
+        sketchMetrics = Map("user_id" -> "hll16"))
+    }
+    tableDir.toString
+  }
+
   /** Rollup-KLL fixture: integer-cents event values rolled up per
     * event_type with the cents column aggregated to a kll32768 sketch
     * column — Pinot's PERCENTILE_KLL as a MergeRollupTask aggregation.
@@ -509,6 +563,65 @@ object PinotRoundtrip {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE LAMBDA MERGE — the production shape the stored-sketch stack
+    // exists for: cold segments answer from their few-KB STORED sketch
+    // sections (zero forward-index IO, counted in SketchSectionSpec),
+    // today's un-sketched delta builds the SAME payload format query-time
+    // (sketch_build), and ONE merge aggregate per metric folds both. The
+    // xxhash64-seed-42 contract makes every leg exact here (bitmap
+    // always; kmv: 100 props < 1024; kll: 20k values < 32768; hll:
+    // 20k event_ids < 2^18/4 sparse limit), so the DuckDB truth over
+    // cold ∪ delta hash-checks the whole composition.
+    "q150_pinot_lambda_sketch" -> ((s, d) => {
+      import graft.functions.{BitmapMergeAgg, HllMergeAgg, KllMergeAgg,
+        KmvMergeAgg, SketchBuildAgg}
+      val dir = lambdaTable(s, d)
+      val delta = Tables.load(s, d, "events")
+        .orderBy("event_id").limit(20000)
+        .filter(col("event_id") % 10 >= 6)
+      def cold(column: String) = graft.sources.pinot.PinotSketches
+        .segmentSketches(s, dir, column).select(col("sketch"))
+      val users = cold("user_id")
+        .union(delta.agg(SketchBuildAgg
+          .sketchBuild(col("user_id"), "bitmap").as("sketch")))
+        .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch"))
+          .as("distinct_users"))
+      val props = cold("props")
+        .union(delta.agg(SketchBuildAgg
+          .sketchBuild(xxhash64(col("props")), "kmv1024").as("sketch")))
+        .agg(KmvMergeAgg.kmvMergeEstimate(col("sketch"), 1024)
+          .as("distinct_props"))
+      val eventIds = cold("event_id")
+        .union(delta.agg(SketchBuildAgg
+          .sketchBuild(xxhash64(col("event_id")), "hll18").as("sketch")))
+        .agg(HllMergeAgg.hllMergeEstimate(col("sketch"), 18)
+          .as("distinct_events"))
+      val vals = cold("value")
+        .union(delta.agg(SketchBuildAgg
+          .sketchBuild(col("value"), "kll32768").as("sketch")))
+        .agg(KllMergeAgg.kllMergeQuantiles(col("sketch"), 32768,
+          Seq(0.5, 0.9)).as("qv"))
+        .select(element_at(col("qv"), 1).as("p50_value"),
+          element_at(col("qv"), 2).as("p90_value"))
+      users.crossJoin(props).crossJoin(eventIds).crossJoin(vals)
+    }),
+
+    // Grouped DISTINCT_COUNT_HLL over a ROLLED-UP table whose raw rows
+    // are gone: the rollup stored one hll16 sketch per event_type; the
+    // query merges the per-group sketch column next to the summed count.
+    // Exact regime by construction (see rollupHllTable), so the oracle
+    // computes the true grouped distincts from the original parquet.
+    "q151_pinot_rollup_hll" -> ((s, d) => {
+      val dir = rollupHllTable(s, d)
+      s.read.format("pinot").load(dir)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.HllMergeAgg.hllMergeEstimate(col("user_id"), 16)
+            .as("distinct_users"),
+          sum("cnt").as("events"))
+        .orderBy("event_type")
+    }),
+
     // PERCENTILES over a ROLLED-UP table whose raw rows are gone: the
     // rollup stored one kll32768 sketch per event_type (k > the 20k
     // fixture rows, so the exact nearest-rank regime holds and the
@@ -1020,6 +1133,31 @@ object PinotRoundtrip {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the true distincts + nearest-rank quantiles over cold ∪ delta —
+    // i.e. the WHOLE capped subset the lambda split partitions
+    "q150_pinot_lambda_sketch" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000),
+        |r AS (SELECT value,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM base)
+        |SELECT (SELECT count(DISTINCT user_id) FROM base) AS distinct_users,
+        |       (SELECT count(DISTINCT props) FROM base) AS distinct_props,
+        |       (SELECT count(DISTINCT event_id) FROM base) AS distinct_events,
+        |       min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN value END)
+        |         AS p50_value,
+        |       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN value END)
+        |         AS p90_value
+        |FROM r""".stripMargin,
+
+    // the true grouped distincts over the rows the rollup consumed
+    "q151_pinot_rollup_hll" ->
+      """WITH sub AS (SELECT event_type, user_id FROM
+        |  (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       CAST(count(*) AS BIGINT) AS events
+        |FROM sub GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // true nearest-rank percentiles over the rows the rollup consumed
     "q149_pinot_rollup_kll" ->
       """WITH sub AS (SELECT event_type,

@@ -315,7 +315,8 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
         ent.split(":") match {
           case Array(c, spec) => c.trim -> spec.trim
           case _ => throw new IllegalArgumentException(
-            s"sketchColumns entry '$ent' must be <column>:<kmv<k>|bitmap>")
+            s"sketchColumns entry '$ent' must be " +
+              "<column>:<kmv<k>|kll<k>|hll<p>|bitmap>")
         }
       }.toMap)
       .getOrElse(Map.empty[String, String])

@@ -71,6 +71,19 @@ object PinotSketches {
       .agg(graft.functions.KllMergeAgg
         .kllMergeQuantiles(col("sketch"), k, qs).as(as))
 
+  /** Distinct count of `column` from stored HLL sketches (exact while
+    * every section and the merged result stay SPARSE — ≤ 2^p/4 distinct;
+    * ~1.04/√2^p standard error dense): the DISTINCT_COUNT_HLL stored-
+    * sketch path, same hash contract as the query-time
+    * [[graft.functions.HllDistinctAgg]], so stored and delta sketches
+    * compose (the lambda merge).
+    */
+  def hllDistinct(s: SparkSession, tableDir: String, column: String, p: Int,
+      as: String = "distinct_count"): DataFrame =
+    segmentSketches(s, tableDir, column)
+      .agg(graft.functions.HllMergeAgg
+        .hllMergeEstimate(col("sketch"), p).as(as))
+
   /** Distinct count of `column` from stored KMV sketches (exact while
     * every segment's sketch is unsaturated — the bottom-k of a union of
     * bottom-k summaries is the union's bottom-k): stored hash arrays

@@ -303,7 +303,8 @@ class PinotWriterFactory(path: String, tableName: String, schema: StructType,
       s"jsonIndexColumns entry $jc must be an existing STRING column")
   }
   // stored sketches: the spec string must parse (kmv<k> / kll<k> /
-  // bitmap); kmv/bitmap take int/long/string/timestamp, kll any numeric
+  // hll<p> / bitmap); kmv/hll/bitmap take int/long/string/timestamp,
+  // kll any numeric
   sketchCols.foreach { case (sc, spec) =>
     val parsed = graft.pinot.SketchSection.parseSpec(spec)
     val dt = if (schema.fieldNames.contains(sc)) Some(schema(sc).dataType)

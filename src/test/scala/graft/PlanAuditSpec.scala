@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkTestBase {
     // stored-sketch distinct: two single-row merged-sketch aggregates
     // crossed 1×1 into the output row
     "q145_pinot_sketch_distinct",
+    // lambda merge: four single-row stored∪delta merged-sketch
+    // aggregates crossed 1×1 into the output row
+    "q150_pinot_lambda_sketch",
     // PQ: the ONE-ROW codebook crossed into the encode scan + the q47-
     // style broadcast-probe theta join for candidate ranking
     "q140_knn_pq")

@@ -136,6 +136,88 @@ class SketchSectionSpec extends SparkTestBase {
     assert(u === 51L) // 41 stored + 10 new, exact (both unsaturated)
   }
 
+  test("lambda merge: stored sections ∪ query-time delta payloads answer exactly; cold IO stays sketch-only") {
+    import spark.implicits._
+    import graft.functions.{BitmapMergeAgg, HllMergeAgg, KllMergeAgg,
+      KmvMergeAgg, SketchBuildAgg}
+    // cold: 3 segments carrying all four sketch kinds; delta: fresh rows
+    // that exist only as a DataFrame (the un-sketched "today")
+    val dir = java.nio.file.Files
+      .createTempDirectory("lambda_tbl").resolve("lam_OFFLINE").toString
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, (i % 113).toLong, s"t${i % 29}", (i % 500).toDouble)
+    }.toDF("event_id", "uid", "tag", "v")
+    val cold = mk(0, 3000)
+    val delta = mk(3000, 4500)
+    cold.repartition(3).write.format("pinot").mode("append")
+      .option("sketchColumns",
+        "uid:bitmap,tag:kmv64,v:kll8192,event_id:hll16")
+      .save(dir)
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(
+      dir, SegmentIO.forPath(dir))
+    val forbidden: Map[String, Seq[(Long, Long)]] = segDirs.map { d =>
+      val r = SegmentReader.open(d, SegmentIO.forPath(d))
+      val ranges = try r.indexMap.indexes.collect {
+        case ((_, tpe), loc) if tpe != SketchSection.IndexType =>
+          (loc.startOffset, loc.size)
+      }.toSeq finally r.close()
+      (LocalSegmentIO.resolve(d, "columns.psf"), ranges)
+    }.toMap
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    def coldSk(column: String) = graft.sources.pinot.PinotSketches
+      .segmentSketches(spark, dir, column).select(col("sketch"))
+    val (users, tags, events, quantiles) =
+      SegmentIO.withOverride(_.startsWith(
+          java.nio.file.Paths.get(dir).getParent.toString), rec) {
+        SegmentReader.clearSectionCacheForTests()
+        (coldSk("uid")
+          .union(delta.agg(SketchBuildAgg
+            .sketchBuild(col("uid"), "bitmap").as("sketch")))
+          .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")))
+          .head().getLong(0),
+          coldSk("tag")
+            .union(delta.agg(SketchBuildAgg
+              .sketchBuild(xxhash64(col("tag")), "kmv64").as("sketch")))
+            .agg(KmvMergeAgg.kmvMergeEstimate(col("sketch"), 64))
+            .head().getLong(0),
+          coldSk("event_id")
+            .union(delta.agg(SketchBuildAgg
+              .sketchBuild(xxhash64(col("event_id")), "hll16").as("sketch")))
+            .agg(HllMergeAgg.hllMergeEstimate(col("sketch"), 16))
+            .head().getLong(0),
+          coldSk("v")
+            .union(delta.agg(SketchBuildAgg
+              .sketchBuild(col("v"), "kll8192").as("sketch")))
+            .agg(KllMergeAgg.kllMergeQuantiles(col("sketch"), 8192,
+              Seq(0.5, 0.9)))
+            .head().getSeq[Double](0))
+      }
+    // truth over cold ∪ delta — every leg is in its exact regime
+    // (113 uids; 29 tags < 64; 4500 event_ids < 2^16/4; 4500 values < 8192)
+    val all = cold.union(delta).cache()
+    assert(users === all.select("uid").distinct().count())
+    assert(tags === all.select("tag").distinct().count())
+    assert(events === all.select("event_id").distinct().count())
+    val sortedV = all.select("v").collect().map(_.getDouble(0)).sorted
+    val wantQ = Seq(0.5, 0.9).map { q =>
+      sortedV(math.max(1L, math.ceil(q * sortedV.length).toLong).toInt - 1) }
+    assert(quantiles === wantQ)
+    all.unpersist()
+    // the cold side read ONLY sketch sections
+    import scala.jdk.CollectionConverters._
+    var preads = 0
+    rec.reads.asScala.foreach { case (file, q) =>
+      q.asScala.foreach { case (pos, len) =>
+        preads += 1
+        val bad = forbidden.getOrElse(file, Nil).filter { case (s0, sz) =>
+          pos < s0 + sz && pos + len > s0 }
+        assert(bad.isEmpty,
+          s"lambda cold side read non-sketch section(s) $bad of $file at ($pos,$len)")
+      }
+    }
+    assert(preads > 0, "recorder saw no psf reads — override not applied")
+  }
+
   test("rollup sketchMetrics: grouped distincts survive the rollup exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files

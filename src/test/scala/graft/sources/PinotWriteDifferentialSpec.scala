@@ -132,9 +132,10 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
       if (rnd.nextBoolean()) w = w.option("invertedIndexColumns", "dict_str")
       val sketched = rnd.nextBoolean()
       // k=4096 > max rows keeps the KLL in its exact nearest-rank regime,
-      // so the quantile probe below compares EXACTLY against the twin
+      // and hll14's sparse limit (2^14/4 = 4096) > max rows keeps the HLL
+      // sparse-exact, so every sketch probe compares EXACTLY vs the twin
       if (sketched) w = w.option("sketchColumns",
-        "k:bitmap,dict_str:kmv64,i32:kll4096")
+        "k:bitmap,dict_str:kmv64,i32:kll4096,raw_str:hll14")
       if (rnd.nextBoolean()) w = w.option("sortedColumn", "k")
       w.save(dir)
 
@@ -169,6 +170,10 @@ class PinotWriteDifferentialSpec extends SparkTestBase {
             .kmvDistinct(spark, dir, "dict_str", 64).head().getLong(0) ===
             df.select("dict_str").distinct().count(),
             s"draw $draw ($stage) kmv sketch distinct diverged")
+          assert(graft.sources.pinot.PinotSketches
+            .hllDistinct(spark, dir, "raw_str", 14).head().getLong(0) ===
+            df.select("raw_str").distinct().count(),
+            s"draw $draw ($stage) hll sketch distinct diverged")
           val gotQ = graft.sources.pinot.PinotSketches
             .kllQuantiles(spark, dir, "i32", 4096, Seq(0.25, 0.5, 0.9))
             .head().getSeq[Double](0)
