@@ -101,13 +101,34 @@ object EventPipelines {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class SessionsState(open: List[SessionState])
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, sum_value: Double)
 
   /** Custom sessionizer via flatMapGroupsWithState: emits a session row
-    * when 30 minutes pass with no events for the user (event-time timeout
-    * driven by the watermark). Demonstrates arbitrary stateful processing
-    * beyond built-in session_window.
+    * once the watermark passes 30 minutes beyond the session's last
+    * event. Demonstrates arbitrary stateful processing beyond built-in
+    * session_window.
+    *
+    * State is the user's set of still-OPEN sessions (usually one; more
+    * when the global watermark lags the user's own events — a laggard
+    * co-source — so an admitted event can open a distinct EARLIER
+    * session behind the current one). Every invocation runs the same
+    * drain: fold the new events into the open set with a gap-tolerant
+    * interval merge (which also handles out-of-order arrivals inside a
+    * session and events that BRIDGE two open sessions), then emit
+    * exactly the sessions the watermark has closed (`wm > last + gap` —
+    * at `wm == last + gap` an admissible event at `t == wm` could still
+    * extend, so equality keeps the session open). Nothing emits before
+    * its close is final, which is what makes the stream equal the batch
+    * gap-fold over the watermark-respecting history: any event that
+    * could change an emitted row is below the watermark, hence dropped
+    * as late.
+    *
+    * NOTE (state format): the state schema changed from a single
+    * SessionState to SessionsState(open: List[...]) — restart streams
+    * from a FRESH checkpoint after upgrading; an old checkpoint's state
+    * rows do not decode.
     *
     * Pass `applyWatermark = false` when the caller already watermarked
     * the input — e.g. a union of independently-lagging sources, where
@@ -121,72 +142,42 @@ object EventPipelines {
     val gapMs = 30L * 60 * 1000
     (if (applyWatermark) events.withWatermark("ts", "10 minutes") else events)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.sum))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var out = List.empty[SessionOut]
-            var cur = state.getOption
-            // An admitted event more than gap BEFORE the carried session's
-            // start belongs to a DISTINCT EARLIER session — `t - s.last`
-            // alone is satisfied by any past t (negative delta). The
-            // watermark is global, so a user whose own events run ahead of
-            // other streams can legally receive one. Sorted order puts all
-            // such stragglers in a prefix; fold them as their own session
-            // chain and emit now (their last event is still > gap before
-            // cur.start, so none can bridge into the carried session).
-            val (stragglers, mainEvents) = cur match {
-              case Some(s) => sorted.span(_.ts.getTime < s.start - gapMs)
-              case None => (Seq.empty[Event], sorted)
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
+          // timeout firings and data batches run the SAME drain (rows is
+          // simply empty on timeout)
+          val prevOpen = state.getOption.map(_.open).getOrElse(Nil)
+          val items = (prevOpen ++ rows.map(e =>
+            SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+            .sortBy(s => (s.start, s.last))
+          // gap-tolerant interval merge over (open sessions + events):
+          // subsumes the old straggler / out-of-order special cases and
+          // merges sessions a new event bridges
+          var merged = List.empty[SessionState] // reverse start order
+          items.foreach { it =>
+            merged = merged match {
+              case h :: t if it.start - h.last <= gapMs =>
+                SessionState(h.start, math.max(h.last, it.last),
+                  h.n + it.n, h.sum + it.sum) :: t
+              case other => it :: other
             }
-            var early: Option[SessionState] = None
-            for (e <- stragglers) {
-              val t = e.ts.getTime
-              early match {
-                case Some(s) if t - s.last <= gapMs =>
-                  early = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  out ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
-                  early = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  early = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            early.foreach(s =>
-              out ::= SessionOut(userId, s.start, s.last, s.n, s.sum))
-            for (e <- mainEvents) {
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // a cross-batch out-of-order event may precede s.last
-                  // by up to the watermark delay; extending with min/max
-                  // (not blind last := t) keeps the session's true span —
-                  // a shrunk `last` made the NEXT gap check split
-                  // sessions that the totally-ordered fold keeps whole.
-                  // (t >= s.start - gapMs holds here: earlier events went
-                  // to the straggler prefix, and mid-batch sessions start
-                  // at their own first event under sorted order.)
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.last, t), s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  out ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            out.reverseIterator
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (open, closed) = merged.partition(_.last + gapMs >= wm)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionsState(open))
+            // fire when the watermark passes the EARLIEST open deadline;
+            // Spark requires the timestamp strictly above the watermark
+            // (deadline == wm happens when only a t == wm event could
+            // still extend — re-check one tick later)
+            val firstDeadline = open.map(_.last + gapMs).min
+            state.setTimeoutTimestamp(math.max(firstDeadline, wm + 1))
+          }
+          closed.reverseIterator.map(s =>
+            SessionOut(userId, s.start, s.last, s.n, s.sum))
       }
   }
 

@@ -380,6 +380,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("statefulSessionize: a later admissible event extends (and bridges) an early straggler session (ADVICE r11)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same laggard-co-source regime as the r10 straggler test, one step
+    // further: the straggler session must stay OPEN until the watermark
+    // closes it, because later admissible events can extend it — or
+    // bridge it into the carried session. Emitting it immediately (the
+    // r11 behavior) splits a session the batch gap-fold keeps whole.
+    val mem1 = MemoryStream[Event]
+    val mem2 = MemoryStream[Event]
+    val unioned = mem1.toDS().withWatermark("ts", "10 minutes")
+      .union(mem2.toDS().withWatermark("ts", "10 minutes"))
+    val q = statefulSessionize(unioned, applyWatermark = false)
+      .writeStream.format("memory").queryName("sess_straggler_ext_stream")
+      .outputMode("append").start()
+    try {
+      mem1.addData(Event(0, ts(100), 1, "view", 1.0),
+        Event(1, ts(105), 1, "view", 2.0))
+      mem2.addData(Event(2, ts(20), 2, "view", 0.0)) // laggard: wm stays 10
+      q.processAllAvailable()
+      // ts 60: admissible, 40 min before the carried session — a
+      // straggler that must stay open (wm 10 << 60 + 30)
+      mem1.addData(Event(3, ts(60), 1, "view", 4.0))
+      q.processAllAvailable()
+      // ts 75: admissible, within gap of BOTH the straggler (75-60=15)
+      // and the carried session (100-75=25) — the batch fold merges
+      // everything into ONE session 60..105
+      mem1.addData(Event(4, ts(75), 1, "view", 8.0))
+      q.processAllAvailable()
+      // flush both sources so every session times out
+      mem1.addData(Event(98, ts(1000), 9, "view", 0.0))
+      mem2.addData(Event(99, ts(1000), 8, "view", 0.0))
+      q.processAllAvailable()
+      mem1.addData(Event(100, ts(2000), 9, "view", 0.0))
+      mem2.addData(Event(101, ts(2000), 8, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_straggler_ext_stream").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+        .toSet
+      assert(got === Set((ts(60).getTime, ts(105).getTime, 4, 15.0)),
+        "the straggler session was emitted before the watermark closed it")
+    } finally q.stop()
+  }
+
   test("random streams: statefulFunnel equals the batch fold under watermark-respecting arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -485,6 +530,80 @@ class StreamingSpec extends SparkTestBase {
       assert(got === List((ts(0).getTime, ts(52).getTime, 4, 15.0)),
         "the out-of-order arrival split or corrupted the session")
     } finally q.stop()
+  }
+
+  test("random two-source streams (laggard co-source): statefulSessionize equals the per-user fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60000
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 1 to 3) {
+      // A runs AHEAD (ts 200..800 min), B lags (ts 0..400 min) and holds
+      // the global watermark down — so A-side sessions are carried while
+      // admissible far-past B events open, extend, and bridge straggler
+      // sessions for the same users: the regime the open-session-list
+      // state exists for, randomized. Each source's arrival jitter stays
+      // under the 10-min lateness horizon, so nothing is ever dropped
+      // and the batch gap-fold over A ∪ B is the exact expectation.
+      val evsA = (0 until 120).map { i =>
+        Event(i.toLong, ts(200 + rnd.nextInt(600).toLong),
+          rnd.nextInt(12).toLong, "view", (rnd.nextInt(90) + 1).toDouble)
+      }
+      val evsB = (1000 until 1080).map { i =>
+        Event(i.toLong, ts(rnd.nextInt(400).toLong),
+          rnd.nextInt(12).toLong, "view", (rnd.nextInt(90) + 1).toDouble)
+      }
+      val arrA = evsA.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
+        .grouped(15).toSeq
+      val arrB = evsB.sortBy(e => e.ts.getTime + rnd.nextInt(9 * 60000))
+        .grouped(10).toSeq
+      val memA = MemoryStream[Event]
+      val memB = MemoryStream[Event]
+      val unioned = memA.toDS().withWatermark("ts", "10 minutes")
+        .union(memB.toDS().withWatermark("ts", "10 minutes"))
+      val q = statefulSessionize(unioned, applyWatermark = false)
+        .writeStream.format("memory").queryName(s"sess_lag_$trial")
+        .outputMode("append").start()
+      try {
+        (0 until math.max(arrA.length, arrB.length)).foreach { k =>
+          if (k < arrA.length) memA.addData(arrA(k): _*)
+          if (k < arrB.length) memB.addData(arrB(k): _*)
+          q.processAllAvailable()
+        }
+        // flush BOTH sources so every session times out
+        memA.addData(Event(9998, ts(100000), 999, "view", 0.0))
+        memB.addData(Event(9999, ts(100000), 999, "view", 0.0))
+        q.processAllAvailable()
+        memA.addData(Event(10000, ts(200000), 999, "view", 0.0))
+        memB.addData(Event(10001, ts(200000), 999, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(s"sess_lag_$trial")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4)))
+        .filterNot(_._1 == 999L).toSet
+      val expected = (evsA ++ evsB).groupBy(_.user_id).toSeq
+        .flatMap { case (uid, es) =>
+          val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Int, Double)]
+          var cur: Option[(Long, Long, Int, Double)] = None
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur = cur match {
+              case Some((s, l, n, sum)) if t - l <= gapMs =>
+                Some((s, t, n + 1, sum + e.value))
+              case Some(done) =>
+                sessions += done; Some((t, t, 1, e.value))
+              case None => Some((t, t, 1, e.value))
+            }
+          }
+          cur.foreach(sessions += _)
+          sessions.map { case (s, l, n, sum) => (uid, s, l, n, sum) }
+        }.toSet
+      assert(streamed === expected, s"laggard trial $trial diverged")
+    }
   }
 
   test("random streams: statefulSessionize equals the per-user fold; latestWins equals max_by") {
