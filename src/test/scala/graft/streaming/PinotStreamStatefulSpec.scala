@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.streaming.Trigger
+
+/** The actual deployment shape, END TO END: `readStream.format("pinot")`
+  * (the DSv2 micro-batch tail over a segment directory) feeding the
+  * custom stateful operators, with checkpointed stop/restarts BETWEEN
+  * segment landings. PinotStreamReadSpec proves the source's
+  * exactly-once tail alone and CheckpointRecoverySpec proves the
+  * operators' state recovery alone (over MemoryStream); these specs
+  * prove the COMPOSITION — source offsets AND operator state must both
+  * survive the same restart, or the assertions below are unreachable.
+  *
+  * Each `Trigger.AvailableNow` run is a full stop/restart from the
+  * shared checkpoint: the funnel's step-3 event and the session's
+  * extension land in segments written AFTER the first run stopped, so a
+  * lost offset double-reads (duplicate state transitions) and lost
+  * state emits the wrong row shape.
+  */
+class PinotStreamStatefulSpec extends SparkTestBase {
+
+  import EventPipelines._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L)
+
+  test("Pinot tail -> statefulFunnel -> sink: offsets and funnel state survive restarts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pinot_sf")
+    val tableDir = root.resolve("events_OFFLINE").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def land(evs: Event*): Unit =
+      evs.toSeq.toDS().repartition(1)
+        .write.format("pinot").mode("append").save(tableDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("pinot").load(tableDir).as[Event]
+      val q = statefulFunnel(src, windowMs = 60L * 60000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream run did not terminate")
+    }
+
+    // run 1: anchor + step-2 land; the funnel window is OPEN at stop
+    land(Event(0, ts(0), 1, "signup", 0), Event(1, ts(10), 1, "view", 0))
+    runOnce()
+    // run 2 (restart): step 3 + a watermark pusher land in NEW segments —
+    // max_step 3 requires the restored anchor AND reading only the new
+    // segments (a re-read of segment 1 would not break this shape, but a
+    // lost offset that skips the new segment loses the purchase)
+    land(Event(2, ts(20), 1, "purchase", 0),
+      Event(99, ts(300), 9, "signup", 0))
+    runOnce()
+    // run 3 (restart): push the watermark further so the pending timeout
+    // fires and user 1 resolves
+    land(Event(100, ts(600), 9, "view", 0))
+    runOnce()
+
+    val got = spark.read.parquet(out).as[FunnelOut].collect()
+      .filter(_.user_id == 1L).map(f => (f.max_step, f.step1_ms)).toSet
+    assert(got === Set((3, ts(0).getTime)),
+      "funnel state or source offsets were lost across the Pinot-tail restarts")
+  }
+
+  test("Pinot tail -> statefulSessionize -> sink: an open session survives restarts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pinot_ss")
+    val tableDir = root.resolve("events_OFFLINE").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def land(evs: Event*): Unit =
+      evs.toSeq.toDS().repartition(1)
+        .write.format("pinot").mode("append").save(tableDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("pinot").load(tableDir).as[Event]
+      val q = statefulSessionize(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream run did not terminate")
+    }
+
+    // run 1: two events of one session; session OPEN at stop
+    land(Event(0, ts(0), 1, "view", 1.0), Event(1, ts(10), 1, "view", 2.0))
+    runOnce()
+    // run 2 (restart): a same-session extension lands in a new segment —
+    // lost state would split (0,10) from (20); lost offsets would lose it
+    land(Event(2, ts(20), 1, "view", 4.0), Event(99, ts(1000), 9, "view", 0))
+    runOnce()
+    // run 3 (restart): watermark pusher fires the session timeout
+    land(Event(100, ts(2000), 9, "view", 0))
+    runOnce()
+
+    val got = spark.read.parquet(out).as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.start_ms, s.end_ms, s.n_events, s.sum_value)).toSet
+    assert(got === Set((ts(0).getTime, ts(20).getTime, 3, 7.0)),
+      "session state or source offsets were lost across the Pinot-tail restarts")
+  }
+}
