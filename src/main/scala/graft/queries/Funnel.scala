@@ -41,15 +41,21 @@ object Funnel {
     * `strictIncrease` = Pinot's STRICT_INCREASE mode (each step strictly
     * after the previous); false = the default mode, where a same-instant
     * event still advances the funnel (ts ≥ previous).
+    *
+    * `collapseDuplicates` = the HOT-KEY mitigation (see
+    * [[perKeyStepTimes]]): exact, costs one extra exchange — turn it on
+    * when one key can own millions of duplicate-timestamp events (bot
+    * traffic, replayed ingests).
     */
   private[queries] def perUserStepTimes(
       events: DataFrame,
       steps: Seq[String] = steps,
       windowExpr: String = windowExpr,
-      strictIncrease: Boolean = true): DataFrame =
+      strictIncrease: Boolean = true,
+      collapseDuplicates: Boolean = false): DataFrame =
     perKeyStepTimes(events.select("user_id", "ts", "event_type")
         .filter(col("event_type").isin(steps: _*)),
-      Seq("user_id"), steps, windowExpr, strictIncrease)
+      Seq("user_id"), steps, windowExpr, strictIncrease, collapseDuplicates)
 
   /** The funnel engine generalized over the CORRELATE-BY key (Pinot's
     * funnel aggregations take an arbitrary correlation column) and over
@@ -68,12 +74,30 @@ object Funnel {
       keys: Seq[String],
       steps: Seq[String],
       windowExpr: String,
-      strictIncrease: Boolean): DataFrame = {
+      strictIncrease: Boolean,
+      collapseDuplicates: Boolean = false): DataFrame = {
     require(steps.length >= 2, "a funnel needs at least 2 steps")
+    // HOT-KEY mitigation: the whole chain below consumes a row only as
+    // "does (event_type, ts) satisfy a min-predicate", so duplicate
+    // (keys, event_type, ts) triples are inert — dropping them is EXACT
+    // (each key keeps ≥ 1 row, so the grouped key set is preserved too;
+    // FunnelSpec asserts equality on duplicate-heavy corpora). The
+    // dropDuplicates plans as a partial+final hash aggregate: a bot key
+    // with millions of REPLAYED step events collapses map-side before
+    // anything crosses the wire, and the downstream window task holds
+    // one row per distinct triple instead of per event. Price: one extra
+    // exchange on (keys, event_type, ts) ahead of the user_id exchange —
+    // FunnelHotKeyProbe measures both shapes; keep it off for organic
+    // traffic, turn it on when one key can own millions of duplicates.
+    // (A bot with millions of DISTINCT timestamps still concentrates in
+    // one window task — that residual bound is semantic: the funnel
+    // genuinely orders that key's distinct times.)
+    val in = if (collapseDuplicates)
+      e.dropDuplicates(keys :+ "event_type" :+ "ts") else e
     val w = Window.partitionBy(keys.map(col): _*)
     def after(ts: Column, prev: Column) =
       if (strictIncrease) ts > prev else ts >= prev
-    var df = e.withColumn(
+    var df = in.withColumn(
       "t1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
     val deadline = col("t1") + expr(windowExpr)
     for (k <- 2 to steps.length) {

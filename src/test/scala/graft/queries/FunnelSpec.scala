@@ -158,6 +158,34 @@ class FunnelSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(r.getLong(3) === 1L, "converted") // u1 s1 only
   }
 
+  test("collapseDuplicates is exact on duplicate-heavy corpora (hot-key mitigation)") {
+    import org.apache.spark.sql.functions.col
+    // randomized duplicate-heavy histories: every (user, type, ts) triple
+    // repeats 1-6 times, including a "bot" user owning most of the rows —
+    // the collapsed engine must equal the plain one row-for-row, in both
+    // strictness modes and on the 4-step chain
+    val rnd = new scala.util.Random(20260815L)
+    val types = Seq("signup", "click", "view", "purchase")
+    val base = (0 until 400).map { _ =>
+      val u = if (rnd.nextInt(3) == 0) 77L else rnd.nextInt(10).toLong
+      val t = f"2024-01-01 ${rnd.nextInt(48) / 2}%02d:${rnd.nextInt(60)}%02d:00"
+      (u, t, types(rnd.nextInt(types.length)))
+    }
+    val dupes = base.flatMap(r => Seq.fill(1 + rnd.nextInt(6))(r))
+    val dir = mkEvents(rnd.shuffle(dupes))
+    val ev = graft.Tables.load(spark, dir, "events")
+    for (strict <- Seq(true, false); steps <- Seq(
+        Seq("signup", "view", "purchase"),
+        Seq("signup", "click", "view", "purchase"))) {
+      def run(collapse: Boolean) =
+        Funnel.perUserStepTimes(ev, steps = steps, strictIncrease = strict,
+            collapseDuplicates = collapse)
+          .orderBy(col("user_id")).collect().toSeq
+      assert(run(true) === run(false),
+        s"collapse diverged (strict=$strict, ${steps.length} steps)")
+    }
+  }
+
   test("plan: ONE shuffle total, and the step-type filter reaches the scan") {
     val df = SparkEntry_q134(sfDir)
     df.collect()
