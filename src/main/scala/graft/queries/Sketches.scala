@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{BitmapDistinctAgg, FreqItemsAgg, KmvSketchAgg}
+import graft.functions.{BitmapDistinctAgg, FreqItemsAgg, HllDistinctAgg, KmvSketchAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,25 @@ object Sketches {
             col("user_id") * lit(100000L) + datediff(
               to_date(col("ts")), lit("1970-01-01").cast("date")))
             .as("user_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // DISTINCT_COUNT_HLL (Pinot's most-used approximate distinct): the
+    // grouped distinct users/props per event type through the HLL
+    // aggregate's SPARSE phase — exact while each group holds ≤ 2^p/4
+    // distinct values (users: ≤15k/type at sf1 < 2^16/4; props: exactly
+    // 100 < 2^12/4 at every SF), so the DuckDB truth hash-gates it; the
+    // dense phase's 1.04/√m error is property-tested in HllSketchSpec.
+    // One ≤(2^p/4 hashes | 2^p registers) summary per group per
+    // partition crosses the wire — never the (group, value) pairs.
+    "q152_hll_distinct" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(
+          HllDistinctAgg.hllDistinct(xxhash64(col("user_id")), 16)
+            .as("users"),
+          HllDistinctAgg.hllDistinct(xxhash64(col("props")), 12)
+            .as("props_vals"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
@@ -149,6 +168,13 @@ object Sketches {
         |  count(DISTINCT user_id * 100000
         |    + datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
         |    AS user_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q152_hll_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS users,
+        |  count(DISTINCT props) AS props_vals,
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )

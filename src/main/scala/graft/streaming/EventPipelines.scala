@@ -226,6 +226,12 @@ object EventPipelines {
     * min step-1 ts; its row corresponds to the stream's FIRST-entry row
     * (min `step1_ms` per user). Collapse to q134 by taking each user's
     * min-`step1_ms` row.
+    *
+    * NOTE (state format): FunnelState gained the `anchors` field when
+    * re-entry landed — a checkpoint written by the pre-anchor version
+    * does not decode under this code. Restart upgraded streams from a
+    * FRESH checkpoint (same policy as statefulSessionize's
+    * SessionsState change).
     */
   def statefulFunnel(
       events: Dataset[Event],
