@@ -509,6 +509,32 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Time-slice fixture: the events subset with a dense integral "time"
+    * column (rank of event_id, so the slice constants below hit the same
+    * logical rows at every SF), RANGE-partitioned into 4 segments with
+    * disjoint time spans — the daily-segment layout the time-sliced
+    * stored-sketch read is for. user_id carries a stored bitmap section.
+    */
+  private def timeSliceTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsSlice_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("ts_ms", row_number().over(w).cast("long"))
+        .repartitionByRange(4, col("ts_ms"))
+        .write.format("pinot").mode("append")
+        .option("sketchColumns", "user_id:bitmap")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Rollup-HLL fixture: events subset rolled up per event_type with
     * user_id aggregated to an hll16 sketch COLUMN — Pinot's
     * DISTINCT_COUNT_HLL as a MergeRollupTask ingestion aggregation. The
@@ -604,6 +630,21 @@ object PinotRoundtrip {
         .select(element_at(col("qv"), 1).as("p50_value"),
           element_at(col("qv"), 2).as("p90_value"))
       users.crossJoin(props).crossJoin(eventIds).crossJoin(vals)
+    }),
+
+    // TIME-SLICED stored-sketch read (the "DISTINCT over the last N
+    // days" production path): segments fully inside [3000, 8000] answer
+    // from stored bitmap sections + metadata doc counts, fully-outside
+    // segments prune from min/max metadata alone, and only the two
+    // boundary segments scan rows (time filter pushed) into a
+    // query-time payload — at sf0.01 the 4 range segments split exactly
+    // into one outside, one inside, two boundary. The oracle computes
+    // the true distinct + row count over the slice from parquet.
+    "q153_pinot_sketch_timeslice" -> ((s, d) => {
+      val dir = timeSliceTable(s, d)
+      graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        s, dir, "user_id", "ts_ms", 3000L, 8000L,
+        as = "distinct_users", rowsAs = "slice_rows")
     }),
 
     // Grouped DISTINCT_COUNT_HLL over a ROLLED-UP table whose raw rows
@@ -1148,6 +1189,17 @@ object PinotRoundtrip {
         |       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN value END)
         |         AS p90_value
         |FROM r""".stripMargin,
+
+    // the true distinct + row count over exactly the sliced rows
+    "q153_pinot_sketch_timeslice" ->
+      """WITH base AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT CAST(count(DISTINCT CASE WHEN ts_ms BETWEEN 3000 AND 8000
+        |         THEN user_id END) AS BIGINT) AS distinct_users,
+        |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
+        |         THEN 1 END) AS BIGINT) AS slice_rows
+        |FROM base""".stripMargin,
 
     // the true grouped distincts over the rows the rollup consumed
     "q151_pinot_rollup_hll" ->

@@ -33,9 +33,12 @@ object PinotSketches {
     * the sketch — a silent partial merge would under-count.
     */
   def segmentSketches(s: SparkSession, tableDir: String,
+      column: String): DataFrame =
+    sketchesOf(s, segDirs(tableDir), column)
+
+  private def sketchesOf(s: SparkSession, dirs: Seq[String],
       column: String): DataFrame = {
     import s.implicits._
-    val dirs = segDirs(tableDir)
     val slices = math.max(1, math.min(dirs.size,
       4 * s.sparkContext.defaultParallelism))
     s.sparkContext.parallelize(dirs, slices)
@@ -49,6 +52,92 @@ object PinotSketches {
         } finally r.close()
       }
       .toDF("segment", "sketch")
+  }
+
+  /** Segment classification against an inclusive time slice on an
+    * integral time column, from METADATA alone (min/max recorded per
+    * column at write time — no column data touched):
+    * (fully-inside dirs, boundary dirs, total docs of the inside set).
+    */
+  private def classifyByTime(tableDir: String, timeCol: String,
+      loMs: Long, hiMs: Long): (Seq[String], Seq[String], Long) = {
+    var insideDocs = 0L
+    val inside = Seq.newBuilder[String]
+    val boundary = Seq.newBuilder[String]
+    segDirs(tableDir).foreach { dir =>
+      val r = SegmentReader.open(dir, SegmentIO.forPath(dir))
+      try {
+        val cm = r.metadata.column(timeCol)
+        val (mn, mx) = (for {
+          a <- cm.minValue; b <- cm.maxValue
+          al <- a.toLongOption; bl <- b.toLongOption
+        } yield (al, bl)).getOrElse(throw new PinotFormatException(
+          s"time slice: segment $dir has no integral min/max metadata " +
+            s"for $timeCol (integral time columns only)"))
+        if (mn >= loMs && mx <= hiMs) {
+          inside += dir
+          insideDocs += r.metadata.totalDocs
+        } else if (mx >= loMs && mn <= hiMs) {
+          boundary += dir
+        } // else: fully outside — pruned from metadata alone
+      } finally r.close()
+    }
+    (inside.result(), boundary.result(), insideDocs)
+  }
+
+  /** TIME-SLICED lambda merge (the production read path for "DISTINCT
+    * over the last N days" against a year of segments): exact distinct
+    * count of `column` over rows with `timeCol` ∈ [loMs, hiMs], where
+    *
+    *  - segments fully INSIDE the slice answer from their stored BITMAP
+    *    sketch sections (KB-scale reads, zero forward-index IO — the
+    *    q145/q150 path) and contribute their metadata `totalDocs` to the
+    *    row count without any IO at all;
+    *  - segments fully OUTSIDE prune from min/max metadata alone;
+    *  - only BOUNDARY segments scan rows — through the normal DSv2 read
+    *    with the time filter PUSHED (min/max + sorted pruning apply
+    *    inside the segment), folded into a query-time
+    *    [[graft.functions.SketchBuildAgg]] payload.
+    *
+    * One merge aggregate folds stored and query-time payloads (the
+    * xxhash64-seed-42 contract); output: (`as`, `rowsAs`) — exact
+    * distinct + exact row count over the slice. At 100 TB with daily
+    * segments, a 30-day slice reads 30 sketch sections, scans at most
+    * 2 boundary segments, and never touches the other 335 days.
+    */
+  def timeSlicedBitmapDistinct(s: SparkSession, tableDir: String,
+      column: String, timeCol: String, loMs: Long, hiMs: Long,
+      as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    require(loMs <= hiMs, s"time slice: lo $loMs > hi $hiMs")
+    val (inside, boundary, insideDocs) = classifyByTime(
+      tableDir, timeCol, loMs, hiMs)
+    val storedPayloads =
+      if (inside.isEmpty) None
+      else Some(sketchesOf(s, inside, column).select(col("sketch")))
+    val boundaryRows = boundary
+      .map(d => s.read.format("pinot").load(d)
+        .filter(col(timeCol) >= loMs && col(timeCol) <= hiMs))
+      .reduceOption(_ union _)
+    val deltaPayload = boundaryRows.map(_.agg(
+      graft.functions.SketchBuildAgg.sketchBuild(col(column), "bitmap")
+        .as("sketch")))
+    val payloads = (storedPayloads, deltaPayload) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        // every segment pruned from metadata: the slice is empty — the
+        // EXACT answer is zero of each, no IO at all
+        return s.range(1).select(lit(0L).as(as), lit(0L).as(rowsAs))
+    }
+    val distinct = payloads
+      .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
+    val rows = boundaryRows match {
+      case Some(b) => b.agg((count(lit(1)) + lit(insideDocs)).as(rowsAs))
+      case None => distinct.sparkSession.range(1)
+        .select(lit(insideDocs).as(rowsAs))
+    }
+    distinct.crossJoin(rows)
   }
 
   /** Exact distinct count of `column` from stored BITMAP sketches: one

@@ -218,6 +218,71 @@ class SketchSectionSpec extends SparkTestBase {
     assert(preads > 0, "recorder saw no psf reads — override not applied")
   }
 
+  test("time-sliced read: outside segments untouched, inside sketch-only, boundary scans the slice") {
+    import spark.implicits._
+    // 4 range segments over ts 1..4000; slice [1500, 3500] classifies
+    // them as outside / boundary / inside / boundary respectively
+    val dir = java.nio.file.Files
+      .createTempDirectory("slice_tbl").resolve("sl_OFFLINE").toString
+    val df = (1 to 4000).map(t => (t.toLong, (t % 97).toLong))
+      .toDF("ts_ms", "uid")
+    df.repartitionByRange(4, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "uid:bitmap")
+      .save(dir)
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(
+      dir, SegmentIO.forPath(dir))
+    assert(segDirs.size === 4)
+    // classify by metadata to build per-class forbidden ranges
+    val byClass = segDirs.map { d =>
+      val r = SegmentReader.open(d, SegmentIO.forPath(d))
+      try {
+        val cm = r.metadata.column("ts_ms")
+        val (mn, mx) = (cm.minValue.get.toLong, cm.maxValue.get.toLong)
+        val cls = if (mn >= 1500 && mx <= 3500) "inside"
+          else if (mx < 1500 || mn > 3500) "outside" else "boundary"
+        val nonSketch = r.indexMap.indexes.collect {
+          case ((_, tpe), loc) if tpe != SketchSection.IndexType =>
+            (loc.startOffset, loc.size)
+        }.toSeq
+        (LocalSegmentIO.resolve(d, "columns.psf"), cls, nonSketch)
+      } finally r.close()
+    }
+    assert(byClass.count(_._2 == "inside") === 1)
+    assert(byClass.count(_._2 == "outside") === 1)
+    assert(byClass.count(_._2 == "boundary") === 2)
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    val got = SegmentIO.withOverride(_.startsWith(
+        java.nio.file.Paths.get(dir).getParent.toString), rec) {
+      SegmentReader.clearSectionCacheForTests()
+      graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", 1500L, 3500L).head()
+    }
+    // exactness: distinct uid and row count over exactly the slice
+    val want = df.filter(col("ts_ms").between(1500, 3500))
+    assert(got.getLong(0) === want.select("uid").distinct().count())
+    assert(got.getLong(1) === want.count())
+    // IO discipline per class
+    import scala.jdk.CollectionConverters._
+    byClass.foreach { case (psf, cls, nonSketch) =>
+      val preads = Option(rec.reads.get(psf))
+        .map(_.asScala.toSeq).getOrElse(Nil)
+      cls match {
+        case "outside" =>
+          assert(preads.isEmpty,
+            s"outside segment read $preads from its psf — should be pruned")
+        case "inside" =>
+          preads.foreach { case (pos, len) =>
+            val bad = nonSketch.filter { case (s0, sz) =>
+              pos < s0 + sz && pos + len > s0 }
+            assert(bad.isEmpty,
+              s"inside segment read non-sketch section(s) $bad at ($pos,$len)")
+          }
+        case _ => // boundary: raw scan is the point — no restriction
+      }
+    }
+  }
+
   test("rollup sketchMetrics: grouped distincts survive the rollup exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files
