@@ -304,6 +304,13 @@ object EventPipelines {
               case k => pending = (t, k) :: pending
             }
           }
+          // duplicate (t, k) pairs are inert (resolve only takes minima
+          // over distinct times per step), so dedup bounds a replay-storm
+          // bot's state at the distinct pairs inside the lateness horizon
+          // instead of its raw event count — the streaming analog of the
+          // batch engine's collapseDuplicates
+          pending = pending.distinct
+          step1s = step1s.distinct
           var chain = chainOf(step1s)
           var t1 = chain.headOption.getOrElse(None1)
           if (chain.nonEmpty) chain = chain.tail

@@ -532,6 +532,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("statefulFunnel: a replayed event storm changes nothing (state deduped)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = statefulFunnel(mem.toDS(), windowMs = 60L * 60000)
+      .writeStream.format("memory").queryName("funnel_replay_stream")
+      .outputMode("append").start()
+    try {
+      // the same three step events delivered 40× inside one batch and
+      // 40× again across batches (an at-least-once ingest replaying) —
+      // the funnel must emit exactly the single-copy verdict
+      val storm = (0 until 40).flatMap(i => Seq(
+        Event(100 + i, ts(0), 1, "signup", 0.0),
+        Event(200 + i, ts(10), 1, "view", 0.0),
+        Event(300 + i, ts(20), 1, "purchase", 0.0)))
+      mem.addData(storm: _*)
+      q.processAllAvailable()
+      mem.addData(storm: _*) // replayed again in a later batch
+      q.processAllAvailable()
+      mem.addData(Event(9999, ts(300), 9, "signup", 0.0)) // push wm
+      q.processAllAvailable()
+      mem.addData(Event(10000, ts(600), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_replay_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter(_._1 == 1L).toSeq
+      assert(got === Seq((1L, 3, ts(0).getTime)),
+        "the replay storm duplicated or changed the funnel verdict")
+    } finally q.stop()
+  }
+
   test("random two-source streams (laggard co-source): statefulSessionize equals the per-user fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
