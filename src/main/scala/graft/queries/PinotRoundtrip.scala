@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 11 // r11: sketch fixtures (+value kll section)
+  private val LayoutVersion = 12 // r12: time-slice fixture gains value+kll
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -525,11 +525,13 @@ object PinotRoundtrip {
       Tables.load(s, d, "events")
         .orderBy("event_id")
         .limit(20000)
-        .select(col("event_id"), col("user_id"))
+        .select(col("event_id"), col("user_id"), col("value"))
         .withColumn("ts_ms", row_number().over(w).cast("long"))
         .repartitionByRange(4, col("ts_ms"))
         .write.format("pinot").mode("append")
-        .option("sketchColumns", "user_id:bitmap")
+        // kll32768 > the 20k subset cap: the sliced merge stays in its
+        // exact nearest-rank regime at every SF
+        .option("sketchColumns", "user_id:bitmap,value:kll32768")
         .save(tableDir.toString)
     }
     tableDir.toString
@@ -645,6 +647,22 @@ object PinotRoundtrip {
       graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
         s, dir, "user_id", "ts_ms", 3000L, 8000L,
         as = "distinct_users", rowsAs = "slice_rows")
+    }),
+
+    // TIME-SLICED percentiles (the "p99 over the last N days" path):
+    // same inside/outside/boundary split as q153, but the inside
+    // segments' stored KLL sections merge with the boundary scans'
+    // query-time KLL payload; exact nearest-rank (20k rows < k), so the
+    // DuckDB truth over the sliced rows hash-gates the whole split.
+    "q154_pinot_kll_timeslice" -> ((s, d) => {
+      val dir = timeSliceTable(s, d)
+      graft.sources.pinot.PinotSketches.timeSlicedKllQuantiles(
+        s, dir, "value", "ts_ms", 3000L, 8000L, 32768,
+        Seq(0.5, 0.9, 0.99), as = "qv")
+        .select(
+          element_at(col("qv"), 1).as("p50_value"),
+          element_at(col("qv"), 2).as("p90_value"),
+          element_at(col("qv"), 3).as("p99_value"))
     }),
 
     // Grouped DISTINCT_COUNT_HLL over a ROLLED-UP table whose raw rows
@@ -1188,6 +1206,23 @@ object PinotRoundtrip {
         |         AS p50_value,
         |       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN value END)
         |         AS p90_value
+        |FROM r""".stripMargin,
+
+    // the true nearest-rank quantiles over exactly the sliced rows
+    "q154_pinot_kll_timeslice" ->
+      """WITH base AS (SELECT value,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |sl AS (SELECT value FROM base WHERE ts_ms BETWEEN 3000 AND 8000),
+        |r AS (SELECT value,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM sl)
+        |SELECT min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN value END)
+        |         AS p50_value,
+        |       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN value END)
+        |         AS p90_value,
+        |       min(CASE WHEN rn >= ceil(0.99::DOUBLE * n) THEN value END)
+        |         AS p99_value
         |FROM r""".stripMargin,
 
     // the true distinct + row count over exactly the sliced rows

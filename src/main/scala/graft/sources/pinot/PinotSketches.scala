@@ -108,6 +108,53 @@ object PinotSketches {
   def timeSlicedBitmapDistinct(s: SparkSession, tableDir: String,
       column: String, timeCol: String, loMs: Long, hiMs: Long,
       as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    val (payloads, boundaryRows, insideDocs) = timeSlicedPayloads(
+      s, tableDir, column, "bitmap", timeCol, loMs, hiMs)
+    payloads match {
+      case None =>
+        // every segment pruned from metadata: the slice is empty — the
+        // EXACT answer is zero of each, no IO at all
+        s.range(1).select(lit(0L).as(as), lit(0L).as(rowsAs))
+      case Some(p) =>
+        val distinct = p
+          .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
+        val rows = boundaryRows match {
+          case Some(b) => b.agg((count(lit(1)) + lit(insideDocs)).as(rowsAs))
+          case None => s.range(1).select(lit(insideDocs).as(rowsAs))
+        }
+        distinct.crossJoin(rows)
+    }
+  }
+
+  /** Time-sliced PERCENTILE_KLL ("p99 over the last N days"): quantiles
+    * of `column` over rows with `timeCol` ∈ [loMs, hiMs], through the
+    * same inside-sections / metadata-prune / boundary-scan split as
+    * [[timeSlicedBitmapDistinct]]. Exact nearest-rank while the merged
+    * sketch (inside sections + the boundary query-time sketch) stays
+    * below k. NULL quantile elements when the slice is empty.
+    */
+  def timeSlicedKllQuantiles(s: SparkSession, tableDir: String,
+      column: String, timeCol: String, loMs: Long, hiMs: Long,
+      k: Int, qs: Seq[Double], as: String = "quantiles"): DataFrame = {
+    val (payloads, _, _) = timeSlicedPayloads(
+      s, tableDir, column, s"kll$k", timeCol, loMs, hiMs)
+    payloads
+      // an all-pruned slice still answers (NULL elements) through the
+      // same aggregate over zero payload rows
+      .getOrElse(s.range(0).select(lit(Array.empty[Byte]).as("sketch")))
+      .agg(graft.functions.KllMergeAgg
+        .kllMergeQuantiles(col("sketch"), k, qs).as(as))
+  }
+
+  /** The time-sliced payload stream shared by the public readers:
+    * stored sections of fully-inside segments ∪ one query-time
+    * [[graft.functions.SketchBuildAgg]] payload over the boundary
+    * segments' sliced rows. Returns (payloads — None when the slice
+    * matches nothing, boundary row stream, inside-docs count).
+    */
+  private def timeSlicedPayloads(s: SparkSession, tableDir: String,
+      column: String, spec: String, timeCol: String, loMs: Long,
+      hiMs: Long): (Option[DataFrame], Option[DataFrame], Long) = {
     require(loMs <= hiMs, s"time slice: lo $loMs > hi $hiMs")
     val (inside, boundary, insideDocs) = classifyByTime(
       tableDir, timeCol, loMs, hiMs)
@@ -119,25 +166,13 @@ object PinotSketches {
         .filter(col(timeCol) >= loMs && col(timeCol) <= hiMs))
       .reduceOption(_ union _)
     val deltaPayload = boundaryRows.map(_.agg(
-      graft.functions.SketchBuildAgg.sketchBuild(col(column), "bitmap")
+      graft.functions.SketchBuildAgg.sketchBuild(col(column), spec)
         .as("sketch")))
     val payloads = (storedPayloads, deltaPayload) match {
-      case (Some(a), Some(b)) => a.union(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        // every segment pruned from metadata: the slice is empty — the
-        // EXACT answer is zero of each, no IO at all
-        return s.range(1).select(lit(0L).as(as), lit(0L).as(rowsAs))
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
     }
-    val distinct = payloads
-      .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
-    val rows = boundaryRows match {
-      case Some(b) => b.agg((count(lit(1)) + lit(insideDocs)).as(rowsAs))
-      case None => distinct.sparkSession.range(1)
-        .select(lit(insideDocs).as(rowsAs))
-    }
-    distinct.crossJoin(rows)
+    (payloads, boundaryRows, insideDocs)
   }
 
   /** Exact distinct count of `column` from stored BITMAP sketches: one
