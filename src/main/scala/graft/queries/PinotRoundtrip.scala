@@ -616,12 +616,14 @@ object PinotRoundtrip {
           .as("distinct_users"))
       val props = cold("props")
         .union(delta.agg(SketchBuildAgg
-          .sketchBuild(xxhash64(col("props")), "kmv1024").as("sketch")))
+          .sketchBuild(when(col("props").isNotNull,
+            xxhash64(col("props"))), "kmv1024").as("sketch")))
         .agg(KmvMergeAgg.kmvMergeEstimate(col("sketch"), 1024)
           .as("distinct_props"))
       val eventIds = cold("event_id")
         .union(delta.agg(SketchBuildAgg
-          .sketchBuild(xxhash64(col("event_id")), "hll18").as("sketch")))
+          .sketchBuild(when(col("event_id").isNotNull,
+            xxhash64(col("event_id"))), "hll18").as("sketch")))
         .agg(HllMergeAgg.hllMergeEstimate(col("sketch"), 18)
           .as("distinct_events"))
       val vals = cold("value")

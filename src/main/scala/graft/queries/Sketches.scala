@@ -83,13 +83,19 @@ object Sketches {
     // dense phase's 1.04/√m error is property-tested in HllSketchSpec.
     // One ≤(2^p/4 hashes | 2^p registers) summary per group per
     // partition crosses the wire — never the (group, value) pairs.
+    // hashes are NULL-GATED: Spark's xxhash64(NULL) returns the seed
+    // (42), which would count one phantom distinct where the oracle's
+    // count(DISTINCT) ignores NULLs; a NULL-gated hash stays NULL and
+    // skips through the aggregate's null path
     "q152_hll_distinct" -> ((s, d) =>
       ev(s, d)
         .groupBy("event_type")
         .agg(
-          HllDistinctAgg.hllDistinct(xxhash64(col("user_id")), 16)
+          HllDistinctAgg.hllDistinct(
+            when(col("user_id").isNotNull, xxhash64(col("user_id"))), 16)
             .as("users"),
-          HllDistinctAgg.hllDistinct(xxhash64(col("props")), 12)
+          HllDistinctAgg.hllDistinct(
+            when(col("props").isNotNull, xxhash64(col("props"))), 12)
             .as("props_vals"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),

@@ -1,9 +1,10 @@
 package graft.sources.pinot
 
 import graft.functions.{BitmapMergeAgg, KmvSketchAgg}
-import graft.pinot.{PinotFormatException, SegmentIO, SegmentReader, SketchSection}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pinot.{PinotFormatException, SegmentIO, SegmentMetadata, SegmentReader, SketchSection}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 /** Query-time merge of SEGMENT-STORED distinct sketches (written via
   * `.option("sketchColumns", ...)` — see [[graft.pinot.SketchSection]]):
@@ -28,6 +29,26 @@ object PinotSketches {
     dirs
   }
 
+  /** Per-segment metadata for a table, through the SAME plan-time LRU
+    * cache + bounded-parallel prefetch the DSv2 scan uses
+    * ([[PinotScan.prefetchMetas]]): a warm session classifies a year of
+    * remote segments from memory; a cold one costs ONE 32-way parallel
+    * sweep of `metadata.properties` GETs — never a sequential
+    * open-per-segment loop. Fails loudly on an unreadable segment: a
+    * silently skipped segment would under-count.
+    */
+  private def metasOf(tableDir: String): Seq[(String, SegmentMetadata)] = {
+    val io = SegmentIO.forPath(tableDir)
+    val dirs = segDirs(tableDir)
+    PinotScan.prefetchMetas(dirs, io)
+    dirs.map { dir =>
+      val m = PinotScan.segmentMetaVia(dir, io)
+      if (m == null) throw new PinotFormatException(
+        s"unreadable segment metadata for $dir (required for sketch reads)")
+      (dir, m)
+    }
+  }
+
   /** Per-segment stored sketch payloads for `column`, one row per
     * segment: (segment, sketch bytes). Fails loudly if any segment lacks
     * the sketch — a silent partial merge would under-count.
@@ -35,6 +56,21 @@ object PinotSketches {
   def segmentSketches(s: SparkSession, tableDir: String,
       column: String): DataFrame =
     sketchesOf(s, segDirs(tableDir), column)
+
+  /** Register the per-segment stored sketch payloads of (`tableDir`,
+    * `column`) as a temp view, so a SQL-ONLY user reaches the
+    * stored-sketch read path with the registered merge aggregates:
+    * {{{
+    *   PinotSketches.registerSketchView(s, dir, "user_id", "user_sk")
+    *   spark.sql("SELECT bitmap_merge_distinct(sketch) FROM user_sk")
+    * }}}
+    * The view has columns (segment STRING, sketch BINARY); it composes
+    * with query-time `sketch_build(...)` payloads by `UNION ALL` (the
+    * lambda merge, q156).
+    */
+  def registerSketchView(s: SparkSession, tableDir: String,
+      column: String, viewName: String): Unit =
+    segmentSketches(s, tableDir, column).createOrReplaceTempView(viewName)
 
   private def sketchesOf(s: SparkSession, dirs: Seq[String],
       column: String): DataFrame = {
@@ -55,34 +91,79 @@ object PinotSketches {
   }
 
   /** Segment classification against an inclusive time slice on an
-    * integral time column, from METADATA alone (min/max recorded per
-    * column at write time — no column data touched):
+    * integral time column, from CACHED METADATA alone (min/max recorded
+    * per column at write time — no segment opens, no column data):
     * (fully-inside dirs, boundary dirs, total docs of the inside set).
+    *
+    * Rejects a nullable slice column (any segment with a null-value
+    * vector on `timeCol`): fully-inside segments would contribute
+    * metadata `totalDocs` — which counts null-time docs — while boundary
+    * scans' BETWEEN filter excludes them, a silent over-count. Mirrors
+    * the writer's non-nullable timeColumn rule.
     */
   private def classifyByTime(tableDir: String, timeCol: String,
       loMs: Long, hiMs: Long): (Seq[String], Seq[String], Long) = {
     var insideDocs = 0L
     val inside = Seq.newBuilder[String]
     val boundary = Seq.newBuilder[String]
-    segDirs(tableDir).foreach { dir =>
-      val r = SegmentReader.open(dir, SegmentIO.forPath(dir))
-      try {
-        val cm = r.metadata.column(timeCol)
-        val (mn, mx) = (for {
-          a <- cm.minValue; b <- cm.maxValue
-          al <- a.toLongOption; bl <- b.toLongOption
-        } yield (al, bl)).getOrElse(throw new PinotFormatException(
-          s"time slice: segment $dir has no integral min/max metadata " +
-            s"for $timeCol (integral time columns only)"))
-        if (mn >= loMs && mx <= hiMs) {
-          inside += dir
-          insideDocs += r.metadata.totalDocs
-        } else if (mx >= loMs && mn <= hiMs) {
-          boundary += dir
-        } // else: fully outside — pruned from metadata alone
-      } finally r.close()
+    metasOf(tableDir).foreach { case (dir, m) =>
+      val cm = m.column(timeCol)
+      if (cm.nullCount > 0) throw new PinotFormatException(
+        s"time slice: segment $dir has ${cm.nullCount} null values in " +
+          s"$timeCol — slice columns must be non-nullable (inside " +
+          "segments count docs from metadata; a BETWEEN-filtered boundary " +
+          "scan would drop null-time rows, silently over-counting)")
+      val (mn, mx) = (for {
+        a <- cm.minValue; b <- cm.maxValue
+        al <- a.toLongOption; bl <- b.toLongOption
+      } yield (al, bl)).getOrElse(throw new PinotFormatException(
+        s"time slice: segment $dir has no integral min/max metadata " +
+          s"for $timeCol (integral time columns only)"))
+      if (mn >= loMs && mx <= hiMs) {
+        inside += dir
+        insideDocs += m.totalDocs
+      } else if (mx >= loMs && mn <= hiMs) {
+        boundary += dir
+      } // else: fully outside — pruned from metadata alone
     }
     (inside.result(), boundary.result(), insideDocs)
+  }
+
+  /** The query-time [[graft.functions.SketchBuildAgg]] input for
+    * `column` of `df` under `spec`, matching the WRITER's trade
+    * (SegmentWriter sketchLongs/sketchHashes/sketchDoubles) so a delta
+    * payload composes exactly with stored sections:
+    *
+    *  - `bitmap`: integral columns keep the raw long; timestamps their
+    *    epoch millis; strings trade to xxhash64 (seed 42) like the
+    *    stored section does;
+    *  - `kmv<k>` / `hll<p>`: xxhash64 of the value — Spark's xxhash64
+    *    hashes each type exactly as the writer does (timestamps hash
+    *    their internal MICROsecond long), so no per-type casework;
+    *  - `kll<k>`: doubles; timestamps their epoch millis as double.
+    *
+    * Hashes are NULL-GATED (`xxhash64(NULL)` returns the seed, not NULL
+    * — it would count one phantom distinct); NULL inputs then skip
+    * through the aggregate's null path, matching count(DISTINCT)'s
+    * NULL-ignoring semantics.
+    */
+  private def deltaInput(df: DataFrame, column: String,
+      spec: String): Column = {
+    val dt = df.schema(column).dataType
+    val c = col(column)
+    def hashed = when(c.isNotNull, xxhash64(c))
+    SketchSection.parseSpec(spec) match {
+      case SketchSection.KllSpec(_) => dt match {
+        case TimestampType => unix_millis(c).cast(DoubleType)
+        case _ => c.cast(DoubleType)
+      }
+      case SketchSection.BitmapSpec => dt match {
+        case StringType => hashed
+        case TimestampType => unix_millis(c)
+        case _ => c.cast(LongType)
+      }
+      case _ => hashed // kmv / hll
+    }
   }
 
   /** TIME-SLICED lambda merge (the production read path for "DISTINCT
@@ -94,10 +175,11 @@ object PinotSketches {
     *    q145/q150 path) and contribute their metadata `totalDocs` to the
     *    row count without any IO at all;
     *  - segments fully OUTSIDE prune from min/max metadata alone;
-    *  - only BOUNDARY segments scan rows — through the normal DSv2 read
-    *    with the time filter PUSHED (min/max + sorted pruning apply
-    *    inside the segment), folded into a query-time
-    *    [[graft.functions.SketchBuildAgg]] payload.
+    *  - only BOUNDARY segments scan rows — ONCE, through the normal DSv2
+    *    read with the time filter PUSHED (min/max + sorted pruning apply
+    *    inside the segment), folded into a single aggregate producing
+    *    both the [[graft.functions.SketchBuildAgg]] payload and the
+    *    slice row count.
     *
     * One merge aggregate folds stored and query-time payloads (the
     * xxhash64-seed-42 contract); output: (`as`, `rowsAs`) — exact
@@ -108,7 +190,7 @@ object PinotSketches {
   def timeSlicedBitmapDistinct(s: SparkSession, tableDir: String,
       column: String, timeCol: String, loMs: Long, hiMs: Long,
       as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
-    val (payloads, boundaryRows, insideDocs) = timeSlicedPayloads(
+    val (payloads, insideDocs) = timeSlicedPayloads(
       s, tableDir, column, "bitmap", timeCol, loMs, hiMs)
     payloads match {
       case None =>
@@ -116,13 +198,9 @@ object PinotSketches {
         // EXACT answer is zero of each, no IO at all
         s.range(1).select(lit(0L).as(as), lit(0L).as(rowsAs))
       case Some(p) =>
-        val distinct = p
-          .agg(BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as))
-        val rows = boundaryRows match {
-          case Some(b) => b.agg((count(lit(1)) + lit(insideDocs)).as(rowsAs))
-          case None => s.range(1).select(lit(insideDocs).as(rowsAs))
-        }
-        distinct.crossJoin(rows)
+        p.agg(
+          BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as),
+          (sum(col("cnt")) + lit(insideDocs)).as(rowsAs))
     }
   }
 
@@ -136,43 +214,153 @@ object PinotSketches {
   def timeSlicedKllQuantiles(s: SparkSession, tableDir: String,
       column: String, timeCol: String, loMs: Long, hiMs: Long,
       k: Int, qs: Seq[Double], as: String = "quantiles"): DataFrame = {
-    val (payloads, _, _) = timeSlicedPayloads(
+    val (payloads, _) = timeSlicedPayloads(
       s, tableDir, column, s"kll$k", timeCol, loMs, hiMs)
     payloads
       // an all-pruned slice still answers (NULL elements) through the
       // same aggregate over zero payload rows
+      .map(_.select(col("sketch")))
       .getOrElse(s.range(0).select(lit(Array.empty[Byte]).as("sketch")))
       .agg(graft.functions.KllMergeAgg
         .kllMergeQuantiles(col("sketch"), k, qs).as(as))
   }
 
-  /** The time-sliced payload stream shared by the public readers:
-    * stored sections of fully-inside segments ∪ one query-time
-    * [[graft.functions.SketchBuildAgg]] payload over the boundary
-    * segments' sliced rows. Returns (payloads — None when the slice
-    * matches nothing, boundary row stream, inside-docs count).
+  /** The time-sliced payload stream shared by the public readers —
+    * rows of (sketch BINARY, cnt BIGINT): stored sections of
+    * fully-inside segments (cnt 0; their docs are counted from metadata,
+    * returned separately) ∪ ONE aggregate row over the boundary
+    * segments' sliced rows carrying both the query-time
+    * [[graft.functions.SketchBuildAgg]] payload and the boundary row
+    * count — each boundary segment is read exactly once. Returns
+    * (payloads — None when the slice matches nothing, inside-docs count).
     */
   private def timeSlicedPayloads(s: SparkSession, tableDir: String,
       column: String, spec: String, timeCol: String, loMs: Long,
-      hiMs: Long): (Option[DataFrame], Option[DataFrame], Long) = {
+      hiMs: Long): (Option[DataFrame], Long) = {
     require(loMs <= hiMs, s"time slice: lo $loMs > hi $hiMs")
     val (inside, boundary, insideDocs) = classifyByTime(
       tableDir, timeCol, loMs, hiMs)
     val storedPayloads =
       if (inside.isEmpty) None
-      else Some(sketchesOf(s, inside, column).select(col("sketch")))
-    val boundaryRows = boundary
+      else Some(sketchesOf(s, inside, column)
+        .select(col("sketch"), lit(0L).as("cnt")))
+    val deltaPayload = boundary
       .map(d => s.read.format("pinot").load(d)
         .filter(col(timeCol) >= loMs && col(timeCol) <= hiMs))
       .reduceOption(_ union _)
-    val deltaPayload = boundaryRows.map(_.agg(
-      graft.functions.SketchBuildAgg.sketchBuild(col(column), spec)
-        .as("sketch")))
+      .map { rows =>
+        rows.agg(
+          graft.functions.SketchBuildAgg
+            .sketchBuild(deltaInput(rows, column, spec), spec).as("sketch"),
+          count(lit(1)).as("cnt"))
+      }
     val payloads = (storedPayloads, deltaPayload) match {
       case (Some(a), Some(b)) => Some(a.union(b))
       case (a, b) => a.orElse(b)
     }
-    (payloads, boundaryRows, insideDocs)
+    (payloads, insideDocs)
+  }
+
+  /** GROUPED time-sliced distinct ("distinct users over the last N days
+    * PER event_type") composing a ROLLED-UP cold table with a RAW hot
+    * table — the two-tier layout MergeRollupTask produces in production
+    * (raw segments roll up per time bucket as they age, then retire):
+    *
+    *  - `rollupDir`: per-bucket rolled segments (q146/q151 shape —
+    *    [[graft.pinot.PinotCompact.rollup]] with dims (`groupCol`,
+    *    `bucketCol`), a summed `cntCol`, and `column` aggregated to one
+    *    `hll<p>` payload per group per bucket). `bucketCol` holds each
+    *    bucket's START in the raw time unit; a bucket spans
+    *    [start, start + bucketWidth). Segments fully outside the slice
+    *    PRUNE from min/max metadata through the pushed bucket filter
+    *    (zero IO); overlapping segments read only the few (group,
+    *    bucket) payload rows inside.
+    *  - `rawDir`: raw event segments covering everything NEWER than the
+    *    rolled range; outside segments prune from metadata, the rest
+    *    scan with the time filter pushed into a per-group query-time
+    *    [[graft.functions.SketchBuildAgg]] payload.
+    *
+    * One union + ONE hash exchange on `groupCol` merges both tiers
+    * (`hll_merge_estimate`); output (`groupCol`, `as`, `rowsAs`), exact
+    * while each group's distinct count stays in the hll sparse regime.
+    *
+    * Loud-failure contracts (validated from CACHED metadata before any
+    * row IO): slice edges falling strictly inside the rolled range must
+    * align to the bucket grid (a mid-bucket edge is unanswerable once
+    * raw rows are gone — silent truncation would under-count); a slice
+    * spanning past the rolled range requires the raw table to start
+    * exactly one unit after it (no coverage gap); the tiers must not
+    * overlap (double count).
+    */
+  def groupedTimeSlicedHllDistinct(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String, p: Int,
+      bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long,
+      as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    require(loMs <= hiMs, s"time slice: lo $loMs > hi $hiMs")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // rolled coverage from cached metadata (one parallel sweep, no opens)
+    val bucketBounds = metasOf(rollupDir).map { case (dir, m) =>
+      val cm = m.column(bucketCol)
+      (for {
+        a <- cm.minValue; b <- cm.maxValue
+        al <- a.toLongOption; bl <- b.toLongOption
+      } yield (al, bl)).getOrElse(throw new PinotFormatException(
+        s"grouped time slice: segment $dir has no integral min/max " +
+          s"metadata for bucket column $bucketCol"))
+    }
+    val rolledLo = bucketBounds.map(_._1).min
+    val rolledHiEnd = bucketBounds.map(_._2).max + bucketWidth - 1
+    if (loMs > rolledLo && loMs <= rolledHiEnd)
+      require((loMs - rolledLo) % bucketWidth == 0,
+        s"grouped time slice: lo $loMs falls mid-bucket in the rolled " +
+          s"range (grid start $rolledLo, width $bucketWidth) — raw rows " +
+          "are gone; a truncated bucket would silently under-count")
+    if (hiMs < rolledHiEnd)
+      require((hiMs + 1 - rolledLo) % bucketWidth == 0,
+        s"grouped time slice: hi $hiMs falls mid-bucket in the rolled " +
+          s"range (grid start $rolledLo, width $bucketWidth)")
+    val needRaw = hiMs > rolledHiEnd
+    if (needRaw) {
+      val rawMin = metasOf(rawDir).map { case (dir, m) =>
+        val cm = m.column(rawTimeCol)
+        cm.minValue.flatMap(_.toLongOption).getOrElse(
+          throw new PinotFormatException(
+            s"grouped time slice: segment $dir has no integral min " +
+              s"metadata for $rawTimeCol"))
+      }.min
+      require(rawMin == rolledHiEnd + 1,
+        s"grouped time slice: raw table starts at $rawMin but the rolled " +
+          s"range ends at $rolledHiEnd — a gap or overlap between the " +
+          "tiers would mis-count the slice")
+    }
+    // cold tier: (group, payload, cnt) rows of buckets fully inside —
+    // the pushed bucket filter prunes outside segments from metadata
+    val rolled = s.read.format("pinot").load(rollupDir)
+      .filter(col(bucketCol) >= loMs &&
+        col(bucketCol) <= hiMs - bucketWidth + 1)
+      .select(col(groupCol).as("g"), col(column).as("sketch"),
+        col(cntCol).cast(LongType).as("cnt"))
+    val merged =
+      if (!needRaw) rolled
+      else {
+        val raw = s.read.format("pinot").load(rawDir)
+          .filter(col(rawTimeCol) >= loMs && col(rawTimeCol) <= hiMs)
+        val rawPayload = raw
+          .groupBy(col(groupCol).as("g"))
+          .agg(
+            graft.functions.SketchBuildAgg
+              .sketchBuild(deltaInput(raw, column, s"hll$p"), s"hll$p")
+              .as("sketch"),
+            count(lit(1)).as("cnt"))
+        rolled.union(rawPayload)
+      }
+    merged
+      .groupBy("g")
+      .agg(
+        graft.functions.HllMergeAgg.hllMergeEstimate(col("sketch"), p).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
   }
 
   /** Exact distinct count of `column` from stored BITMAP sketches: one

@@ -11,15 +11,27 @@ import org.apache.spark.sql.functions._
   */
 class SketchSectionSpec extends SparkTestBase {
 
-  /** RangeReader recorder: every pread lands in `reads(file) += (pos, len)`. */
+  /** RangeReader recorder: every pread lands in `reads(file) += (pos, len)`,
+    * every whole-file read in `fullReads(file)` — the latter counts
+    * metadata fetches (the classify-path budget).
+    */
   private final class RecordingSegmentIO(inner: SegmentIO) extends SegmentIO {
     val reads = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+    val fullReads = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    def fullReadCount(p: String): Int =
+      Option(fullReads.get(p)).map(_.get()).getOrElse(0)
+    def resetFullReads(): Unit = fullReads.clear()
     override def exists(p: String) = inner.exists(p)
     override def isDirectory(p: String) = inner.isDirectory(p)
     override def size(p: String) = inner.size(p)
     override def mtimeMillis(p: String) = inner.mtimeMillis(p)
-    override def readFully(p: String) = inner.readFully(p)
+    override def readFully(p: String) = {
+      fullReads.computeIfAbsent(p,
+        _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+      inner.readFully(p)
+    }
     override def listFiles(dir: String) = inner.listFiles(dir)
     override def listAll(dir: String) = inner.listAll(dir)
     override def resolve(dir: String, child: String) = inner.resolve(dir, child)
@@ -320,6 +332,299 @@ class SketchSectionSpec extends SparkTestBase {
         |FROM rolled_sk GROUP BY g ORDER BY g""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaSql === want.map(t => (t._1, t._2, t._3)))
+  }
+
+  test("time-slice classification runs on cached metadata: one parallel sweep cold, zero fetches warm, outside segments untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("slice_meta").resolve("sm_OFFLINE").toString
+    val df = (1 to 4000).map(t => (t.toLong, (t % 89).toLong))
+      .toDF("ts_ms", "uid")
+    df.repartitionByRange(4, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "uid:bitmap")
+      .save(dir)
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(
+      dir, SegmentIO.forPath(dir))
+    assert(segDirs.size === 4)
+    val outside = segDirs.filter { d =>
+      val m = graft.sources.pinot.PinotScan.segmentMeta(d)
+      m.column("ts_ms").maxValue.get.toLong < 1500 ||
+        m.column("ts_ms").minValue.get.toLong > 3500
+    }
+    assert(outside.size === 1)
+    def metaFile(d: String) = {
+      val v3 = LocalSegmentIO.resolve(d, "v3")
+      val p = LocalSegmentIO.resolve(
+        if (LocalSegmentIO.exists(LocalSegmentIO.resolve(d,
+          "metadata.properties"))) d else v3, "metadata.properties")
+      p
+    }
+    val want = df.filter(col("ts_ms").between(1500, 3500))
+    val wantDistinct = want.select("uid").distinct().count()
+    val wantRows = want.count()
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    SegmentIO.withOverride(_.startsWith(
+        java.nio.file.Paths.get(dir).getParent.toString), rec) {
+      SegmentReader.clearSectionCacheForTests()
+      // COLD: force the plan-time metadata cache to miss — the classify
+      // sweep must fetch each segment's metadata.properties EXACTLY once
+      // (the 32-way parallel prefetch path; the recorder is a non-local
+      // SegmentIO, so the pooled branch is the one under test)
+      graft.sources.pinot.PinotScan.invalidateMetas(segDirs)
+      val got = graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", 1500L, 3500L).head()
+      assert(got.getLong(0) === wantDistinct)
+      assert(got.getLong(1) === wantRows)
+      // the OUTSIDE segment is classified and pruned: its metadata is
+      // fetched exactly once (the parallel classify sweep). Boundary /
+      // inside segments legitimately add a table-open seed and an
+      // executor parse-cache fill on a fully cold table — bounded, not
+      // the old unbounded sequential-open-per-query pattern.
+      segDirs.foreach { d =>
+        val n = rec.fullReadCount(metaFile(d))
+        assert(n >= 1 && n <= 3,
+          s"cold read ${metaFile(d)} ${n}x — want 1 (classify) to 3 (classify + open seed + executor parse)")
+      }
+      assert(rec.fullReadCount(metaFile(outside.head)) === 1,
+        "outside segment's metadata must be fetched exactly once (classify sweep only)")
+      // the pruned OUTSIDE segment is touched by NOTHING except that one
+      // metadata fetch: no index_map, no psf, no section reads
+      import scala.jdk.CollectionConverters._
+      val outsideFiles = (rec.fullReads.keySet().asScala ++
+        rec.reads.keySet().asScala)
+        .filter(_.startsWith(outside.head))
+      assert(outsideFiles.forall(_ == metaFile(outside.head)),
+        s"outside segment touched $outsideFiles — classification must be metadata-only")
+      // WARM: a second read classifies from the cache — zero metadata
+      // fetches anywhere, the outside segment is never touched at all
+      rec.resetFullReads()
+      val got2 = graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", 1500L, 3500L).head()
+      assert(got2.getLong(0) === wantDistinct)
+      segDirs.foreach { d =>
+        assert(rec.fullReadCount(metaFile(d)) === 0,
+          s"warm classify re-fetched ${metaFile(d)} — cache not hit")
+      }
+    }
+  }
+
+  test("nullable slice column is rejected loudly (metadata totalDocs would over-count)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("slice_null").resolve("sn_OFFLINE").toString
+    val df = (1 to 1000).map { t =>
+      (if (t % 50 == 0) None else Some(t.toLong), (t % 31).toLong)
+    }.toDF("ts_ms", "uid")
+    df.coalesce(1).write.format("pinot").mode("append")
+      .option("nullableColumns", "ts_ms")
+      .option("sketchColumns", "uid:bitmap")
+      .save(dir)
+    val ex = intercept[PinotFormatException] {
+      graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", 100L, 900L).head()
+    }
+    assert(ex.getMessage.contains("null"),
+      s"expected a null-column rejection, got: ${ex.getMessage}")
+  }
+
+  test("time-sliced distinct over STRING and KLL over TIMESTAMP sketch columns match raw twins") {
+    import spark.implicits._
+    // string sketch column: the stored bitmap holds xxhash64 values —
+    // the read-side delta must make the same trade (a raw string column
+    // would fail sketch_build's bigint requirement)
+    val dir = java.nio.file.Files
+      .createTempDirectory("slice_str").resolve("ss_OFFLINE").toString
+    val df = (1 to 3000).map { t =>
+      (t.toLong, s"tag_${t % 61}",
+        new java.sql.Timestamp(86400000L + t * 1000L))
+    }.toDF("ts_ms", "tag", "seen")
+    df.repartitionByRange(3, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "tag:bitmap,seen:kll8192")
+      .save(dir)
+    val got = graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+      spark, dir, "tag", "ts_ms", 500L, 2600L).head()
+    val want = df.filter(col("ts_ms").between(500, 2600))
+    assert(got.getLong(0) === want.select("tag").distinct().count())
+    assert(got.getLong(1) === want.count())
+    // timestamp KLL column: stored sections hold epoch-millis doubles;
+    // the delta must cast the same way (not Spark's seconds-cast)
+    val gotQ = graft.sources.pinot.PinotSketches.timeSlicedKllQuantiles(
+      spark, dir, "seen", "ts_ms", 500L, 2600L, 8192, Seq(0.5)).head()
+      .getSeq[Double](0)
+    val sortedMs = want.select(unix_millis(col("seen")))
+      .collect().map(_.getLong(0).toDouble).sorted
+    val wantP50 = sortedMs(math.ceil(0.5 * sortedMs.length).toInt - 1)
+    assert(gotQ === Seq(wantP50))
+  }
+
+  test("boundary segments are scanned exactly once (payload + row count in one aggregate)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("slice_once").resolve("so_OFFLINE").toString
+    val df = (1 to 4000).map(t => (t.toLong, (t % 97).toLong))
+      .toDF("ts_ms", "uid")
+    df.repartitionByRange(4, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "uid:bitmap")
+      .save(dir)
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(
+      dir, SegmentIO.forPath(dir))
+    val boundaryPsfs = segDirs.flatMap { d =>
+      val m = graft.sources.pinot.PinotScan.segmentMeta(d)
+      val (mn, mx) = (m.column("ts_ms").minValue.get.toLong,
+        m.column("ts_ms").maxValue.get.toLong)
+      if (mx >= 1500 && mn <= 3500 && !(mn >= 1500 && mx <= 3500))
+        Some(LocalSegmentIO.resolve(d, "columns.psf"))
+      else None
+    }
+    assert(boundaryPsfs.size === 2)
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    val got = SegmentIO.withOverride(_.startsWith(
+        java.nio.file.Paths.get(dir).getParent.toString), rec) {
+      SegmentReader.clearSectionCacheForTests()
+      graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", 1500L, 3500L).head()
+    }
+    val want = df.filter(col("ts_ms").between(1500, 3500))
+    assert(got.getLong(0) === want.select("uid").distinct().count())
+    assert(got.getLong(1) === want.count())
+    // a second scan of a boundary segment (the old separate row-count
+    // aggregate) would replay the same preads — every (pos, len) on a
+    // boundary psf must be unique
+    import scala.jdk.CollectionConverters._
+    boundaryPsfs.foreach { psf =>
+      val preads = Option(rec.reads.get(psf))
+        .map(_.asScala.toSeq).getOrElse(Nil)
+      assert(preads.nonEmpty, s"boundary $psf saw no reads")
+      val dup = preads.groupBy(identity).filter(_._2.size > 1)
+      assert(dup.isEmpty,
+        s"boundary $psf pread ranges replayed (double scan): $dup")
+    }
+  }
+
+  test("adversarial time-slice layouts: classify→read split equals the raw-scan twin on every draw") {
+    import spark.implicits._
+    val base = (1 to 4000).map(t => (t.toLong, (t % 113).toLong))
+    val df = base.toDF("ts_ms", "uid")
+    def mkTable(layout: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"slice_adv_$layout").resolve("sa_OFFLINE").toString
+      val w = layout match {
+        case "range4" => df.repartitionByRange(4, col("ts_ms"))
+        case "single" => df.coalesce(1)
+        // shuffled hash layout: every segment spans ~the full ts range —
+        // all-boundary classification, overlapping min/max windows
+        case "overlap3" => df.repartition(3)
+      }
+      w.write.format("pinot").mode("append")
+        .option("sketchColumns", "uid:bitmap")
+        .save(dir)
+      dir
+    }
+    def check(dir: String, lo: Long, hi: Long): Unit = {
+      val got = graft.sources.pinot.PinotSketches.timeSlicedBitmapDistinct(
+        spark, dir, "uid", "ts_ms", lo, hi).head()
+      val want = df.filter(col("ts_ms").between(lo, hi))
+      assert(got.getLong(0) === want.select("uid").distinct().count(),
+        s"distinct diverged on [$lo,$hi] over $dir")
+      assert(got.getLong(1) === want.count(),
+        s"row count diverged on [$lo,$hi] over $dir")
+    }
+    val rnd = new scala.util.Random(20260815L)
+    Seq("range4", "single", "overlap3").foreach { layout =>
+      val dir = mkTable(layout)
+      // slices landing EXACTLY on segment min/max boundaries
+      val bounds = graft.sources.pinot.PinotSegments
+        .discoverDirs(dir, SegmentIO.forPath(dir)).map { d =>
+          val m = graft.sources.pinot.PinotScan.segmentMeta(d)
+          (m.column("ts_ms").minValue.get.toLong,
+            m.column("ts_ms").maxValue.get.toLong)
+        }
+      val (mn0, mx0) = bounds.head
+      check(dir, mn0, mx0)          // one segment exactly inside
+      check(dir, 1L, 4000L)         // full span: everything inside
+      check(dir, 4001L, 5000L)      // empty slice: all pruned, exact zeros
+      check(dir, mx0, mx0)          // single point on a segment edge
+      check(dir, mn0, mn0)
+      // randomized slices (seeded), mixing edges and interior points
+      (1 to 4).foreach { _ =>
+        val a = 1L + rnd.nextInt(4200)
+        val b = a + rnd.nextInt(4200)
+        check(dir, a, b)
+      }
+    }
+  }
+
+  test("grouped time-sliced distinct: rolled cold tier + raw hot tier equals the twin; outside rolled segments untouched") {
+    import spark.implicits._
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(deleteRec(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val root = java.nio.file.Files.createTempDirectory("group_slice")
+    val coldDir = root.resolve("gsCold_OFFLINE")
+    val rawDir = root.resolve("gsRaw_OFFLINE").toString
+    java.nio.file.Files.createDirectories(coldDir)
+    val df = (1 to 5000).map { t =>
+      (t.toLong, s"g${t % 4}", (t % (60 + t % 4)).toLong)
+    }.toDF("ts_ms", "g", "uid")
+    // COLD: ts 1..3000 rolled into one segment per 1000-wide bucket —
+    // dims (g, bucket_start), summed cnt, uid → hll12 payload per group
+    (0 until 3).foreach { b =>
+      val lo = b * 1000L + 1
+      val build = root.resolve("gsBuild_OFFLINE")
+      df.filter(col("ts_ms").between(lo, lo + 999))
+        .select(col("g"), lit(lo).as("bucket_start"), col("uid"),
+          lit(1).as("cnt"))
+        .coalesce(1).write.format("pinot").mode("append")
+        .save(build.toString)
+      val seg = PinotCompact.rollup(build.toString,
+        dims = Seq("g", "bucket_start"), metrics = Seq("cnt"),
+        sketchMetrics = Map("uid" -> "hll12"))
+      java.nio.file.Files.move(seg, coldDir.resolve(s"bucket$b"))
+      deleteRec(build)
+    }
+    // RAW: ts 3001..5000 in two range segments (one boundary, one beyond)
+    df.filter(col("ts_ms") > 3000L)
+      .select(col("g"), col("ts_ms"), col("uid"))
+      .repartitionByRange(2, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .save(rawDir)
+    // slice [1001, 4200]: bucket 0 OUTSIDE (pruned), buckets 1-2 inside,
+    // raw segment 1 boundary-scans, raw segment 2 prunes (4001..5000 —
+    // wait: 4200 > 4001, so it boundary-scans too; the point is bucket 0)
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    val got = SegmentIO.withOverride(_.startsWith(root.toString), rec) {
+      SegmentReader.clearSectionCacheForTests()
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedHllDistinct(
+        spark, coldDir.toString, rawDir, "g", "uid", 12,
+        "bucket_start", 1000L, "cnt", "ts_ms", 1001L, 4200L,
+        as = "du", rowsAs = "rows").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val want = df.filter(col("ts_ms").between(1001, 4200))
+      .groupBy("g")
+      .agg(countDistinct(col("uid")).as("du"), count(lit(1)).as("rows"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "grouped time-sliced distinct diverged from the twin")
+    // the pruned bucket-0 rolled segment saw zero psf reads
+    import scala.jdk.CollectionConverters._
+    val bucket0Psf = rec.reads.keySet().asScala
+      .filter(_.startsWith(coldDir.resolve("bucket0").toString))
+    assert(bucket0Psf.isEmpty,
+      s"outside rolled segment read $bucket0Psf — pushed bucket filter must prune it")
+    // mid-bucket slice edges in the rolled range fail LOUDLY — raw rows
+    // are gone, a truncated bucket would silently under-count
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedHllDistinct(
+        spark, coldDir.toString, rawDir, "g", "uid", 12,
+        "bucket_start", 1000L, "cnt", "ts_ms", 1500L, 4200L)
+    }
+    assert(ex.getMessage.contains("mid-bucket"))
   }
 
   test("sketch sections survive v1 conversion and report in metadata") {
