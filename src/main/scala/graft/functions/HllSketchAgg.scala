@@ -46,17 +46,22 @@ final class HllSketch(val p: Int) {
   private val sparseLimit: Int = m / 4
 
   // exactly one of these is live: sparse set until > sparseLimit, then
-  // dense registers forever
-  private[graft] var sparse: java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  // dense registers forever. The sparse phase is a PRIMITIVE
+  // open-addressing hash set ([[HllSketch.LongHashSet]]): ~11 B/entry
+  // at peak vs ~40 B/entry for a boxed TreeSet — the buffer that
+  // matters in grouped aggregations holding thousands of sparse
+  // sketches at once. Serialization sorts (signed ascending, exactly
+  // the old TreeSet iteration order), so merge results stay
+  // byte-for-byte deterministic and stored sections are unchanged.
+  private[graft] var sparse: HllSketch.LongHashSet =
+    new HllSketch.LongHashSet()
   private[graft] var regs: Array[Byte] = null
 
   def isSparse: Boolean = regs == null
 
   private def toDense(): Unit = {
     regs = new Array[Byte](m)
-    val it = sparse.iterator()
-    while (it.hasNext) addToRegs(it.next())
+    sparse.foreachValue(addToRegs)
     sparse = null
   }
 
@@ -78,8 +83,7 @@ final class HllSketch(val p: Int) {
   def mergeIn(b: HllSketch): Unit = {
     require(b.p == p, s"hll merge across p: $p vs ${b.p}")
     if (b.isSparse) {
-      val it = b.sparse.iterator()
-      while (it.hasNext) addHash(it.next())
+      b.sparse.foreachValue(addHash)
     } else {
       if (isSparse) toDense()
       var i = 0
@@ -125,10 +129,11 @@ final class HllSketch(val p: Int) {
     */
   def serializeBody(): Array[Byte] =
     if (isSparse) {
-      val bb = ByteBuffer.allocate(1 + 4 + 8 * sparse.size)
-      bb.put(0.toByte).putInt(sparse.size)
-      val it = sparse.iterator()
-      while (it.hasNext) bb.putLong(it.next())
+      val sorted = sparse.toSortedArray // signed ascending: the byte
+      val bb = ByteBuffer.allocate(1 + 4 + 8 * sorted.length) // contract
+      bb.put(0.toByte).putInt(sorted.length)
+      var i = 0
+      while (i < sorted.length) { bb.putLong(sorted(i)); i += 1 }
       bb.array()
     } else {
       val bb = ByteBuffer.allocate(1 + m)
@@ -138,6 +143,79 @@ final class HllSketch(val p: Int) {
 }
 
 object HllSketch {
+
+  /** Primitive open-addressing set of 64-bit hashes for the sparse
+    * phase: an 8 B/slot long table at ≤ 5/8 load + a zero flag (the
+    * empty-slot sentinel is 0, so the value 0 is tracked out of band),
+    * linear probing, golden-ratio multiplicative spread of the already-
+    * well-mixed xxhash64 inputs. No boxing, no per-entry nodes — the
+    * TreeSet it replaces cost ~40 B/entry in grouped aggregation
+    * buffers. Insert order does not matter: consumers sort on exit
+    * ([[toSortedArray]]) to keep serialized bytes deterministic.
+    */
+  final class LongHashSet {
+    private var table = new Array[Long](32)
+    private var mask = 31
+    private var n = 0 // non-zero entries
+    private var hasZero = false
+
+    def size: Int = n + (if (hasZero) 1 else 0)
+
+    def add(v: Long): Unit = {
+      if (v == 0L) { hasZero = true; return }
+      var i = (java.lang.Long.reverse(v * -0x61c8864680b583ebL).toInt
+        & mask)
+      while (true) {
+        val cur = table(i)
+        if (cur == v) return
+        if (cur == 0L) {
+          table(i) = v
+          n += 1
+          if (n * 8 > table.length * 5) grow()
+          return
+        }
+        i = (i + 1) & mask
+      }
+    }
+
+    private def grow(): Unit = {
+      val old = table
+      table = new Array[Long](old.length << 1)
+      mask = table.length - 1
+      n = 0
+      var j = 0
+      while (j < old.length) {
+        if (old(j) != 0L) add(old(j))
+        j += 1
+      }
+    }
+
+    def foreachValue(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
+      var j = 0
+      while (j < table.length) {
+        if (table(j) != 0L) f(table(j))
+        j += 1
+      }
+    }
+
+    /** Entries in SIGNED ascending order — the serialization contract
+      * (identical to the TreeSet ordering of prior rounds' stored
+      * sections).
+      */
+    def toSortedArray: Array[Long] = {
+      val out = new Array[Long](size)
+      var k = 0
+      if (hasZero) { out(k) = 0L; k += 1 }
+      var j = 0
+      while (j < table.length) {
+        if (table(j) != 0L) { out(k) = table(j); k += 1 }
+        j += 1
+      }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
 
   def deserializeBody(p: Int, body: Array[Byte]): HllSketch = {
     val h = new HllSketch(p)

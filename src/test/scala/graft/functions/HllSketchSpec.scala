@@ -125,6 +125,28 @@ class HllSketchSpec extends SparkTestBase {
     }
   }
 
+  test("sparse bytes are insertion-order independent (primitive set sorts on serialize); zero hash survives") {
+    val rnd = new scala.util.Random(7)
+    // include 0L explicitly: it is the open-addressing empty sentinel
+    // and must round-trip through the out-of-band flag
+    val hashes = 0L +: Seq.fill(2000)(rnd.nextLong()).distinct
+    val a = new HllSketch(14) // sparse limit 4096 > inputs: stays sparse
+    val b = new HllSketch(14)
+    hashes.foreach(a.addHash)
+    rnd.shuffle(hashes).foreach(b.addHash)
+    assert(a.isSparse && b.isSparse)
+    assert(a.estimate === hashes.size.toLong)
+    assert(java.util.Arrays.equals(a.serializeBody(), b.serializeBody()),
+      "sparse serialization must not depend on insertion order")
+    // duplicate re-adds (including 0) change nothing
+    hashes.take(100).foreach(a.addHash)
+    a.addHash(0L)
+    assert(java.util.Arrays.equals(a.serializeBody(), b.serializeBody()))
+    // round-trip
+    val back = HllSketch.deserializeBody(14, a.serializeBody())
+    assert(back.estimate === hashes.size.toLong)
+  }
+
   test("merge across p fails loudly; bad frame fails loudly") {
     val a = new HllSketch(8)
     val b = new HllSketch(10)
