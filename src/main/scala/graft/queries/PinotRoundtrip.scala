@@ -590,7 +590,111 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Grouped-time-slice fixture pair — the two-tier layout
+    * MergeRollupTask produces in production: COLD buckets (a dense
+    * integral "time" = rank of event_id, width-100 buckets over ts
+    * 1..600) each rolled into ONE segment of (event_type, bucket_start,
+    * summed cnt, user_id → hll16 payload per group); the RAW tier keeps
+    * every row with ts > 600. Constants sit under the 1000-event sf0.001
+    * floor so every SF exercises the same outside/inside/raw split.
+    */
+  private def groupSliceTables(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_pinot_rt_v$LayoutVersion$key")
+      val coldDir = root.resolve("eventsGroupCold_OFFLINE")
+      val rawDir = root.resolve("eventsGroupRaw_OFFLINE")
+      if (!Files.exists(coldDir)) {
+        def deleteRec(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) Files.list(p).forEach(deleteRec(_))
+          Files.deleteIfExists(p)
+        }
+        val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+        val base = Tables.load(s, d, "events")
+          .orderBy("event_id")
+          .limit(20000)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .withColumn("ts_ms", row_number().over(w).cast("long"))
+        Files.createDirectories(coldDir)
+        (0 until 6).foreach { b =>
+          val lo = b * 100L + 1
+          val build = root.resolve("eventsGroupBuild_OFFLINE")
+          base.filter(col("ts_ms").between(lo, lo + 99))
+            .select(col("event_type"), lit(lo).as("bucket_start"),
+              col("user_id"), lit(1).as("cnt"))
+            .coalesce(1)
+            .write.format("pinot").mode("append")
+            .save(build.toString)
+          val seg = graft.pinot.PinotCompact.rollup(build.toString,
+            dims = Seq("event_type", "bucket_start"), metrics = Seq("cnt"),
+            sketchMetrics = Map("user_id" -> "hll16"))
+          Files.move(seg, coldDir.resolve(s"bucket$b"))
+          deleteRec(build)
+        }
+        base.filter(col("ts_ms") > 600L)
+          .select(col("event_type"), col("ts_ms"), col("user_id"))
+          .repartitionByRange(2, col("ts_ms"))
+          .write.format("pinot").mode("append")
+          .save(rawDir.toString)
+      }
+      (coldDir.toString, rawDir.toString)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GROUPED time-sliced distinct ("distinct users last N days PER
+    // event_type") over the two-tier rollup-then-retire layout: cold
+    // buckets fully outside [201, 850] prune from min/max metadata
+    // through the pushed bucket filter (zero IO — counted in
+    // SketchSectionSpec), inside buckets contribute their per-group
+    // stored hll16 payload ROWS (KB-scale), and only the raw tier scans
+    // rows — into per-group query-time payloads. ONE hash exchange on
+    // event_type merges both tiers. Exact regime: per-type distinct
+    // users <= 15k at sf1 < hll16's 16384 sparse limit, so the DuckDB
+    // truth over the original parquet hash-gates the whole composition.
+    "q155_pinot_group_timeslice" -> ((s, d) => {
+      val (coldDir, rawDir) = groupSliceTables(s, d)
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedHllDistinct(
+        s, coldDir, rawDir, "event_type", "user_id", 16,
+        "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
+        as = "distinct_users", rowsAs = "slice_rows")
+        .orderBy("event_type")
+    }),
+
+    // The stored-sketch read path exposed to a SQL-ONLY user: the
+    // per-segment sketch payloads register as temp views
+    // (PinotSketches.registerSketchView) and the WHOLE lambda merge —
+    // cold stored sections UNION ALL a query-time sketch_build delta,
+    // folded by the SQL-registered merge aggregates — is one
+    // spark.sql(...) string. Same exact-regime fixtures as q150, so the
+    // DuckDB truth hash-gates it. Hashes are null-gated in the SQL the
+    // same way the DataFrame sites are.
+    "q156_pinot_sketch_sql" -> ((s, d) => {
+      val dir = lambdaTable(s, d)
+      graft.sources.pinot.PinotSketches.registerSketchView(
+        s, dir, "event_id", "cold_event_hll")
+      graft.sources.pinot.PinotSketches.registerSketchView(
+        s, dir, "props", "cold_props_kmv")
+      Tables.load(s, d, "events").orderBy("event_id").limit(20000)
+        .filter(col("event_id") % 10 >= 6)
+        .createOrReplaceTempView("delta_events_sql")
+      s.sql("""
+        SELECT e.distinct_events, p.distinct_props FROM
+          (SELECT hll_merge_estimate(sketch, 18) AS distinct_events FROM
+            (SELECT sketch FROM cold_event_hll
+             UNION ALL
+             SELECT sketch_build(CASE WHEN event_id IS NOT NULL
+                 THEN xxhash64(event_id) END, 'hll18') AS sketch
+             FROM delta_events_sql)) e
+          CROSS JOIN
+          (SELECT kmv_merge_estimate(sketch, 1024) AS distinct_props FROM
+            (SELECT sketch FROM cold_props_kmv
+             UNION ALL
+             SELECT sketch_build(CASE WHEN props IS NOT NULL
+                 THEN xxhash64(props) END, 'kmv1024') AS sketch
+             FROM delta_events_sql)) p""")
+    }),
+
     // THE LAMBDA MERGE — the production shape the stored-sketch stack
     // exists for: cold segments answer from their few-KB STORED sketch
     // sections (zero forward-index IO, counted in SketchSectionSpec),
@@ -1226,6 +1330,24 @@ object PinotRoundtrip {
         |       min(CASE WHEN rn >= ceil(0.99::DOUBLE * n) THEN value END)
         |         AS p99_value
         |FROM r""".stripMargin,
+
+    // the true grouped distincts + row counts over exactly the sliced
+    // rows (the two tiers together cover ts 1..N disjointly)
+    "q155_pinot_group_timeslice" ->
+      """WITH base AS (SELECT event_type, user_id,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       CAST(count(*) AS BIGINT) AS slice_rows
+        |FROM base WHERE ts_ms BETWEEN 201 AND 850
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the true distincts over the whole capped subset (cold ∪ delta)
+    "q156_pinot_sketch_sql" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT (SELECT count(DISTINCT event_id) FROM base) AS distinct_events,
+        |       (SELECT count(DISTINCT props) FROM base) AS distinct_props""".stripMargin,
 
     // the true distinct + row count over exactly the sliced rows
     "q153_pinot_sketch_timeslice" ->

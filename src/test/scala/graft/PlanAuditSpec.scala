@@ -63,8 +63,9 @@ class PlanAuditSpec extends SparkTestBase {
     // lambda merge: four single-row stored∪delta merged-sketch
     // aggregates crossed 1×1 into the output row
     "q150_pinot_lambda_sketch",
-    // time-sliced sketch read: 1-row distinct × 1-row slice count
-    "q153_pinot_sketch_timeslice",
+    // SQL lambda merge: two single-row stored∪delta merged-sketch
+    // aggregates crossed 1×1 into the output row
+    "q156_pinot_sketch_sql",
     // PQ: the ONE-ROW codebook crossed into the encode scan + the q47-
     // style broadcast-probe theta join for candidate ranking
     "q140_knn_pq")
