@@ -66,6 +66,69 @@ class PinotStreamStatefulSpec extends SparkTestBase {
       "funnel state or source offsets were lost across the Pinot-tail restarts")
   }
 
+  test("Pinot tail -> sketch_build delta -> stored-section merge: the streaming lambda merge survives restarts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pinot_lambda")
+    val coldDir = root.resolve("cold_OFFLINE").toString
+    val tailDir = root.resolve("tail_OFFLINE").toString
+    val ckpt = root.resolve("ckpt").toString
+    val payloadOut = root.resolve("delta_payload").toString
+    // COLD: 50 uids with a stored hll16 section — the year of already-
+    // sketched segments
+    (0 until 200).map(i => (i.toLong, (i % 50).toLong))
+      .toDF("event_id", "uid")
+      .repartition(2).write.format("pinot").mode("append")
+      .option("sketchColumns", "uid:hll16")
+      .save(coldDir)
+    def landTail(uids: Range): Unit =
+      uids.map(u => (u.toLong * 7, u.toLong)).toDF("event_id", "uid")
+        .repartition(1).write.format("pinot").mode("append").save(tailDir)
+    // the DELTA half as a STREAM: the micro-batch tail folds every row
+    // it has ever seen into ONE SketchBuildAgg payload (complete-mode
+    // global aggregate — the buffer lives in the state store, so a
+    // restart that loses it under-counts and the assertion below reds)
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("pinot").load(tailDir)
+      val q = src
+        .agg(graft.functions.SketchBuildAgg.sketchBuild(
+          when(col("uid").isNotNull, xxhash64(col("uid"))), "hll16")
+          .as("sketch"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(payloadOut)
+        }
+        .start()
+      assert(q.awaitTermination(120000), "stream run did not terminate")
+    }
+    // run 1: 40 fresh uids land and are folded into the delta payload
+    landTail(100 until 140)
+    runOnce()
+    // run 2 (restart): 20 MORE fresh uids in a new segment — the merged
+    // payload must still cover run 1's uids (restored aggregate state)
+    // AND the new segment (restored source offsets)
+    landTail(200 until 220)
+    runOnce()
+    // the lambda merge: stored cold sections ∪ the stream's latest delta
+    // payload, folded by one merge aggregate
+    val merged = graft.sources.pinot.PinotSketches
+      .segmentSketches(spark, coldDir, "uid").select(col("sketch"))
+      .union(spark.read.parquet(payloadOut).select(col("sketch")))
+      .agg(graft.functions.HllMergeAgg.hllMergeEstimate(col("sketch"), 16))
+      .head().getLong(0)
+    // batch twin over the same physical tables (cold ∪ tail raw rows)
+    val twin = spark.read.format("pinot").load(coldDir).select("uid")
+      .union(spark.read.format("pinot").load(tailDir).select("uid"))
+      .distinct().count()
+    assert(twin === 110L) // 50 cold + 40 run-1 + 20 run-2, all disjoint
+    assert(merged === twin,
+      "streaming lambda merge diverged from the batch twin — source " +
+        "offsets or the sketch aggregate's state were lost across the restart")
+  }
+
   test("Pinot tail -> statefulSessionize -> sink: an open session survives restarts") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("pinot_ss")
