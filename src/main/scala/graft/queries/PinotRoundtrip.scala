@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 12 // r12: time-slice fixture gains value+kll
+  private val LayoutVersion = 13 // r13: group-slice fixture gains cents+kll
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -614,7 +614,8 @@ object PinotRoundtrip {
         val base = Tables.load(s, d, "events")
           .orderBy("event_id")
           .limit(20000)
-          .select(col("event_id"), col("event_type"), col("user_id"))
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
           .withColumn("ts_ms", row_number().over(w).cast("long"))
         Files.createDirectories(coldDir)
         (0 until 6).foreach { b =>
@@ -622,18 +623,19 @@ object PinotRoundtrip {
           val build = root.resolve("eventsGroupBuild_OFFLINE")
           base.filter(col("ts_ms").between(lo, lo + 99))
             .select(col("event_type"), lit(lo).as("bucket_start"),
-              col("user_id"), lit(1).as("cnt"))
+              col("user_id"), col("cents"), lit(1).as("cnt"))
             .coalesce(1)
             .write.format("pinot").mode("append")
             .save(build.toString)
           val seg = graft.pinot.PinotCompact.rollup(build.toString,
             dims = Seq("event_type", "bucket_start"), metrics = Seq("cnt"),
-            sketchMetrics = Map("user_id" -> "hll16"))
+            sketchMetrics = Map("user_id" -> "hll16", "cents" -> "kll32768"))
           Files.move(seg, coldDir.resolve(s"bucket$b"))
           deleteRec(build)
         }
         base.filter(col("ts_ms") > 600L)
-          .select(col("event_type"), col("ts_ms"), col("user_id"))
+          .select(col("event_type"), col("ts_ms"), col("user_id"),
+            col("cents"))
           .repartitionByRange(2, col("ts_ms"))
           .write.format("pinot").mode("append")
           .save(rawDir.toString)
@@ -658,6 +660,24 @@ object PinotRoundtrip {
         s, coldDir, rawDir, "event_type", "user_id", 16,
         "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
         as = "distinct_users", rowsAs = "slice_rows")
+        .orderBy("event_type")
+    }),
+
+    // GROUPED time-sliced PERCENTILES over the same two-tier layout as
+    // q155: the cold buckets' per-group kll32768 payload ROWS merge with
+    // the raw tier's per-group query-time KLL payloads — exact
+    // nearest-rank (the 650-row slice is far below k at every SF), so
+    // the DuckDB truth over the original parquet hash-gates the split.
+    "q157_pinot_group_kll_timeslice" -> ((s, d) => {
+      val (coldDir, rawDir) = groupSliceTables(s, d)
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedKllQuantiles(
+        s, coldDir, rawDir, "event_type", "cents", 32768, Seq(0.5, 0.9),
+        "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
+        as = "qarr", rowsAs = "slice_rows")
+        .select(col("event_type"),
+          element_at(col("qarr"), 1).cast("long").as("p50_cents"),
+          element_at(col("qarr"), 2).cast("long").as("p90_cents"),
+          col("slice_rows"))
         .orderBy("event_type")
     }),
 
@@ -1342,6 +1362,23 @@ object PinotRoundtrip {
         |       CAST(count(*) AS BIGINT) AS slice_rows
         |FROM base WHERE ts_ms BETWEEN 201 AND 850
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // true nearest-rank grouped percentiles over exactly the sliced rows
+    "q157_pinot_group_kll_timeslice" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |sl AS (SELECT event_type, cents FROM base
+        |  WHERE ts_ms BETWEEN 201 AND 850),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM sl)
+        |SELECT event_type,
+        |  min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN cents END) AS p90_cents,
+        |  CAST(count(*) AS BIGINT) AS slice_rows
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // the true distincts over the whole capped subset (cold ∪ delta)
     "q156_pinot_sketch_sql" ->

@@ -297,9 +297,59 @@ object PinotSketches {
       bucketCol: String, bucketWidth: Long, cntCol: String,
       rawTimeCol: String, loMs: Long, hiMs: Long,
       as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    val merged = groupedTimeSlicedPayloads(s, rollupDir, rawDir, groupCol,
+      column, s"hll$p", bucketCol, bucketWidth, cntCol, rawTimeCol,
+      loMs, hiMs)
+    merged
+      .groupBy("g")
+      .agg(
+        graft.functions.HllMergeAgg.hllMergeEstimate(col("sketch"), p).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** GROUPED time-sliced percentiles ("p99 of spend over the last N
+    * days PER event_type") over the same two-tier layout as
+    * [[groupedTimeSlicedHllDistinct]]: the rolled cold tier carries one
+    * `kll<k>` payload per group per bucket, the raw hot tier folds its
+    * sliced rows into per-group query-time KLL payloads, and ONE hash
+    * exchange on `groupCol` merges both. Exact nearest-rank while each
+    * group's merged sketch stays below k. Output: (`groupCol`, `as`
+    * ARRAY<DOUBLE> — one element per requested fraction, `rowsAs`).
+    * Same loud mid-bucket / coverage-gap / tier-overlap contracts.
+    */
+  def groupedTimeSlicedKllQuantiles(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String, k: Int,
+      qs: Seq[Double], bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long,
+      as: String = "quantiles", rowsAs: String = "slice_rows"): DataFrame = {
+    val merged = groupedTimeSlicedPayloads(s, rollupDir, rawDir, groupCol,
+      column, s"kll$k", bucketCol, bucketWidth, cntCol, rawTimeCol,
+      loMs, hiMs)
+    merged
+      .groupBy("g")
+      .agg(
+        graft.functions.KllMergeAgg
+          .kllMergeQuantiles(col("sketch"), k, qs).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** The grouped two-tier payload stream shared by the grouped readers —
+    * rows of (g, sketch BINARY, cnt BIGINT): the rolled cold tier's
+    * per-(group, bucket) stored payload rows for buckets fully inside
+    * the slice (outside segments prune from min/max metadata through
+    * the pushed bucket filter), ∪ the raw hot tier's per-group
+    * query-time [[graft.functions.SketchBuildAgg]] payloads over its
+    * sliced rows. Validates the tier contracts from CACHED metadata
+    * before any row IO (see [[groupedTimeSlicedHllDistinct]]).
+    */
+  private def groupedTimeSlicedPayloads(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String, spec: String,
+      bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long): DataFrame = {
     require(loMs <= hiMs, s"time slice: lo $loMs > hi $hiMs")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // rolled coverage from cached metadata (one parallel sweep, no opens)
     val bucketBounds = metasOf(rollupDir).map { case (dir, m) =>
       val cm = m.column(bucketCol)
       (for {
@@ -334,33 +384,24 @@ object PinotSketches {
           s"range ends at $rolledHiEnd — a gap or overlap between the " +
           "tiers would mis-count the slice")
     }
-    // cold tier: (group, payload, cnt) rows of buckets fully inside —
-    // the pushed bucket filter prunes outside segments from metadata
     val rolled = s.read.format("pinot").load(rollupDir)
       .filter(col(bucketCol) >= loMs &&
         col(bucketCol) <= hiMs - bucketWidth + 1)
       .select(col(groupCol).as("g"), col(column).as("sketch"),
         col(cntCol).cast(LongType).as("cnt"))
-    val merged =
-      if (!needRaw) rolled
-      else {
-        val raw = s.read.format("pinot").load(rawDir)
-          .filter(col(rawTimeCol) >= loMs && col(rawTimeCol) <= hiMs)
-        val rawPayload = raw
-          .groupBy(col(groupCol).as("g"))
-          .agg(
-            graft.functions.SketchBuildAgg
-              .sketchBuild(deltaInput(raw, column, s"hll$p"), s"hll$p")
-              .as("sketch"),
-            count(lit(1)).as("cnt"))
-        rolled.union(rawPayload)
-      }
-    merged
-      .groupBy("g")
-      .agg(
-        graft.functions.HllMergeAgg.hllMergeEstimate(col("sketch"), p).as(as),
-        sum(col("cnt")).as(rowsAs))
-      .withColumnRenamed("g", groupCol)
+    if (!needRaw) rolled
+    else {
+      val raw = s.read.format("pinot").load(rawDir)
+        .filter(col(rawTimeCol) >= loMs && col(rawTimeCol) <= hiMs)
+      val rawPayload = raw
+        .groupBy(col(groupCol).as("g"))
+        .agg(
+          graft.functions.SketchBuildAgg
+            .sketchBuild(deltaInput(raw, column, spec), spec)
+            .as("sketch"),
+          count(lit(1)).as("cnt"))
+      rolled.union(rawPayload)
+    }
   }
 
   /** Exact distinct count of `column` from stored BITMAP sketches: one
