@@ -154,9 +154,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SketchBuildAgg].getName, "sketch_build"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
-          "sketch_build(col, 'bitmap'|'kmv<k>'|'kll<k>'|'hll<p>') takes " +
-            "exactly 2 arguments")
+          "sketch_build(col, 'bitmap'|'kmv<k>'|'kll<k>'|'hll<p>'|'freq<c>') " +
+            "takes exactly 2 arguments")
         SketchBuildAgg(args.head, foldableString(args(1), "sketch_build spec"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_merge_items"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_items"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "freq_merge_items(sketch_bytes, capacity) takes exactly 2 arguments")
+        FreqMergeAgg(args.head, foldableInt(args(1), "freq_merge_items capacity"))
           .toAggregateExpression()
       }))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType}
 import org.roaringbitmap.longlong.Roaring64Bitmap
 
 import graft.pinot.SketchSection
@@ -22,7 +22,8 @@ import graft.pinot.SketchSection
   * Input column type per spec: `bitmap` takes the raw bigint values
   * (strings: feed `xxhash64(col)` — the same trade the stored section
   * makes); `kmv<k>` and `hll<p>` take pre-hashed bigints (feed
-  * `xxhash64(col)`); `kll<k>` takes doubles.
+  * `xxhash64(col)`); `kll<k>` takes doubles; `freq<c>` takes the raw
+  * strings (heavy hitters report the values themselves).
   *
   * At 100 TB: the delta side is one bounded summary per partition
   * (map-side combine), and the output is ONE payload row that unions
@@ -50,6 +51,10 @@ case class SketchBuildAgg(
         TypeCheckResult.TypeCheckSuccess
       case (SketchSection.KllSpec(_), other) => TypeCheckResult.TypeCheckFailure(
         s"sketch_build(kll) requires a double input, got ${other.simpleString}")
+      case (SketchSection.FreqSpec(_), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (SketchSection.FreqSpec(_), other) => TypeCheckResult.TypeCheckFailure(
+        s"sketch_build(freq) requires a string input, got ${other.simpleString}")
       case (_, LongType) => TypeCheckResult.TypeCheckSuccess
       case (_, other) => TypeCheckResult.TypeCheckFailure(
         s"sketch_build($specStr) requires a bigint input, got ${other.simpleString}")
@@ -65,6 +70,9 @@ case class SketchBuildAgg(
         SketchBuildAgg.KllBuf(new KllSketchAgg.Buf(k))
       case SketchSection.HllSpec(p) =>
         SketchBuildAgg.HllBuf(new HllSketch(p))
+      case SketchSection.FreqSpec(c) =>
+        SketchBuildAgg.FreqBuf(
+          scala.collection.mutable.HashMap.empty[String, Long], c)
     }
 
   override def update(
@@ -78,6 +86,8 @@ case class SketchBuildAgg(
       case SketchBuildAgg.BitmapBuf(bm) => bm.addLong(v.asInstanceOf[Long])
       case SketchBuildAgg.KllBuf(b) => b.insert(v.asInstanceOf[Double])
       case SketchBuildAgg.HllBuf(h) => h.addHash(v.asInstanceOf[Long])
+      case SketchBuildAgg.FreqBuf(m, c) => FreqItemsAgg.mgAdd(m,
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, c)
     }
     buf
   }
@@ -99,6 +109,8 @@ case class SketchBuildAgg(
         ka.mergeIn(kb); a
       case (SketchBuildAgg.HllBuf(ha), SketchBuildAgg.HllBuf(hb)) =>
         ha.mergeIn(hb); a
+      case (SketchBuildAgg.FreqBuf(ma, c), SketchBuildAgg.FreqBuf(mb, _)) =>
+        FreqItemsAgg.mgMergeInto(ma, mb, c); a
       case _ => throw new IllegalStateException("sketch_build: mixed buffers")
     }
 
@@ -112,6 +124,7 @@ case class SketchBuildAgg(
     case SketchBuildAgg.BitmapBuf(bm) => SketchSection.serializeBitmap(bm)
     case SketchBuildAgg.KllBuf(b) => SketchSection.serializeKll(b)
     case SketchBuildAgg.HllBuf(h) => SketchSection.serializeHll(h)
+    case SketchBuildAgg.FreqBuf(m, c) => SketchSection.serializeFreq(m, c)
   }
 
   override def deserialize(bytes: Array[Byte]): SketchBuildAgg.Buffer = {
@@ -124,6 +137,8 @@ case class SketchBuildAgg(
       case SketchSection.BitmapSpec => SketchBuildAgg.BitmapBuf(sk.bitmap)
       case SketchSection.KllSpec(_) => SketchBuildAgg.KllBuf(sk.kll)
       case SketchSection.HllSpec(_) => SketchBuildAgg.HllBuf(sk.hll)
+      case SketchSection.FreqSpec(c) => SketchBuildAgg.FreqBuf(
+        scala.collection.mutable.HashMap.from(sk.freq), c)
     }
   }
 
@@ -148,10 +163,13 @@ object SketchBuildAgg {
   final case class BitmapBuf(bm: Roaring64Bitmap) extends Buffer
   final case class KllBuf(buf: KllSketchAgg.Buf) extends Buffer
   final case class HllBuf(h: HllSketch) extends Buffer
+  final case class FreqBuf(m: scala.collection.mutable.HashMap[String, Long],
+      capacity: Int) extends Buffer
 
   /** One [[graft.pinot.SketchSection]] payload per group, built from raw
     * rows — unions with stored segment sections through the matching
-    * merge aggregate. Spec: `bitmap` / `kmv<k>` / `kll<k>` / `hll<p>`.
+    * merge aggregate. Spec: `bitmap` / `kmv<k>` / `kll<k>` / `hll<p>` /
+    * `freq<c>`.
     */
   def sketchBuild(c: Column, spec: String): Column =
     GraftSqlBridge.toColumn(

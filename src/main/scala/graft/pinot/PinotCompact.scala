@@ -206,7 +206,8 @@ object PinotCompact {
     def groupSketch(nm: String,
         order: Array[scala.collection.mutable.ArrayBuffer[Int]],
         longOf: Int => Long, hashOf: Int => Long,
-        dblOf: Int => Double = null): SegmentWriter.ColumnData =
+        dblOf: Int => Double = null,
+        strOf: Int => String = null): SegmentWriter.ColumnData =
       SegmentWriter.BytesRawCol(nm, order.map { g =>
         SketchSection.parseSpec(sketchMetrics(nm)) match {
           case SketchSection.KmvSpec(k) =>
@@ -219,6 +220,10 @@ object PinotCompact {
             SketchSection.buildKll(g.iterator.map(dblOf), k)
           case SketchSection.HllSpec(p) =>
             SketchSection.buildHll(g.iterator.map(hashOf), p)
+          case SketchSection.FreqSpec(c) =>
+            if (strOf == null) throw new PinotFormatException(
+              s"rollup sketch metric $nm: freq needs a STRING column")
+            SketchSection.buildFreq(g.iterator.map(strOf), c)
         }
       })
 
@@ -280,12 +285,13 @@ object PinotCompact {
         groupSketch(nm, order, i => v(i),
           i => SketchSection.xxhash(v(i) * 1000L), i => v(i).toDouble)
       case SegmentWriter.StringDictCol(nm, v, _) if sketchMetrics.contains(nm) =>
-        // strings have no natural long: both kinds keep xxhash64 values
+        // strings have no natural long: distinct kinds keep xxhash64
+        // values; freq keeps the values themselves
         groupSketch(nm, order, i => SketchSection.xxhash(v(i)),
-          i => SketchSection.xxhash(v(i)))
+          i => SketchSection.xxhash(v(i)), strOf = i => v(i))
       case SegmentWriter.StringRawCol(nm, v, _, _, _) if sketchMetrics.contains(nm) =>
         groupSketch(nm, order, i => SketchSection.xxhash(v(i)),
-          i => SketchSection.xxhash(v(i)))
+          i => SketchSection.xxhash(v(i)), strOf = i => v(i))
       // metrics: exact SUM per group (int widens to long-safe via math)
       case SegmentWriter.IntCol(nm, v) =>
         SegmentWriter.IntCol(nm, order.map(g =>

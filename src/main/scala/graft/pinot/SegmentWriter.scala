@@ -630,6 +630,13 @@ object SegmentWriter {
       case TimestampCol(_, ms) => Some(ms.iterator.map(_.toDouble))
       case _ => None
     }
+    // freq<c> heavy hitters report the VALUES themselves — string
+    // columns only (hashing would lose the items)
+    def sketchStrings(cd: ColumnData): Option[Iterator[String]] = cd match {
+      case StringDictCol(_, v, _) => Some(v.iterator)
+      case StringRawCol(_, v, _, _, _) => Some(v.iterator)
+      case _ => None
+    }
     sketchCols.foreach { case (sc, specStr) =>
       val spec = SketchSection.parseSpec(specStr)
       val cd = columns.find(_.name == sc).getOrElse(
@@ -655,6 +662,11 @@ object SegmentWriter {
             throw new PinotFormatException(
               s"sketchColumns entry $sc: single-value scalar required"))
           SketchSection.buildHll(vals, p)
+        case SketchSection.FreqSpec(c) =>
+          val vals = sketchStrings(cd).getOrElse(
+            throw new PinotFormatException(
+              s"sketchColumns entry $sc: freq needs a single-value STRING column"))
+          SketchSection.buildFreq(vals, c)
       }
       addSection(sc, SketchSection.IndexType, bytes)
       props ++= s"column.$sc.sketch=${spec.render}\n"

@@ -29,6 +29,14 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
   *    the column's numeric values (Pinot's PERCENTILE_KLL as an
   *    ingestion-time aggregation) — percentile answers survive rollups
   *    and merge across segments; exact nearest-rank below k.
+  *  - `freq<c>`: a Misra–Gries heavy-hitters summary of a STRING
+  *    column's values with `c` counters (Pinot's
+  *    FREQUENT_STRINGS_SKETCH as an ingestion-time aggregation) —
+  *    "top pages last N days" merges ≤c-entry summaries per segment
+  *    instead of re-counting the raw column; EXACT counts while the
+  *    column's global distinct cardinality stays ≤ c (no decrement
+  *    ever fires), the Agarwal et al. mergeable-summaries bound
+  *    (estimate ∈ [true − n/(c+1), true]) otherwise.
   *
   * At 100 TB: a DISTINCT over a year of segments reads a few KB of
   * sketch section per segment and merges — the raw forward indexes
@@ -37,12 +45,14 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
   * bytes move.
   *
   * Payload layout (big-endian): magic long, version byte, kind byte
-  * (0 = kmv, 1 = bitmap, 2 = kll, 3 = hll), k int (0 for bitmap; p for
-  * hll), then a count int whose meaning is per-kind — kmv: the number
-  * of hash longs that follow; bitmap / kll / hll: the byte length of
-  * the serialized body that follows (Roaring64 portable bytes, a
-  * [[graft.functions.KllSketchAgg.Buf]], or a
-  * [[graft.functions.HllSketch]] body respectively).
+  * (0 = kmv, 1 = bitmap, 2 = kll, 3 = hll, 4 = freq), k int (0 for
+  * bitmap; p for hll; c for freq), then a count int whose meaning is
+  * per-kind — kmv: the number of hash longs that follow; bitmap / kll /
+  * hll: the byte length of the serialized body that follows (Roaring64
+  * portable bytes, a [[graft.functions.KllSketchAgg.Buf]], or a
+  * [[graft.functions.HllSketch]] body respectively); freq: the number
+  * of (int len, UTF-8 item bytes, long count) entries that follow,
+  * item-sorted so equal summaries serialize to equal bytes.
   */
 object SketchSection {
 
@@ -53,6 +63,7 @@ object SketchSection {
   private val KindBitmap: Byte = 1
   private val KindKll: Byte = 2
   private val KindHll: Byte = 3
+  private val KindFreq: Byte = 4
 
   sealed trait Spec { def render: String }
   final case class KmvSpec(k: Int) extends Spec {
@@ -67,6 +78,10 @@ object SketchSection {
   final case class HllSpec(p: Int) extends Spec {
     require(p >= 4 && p <= 18, s"hll sketch p must be in [4, 18], got $p")
     def render = s"hll$p"
+  }
+  final case class FreqSpec(capacity: Int) extends Spec {
+    require(capacity >= 1, s"freq sketch capacity must be >= 1, got $capacity")
+    def render = s"freq$capacity"
   }
 
   /** Spark-`xxhash64` (seed 42) of a raw int/long/string value — the
@@ -101,16 +116,22 @@ object SketchSection {
       val p = hll.drop(3).toIntOption.getOrElse(
         throw new PinotFormatException(s"bad sketch spec '$s' (hll<p>)"))
       HllSpec(p)
+    case freq if freq.startsWith("freq") =>
+      val c = freq.drop(4).toIntOption.getOrElse(
+        throw new PinotFormatException(s"bad sketch spec '$s' (freq<c>)"))
+      FreqSpec(c)
     case other =>
       throw new PinotFormatException(
-        s"bad sketch spec '$other' (expected kmv<k>, kll<k>, hll<p>, or bitmap)")
+        s"bad sketch spec '$other' (expected kmv<k>, kll<k>, hll<p>, " +
+          "freq<c>, or bitmap)")
   }
 
   /** Deserialized section: exactly one of the payloads is set. */
   final case class Sketch(spec: Spec, kmvHashes: Array[Long],
       bitmap: Roaring64Bitmap,
       kll: graft.functions.KllSketchAgg.Buf = null,
-      hll: graft.functions.HllSketch = null)
+      hll: graft.functions.HllSketch = null,
+      freq: Array[(String, Long)] = null)
 
   /** Bottom-k of DISTINCT pre-hashed values, sorted signed-ascending —
     * the same summary [[graft.functions.KmvSketchAgg]] emits.
@@ -193,6 +214,37 @@ object SketchSection {
     bb.array()
   }
 
+  /** Misra–Gries heavy-hitters summary of a string column's values —
+    * the SAME update step [[graft.functions.FreqItemsAgg]] runs query-
+    * time, so stored and query-time summaries merge under one error
+    * bound. Exact counts while distinct values ≤ capacity.
+    */
+  def buildFreq(values: Iterator[String], capacity: Int): Array[Byte] = {
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    while (values.hasNext)
+      graft.functions.FreqItemsAgg.mgAdd(buf, values.next(), capacity)
+    serializeFreq(buf, capacity)
+  }
+
+  /** Frame an already-built MG counter map as a freq<c> payload —
+    * entries item-sorted, so equal summaries serialize to equal bytes
+    * (in the exact regime the summary itself is insertion-order-free).
+    */
+  def serializeFreq(buf: scala.collection.mutable.HashMap[String, Long],
+      capacity: Int): Array[Byte] = {
+    val entries = buf.toArray.sortBy(_._1)
+    val payload = entries.map { case (k, _) =>
+      k.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    val bb = ByteBuffer.allocate(
+      8 + 1 + 1 + 4 + 4 + payload.map(_.length + 12).sum)
+    bb.putLong(Magic).put(Version).put(KindFreq).putInt(capacity)
+      .putInt(entries.length)
+    entries.zip(payload).foreach { case ((_, c), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c)
+    }
+    bb.array()
+  }
+
   def deserialize(bytes: Array[Byte]): Sketch = {
     val bb = ByteBuffer.wrap(bytes)
     if (bb.getLong != Magic)
@@ -230,6 +282,20 @@ object SketchSection {
         bb.get(body)
         Sketch(HllSpec(p), null, null, null,
           graft.functions.HllSketch.deserializeBody(p, body))
+      case KindFreq =>
+        val c = bb.getInt
+        val n = bb.getInt
+        val entries = new Array[(String, Long)](n)
+        var i = 0
+        while (i < n) {
+          val kb = new Array[Byte](bb.getInt)
+          bb.get(kb)
+          entries(i) =
+            (new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+              bb.getLong)
+          i += 1
+        }
+        Sketch(FreqSpec(c), null, null, freq = entries)
       case other =>
         throw new PinotFormatException(s"sketch section: unknown kind $other")
     }

@@ -537,6 +537,33 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Heavy-hitters fixture: the events subset with an ingestion-time
+    * `freq256` (Misra–Gries) section over the ~100-distinct-value props
+    * column, RANGE-partitioned into 4 disjoint ts_ms segments like
+    * [[timeSliceTable]]. Exact regime by construction: distinct props
+    * ≪ 256 at every SF, so no MG decrement ever fires and merged stored
+    * counts equal true counts — the DuckDB oracle hash-checks them.
+    */
+  private def freqSliceTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsFreq_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("event_id"), col("props"))
+        .withColumn("ts_ms", row_number().over(w).cast("long"))
+        .repartitionByRange(4, col("ts_ms"))
+        .write.format("pinot").mode("append")
+        .option("sketchColumns", "props:freq256")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Rollup-HLL fixture: events subset rolled up per event_type with
     * user_id aggregated to an hll16 sketch COLUMN — Pinot's
     * DISTINCT_COUNT_HLL as a MergeRollupTask ingestion aggregation. The
@@ -679,6 +706,39 @@ object PinotRoundtrip {
           element_at(col("qarr"), 2).cast("long").as("p90_cents"),
           col("slice_rows"))
         .orderBy("event_type")
+    }),
+
+    // FREQUENT_STRINGS over STORED Misra–Gries sections: top props
+    // payloads from one summary merge over per-segment ≤256-entry freq
+    // sections — the raw column never re-reads (same counted-IO seam as
+    // the other stored-sketch paths). Exact regime by fixture
+    // construction (distinct props ≪ 256: no decrement ever fires),
+    // so the DuckDB truth over the original parquet hash-gates it.
+    "q158_pinot_freq_stored" -> ((s, d) => {
+      val dir = freqSliceTable(s, d)
+      graft.sources.pinot.PinotSketches.freqItems(s, dir, "props", 256,
+        as = "sk")
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(10)
+    }),
+
+    // TIME-SLICED heavy hitters ("top pages over the last N days"):
+    // inside segments answer from stored freq sections, outside segments
+    // prune from min/max metadata, boundary segments fold their sliced
+    // rows into a query-time freq payload — same split as q153, same
+    // exact regime as q158.
+    "q159_pinot_freq_timeslice" -> ((s, d) => {
+      val dir = freqSliceTable(s, d)
+      graft.sources.pinot.PinotSketches.timeSlicedFreqItems(
+        s, dir, "props", "ts_ms", 3000L, 8000L, 256,
+        as = "sk", rowsAs = "slice_rows")
+        .select(explode(col("sk")).as("e"), col("slice_rows"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"),
+          col("slice_rows"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(10)
     }),
 
     // The stored-sketch read path exposed to a SQL-ONLY user: the
@@ -1396,6 +1456,22 @@ object PinotRoundtrip {
         |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
         |         THEN 1 END) AS BIGINT) AS slice_rows
         |FROM base""".stripMargin,
+
+    // true top-10 props counts over the rows the sections consumed
+    "q158_pinot_freq_stored" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT props AS item, CAST(count(*) AS BIGINT) AS cnt FROM base
+        |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    // true top-10 props counts + row count over exactly the sliced rows
+    "q159_pinot_freq_timeslice" ->
+      """WITH base AS (SELECT props,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        | sl AS (SELECT props FROM base WHERE ts_ms BETWEEN 3000 AND 8000)
+        |SELECT props AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS slice_rows
+        |FROM sl GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
 
     // the true grouped distincts over the rows the rollup consumed
     "q151_pinot_rollup_hll" ->

@@ -316,7 +316,7 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
           case Array(c, spec) => c.trim -> spec.trim
           case _ => throw new IllegalArgumentException(
             s"sketchColumns entry '$ent' must be " +
-              "<column>:<kmv<k>|kll<k>|hll<p>|bitmap>")
+              "<column>:<kmv<k>|kll<k>|hll<p>|freq<c>|bitmap>")
         }
       }.toMap)
       .getOrElse(Map.empty[String, String])

@@ -162,6 +162,14 @@ object PinotSketches {
         case TimestampType => unix_millis(c)
         case _ => c.cast(LongType)
       }
+      case SketchSection.FreqSpec(_) => dt match {
+        // heavy hitters report the values themselves — strings only,
+        // mirroring the writer's sketchStrings trade
+        case StringType => c
+        case other => throw new PinotFormatException(
+          s"freq sketch over $column: string column required, " +
+            s"got ${other.simpleString}")
+      }
       case _ => hashed // kmv / hll
     }
   }
@@ -401,6 +409,50 @@ object PinotSketches {
             .as("sketch"),
           count(lit(1)).as("cnt"))
       rolled.union(rawPayload)
+    }
+  }
+
+  /** Heavy hitters of `column` from stored FREQ (Misra–Gries) sketches:
+    * one summary merge over per-segment ≤capacity-entry sections — the
+    * FREQUENT_STRINGS-over-stored-sketches path; the raw column never
+    * re-reads. Counts are EXACT while the column's global distinct
+    * cardinality stays ≤ capacity; the Agarwal et al. mergeable-
+    * summaries bound (estimate ∈ [true − n/(capacity+1), true]) holds
+    * beyond it. Output: one row, `as` = ARRAY<STRUCT<item, cnt>> sorted
+    * (cnt desc, item asc).
+    */
+  def freqItems(s: SparkSession, tableDir: String, column: String,
+      capacity: Int, as: String = "top_items"): DataFrame =
+    segmentSketches(s, tableDir, column)
+      .agg(graft.functions.FreqMergeAgg
+        .freqMergeItems(col("sketch"), capacity).as(as))
+
+  /** Time-sliced heavy hitters ("top pages over the last N days"):
+    * frequent values of `column` over rows with `timeCol` ∈ [loMs,
+    * hiMs], through the same inside-sections / metadata-prune /
+    * boundary-scan split as [[timeSlicedBitmapDistinct]]. Counts exact
+    * while the column's global distinct cardinality stays ≤ capacity.
+    * Output: (`as` ARRAY<STRUCT<item, cnt>>, `rowsAs` slice row count).
+    */
+  def timeSlicedFreqItems(s: SparkSession, tableDir: String,
+      column: String, timeCol: String, loMs: Long, hiMs: Long,
+      capacity: Int, as: String = "top_items",
+      rowsAs: String = "slice_rows"): DataFrame = {
+    val (payloads, insideDocs) = timeSlicedPayloads(
+      s, tableDir, column, s"freq$capacity", timeCol, loMs, hiMs)
+    payloads match {
+      case None =>
+        // every segment pruned from metadata: the slice is empty — the
+        // same aggregate over zero payload rows answers (empty list, 0)
+        s.range(0).select(lit(Array.empty[Byte]).as("sketch"))
+          .agg(graft.functions.FreqMergeAgg
+            .freqMergeItems(col("sketch"), capacity).as(as))
+          .select(col(as), lit(0L).as(rowsAs))
+      case Some(p) =>
+        p.agg(
+          graft.functions.FreqMergeAgg
+            .freqMergeItems(col("sketch"), capacity).as(as),
+          (sum(col("cnt")) + lit(insideDocs)).as(rowsAs))
     }
   }
 

@@ -97,6 +97,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch_build('freq<c>') + freq_merge_items compose via SQL") {
+    spark.range(0, 300)
+      .selectExpr("id % 3 AS part", "CAST(id % 7 AS STRING) AS s")
+      .createOrReplaceTempView("fm")
+    // per-part payloads built query-time, merged back — exact regime
+    val rows = spark.sql(
+      """SELECT freq_merge_items(sk, 16) AS top FROM
+        |  (SELECT sketch_build(s, 'freq16') AS sk FROM fm GROUP BY part)
+        |""".stripMargin).collect()
+    val entries = rows.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(entries.length === 7)
+    // 300 rows over 7 values: counts 43/43 then 42s-43s; sum is 300
+    assert(entries.map(_.getLong(1)).sum === 300L)
+    assert(entries.forall(e => e.getLong(1) >= 42L && e.getLong(1) <= 43L))
+  }
+
   test("bitmap_distinct callable via SQL") {
     val n = spark.sql(
       "SELECT bitmap_distinct(id % 97) AS n FROM range(0, 10000)")

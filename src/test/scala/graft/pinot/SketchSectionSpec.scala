@@ -627,6 +627,127 @@ class SketchSectionSpec extends SparkTestBase {
     assert(ex.getMessage.contains("mid-bucket"))
   }
 
+  test("freq sections: stored Misra–Gries summaries merge to exact counts; payload bytes are insertion-order-free") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("freq_tbl").resolve("fq_OFFLINE").toString
+    val rows = (0 until 6000).map(i => (i.toLong, s"page_${i % 37}"))
+    rows.toDF("ts_ms", "page")
+      .repartitionByRange(3, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "page:freq64")
+      .save(dir)
+    // exact regime (37 distinct < 64): merged stored counts = truth
+    val got = graft.sources.pinot.PinotSketches
+      .freqItems(spark, dir, "page", 64)
+      .select(explode(col("top_items")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+    // a section's bytes are a pure function of the summary, not of
+    // insertion order (exact regime: the summary itself is order-free)
+    val fwd = SketchSection.deserialize(
+      SketchSection.buildFreq(rows.iterator.map(_._2), 64))
+    val rev = SketchSection.buildFreq(rows.reverseIterator.map(_._2), 64)
+    assert(SketchSection.buildFreq(rows.iterator.map(_._2), 64)
+      .sameElements(rev))
+    assert(fwd.freq.toMap === want)
+  }
+
+  test("time-sliced freq: stored sections + boundary query-time payload match the raw twin; low capacity keeps the MG bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("freq_slice").resolve("fs_OFFLINE").toString
+    // zipf-ish skew so heavy hitters exist
+    val rows = (1 to 8000).map { t =>
+      val r = (t * 2654435761L) >>> 40
+      val page = if (r % 100 < 55) s"hot_${r % 3}" else s"cold_${r % 97}"
+      (t.toLong, page)
+    }
+    rows.toDF("ts_ms", "page")
+      .repartitionByRange(4, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "page:freq256")
+      .save(dir)
+    val (lo, hi) = (1500L, 6200L)
+    val sliced = rows.filter { case (t, _) => t >= lo && t <= hi }
+    val truth = sliced.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // capacity 256 > 100 distinct: exact through the whole split
+    val got = graft.sources.pinot.PinotSketches
+      .timeSlicedFreqItems(spark, dir, "page", "ts_ms", lo, hi, 256)
+    val row = got.head()
+    val items = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(items === truth)
+    assert(row.getLong(1) === sliced.size.toLong)
+    // all-pruned slice answers (empty, 0) with no IO
+    val empty = graft.sources.pinot.PinotSketches
+      .timeSlicedFreqItems(spark, dir, "page", "ts_ms", 50000L, 60000L, 256)
+      .head()
+    assert(empty.getSeq[org.apache.spark.sql.Row](0).isEmpty)
+    assert(empty.getLong(1) === 0L)
+  }
+
+  test("rollup freq metric: grouped heavy hitters survive the rollup exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("freq_roll").resolve("fr_OFFLINE").toString
+    val rows = (0 until 4000).map { i =>
+      (s"t${i % 3}", s"page_${i % 29}", 1)
+    }
+    rows.toDF("typ", "page", "cnt")
+      .repartition(2)
+      .write.format("pinot").mode("append")
+      .save(dir)
+    PinotCompact.rollup(dir, dims = Seq("typ"), metrics = Seq("cnt"),
+      sketchMetrics = Map("page" -> "freq64"))
+    val rolled = spark.read.format("pinot").load(dir)
+    val got = rolled
+      .groupBy("typ")
+      .agg(graft.functions.FreqMergeAgg
+        .freqMergeItems(col("page"), 64).as("sk"))
+      .select(col("typ"), explode(col("sk")).as("e"))
+      .select(col("typ"), col("e.item"), col("e.cnt"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    assert(got === want)
+  }
+
+  test("freq sections in the decremented regime keep the mergeable-summaries bound") {
+    // capacity far below distinct cardinality: merged counts must stay
+    // within [true - n/(cap+1), true] and every true heavy hitter with
+    // count > n/(cap+1) must survive the merge (Agarwal et al. PODS'12)
+    val cap = 8
+    val n = 20000
+    val rng = new scala.util.Random(7)
+    val vals = (0 until n).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 30) "alpha" else if (r < 50) "beta" else s"tail_${rng.nextInt(500)}"
+    }
+    val parts = vals.grouped(n / 7).toSeq
+    val sections = parts.map(p =>
+      SketchSection.buildFreq(p.iterator, cap))
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    sections.foreach { bytes =>
+      val sk = SketchSection.deserialize(bytes)
+      graft.functions.FreqItemsAgg.mgMergeInto(merged, sk.freq, cap)
+    }
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val slack = n.toLong / (cap + 1)
+    merged.foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est <= t, s"$item over-counted: $est > $t")
+      assert(est >= t - slack, s"$item under its bound: $est < $t - $slack")
+    }
+    truth.filter(_._2 > slack).keys.foreach { heavy =>
+      assert(merged.contains(heavy), s"true heavy hitter $heavy dropped")
+    }
+  }
+
   test("sketch sections survive v1 conversion and report in metadata") {
     val (dir, nUsers, _) = writeFixture()
     val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(
