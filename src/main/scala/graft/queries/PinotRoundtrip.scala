@@ -537,6 +537,30 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** The lambda DELTA tier as a PINOT table (the un-sketched 40% of the
+    * events subset [[lambdaTable]] leaves in parquet): two raw segments
+    * a STREAMING tail can discover — the deployment shape of the lambda
+    * merge, where today's events arrive through readStream("pinot")
+    * micro-batches instead of a batch parquet read.
+    */
+  private def lambdaDeltaTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsLambdaDelta_OFFLINE")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .filter(col("event_id") % 10 >= 6)
+        .select(col("event_id"), col("user_id"), col("props"), col("value"))
+        .repartition(2)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Heavy-hitters fixture: the events subset with an ingestion-time
     * `freq256` (Misra–Gries) section over the ~100-distinct-value props
     * column, RANGE-partitioned into 4 disjoint ts_ms segments like
@@ -739,6 +763,41 @@ object PinotRoundtrip {
           col("slice_rows"))
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
+    }),
+
+    // The STREAMING lambda merge as one declared query (the deployment
+    // shape PinotStreamStatefulSpec restart-proves): the delta tier
+    // arrives through a readStream("pinot") micro-batch tail folded into
+    // ONE complete-mode sketch_build(hll18) payload (AvailableNow — the
+    // run drains every landed segment, so the final snapshot equals the
+    // batch twin), then one merge aggregate folds it with the cold
+    // tier's STORED hll sections. Exact regime (20k ≪ hll18's 65536
+    // sparse limit), so the DuckDB truth hash-gates the whole
+    // stream-then-merge composition.
+    "q160_pinot_stream_lambda" -> ((s, d) => {
+      val coldDir = lambdaTable(s, d)
+      val deltaDir = lambdaDeltaTable(s, d)
+      val work = Files.createTempDirectory("q160_lambda")
+      val payloadOut = work.resolve("delta_payload").toString
+      val q = s.readStream.format("pinot").load(deltaDir)
+        .agg(graft.functions.SketchBuildAgg.sketchBuild(
+          when(col("event_id").isNotNull, xxhash64(col("event_id"))),
+          "hll18").as("sketch"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(payloadOut)
+        }
+        .start()
+      require(q.awaitTermination(300000),
+        "q160: the AvailableNow delta stream did not terminate")
+      graft.sources.pinot.PinotSketches
+        .segmentSketches(s, coldDir, "event_id").select(col("sketch"))
+        .union(s.read.parquet(payloadOut).select(col("sketch")))
+        .agg(graft.functions.HllMergeAgg
+          .hllMergeEstimate(col("sketch"), 18).as("distinct_events"))
     }),
 
     // The stored-sketch read path exposed to a SQL-ONLY user: the
@@ -1456,6 +1515,11 @@ object PinotRoundtrip {
         |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
         |         THEN 1 END) AS BIGINT) AS slice_rows
         |FROM base""".stripMargin,
+
+    // the true distinct over the rows both lambda tiers consumed
+    "q160_pinot_stream_lambda" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT count(DISTINCT event_id) AS distinct_events FROM base""".stripMargin,
 
     // true top-10 props counts over the rows the sections consumed
     "q158_pinot_freq_stored" ->
