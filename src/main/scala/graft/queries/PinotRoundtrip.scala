@@ -561,6 +561,31 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Upsert fixture: the events subset as an upsert REALTIME table —
+    * every event is a VERSION of its user's row (key user_id, compared
+    * by the unique, monotone event_id, so no ties exist and the latest
+    * record per user is well-defined at every SF). Three segments so
+    * versions of one key span segment boundaries.
+    */
+  private def upsertTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsUpsert_REALTIME")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.sources.pinot.PinotUpsert.configure(
+        tableDir.toString, Seq("user_id"), "event_id")
+    }
+    tableDir.toString
+  }
+
   /** Heavy-hitters fixture: the events subset with an ingestion-time
     * `freq256` (Misra–Gries) section over the ~100-distinct-value props
     * column, RANGE-partitioned into 4 disjoint ts_ms segments like
@@ -763,6 +788,19 @@ object PinotRoundtrip {
           col("slice_rows"))
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
+    }),
+
+    // UPSERT-table read (Pinot upsertConfig.mode=FULL): only the LATEST
+    // record per user_id — greatest event_id — is visible, ranked by
+    // ONE declarative window (one hash exchange on the key; no
+    // per-server upsert map). The fixture's comparison column is unique
+    // so the winner is well-defined; ties reject loudly by contract.
+    "q161_pinot_upsert" -> ((s, d) => {
+      val dir = upsertTable(s, d)
+      graft.sources.pinot.PinotUpsert.latest(s, dir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
+        .orderBy("user_id")
     }),
 
     // The STREAMING lambda merge as one declared query (the deployment
@@ -1515,6 +1553,16 @@ object PinotRoundtrip {
         |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
         |         THEN 1 END) AS BIGINT) AS slice_rows
         |FROM base""".stripMargin,
+
+    // the true latest-record-per-key over the versions the table holds
+    "q161_pinot_upsert" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM base
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     // the true distinct over the rows both lambda tiers consumed
     "q160_pinot_stream_lambda" ->
