@@ -586,6 +586,32 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** PARTIAL-upsert fixture: like [[upsertTable]] but in PARTIAL mode —
+    * non-key columns merge per declared strategies instead of the whole
+    * latest row winning (Pinot's partialUpsertStrategies).
+    */
+  private def upsertPartialTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsUpsertP_REALTIME")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("props"), col("value"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.sources.pinot.PinotUpsert.configurePartial(
+        tableDir.toString, Seq("user_id"), "event_id",
+        Map("event_type" -> "OVERWRITE", "props" -> "IGNORE",
+          "value" -> "MAX"))
+    }
+    tableDir.toString
+  }
+
   /** Heavy-hitters fixture: the events subset with an ingestion-time
     * `freq256` (Misra–Gries) section over the ~100-distinct-value props
     * column, RANGE-partitioned into 4 disjoint ts_ms segments like
@@ -780,8 +806,11 @@ object PinotRoundtrip {
     // exact regime as q158.
     "q159_pinot_freq_timeslice" -> ((s, d) => {
       val dir = freqSliceTable(s, d)
+      // [300, 800]: non-empty at EVERY SF (sf0.001's events table has
+      // only 1000 rows, where [3000, 8000] would slice nothing and the
+      // exploded top-items list would be empty)
       graft.sources.pinot.PinotSketches.timeSlicedFreqItems(
-        s, dir, "props", "ts_ms", 3000L, 8000L, 256,
+        s, dir, "props", "ts_ms", 300L, 800L, 256,
         as = "sk", rowsAs = "slice_rows")
         .select(explode(col("sk")).as("e"), col("slice_rows"))
         .select(col("e.item").as("item"), col("e.cnt").as("cnt"),
@@ -800,6 +829,20 @@ object PinotRoundtrip {
       graft.sources.pinot.PinotUpsert.latest(s, dir)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
+    // PARTIAL upsert (Pinot partialUpsertStrategies): versions of a
+    // user merge COLUMN-WISE — event_type OVERWRITEs (latest wins),
+    // props IGNOREs (first wins), value keeps the MAX — in ONE hash
+    // aggregate on the key (map-side partials; no window sort).
+    // Comparison ties reject loudly inside the same aggregate.
+    "q162_pinot_partial_upsert" -> ((s, d) => {
+      val dir = upsertPartialTable(s, d)
+      graft.sources.pinot.PinotUpsert.latest(s, dir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("props").as("first_props"), col("value").as("max_value"))
         .orderBy("user_id")
     }),
 
@@ -1564,6 +1607,15 @@ object PinotRoundtrip {
         |                           ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
 
+    // the true column-wise merge over the versions the table holds
+    "q162_pinot_partial_upsert" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT user_id, max(event_id) AS last_event_id,
+        |       arg_max(event_type, event_id) AS last_event_type,
+        |       arg_min(props, event_id) AS first_props,
+        |       max(value) AS max_value
+        |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // the true distinct over the rows both lambda tiers consumed
     "q160_pinot_stream_lambda" ->
       """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
@@ -1580,7 +1632,7 @@ object PinotRoundtrip {
       """WITH base AS (SELECT props,
         |    row_number() OVER (ORDER BY event_id) AS ts_ms
         |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
-        | sl AS (SELECT props FROM base WHERE ts_ms BETWEEN 3000 AND 8000)
+        | sl AS (SELECT props FROM base WHERE ts_ms BETWEEN 300 AND 800)
         |SELECT props AS item, CAST(count(*) AS BIGINT) AS cnt,
         |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS slice_rows
         |FROM sl GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,

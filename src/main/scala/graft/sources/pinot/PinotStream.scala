@@ -1,7 +1,7 @@
 package graft.sources.pinot
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 
 /** Offset for the Pinot streaming read: the sorted set of segment paths
@@ -59,7 +59,8 @@ object PinotStreamOffset {
   * NEW data only, never to table size.
   */
 class PinotMicroBatchStream(tableDir: String, columns: Array[String],
-    skipFilters: Array[Filter], limit: Option[Int]) extends MicroBatchStream {
+    skipFilters: Array[Filter], limit: Option[Int])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def discover(): Seq[String] =
     // IO-routed: a streaming tail over an hdfs://-hosted table works the
@@ -68,8 +69,26 @@ class PinotMicroBatchStream(tableDir: String, columns: Array[String],
       graft.pinot.SegmentIO.forPath(tableDir))
     catch { case _: graft.pinot.PinotFormatException => Seq.empty }
 
+  // Trigger.AvailableNow: the run's upper bound is the segment list
+  // captured HERE, once, at stream start — later landings wait for the
+  // next run, and the run is guaranteed to drain up to the bound even
+  // across multiple batches (without this Spark falls back to a
+  // single-batch mode that may skip new data after an uncommitted batch)
+  @volatile private var availableNowBound: Option[PinotStreamOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(PinotStreamOffset(discover()))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset =
+    availableNowBound.getOrElse(PinotStreamOffset(discover()))
+
+  override def reportLatestOffset(): Offset = PinotStreamOffset(discover())
+
   override def initialOffset(): Offset = PinotStreamOffset(Seq.empty)
 
+  // plain MicroBatchStream path (non-admission-control triggers)
   override def latestOffset(): Offset = PinotStreamOffset(discover())
 
   override def deserializeOffset(json: String): Offset =

@@ -39,30 +39,88 @@ object PinotUpsert {
 
   private val ConfigFile = "upsert.properties"
 
-  /** Declare (tableDir, keys, compareCol) as an upsert table — the
-    * analog of setting `upsertConfig` in Pinot's table config.
+  /** The per-column merge strategies of Pinot's PARTIAL upsert mode
+    * (`partialUpsertStrategies`). Versions of a key merge COLUMN-WISE:
+    */
+  sealed trait Strategy
+  /** value of the LATEST version (max comparison) — Pinot's default. */
+  case object Overwrite extends Strategy
+  /** value of the FIRST version (min comparison) — Pinot's IGNORE
+    * ("ignore new values").
+    */
+  case object Ignore extends Strategy
+  /** sum across versions (numeric). */
+  case object Increment extends Strategy
+  /** max across versions (numeric). */
+  case object Max extends Strategy
+  /** min across versions (numeric). */
+  case object Min extends Strategy
+  /** distinct values across versions, sorted for determinism. */
+  case object Union extends Strategy
+  /** all values in comparison order. */
+  case object Append extends Strategy
+
+  private def parseStrategy(s: String): Strategy = s.trim.toUpperCase match {
+    case "OVERWRITE" => Overwrite
+    case "IGNORE" => Ignore
+    case "INCREMENT" => Increment
+    case "MAX" => Max
+    case "MIN" => Min
+    case "UNION" => Union
+    case "APPEND" => Append
+    case other => throw new PinotFormatException(
+      s"upsert: unknown partial strategy '$other' (OVERWRITE, IGNORE, " +
+        "INCREMENT, MAX, MIN, UNION, APPEND)")
+  }
+
+  /** Declare (tableDir, keys, compareCol) as a FULL-mode upsert table —
+    * the analog of setting `upsertConfig` in Pinot's table config.
     */
   def configure(tableDir: String, keys: Seq[String],
-      compareCol: String): Unit = {
+      compareCol: String): Unit =
+    writeConfig(tableDir, "FULL", keys, compareCol, Map.empty)
+
+  /** Declare a PARTIAL-mode upsert table: non-key columns merge per
+    * `strategies` (unlisted columns default to OVERWRITE, like Pinot).
+    */
+  def configurePartial(tableDir: String, keys: Seq[String],
+      compareCol: String, strategies: Map[String, String]): Unit = {
+    strategies.values.foreach(parseStrategy) // validate before writing
+    require(strategies.keySet.intersect(keys.toSet).isEmpty,
+      "upsert: key columns cannot carry a partial strategy")
+    require(!strategies.contains(compareCol),
+      "upsert: the comparison column cannot carry a partial strategy")
+    writeConfig(tableDir, "PARTIAL", keys, compareCol, strategies)
+  }
+
+  private def writeConfig(tableDir: String, mode: String, keys: Seq[String],
+      compareCol: String, strategies: Map[String, String]): Unit = {
     require(keys.nonEmpty, "upsert: at least one key column required")
     require(!keys.contains(compareCol),
       s"upsert: comparison column $compareCol cannot be a key column")
+    val strat =
+      if (strategies.isEmpty) ""
+      else "upsert.partial.strategies=" + strategies.toSeq.sorted
+        .map { case (c, s) => s"$c:${s.trim.toUpperCase}" }
+        .mkString(",") + "\n"
     val body =
-      s"""upsert.mode=FULL
+      s"""upsert.mode=$mode
          |upsert.key.columns=${keys.mkString(",")}
          |upsert.comparison.column=$compareCol
-         |""".stripMargin
+         |$strat""".stripMargin
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tableDir).resolve(ConfigFile),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 
-  /** The declared upsert config of `tableDir`, or a loud failure — a
-    * raw read of an upsert table is a different (versioned) relation,
-    * so the caller must know which one it wants.
+  /** The declared upsert config of `tableDir` — (mode, keys, comparison
+    * column, partial strategies) — or a loud failure: a raw read of an
+    * upsert table is a different (versioned) relation, so the caller
+    * must know which one it wants.
     */
-  def config(tableDir: String): (Seq[String], String) = {
+  def config(tableDir: String)
+      : (String, Seq[String], String, Map[String, Strategy]) = {
     val io = SegmentIO.forPath(tableDir)
     val p = io.resolve(tableDir, ConfigFile)
     if (!io.exists(p))
@@ -79,22 +137,51 @@ object PinotUpsert {
         s"$p: missing upsert.key.columns")).split(',').map(_.trim).toSeq
     val cmp = props.getOrElse("upsert.comparison.column",
       throw new PinotFormatException(s"$p: missing upsert.comparison.column"))
-    (keys, cmp)
+    val mode = props.getOrElse("upsert.mode", "FULL")
+    val strategies = props.get("upsert.partial.strategies")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).map { ent =>
+        ent.split(":") match {
+          case Array(c, s) => c.trim -> parseStrategy(s)
+          case _ => throw new PinotFormatException(
+            s"$p: bad partial strategy entry '$ent' (<column>:<STRATEGY>)")
+        }
+      }.toMap)
+      .getOrElse(Map.empty[String, Strategy])
+    (mode, keys, cmp, strategies)
   }
 
-  /** The upsert VIEW of `tableDir`: only the latest record per key
-    * (greatest comparison value) is visible — what a Pinot query over
-    * an upsert REALTIME table returns. Ties on (key, max comparison)
-    * reject loudly (see class doc).
+  /** The upsert VIEW of `tableDir` — what a Pinot query over an upsert
+    * REALTIME table returns:
+    *
+    *  - FULL mode: only the latest record per key (greatest comparison
+    *    value) is visible. Ties on (key, max comparison) reject loudly
+    *    (see class doc).
+    *  - PARTIAL mode: versions of a key merge COLUMN-WISE per the
+    *    declared strategies (unlisted non-key columns OVERWRITE) — ONE
+    *    hash aggregate on the key, with map-side partials, which at
+    *    100 TB beats even the FULL window (no sort). Comparison ties
+    *    reject loudly for the same reason: OVERWRITE/IGNORE pick "the
+    *    value at the max/min comparison", undefined under a tie.
     */
   def latest(s: SparkSession, tableDir: String): DataFrame = {
-    val (keys, cmp) = config(tableDir)
+    val (mode, keys, cmp, strategies) = config(tableDir)
     val df = s.read.format("pinot").load(tableDir)
-    val missing = (keys :+ cmp).filterNot(df.columns.contains)
+    val missing = (keys :+ cmp).filterNot(df.columns.contains) ++
+      strategies.keys.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new PinotFormatException(
         s"upsert table $tableDir: configured columns ${missing.mkString(",")} " +
           "not present in the segment schema")
+    mode match {
+      case "FULL" => latestFull(df, tableDir, keys, cmp)
+      case "PARTIAL" => latestPartial(df, tableDir, keys, cmp, strategies)
+      case other => throw new PinotFormatException(
+        s"upsert table $tableDir: unknown mode $other")
+    }
+  }
+
+  private def latestFull(df: DataFrame, tableDir: String,
+      keys: Seq[String], cmp: String): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*)
     val ranked = df
       .withColumn("_upsert_rnk", rank().over(byKey.orderBy(col(cmp).desc)))
@@ -110,5 +197,44 @@ object PinotUpsert {
           "Pinot breaks this by ingestion order, which a parallel " +
           "batch scan cannot reproduce")))).isNull)
       .drop("_upsert_rnk", "_upsert_ties")
+  }
+
+  private def latestPartial(df: DataFrame, tableDir: String,
+      keys: Seq[String], cmp: String,
+      strategies: Map[String, Strategy]): DataFrame = {
+    val valueCols = df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == cmp)
+    val merged = valueCols.map { c =>
+      (strategies.getOrElse(c, Overwrite) match {
+        case Overwrite => max_by(col(c), col(cmp))
+        case Ignore => min_by(col(c), col(cmp))
+        case Increment => sum(col(c))
+        case Max => max(col(c))
+        case Min => min(col(c))
+        case Union => sort_array(collect_set(col(c)))
+        case Append =>
+          // values ordered by the comparison column, determinism via
+          // the tie guard below
+          transform(
+            sort_array(collect_list(struct(col(cmp), col(c)))),
+            p => p.getField(c))
+      }).as(c)
+    }
+    // max_by/min_by under a comparison tie are nondeterministic — the
+    // same loud contract as FULL mode, checked in the SAME aggregate
+    val guard = when(
+      count(lit(1)) =!= count_distinct(col(cmp)),
+      raise_error(concat(
+        lit(s"upsert table $tableDir: duplicate $cmp within ("),
+        concat_ws(",", keys.map(col): _*),
+        lit(") — partial-merge winners are undefined under a tie"))))
+      .as("_upsert_guard")
+    val aggs = (max(col(cmp)).as(cmp) +: merged) :+ guard
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("_upsert_guard").isNull)
+      .drop("_upsert_guard")
+      // present columns in the source order: keys, cmp, values
+      .select(((keys :+ cmp) ++ valueCols).map(col): _*)
   }
 }

@@ -79,6 +79,57 @@ class PinotUpsertSpec extends SparkTestBase {
     assert(got === Seq("win"))
   }
 
+  test("partial upsert: every strategy merges column-wise in one aggregate") {
+    import spark.implicits._
+    val dir = freshTable("upsp")
+    // key k: three versions (ver 1..3) spread over two segments
+    Seq(
+      (1L, 1L, "a", 10L, 5L, "x"),
+      (1L, 2L, "b", 20L, 3L, "y"))
+      .toDF("k", "ver", "ow", "inc", "mn", "un")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    Seq(
+      (1L, 3L, "c", 30L, 7L, "x"),
+      (2L, 1L, "solo", 1L, 1L, "z"))
+      .toDF("k", "ver", "ow", "inc", "mn", "un")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT", "mn" -> "MIN", "un" -> "UNION"))
+    // ow is unlisted -> defaults to OVERWRITE (latest version wins)
+    val got = PinotUpsert.latest(spark, dir)
+      .select("k", "ver", "ow", "inc", "mn", "un")
+      .as[(Long, Long, String, Long, Long, Seq[String])]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, 3L, "c", 60L, 3L, Seq("x", "y"))))
+    assert(got(1) === ((2L, 1L, "solo", 1L, 1L, Seq("z"))))
+    // IGNORE and APPEND on the same fixture
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("ow" -> "IGNORE", "un" -> "APPEND"))
+    val got2 = PinotUpsert.latest(spark, dir)
+      .select("k", "ow", "un")
+      .as[(Long, String, Seq[String])]
+      .collect().sortBy(_._1)
+    assert(got2(0) === ((1L, "a", Seq("x", "y", "x"))))
+    assert(got2(1) === ((2L, "solo", Seq("z"))))
+  }
+
+  test("partial upsert: a duplicate comparison value within a key rejects loudly") {
+    import spark.implicits._
+    val dir = freshTable("upspt")
+    Seq((1L, 5L, "x"), (1L, 5L, "y"))
+      .toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver", Map.empty)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      PinotUpsert.latest(spark, dir).collect()
+    }
+    assert(messages(ex).exists(_.contains("undefined under a tie")),
+      s"expected a tie rejection, got: $ex")
+  }
+
   test("loud contracts: not an upsert table, bad key set, missing columns") {
     import spark.implicits._
     val dir = freshTable("upsc")
