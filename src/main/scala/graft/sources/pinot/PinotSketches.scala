@@ -212,6 +212,29 @@ object PinotSketches {
     }
   }
 
+  /** Time-sliced DISTINCT_COUNT_HLL: like [[timeSlicedBitmapDistinct]]
+    * but merging stored `hll<p>` sections with the boundary query-time
+    * payload — the memory-bounded variant for columns whose bitmap
+    * sections would be large (exact while everything stays sparse,
+    * ≤ 2^p/4 distinct; ~1.04/√2^p error dense). Same classification,
+    * same single-scan boundary, same (`as`, `rowsAs`) output.
+    */
+  def timeSlicedHllDistinct(s: SparkSession, tableDir: String,
+      column: String, timeCol: String, loMs: Long, hiMs: Long, p: Int,
+      as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    val (payloads, insideDocs) = timeSlicedPayloads(
+      s, tableDir, column, s"hll$p", timeCol, loMs, hiMs)
+    payloads match {
+      case None =>
+        s.range(1).select(lit(0L).as(as), lit(0L).as(rowsAs))
+      case Some(pp) =>
+        pp.agg(
+          graft.functions.HllMergeAgg
+            .hllMergeEstimate(col("sketch"), p).as(as),
+          (sum(col("cnt")) + lit(insideDocs)).as(rowsAs))
+    }
+  }
+
   /** Time-sliced PERCENTILE_KLL ("p99 over the last N days"): quantiles
     * of `column` over rows with `timeCol` ∈ [loMs, hiMs], through the
     * same inside-sections / metadata-prune / boundary-scan split as

@@ -689,6 +689,33 @@ class SketchSectionSpec extends SparkTestBase {
     assert(empty.getLong(1) === 0L)
   }
 
+  test("time-sliced hll distinct matches the bitmap twin and the raw truth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_slice").resolve("hs_OFFLINE").toString
+    // uid and uid_h carry IDENTICAL values; uid stores a bitmap section,
+    // uid_h an hll14 one (sparse limit 4096 > 911 distinct: exact regime)
+    val rows = (1 to 5000).map { t =>
+      val u = (t * 37 % 911).toLong; (t.toLong, u, u)
+    }
+    rows.toDF("ts_ms", "uid", "uid_h")
+      .repartitionByRange(4, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .option("sketchColumns", "uid:bitmap,uid_h:hll14")
+      .save(dir)
+    for ((lo, hi) <- Seq((700L, 3900L), (1L, 5000L), (9000L, 9900L))) {
+      val bm = graft.sources.pinot.PinotSketches
+        .timeSlicedBitmapDistinct(spark, dir, "uid", "ts_ms", lo, hi).head()
+      val hl = graft.sources.pinot.PinotSketches
+        .timeSlicedHllDistinct(spark, dir, "uid_h", "ts_ms", lo, hi, 14).head()
+      val want = rows.filter { case (t, _, _) => t >= lo && t <= hi }
+      assert(hl.getLong(0) === bm.getLong(0))
+      assert(hl.getLong(0) === want.map(_._2).distinct.size.toLong)
+      assert(hl.getLong(1) === bm.getLong(1))
+      assert(hl.getLong(1) === want.size.toLong)
+    }
+  }
+
   test("rollup freq metric: grouped heavy hitters survive the rollup exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files
