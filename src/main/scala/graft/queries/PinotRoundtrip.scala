@@ -586,6 +586,33 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Upsert-with-deletes fixture: like [[upsertTable]] plus a delete
+    * marker (Pinot's deleteRecordColumn) — every event whose event_id is
+    * divisible by 7 is a DELETE of its user. A user whose LATEST event
+    * is such a delete disappears from the view; users whose deletes were
+    * superseded stay visible.
+    */
+  private def upsertDeleteTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsUpsertD_REALTIME")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("event_id") % 7 === 0).as("deleted"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.sources.pinot.PinotUpsert.configure(
+        tableDir.toString, Seq("user_id"), "event_id",
+        deleteCol = Some("deleted"))
+    }
+    tableDir.toString
+  }
+
   /** PARTIAL-upsert fixture: like [[upsertTable]] but in PARTIAL mode —
     * non-key columns merge per declared strategies instead of the whole
     * latest row winning (Pinot's partialUpsertStrategies).
@@ -826,6 +853,18 @@ object PinotRoundtrip {
     // so the winner is well-defined; ties reject loudly by contract.
     "q161_pinot_upsert" -> ((s, d) => {
       val dir = upsertTable(s, d)
+      graft.sources.pinot.PinotUpsert.latest(s, dir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Upsert DELETE markers (Pinot deleteRecordColumn): a key whose
+    // WINNING record is a delete is invisible; a delete superseded by a
+    // later re-insert is not. Same single-window plan as q161 plus one
+    // filter on the winner.
+    "q164_pinot_upsert_delete" -> ((s, d) => {
+      val dir = upsertDeleteTable(s, d)
       graft.sources.pinot.PinotUpsert.latest(s, dir)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"))
@@ -1606,6 +1645,18 @@ object PinotRoundtrip {
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |                           ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // latest-per-key, then winning deletes hide their keys
+    "q164_pinot_upsert_delete" ->
+      """WITH base AS (SELECT user_id, event_id, event_type,
+        |    (event_id % 7 = 0) AS deleted
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |w AS (SELECT * FROM base
+        |      QUALIFY row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM w WHERE NOT deleted ORDER BY user_id""".stripMargin,
 
     // the true column-wise merge over the versions the table holds
     "q162_pinot_partial_upsert" ->

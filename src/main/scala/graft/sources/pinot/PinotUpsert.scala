@@ -75,10 +75,19 @@ object PinotUpsert {
 
   /** Declare (tableDir, keys, compareCol) as a FULL-mode upsert table —
     * the analog of setting `upsertConfig` in Pinot's table config.
+    * `deleteCol` models Pinot's `deleteRecordColumn`: a BOOLEAN column
+    * where true marks the record as a DELETE of its key — if the
+    * winning (latest) record of a key is a delete, the key is invisible
+    * to queries (a delete superseded by a later re-insert is not).
     */
   def configure(tableDir: String, keys: Seq[String],
-      compareCol: String): Unit =
-    writeConfig(tableDir, "FULL", keys, compareCol, Map.empty)
+      compareCol: String, deleteCol: Option[String] = None): Unit = {
+    deleteCol.foreach { dc =>
+      require(!keys.contains(dc) && dc != compareCol,
+        s"upsert: delete column $dc cannot be a key or comparison column")
+    }
+    writeConfig(tableDir, "FULL", keys, compareCol, Map.empty, deleteCol)
+  }
 
   /** Declare a PARTIAL-mode upsert table: non-key columns merge per
     * `strategies` (unlisted columns default to OVERWRITE, like Pinot).
@@ -90,11 +99,12 @@ object PinotUpsert {
       "upsert: key columns cannot carry a partial strategy")
     require(!strategies.contains(compareCol),
       "upsert: the comparison column cannot carry a partial strategy")
-    writeConfig(tableDir, "PARTIAL", keys, compareCol, strategies)
+    writeConfig(tableDir, "PARTIAL", keys, compareCol, strategies, None)
   }
 
   private def writeConfig(tableDir: String, mode: String, keys: Seq[String],
-      compareCol: String, strategies: Map[String, String]): Unit = {
+      compareCol: String, strategies: Map[String, String],
+      deleteCol: Option[String]): Unit = {
     require(keys.nonEmpty, "upsert: at least one key column required")
     require(!keys.contains(compareCol),
       s"upsert: comparison column $compareCol cannot be a key column")
@@ -103,11 +113,12 @@ object PinotUpsert {
       else "upsert.partial.strategies=" + strategies.toSeq.sorted
         .map { case (c, s) => s"$c:${s.trim.toUpperCase}" }
         .mkString(",") + "\n"
+    val del = deleteCol.map(dc => s"upsert.delete.column=$dc\n").getOrElse("")
     val body =
       s"""upsert.mode=$mode
          |upsert.key.columns=${keys.mkString(",")}
          |upsert.comparison.column=$compareCol
-         |$strat""".stripMargin
+         |$strat$del""".stripMargin
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tableDir).resolve(ConfigFile),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -120,7 +131,7 @@ object PinotUpsert {
     * must know which one it wants.
     */
   def config(tableDir: String)
-      : (String, Seq[String], String, Map[String, Strategy]) = {
+      : (String, Seq[String], String, Map[String, Strategy], Option[String]) = {
     val io = SegmentIO.forPath(tableDir)
     val p = io.resolve(tableDir, ConfigFile)
     if (!io.exists(p))
@@ -147,7 +158,7 @@ object PinotUpsert {
         }
       }.toMap)
       .getOrElse(Map.empty[String, Strategy])
-    (mode, keys, cmp, strategies)
+    (mode, keys, cmp, strategies, props.get("upsert.delete.column"))
   }
 
   /** The upsert VIEW of `tableDir` — what a Pinot query over an upsert
@@ -164,16 +175,25 @@ object PinotUpsert {
     *    value at the max/min comparison", undefined under a tie.
     */
   def latest(s: SparkSession, tableDir: String): DataFrame = {
-    val (mode, keys, cmp, strategies) = config(tableDir)
+    val (mode, keys, cmp, strategies, deleteCol) = config(tableDir)
     val df = s.read.format("pinot").load(tableDir)
     val missing = (keys :+ cmp).filterNot(df.columns.contains) ++
-      strategies.keys.filterNot(df.columns.contains)
+      strategies.keys.filterNot(df.columns.contains) ++
+      deleteCol.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new PinotFormatException(
         s"upsert table $tableDir: configured columns ${missing.mkString(",")} " +
           "not present in the segment schema")
     mode match {
-      case "FULL" => latestFull(df, tableDir, keys, cmp)
+      case "FULL" =>
+        val winners = latestFull(df, tableDir, keys, cmp)
+        // deleteRecordColumn semantics: the filter applies to the
+        // WINNER — a delete superseded by a later re-insert stays
+        // visible, a winning delete hides its key
+        deleteCol.fold(winners)(dc =>
+          // NULL delete markers count as not-deleted (Pinot's column is
+          // non-null boolean; nullable readers shouldn't hide keys)
+          winners.filter(!coalesce(col(dc), lit(false))).drop(dc))
       case "PARTIAL" => latestPartial(df, tableDir, keys, cmp, strategies)
       case other => throw new PinotFormatException(
         s"upsert table $tableDir: unknown mode $other")

@@ -79,6 +79,25 @@ class PinotUpsertSpec extends SparkTestBase {
     assert(got === Seq("win"))
   }
 
+  test("delete markers: a winning delete hides its key; a superseded delete does not") {
+    import spark.implicits._
+    val dir = freshTable("upsd")
+    Seq(
+      (1L, 1L, "ins", false), (1L, 2L, "del", true),  // winner IS delete
+      (2L, 1L, "del", true), (2L, 2L, "re", false),   // delete superseded
+      (3L, 1L, "only", false))                         // never deleted
+      .toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("gone"))
+    val got = PinotUpsert.latest(spark, dir)
+      .select("k", "payload").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((2L, "re"), (3L, "only")))
+    // the delete column is config-validated like the others
+    intercept[IllegalArgumentException] {
+      PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("k"))
+    }
+  }
+
   test("partial upsert: every strategy merges column-wise in one aggregate") {
     import spark.implicits._
     val dir = freshTable("upsp")
