@@ -22,6 +22,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Filter stays; see graft.plans.JsonIndexRule). Operator-optimization
     // rules run before V2 scan pushdown builds the scan.
     ext.injectOptimizerRule(_ => graft.plans.JsonIndexRule)
+    // upsert tables: a plain read (load / catalog SQL) returns the
+    // upsert VIEW; raw segment reads need .option("upsertView", "raw")
+    ext.injectResolutionRule(_ => graft.plans.UpsertViewRule)
+    ext.injectFunction((
+      FunctionIdentifier("latest_by"),
+      new ExpressionInfo(classOf[LatestByAgg].getName, "latest_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "latest_by(value, cmp) takes exactly 2 arguments")
+        LatestByAgg(args.head, args(1), pickMax = true)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("earliest_by"),
+      new ExpressionInfo(classOf[LatestByAgg].getName, "earliest_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "earliest_by(value, cmp) takes exactly 2 arguments")
+        LatestByAgg(args.head, args(1), pickMax = false)
+          .toAggregateExpression()
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "dot_q"),

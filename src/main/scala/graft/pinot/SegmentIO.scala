@@ -34,6 +34,16 @@ trait SegmentIO {
   /** Absolute paths of ALL entries (files and dirs) directly under `dir`. */
   def listAll(dir: String): Seq[String]
   def openRange(p: String): SegmentIO.RangeReader
+  /** Write `bytes` to `p` (create or overwrite) — the write half of the
+    * same routing: table-level config files (`upsert.properties`) land
+    * on hdfs://-hosted tables through the Hadoop stack, symmetric with
+    * how [[readFully]] reads them back. Segment DATA still writes
+    * through the dedicated writer path; this is for small table-scoped
+    * metadata only.
+    */
+  def writeFully(p: String, bytes: Array[Byte]): Unit =
+    throw new PinotFormatException(
+      s"$p: this SegmentIO does not support writes")
   def resolve(dir: String, child: String): String
   def fileName(p: String): String
   def parent(p: String): String = {
@@ -123,6 +133,10 @@ object LocalSegmentIO extends SegmentIO {
     Files.getLastModifiedTime(Paths.get(p)).toMillis
   override def readFully(p: String): Array[Byte] =
     Files.readAllBytes(Paths.get(p))
+  override def writeFully(p: String, bytes: Array[Byte]): Unit = {
+    Files.write(Paths.get(p), bytes)
+    ()
+  }
   override def listFiles(dir: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val listing = Files.list(Paths.get(dir))
@@ -228,6 +242,10 @@ final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
       in.readFully(0L, out)
       out
     } finally in.close()
+  }
+  override def writeFully(p: String, bytes: Array[Byte]): Unit = {
+    val out = fs(p).create(hp(p), true /* overwrite */)
+    try out.write(bytes) finally out.close()
   }
   override def listFiles(dir: String): Seq[String] =
     fs(dir).listStatus(hp(dir)).toSeq

@@ -846,39 +846,60 @@ object PinotRoundtrip {
         .limit(10)
     }),
 
-    // UPSERT-table read (Pinot upsertConfig.mode=FULL): only the LATEST
-    // record per user_id — greatest event_id — is visible, ranked by
-    // ONE declarative window (one hash exchange on the key; no
-    // per-server upsert map). The fixture's comparison column is unique
-    // so the winner is well-defined; ties reject loudly by contract.
+    // UPSERT-table read (Pinot upsertConfig.mode=FULL) through the
+    // TRANSPARENT path: a plain load of the configured table returns
+    // the upsert view (UpsertViewRule) — only the LATEST record per
+    // user_id, greatest event_id, via ONE map-side-combinable hash
+    // aggregate (LatestByAgg: no window, no sort, no per-server upsert
+    // map). The fixture's comparison column is unique so the winner is
+    // well-defined; ties and NULL comparison values reject loudly by
+    // contract.
     "q161_pinot_upsert" -> ((s, d) => {
       val dir = upsertTable(s, d)
-      graft.sources.pinot.PinotUpsert.latest(s, dir)
+      s.read.format("pinot").load(dir)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"))
         .orderBy("user_id")
     }),
 
-    // Upsert DELETE markers (Pinot deleteRecordColumn): a key whose
-    // WINNING record is a delete is invisible; a delete superseded by a
-    // later re-insert is not. Same single-window plan as q161 plus one
-    // filter on the winner.
+    // The upsert view through CATALOG SQL — the surface a SQL-only user
+    // actually touches: `SELECT ... FROM <catalog>.default.<table>` on
+    // an upsert-configured table resolves to the same one-aggregate
+    // view, no Scala API in sight.
+    "q165_pinot_upsert_catalog_sql" -> ((s, d) => {
+      val dir = upsertTable(s, d)
+      val root = java.nio.file.Paths.get(dir).getParent.toString
+      s.conf.set("spark.sql.catalog.pinotu",
+        "graft.sources.pinot.PinotCatalog")
+      s.conf.set("spark.sql.catalog.pinotu.data_dir", root)
+      s.sql("""
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type
+        FROM pinotu.default.eventsUpsert
+        ORDER BY user_id""")
+    }),
+
+    // Upsert DELETE markers (Pinot deleteRecordColumn), transparent
+    // path: a key whose WINNING record is a delete is invisible; a
+    // delete superseded by a later re-insert is not. Same
+    // single-aggregate plan as q161 plus one filter on the winner.
     "q164_pinot_upsert_delete" -> ((s, d) => {
       val dir = upsertDeleteTable(s, d)
-      graft.sources.pinot.PinotUpsert.latest(s, dir)
+      s.read.format("pinot").load(dir)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"))
         .orderBy("user_id")
     }),
 
-    // PARTIAL upsert (Pinot partialUpsertStrategies): versions of a
-    // user merge COLUMN-WISE — event_type OVERWRITEs (latest wins),
-    // props IGNOREs (first wins), value keeps the MAX — in ONE hash
-    // aggregate on the key (map-side partials; no window sort).
-    // Comparison ties reject loudly inside the same aggregate.
+    // PARTIAL upsert (Pinot partialUpsertStrategies), transparent path:
+    // versions of a user merge COLUMN-WISE — event_type OVERWRITEs
+    // (latest wins), props IGNOREs (first wins), value keeps the MAX —
+    // in ONE hash aggregate on the key (map-side partials; no window
+    // sort, no count_distinct expand). Comparison ties and NULL
+    // comparison values reject loudly inside the same aggregate.
     "q162_pinot_partial_upsert" -> ((s, d) => {
       val dir = upsertPartialTable(s, d)
-      graft.sources.pinot.PinotUpsert.latest(s, dir)
+      s.read.format("pinot").load(dir)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"),
           col("props").as("first_props"), col("value").as("max_value"))
@@ -1635,6 +1656,17 @@ object PinotRoundtrip {
         |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
         |         THEN 1 END) AS BIGINT) AS slice_rows
         |FROM base""".stripMargin,
+
+    // same truth as q161 — the catalog SQL surface must answer
+    // identically to the reader surface
+    "q165_pinot_upsert_catalog_sql" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM base
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     // the true latest-record-per-key over the versions the table holds
     "q161_pinot_upsert" ->

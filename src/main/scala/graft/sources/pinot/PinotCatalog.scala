@@ -118,9 +118,11 @@ class ControllerProvider(client: PinotControllerClient, dataDir: String)
       if (m == null) PinotSegments.metaOf(paths.head, io) else m
     }
     // tableDir enables the streaming-read tail (and writes) through the
-    // controller catalog too
+    // controller catalog too; upsertConfig makes a catalog SQL read of
+    // an upsert table return the upsert view (UpsertViewRule)
     new PinotSegmentTable(meta.tableName, paths,
-      PinotSegments.schemaForDirs(paths, io), Some(tableDir))
+      PinotSegments.schemaForDirs(paths, io), Some(tableDir),
+      upsertConfig = PinotUpsert.tryConfig(tableDir, io))
   }
 }
 

@@ -194,7 +194,8 @@ object PinotSegments {
   */
 class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     tableSchema: StructType, tableDir: Option[String] = None,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    val upsertConfig: Option[PinotUpsert.UpsertConfig] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -202,6 +203,12 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
     * the (cached) table reuse its listing instead of re-walking.
     */
   def segmentDirs: Seq[String] = segmentPaths
+
+  /** The table directory, when the table was opened from one —
+    * [[graft.plans.UpsertViewRule]] needs it to name the table in its
+    * loud contracts.
+    */
+  def dir: Option[String] = tableDir
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -369,7 +376,11 @@ object PinotSegmentTable {
           p.startsWith(prefix) &&
             p.substring(prefix.length).takeWhile(_ != '/').startsWith("tmp")
         entries
-          .filter(e => io.fileName(e.path) == "metadata.properties")
+          // upsert.properties participates: reconfiguring the upsert
+          // view must invalidate the cached table (its upsertConfig is
+          // resolved once per open)
+          .filter(e => io.fileName(e.path) == "metadata.properties" ||
+            io.fileName(e.path) == "upsert.properties")
           .sortBy(_.path)
           .foreach { e =>
             if (!inTmp(e.path)) {
@@ -409,7 +420,8 @@ object PinotSegmentTable {
           if (m == null) PinotSegments.metaOf(segs.head, io) else m
         }
         val table = new PinotSegmentTable(meta.tableName, segs,
-          PinotSegments.schemaForDirs(segs, io), Some(path), partitionCols)
+          PinotSegments.schemaForDirs(segs, io), Some(path), partitionCols,
+          PinotUpsert.tryConfig(path, io))
         cache.put(key, (stamp, table))
         table
     }

@@ -1,14 +1,15 @@
 package graft.sources.pinot
 
+import graft.functions.LatestByAgg
 import graft.pinot.{PinotFormatException, SegmentIO}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** UPSERT tables (EXTENSION — the capability of Pinot's upsert-enabled
-  * REALTIME tables, `upsertConfig.mode=FULL`: queries see only the
-  * LATEST record per primary key, ranked by a comparison column; the
-  * reference connector reads segments raw and would surface every
+  * REALTIME tables, `upsertConfig.mode=FULL|PARTIAL`: queries see only
+  * the LATEST record per primary key, ranked by a comparison column;
+  * the reference connector reads segments raw and would surface every
   * superseded version, table.rs:162).
   *
   * The table-level config lives in `upsert.properties` at the table
@@ -17,23 +18,41 @@ import org.apache.spark.sql.functions._
   * view changes). The discovery walk keys off `metadata.properties`
   * files, so the config file is invisible to segment listing.
   *
-  * Read semantics = one declarative window: rank per key by comparison
-  * value DESCENDING, keep rank 1. At 100 TB that is ONE hash exchange
-  * on the key columns (AQE handles skewed keys) — no per-server
-  * in-memory key map to blow up, which is exactly the scale limit
-  * Pinot's upsert metadata map has.
+  * A PLAIN read of a configured table — `spark.read.format("pinot")
+  * .load(dir)`, or catalog SQL — returns the upsert VIEW by default
+  * ([[graft.plans.UpsertViewRule]]), exactly like a Pinot query over an
+  * upsert table; segment-level inspection of the raw versions needs the
+  * explicit `.option("upsertView", "raw")` escape hatch. This API
+  * ([[latest]]) is the same view for callers who want it by name.
   *
-  * TIES: Pinot breaks equal comparison values by ingestion order,
-  * which a parallel batch scan cannot reproduce deterministically —
-  * so a tie on (key, max comparison value) REJECTS LOUDLY at
-  * evaluation instead of silently picking an arbitrary winner
-  * (an undefined answer must never hash-match an oracle by luck).
+  * Read semantics = ONE hash aggregate on the key columns, in BOTH
+  * modes: [[graft.functions.LatestByAgg]] carries (best cmp, rows at
+  * best, winner values) as O(1) associative state, so partials combine
+  * map-side and one small row per (group, partition) crosses the wire —
+  * no rank window (exchange + SORT), no `count_distinct` tie guard
+  * (distinct-expand exchange), and no per-server in-memory key map to
+  * blow up, which is exactly the scale limit Pinot's upsert metadata
+  * map has. AQE handles skewed keys.
   *
-  * Filters on the RESULT must stay above the window (a filter pushed
-  * below rank() could delete the winning version and resurrect a
-  * superseded one); filters that only touch the key columns are safe
-  * to push, which Spark does not infer — callers filter after
-  * [[latest]], trading pushdown for correctness.
+  * LOUD contracts (identical in FULL and PARTIAL mode):
+  *  - TIES: Pinot breaks equal comparison values by ingestion order,
+  *    which a parallel batch scan cannot reproduce deterministically —
+  *    a tie that makes any configured merge undefined REJECTS at
+  *    evaluation instead of silently picking a winner (an undefined
+  *    answer must never hash-match an oracle by luck). FULL: a tie on
+  *    (key, max cmp). PARTIAL: a tie at max for OVERWRITE columns, at
+  *    min for IGNORE columns, any duplicate cmp for APPEND columns;
+  *    tie-INSENSITIVE strategies (INCREMENT/MAX/MIN/UNION) are
+  *    well-defined under duplicates and do not reject.
+  *  - NULL comparison values REJECT in both modes (Pinot's comparison
+  *    column is a time/sequence column and is never null; silently
+  *    ranking NULL first or last would invent an ingestion order).
+  *
+  * Filters on the RESULT must stay above the aggregate (a filter pushed
+  * below it could delete the winning version and resurrect a superseded
+  * one); filters that only touch the key columns are safe to push,
+  * which Spark does not infer — callers filter after [[latest]],
+  * trading pushdown for correctness.
   */
 object PinotUpsert {
 
@@ -55,10 +74,35 @@ object PinotUpsert {
   case object Max extends Strategy
   /** min across versions (numeric). */
   case object Min extends Strategy
-  /** distinct values across versions, sorted for determinism. */
+  /** distinct values across versions, sorted for determinism. On an
+    * ARRAY (Pinot multi-value) column this is Pinot's UNION —
+    * type-preserving; on a scalar column it is a graft extension whose
+    * result type WIDENS to an array, so the transparent read path
+    * rejects it loudly (see [[graft.plans.UpsertViewRule]]) and callers
+    * use [[latest]].
+    */
   case object Union extends Strategy
-  /** all values in comparison order. */
+  /** all values in comparison order; array-in/array-out on MV columns
+    * (Pinot's APPEND), type-widening on scalars like [[Union]].
+    */
   case object Append extends Strategy
+
+  /** Parsed `upsert.properties`. */
+  final case class UpsertConfig(mode: String, keys: Seq[String],
+      cmp: String, strategies: Map[String, Strategy],
+      deleteCol: Option[String]) {
+    /** Columns whose configured merge widens the column type (scalar
+      * UNION/APPEND → array): the transparent read path refuses these
+      * because a DSv2 relation cannot change its schema.
+      */
+    def typeWidening(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+      if (mode != "PARTIAL") Seq.empty
+      else strategies.collect {
+        case (c, Union | Append)
+            if schema.fields.find(_.name == c)
+              .exists(!_.dataType.isInstanceOf[ArrayType]) => c
+      }.toSeq.sorted
+  }
 
   private def parseStrategy(s: String): Strategy = s.trim.toUpperCase match {
     case "OVERWRITE" => Overwrite
@@ -91,15 +135,26 @@ object PinotUpsert {
 
   /** Declare a PARTIAL-mode upsert table: non-key columns merge per
     * `strategies` (unlisted columns default to OVERWRITE, like Pinot).
+    * `deleteCol` models Pinot's `deleteRecordColumn` combined with
+    * partial upsert: a winning delete hides its key, and records
+    * arriving AFTER a delete merge FROM SCRATCH (Pinot's revive
+    * semantics — the pre-delete history is discarded).
     */
   def configurePartial(tableDir: String, keys: Seq[String],
-      compareCol: String, strategies: Map[String, String]): Unit = {
+      compareCol: String, strategies: Map[String, String],
+      deleteCol: Option[String] = None): Unit = {
     strategies.values.foreach(parseStrategy) // validate before writing
     require(strategies.keySet.intersect(keys.toSet).isEmpty,
       "upsert: key columns cannot carry a partial strategy")
     require(!strategies.contains(compareCol),
       "upsert: the comparison column cannot carry a partial strategy")
-    writeConfig(tableDir, "PARTIAL", keys, compareCol, strategies, None)
+    deleteCol.foreach { dc =>
+      require(!keys.contains(dc) && dc != compareCol,
+        s"upsert: delete column $dc cannot be a key or comparison column")
+      require(!strategies.contains(dc),
+        s"upsert: delete column $dc cannot carry a partial strategy")
+    }
+    writeConfig(tableDir, "PARTIAL", keys, compareCol, strategies, deleteCol)
   }
 
   private def writeConfig(tableDir: String, mode: String, keys: Seq[String],
@@ -119,25 +174,32 @@ object PinotUpsert {
          |upsert.key.columns=${keys.mkString(",")}
          |upsert.comparison.column=$compareCol
          |$strat$del""".stripMargin
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(tableDir).resolve(ConfigFile),
+    // same IO routing as the read side: hdfs://-hosted tables configure
+    // through the Hadoop stack, local paths through NIO
+    val io = SegmentIO.forPath(tableDir)
+    io.writeFully(io.resolve(tableDir, ConfigFile),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
+    // the table cache fingerprints upsert.properties; a same-millisecond
+    // reconfigure still invalidates through the size/content stamp
   }
 
-  /** The declared upsert config of `tableDir` — (mode, keys, comparison
-    * column, partial strategies) — or a loud failure: a raw read of an
-    * upsert table is a different (versioned) relation, so the caller
-    * must know which one it wants.
+  /** The declared upsert config of `tableDir`, or a loud failure: a raw
+    * read of an upsert table is a different (versioned) relation, so the
+    * caller must know which one it wants.
     */
-  def config(tableDir: String)
-      : (String, Seq[String], String, Map[String, Strategy], Option[String]) = {
-    val io = SegmentIO.forPath(tableDir)
-    val p = io.resolve(tableDir, ConfigFile)
-    if (!io.exists(p))
+  def config(tableDir: String): UpsertConfig =
+    tryConfig(tableDir, SegmentIO.forPath(tableDir)).getOrElse(
       throw new PinotFormatException(
         s"$tableDir is not an upsert table (no $ConfigFile — declare one " +
-          "with PinotUpsert.configure)")
+          "with PinotUpsert.configure)"))
+
+  /** `Some(config)` if `tableDir` carries `upsert.properties`, `None`
+    * if not; a PRESENT-but-malformed config fails loudly (a table the
+    * user declared as upsert must never silently read raw).
+    */
+  def tryConfig(tableDir: String, io: SegmentIO): Option[UpsertConfig] = {
+    val p = io.resolve(tableDir, ConfigFile)
+    if (!io.exists(p)) return None
     val props = new String(io.readFully(p),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.contains('='))
@@ -158,103 +220,214 @@ object PinotUpsert {
         }
       }.toMap)
       .getOrElse(Map.empty[String, Strategy])
-    (mode, keys, cmp, strategies, props.get("upsert.delete.column"))
+    Some(UpsertConfig(mode, keys, cmp, strategies,
+      props.get("upsert.delete.column")))
   }
 
   /** The upsert VIEW of `tableDir` — what a Pinot query over an upsert
-    * REALTIME table returns:
-    *
-    *  - FULL mode: only the latest record per key (greatest comparison
-    *    value) is visible. Ties on (key, max comparison) reject loudly
-    *    (see class doc).
-    *  - PARTIAL mode: versions of a key merge COLUMN-WISE per the
-    *    declared strategies (unlisted non-key columns OVERWRITE) — ONE
-    *    hash aggregate on the key, with map-side partials, which at
-    *    100 TB beats even the FULL window (no sort). Comparison ties
-    *    reject loudly for the same reason: OVERWRITE/IGNORE pick "the
-    *    value at the max/min comparison", undefined under a tie.
+    * REALTIME table returns (see object doc for the mode semantics and
+    * loud contracts). Columns come back in the table's schema order;
+    * the delete-marker column stays visible (it is an ordinary Pinot
+    * column — every surviving row carries false).
     */
   def latest(s: SparkSession, tableDir: String): DataFrame = {
-    val (mode, keys, cmp, strategies, deleteCol) = config(tableDir)
-    val df = s.read.format("pinot").load(tableDir)
-    val missing = (keys :+ cmp).filterNot(df.columns.contains) ++
-      strategies.keys.filterNot(df.columns.contains) ++
-      deleteCol.filterNot(df.columns.contains)
+    val cfg = config(tableDir)
+    // raw: the view applies HERE — the transparent-read rule must not
+    // wrap the scan a second time
+    val df = s.read.format("pinot").option("upsertView", "raw").load(tableDir)
+    viewOver(df, tableDir, cfg)
+  }
+
+  /** The view transformation over an already-loaded RAW frame — shared
+    * by [[latest]] and [[graft.plans.UpsertViewRule]] (the transparent
+    * read path).
+    */
+  private[graft] def viewOver(df: DataFrame, tableDir: String,
+      cfg: UpsertConfig): DataFrame = {
+    val missing = (cfg.keys :+ cfg.cmp).filterNot(df.columns.contains) ++
+      cfg.strategies.keys.filterNot(df.columns.contains) ++
+      cfg.deleteCol.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new PinotFormatException(
         s"upsert table $tableDir: configured columns ${missing.mkString(",")} " +
           "not present in the segment schema")
-    mode match {
+    cfg.mode match {
       case "FULL" =>
-        val winners = latestFull(df, tableDir, keys, cmp)
+        val winners = latestFull(df, tableDir, cfg.keys, cfg.cmp)
         // deleteRecordColumn semantics: the filter applies to the
         // WINNER — a delete superseded by a later re-insert stays
         // visible, a winning delete hides its key
-        deleteCol.fold(winners)(dc =>
+        cfg.deleteCol.fold(winners)(dc =>
           // NULL delete markers count as not-deleted (Pinot's column is
           // non-null boolean; nullable readers shouldn't hide keys)
-          winners.filter(!coalesce(col(dc), lit(false))).drop(dc))
-      case "PARTIAL" => latestPartial(df, tableDir, keys, cmp, strategies)
+          winners.filter(!coalesce(col(dc), lit(false))))
+      case "PARTIAL" =>
+        latestPartial(df, tableDir, cfg.keys, cfg.cmp, cfg.strategies,
+          cfg.deleteCol)
       case other => throw new PinotFormatException(
         s"upsert table $tableDir: unknown mode $other")
     }
   }
 
+  private def keyDesc(keys: Seq[String]): Column =
+    concat_ws(",", keys.map(col): _*)
+
+  /** FULL mode: ONE hash aggregate — [[LatestByAgg]] carries the whole
+    * winning row as its O(1) state, so there is no window, no sort, and
+    * no second exchange; the loud tie / NULL-cmp contracts evaluate on
+    * the aggregated evidence (`ties`, `null_cmp`).
+    */
   private def latestFull(df: DataFrame, tableDir: String,
       keys: Seq[String], cmp: String): DataFrame = {
-    val byKey = Window.partitionBy(keys.map(col): _*)
-    val ranked = df
-      .withColumn("_upsert_rnk", rank().over(byKey.orderBy(col(cmp).desc)))
-      .filter(col("_upsert_rnk") === 1)
-      // rank() keeps ALL tied top versions: >1 row per key here means
-      // the winner is undefined — fail at evaluation, never guess
-      .withColumn("_upsert_ties", count(lit(1)).over(byKey))
-    ranked
-      .where(when(col("_upsert_ties") > 1, raise_error(concat(
-        lit(s"upsert table $tableDir: tie on ("),
-        concat_ws(",", keys.map(col): _*),
+    val others = df.columns.toSeq.filterNot(keys.contains)
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(LatestByAgg.latestBy(struct(others.map(col): _*), col(cmp))
+        .as("_w"))
+    val guard = when(col("_w").getField("null_cmp"), raise_error(concat(
+      lit(s"upsert table $tableDir: NULL $cmp within ("), keyDesc(keys),
+      lit(") — the comparison column must never be null; an ingestion " +
+        "order for NULL cannot be reconstructed"))))
+      .when(col("_w").getField("ties") > 1, raise_error(concat(
+        lit(s"upsert table $tableDir: tie on ("), keyDesc(keys),
         lit(s") at the max $cmp — latest record is undefined; " +
           "Pinot breaks this by ingestion order, which a parallel " +
-          "batch scan cannot reproduce")))).isNull)
-      .drop("_upsert_rnk", "_upsert_ties")
+          "batch scan cannot reproduce"))))
+    agg
+      .withColumn("_upsert_guard", guard)
+      .where(col("_upsert_guard").isNull)
+      .select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(c)
+        else col("_w").getField("v").getField(c).as(c)
+      }: _*)
   }
 
+  /** PARTIAL mode: versions of a key merge COLUMN-WISE per the declared
+    * strategies (unlisted non-key columns OVERWRITE) — ONE hash
+    * aggregate on the key with map-side partials. OVERWRITE/IGNORE ride
+    * [[LatestByAgg]] (winner + tie evidence in one state); INCREMENT/
+    * MAX/MIN/UNION are plain tie-insensitive aggregates; APPEND collects
+    * (cmp, value) pairs and proves its total order from the collected
+    * list itself. NULL-cmp detection is `count(*) != count(cmp)` — two
+    * cheap counters in the SAME aggregate, not a distinct expand.
+    *
+    * With a delete column, records merge FROM SCRATCH after a key's
+    * latest delete (Pinot's revive semantics). That needs the last
+    * delete per key BEFORE merging — one extra aggregate + a
+    * co-partitioned self-join on the same key hashing (AQE reuses the
+    * exchange), the one shape in the upsert family that costs a second
+    * pass; the deleteless path stays single-aggregate.
+    */
   private def latestPartial(df: DataFrame, tableDir: String,
       keys: Seq[String], cmp: String,
-      strategies: Map[String, Strategy]): DataFrame = {
+      strategies: Map[String, Strategy],
+      deleteCol: Option[String]): DataFrame = {
+    val base = deleteCol match {
+      case None => df
+      case Some(dc) =>
+        val isDel = coalesce(col(dc), lit(false))
+        // per-key latest delete marker (cmp of the newest tombstone)
+        val lastDel = df.filter(isDel)
+          .groupBy(keys.map(col): _*)
+          .agg(max(col(cmp)).as("_del_cmp"))
+        val checked = df.join(lastDel, keys, "left")
+          .withColumn("_del_guard",
+            when(col(cmp).isNull, raise_error(concat(
+              lit(s"upsert table $tableDir: NULL $cmp within ("),
+              keyDesc(keys),
+              lit(") — the comparison column must never be null"))))
+              .when(col("_del_cmp").isNotNull &&
+                col(cmp) === col("_del_cmp") && !isDel,
+                raise_error(concat(
+                  lit(s"upsert table $tableDir: a record ties its key's " +
+                    s"delete marker on $cmp ("), keyDesc(keys),
+                  lit(") — whether it was deleted is undefined")))))
+        // revive-from-scratch: only versions NEWER than the latest
+        // delete merge; a key whose newest record IS the delete keeps
+        // no rows and disappears
+        checked
+          .where(col("_del_guard").isNull &&
+            (col("_del_cmp").isNull || col(cmp) > col("_del_cmp")))
+          .drop("_del_cmp", "_del_guard")
+    }
+
     val valueCols = df.columns.toSeq.filterNot(c =>
       keys.contains(c) || c == cmp)
+    def stratOf(c: String): Strategy =
+      if (deleteCol.contains(c)) Overwrite
+      else strategies.getOrElse(c, Overwrite)
+    def isArray(c: String): Boolean =
+      df.schema(c).dataType.isInstanceOf[ArrayType]
     val merged = valueCols.map { c =>
-      (strategies.getOrElse(c, Overwrite) match {
-        case Overwrite => max_by(col(c), col(cmp))
-        case Ignore => min_by(col(c), col(cmp))
-        case Increment => sum(col(c))
+      (stratOf(c) match {
+        case Overwrite => LatestByAgg.latestBy(col(c), col(cmp))
+        case Ignore => LatestByAgg.earliestBy(col(c), col(cmp))
+        // sum widens (int → bigint, decimal precision); cast back so the
+        // view preserves the table schema (Pinot's INCREMENT keeps the
+        // column type)
+        case Increment => sum(col(c)).cast(df.schema(c).dataType)
         case Max => max(col(c))
         case Min => min(col(c))
-        case Union => sort_array(collect_set(col(c)))
+        case Union =>
+          if (isArray(c))
+            // Pinot's UNION on a multi-value column: distinct elements
+            // across versions, type-preserving
+            sort_array(array_distinct(flatten(collect_list(col(c)))))
+          else sort_array(collect_set(col(c)))
         case Append =>
-          // values ordered by the comparison column, determinism via
-          // the tie guard below
-          transform(
-            sort_array(collect_list(struct(col(cmp), col(c)))),
-            p => p.getField(c))
-      }).as(c)
+          // the raw (cmp, value) pairs, sorted by cmp — the dup-cmp
+          // guard proves the total order from this list and the final
+          // select projects the values out
+          sort_array(collect_list(struct(col(cmp).as("_c"), col(c).as("_x"))))
+      }).as(s"_m_$c")
     }
-    // max_by/min_by under a comparison tie are nondeterministic — the
-    // same loud contract as FULL mode, checked in the SAME aggregate
-    val guard = when(
-      count(lit(1)) =!= count_distinct(col(cmp)),
-      raise_error(concat(
-        lit(s"upsert table $tableDir: duplicate $cmp within ("),
-        concat_ws(",", keys.map(col): _*),
-        lit(") — partial-merge winners are undefined under a tie"))))
-      .as("_upsert_guard")
-    val aggs = (max(col(cmp)).as(cmp) +: merged) :+ guard
-    df.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val counters = Seq(
+      count(lit(1)).as("_n"),
+      count(col(cmp)).as("_n_cmp"), // non-null count: no distinct expand
+      max(col(cmp)).as("_m_cmp"))
+    val agg = base.groupBy(keys.map(col): _*)
+      .agg((merged ++ counters).head, (merged ++ counters).tail: _*)
+
+    // loud contracts on the aggregated evidence — one WHEN chain, no
+    // second pass. All OVERWRITE columns share (key, cmp), so checking
+    // the first of each strategy class covers them all.
+    val firstOw = valueCols.find(c => stratOf(c) == Overwrite)
+    val firstIg = valueCols.find(c => stratOf(c) == Ignore)
+    val firstAp = valueCols.find(c => stratOf(c) == Append)
+    def tieErr(what: String) = raise_error(concat(
+      lit(s"upsert table $tableDir: duplicate $cmp within ("),
+      keyDesc(keys),
+      lit(s") — $what is undefined under a tie")))
+    var guard = when(col("_n") =!= col("_n_cmp"), raise_error(concat(
+      lit(s"upsert table $tableDir: NULL $cmp within ("), keyDesc(keys),
+      lit(") — the comparison column must never be null"))))
+    firstOw.foreach { c =>
+      guard = guard.when(
+        col(s"_m_$c").getField("ties") > 1, tieErr("the OVERWRITE winner"))
+    }
+    firstIg.foreach { c =>
+      guard = guard.when(
+        col(s"_m_$c").getField("ties") > 1, tieErr("the IGNORE winner"))
+    }
+    firstAp.foreach { c =>
+      val cmps = transform(col(s"_m_$c"), p => p.getField("_c"))
+      guard = guard.when(
+        size(array_distinct(cmps)) =!= size(cmps), tieErr("APPEND order"))
+    }
+
+    agg
+      .withColumn("_upsert_guard", guard)
       .where(col("_upsert_guard").isNull)
-      .drop("_upsert_guard")
-      // present columns in the source order: keys, cmp, values
-      .select(((keys :+ cmp) ++ valueCols).map(col): _*)
+      .select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(c)
+        else if (c == cmp) col("_m_cmp").as(cmp)
+        else stratOf(c) match {
+          case Overwrite | Ignore =>
+            col(s"_m_$c").getField("v").as(c)
+          case Append =>
+            val vals = transform(col(s"_m_$c"), p => p.getField("_x"))
+            (if (isArray(c)) flatten(vals) else vals).as(c)
+          case _ => col(s"_m_$c").as(c)
+        }
+      }: _*)
   }
 }

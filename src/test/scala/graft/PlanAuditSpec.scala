@@ -161,6 +161,42 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("upsert views run as ONE exchange, no window/sort/expand") {
+    // the single-pass winner monoid (LatestByAgg) replaces the FULL-mode
+    // rank window (exchange + SORT) and the PARTIAL-mode count_distinct
+    // tie guard (a second distinct-expand exchange): all three upsert
+    // queries must plan as scan → partial agg → ONE exchange → final
+    // agg, with no Window, Expand, or aggregation-feeding Sort node
+    for (name <- Seq("q161_pinot_upsert", "q162_pinot_partial_upsert",
+        "q164_pinot_upsert_delete", "q165_pinot_upsert_catalog_sql")) {
+      val nodes = allNodes(finalPlan(name))
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(windows.isEmpty, s"$name: upsert view plans a window")
+      val expands = nodes.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+      }
+      assert(expands.isEmpty, s"$name: upsert view plans a distinct expand")
+      val sortAggs = nodes.collect {
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(sortAggs.isEmpty, s"$name: upsert view fell back to SortAggregate")
+      // exchanges: exactly one hash exchange on the key (the final
+      // orderBy plans a range exchange; TakeOrdered fuses it away when
+      // a limit is present — allow it, forbid a second HASH exchange)
+      val hashEx = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.length <= 1,
+        s"$name: ${hashEx.length} hash exchanges — the upsert view must " +
+          "shuffle once on the key")
+    }
+  }
+
   test("q17 aggregates the fact side before its broadcast outer join") {
     val nodes = allNodes(finalPlan("q17_join_outer"))
     // the fact table must never shuffle on the 25-value nation key —

@@ -1,0 +1,230 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.sources.pinot.PinotUpsert
+import org.apache.spark.sql.functions._
+
+/** The TRANSPARENT upsert read path ([[UpsertViewRule]]): a plain
+  * `spark.read.format("pinot").load(dir)` — and catalog SQL — of a
+  * table carrying `upsert.properties` returns the upsert VIEW; raw
+  * segment-level reads require the explicit
+  * `.option("upsertView", "raw")`; writes stay raw; type-widening
+  * strategies reject loudly instead of silently mis-typing or silently
+  * reading raw.
+  */
+class UpsertViewRuleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory("upsert_rule")
+      .resolve(s"${name}_REALTIME").toString
+
+  private def writeVersions(dir: String): Unit = {
+    Seq((1L, 1L, "old"), (1L, 2L, "new"), (2L, 1L, "solo"))
+      .toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+  }
+
+  test("a plain load of a configured table returns the upsert view") {
+    val dir = freshTable("tv")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val got = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, "new"), (2L, 1L, "solo")))
+    // schema face unchanged: same columns, same order, same types
+    assert(spark.read.format("pinot").load(dir).columns.toSeq ===
+      Seq("k", "ver", "payload"))
+  }
+
+  test("raw segment inspection needs the explicit escape hatch") {
+    val dir = freshTable("tvr")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val raw = spark.read.format("pinot").option("upsertView", "raw")
+      .load(dir)
+    assert(raw.count() === 3) // every version visible
+    assert(spark.read.format("pinot").load(dir).count() === 2)
+  }
+
+  test("the view composes under SQL over the reader, filters, and self-joins") {
+    val dir = freshTable("tvc")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val v = spark.read.format("pinot").load(dir)
+    // filter above the view: the superseded (1, "old") must not resurface
+    assert(v.filter(col("payload") =!= "new").as[(Long, Long, String)]
+      .collect().toSeq === Seq((2L, 1L, "solo")))
+    // self-join: both sides independently deduplicate
+    val j = v.as("a").join(v.as("b"), Seq("k")).count()
+    assert(j === 2)
+  }
+
+  test("catalog SQL reads the view too") {
+    val dir = freshTable("tvs")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val root = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.upscat",
+      "graft.sources.pinot.PinotCatalog")
+    spark.conf.set("spark.sql.catalog.upscat.data_dir", root)
+    val got = spark.sql(
+      "SELECT k, payload FROM upscat.default.tvs ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "new"), (2L, "solo")))
+  }
+
+  test("delete markers apply on the transparent path") {
+    val dir = freshTable("tvd")
+    Seq((1L, 1L, "ins", false), (1L, 2L, "del", true),
+      (2L, 1L, "del", true), (2L, 2L, "re", false))
+      .toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("gone"))
+    val got = spark.read.format("pinot").load(dir)
+      .select("k", "payload").as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "re")))
+  }
+
+  test("appends to a configured table write raw versions; the view sees them") {
+    val dir = freshTable("tvw")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    // the write target must NOT be rewritten to the view
+    Seq((2L, 9L, "newer")).toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    val got = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, "new"), (2L, 9L, "newer")))
+    assert(spark.read.format("pinot").option("upsertView", "raw")
+      .load(dir).count() === 4)
+  }
+
+  test("type-widening partial strategies reject loudly on the transparent path") {
+    val dir = freshTable("tvu")
+    writeVersions(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("payload" -> "UNION"))
+    val ex = intercept[Exception] {
+      spark.read.format("pinot").load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("widen")),
+      s"expected the type-widening rejection, got: $ex")
+    // the explicit Scala API still serves the widened view
+    val got = PinotUpsert.latest(spark, dir)
+      .select("k", "payload").as[(Long, Seq[String])].collect().toSet
+    assert(got === Set((1L, Seq("new", "old")), (2L, Seq("solo"))))
+  }
+
+  test("partial merges ride the transparent path when types are preserved") {
+    val dir = freshTable("tvp")
+    Seq((1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (2L, 1L, "c", 5L))
+      .toDF("k", "ver", "ow", "inc")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"))
+    val got = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "ow", "inc").as[(Long, Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, "b", 30L), (2L, 1L, "c", 5L)))
+  }
+
+  test("NULL comparison values reject loudly in BOTH modes") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // FULL
+    val dir = freshTable("tvnf")
+    Seq((1L, Some(1L), "a"), (1L, None, "b"))
+      .toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot")
+      .option("nullableColumns", "ver")
+      .mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val exF = intercept[Exception] {
+      spark.read.format("pinot").load(dir).collect()
+    }
+    assert(messages(exF).exists(_.contains("NULL ver")),
+      s"FULL: expected the NULL-cmp rejection, got: $exF")
+    // PARTIAL — identical contract (r13 ADVICE: count_distinct used to
+    // misreport NULLs as a duplicate-tie)
+    val dir2 = freshTable("tvnp")
+    Seq((1L, Some(1L), "a"), (1L, None, "b"))
+      .toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot")
+      .option("nullableColumns", "ver")
+      .mode("append").save(dir2)
+    PinotUpsert.configurePartial(dir2, Seq("k"), "ver", Map.empty)
+    val exP = intercept[Exception] {
+      spark.read.format("pinot").load(dir2).collect()
+    }
+    assert(messages(exP).exists(_.contains("NULL ver")),
+      s"PARTIAL: expected the NULL-cmp rejection, got: $exP")
+  }
+
+  test("partial tie rejection is per-strategy: undefined merges reject, tie-insensitive ones pass") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // OVERWRITE (the default) under a tie at max: reject
+    val d1 = freshTable("tvt1")
+    Seq((1L, 5L, "x", 1L), (1L, 5L, "y", 2L)).toDF("k", "ver", "ow", "inc")
+      .coalesce(1).write.format("pinot").mode("append").save(d1)
+    PinotUpsert.configurePartial(d1, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"))
+    val ex1 = intercept[Exception] {
+      spark.read.format("pinot").load(d1).collect()
+    }
+    assert(messages(ex1).exists(_.contains("undefined under a tie")))
+    // ONLY tie-insensitive strategies: the same duplicate is
+    // well-defined and must NOT reject
+    val d2 = freshTable("tvt2")
+    Seq((1L, 5L, 1L), (1L, 5L, 2L)).toDF("k", "ver", "inc")
+      .coalesce(1).write.format("pinot").mode("append").save(d2)
+    PinotUpsert.configurePartial(d2, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"))
+    val got = spark.read.format("pinot").load(d2)
+      .select("k", "ver", "inc").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L)))
+    // IGNORE under a tie at MIN: reject (a tie at max alone is fine for
+    // IGNORE, but OVERWRITE-by-default columns would catch it first —
+    // isolate with an all-IGNORE config)
+    val d3 = freshTable("tvt3")
+    Seq((1L, 5L, "x"), (1L, 5L, "y"), (1L, 9L, "z"))
+      .toDF("k", "ver", "ig")
+      .coalesce(1).write.format("pinot").mode("append").save(d3)
+    PinotUpsert.configurePartial(d3, Seq("k"), "ver", Map("ig" -> "IGNORE"))
+    val ex3 = intercept[Exception] {
+      spark.read.format("pinot").load(d3).collect()
+    }
+    assert(messages(ex3).exists(_.contains("undefined under a tie")))
+  }
+
+  test("partial upsert + delete markers: revive merges from scratch") {
+    val dir = freshTable("tvpd")
+    Seq(
+      (1L, 1L, 10L, false), // pre-delete history (discarded)
+      (1L, 2L, 0L, true),   // delete tombstone
+      (1L, 3L, 5L, false),  // revive
+      (1L, 4L, 7L, false),
+      (2L, 1L, 3L, false),  // never deleted: merges everything
+      (2L, 2L, 4L, false),
+      (3L, 1L, 9L, false),  // deleted last: invisible
+      (3L, 2L, 0L, true))
+      .toDF("k", "ver", "inc", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"), deleteCol = Some("gone"))
+    val got = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "inc").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // key 1: only post-delete versions 3..4 sum (5+7); key 3 gone
+    assert(got.toSeq === Seq((1L, 4L, 12L), (2L, 2L, 7L)))
+  }
+}
