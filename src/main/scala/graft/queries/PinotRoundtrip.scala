@@ -862,6 +862,42 @@ object PinotRoundtrip {
         .orderBy("user_id")
     }),
 
+    // The STREAMING upsert view as one declared query (the deployment
+    // shape PinotStreamStatefulSpec restart-proves): latestStream drives
+    // latest-per-key state from the table's OWN upsert.properties over
+    // readStream("pinot"); AvailableNow drains every landed segment, so
+    // the last update per key equals the batch view — and the same
+    // DuckDB truth as q161 hash-gates the whole stream-then-latest
+    // composition. The "last update per key" fold dogfoods LatestByAgg
+    // keyed on the micro-batch id.
+    "q166_pinot_upsert_stream" -> ((s, d) => {
+      val dir = upsertTable(s, d)
+      val work = Files.createTempDirectory("q166_upsert_stream")
+      val updatesOut = work.resolve("updates").toString
+      val q = graft.sources.pinot.PinotUpsert.latestStream(s, dir)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(updatesOut)
+        }
+        .start()
+      require(q.awaitTermination(300000),
+        "q166: the AvailableNow upsert stream did not terminate")
+      s.read.parquet(updatesOut)
+        .groupBy("user_id")
+        .agg(graft.functions.LatestByAgg.latestBy(
+          struct(col("event_id"), col("event_type")), col("_batch"))
+          .as("w"))
+        .select(col("user_id"),
+          col("w").getField("v").getField("event_id").as("last_event_id"),
+          col("w").getField("v").getField("event_type")
+            .as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
     // The upsert view through CATALOG SQL — the surface a SQL-only user
     // actually touches: `SELECT ... FROM <catalog>.default.<table>` on
     // an upsert-configured table resolves to the same one-aggregate
@@ -1656,6 +1692,17 @@ object PinotRoundtrip {
         |       CAST(count(CASE WHEN ts_ms BETWEEN 3000 AND 8000
         |         THEN 1 END) AS BIGINT) AS slice_rows
         |FROM base""".stripMargin,
+
+    // same truth as q161 — an AvailableNow drain of the streaming view
+    // must answer identically to the batch view
+    "q166_pinot_upsert_stream" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM base
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     // same truth as q161 — the catalog SQL surface must answer
     // identically to the reader surface

@@ -2,9 +2,10 @@ package graft.sources.pinot
 
 import graft.functions.LatestByAgg
 import graft.pinot.{PinotFormatException, SegmentIO}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, StructField, StructType}
 
 /** UPSERT tables (EXTENSION — the capability of Pinot's upsert-enabled
   * REALTIME tables, `upsertConfig.mode=FULL|PARTIAL`: queries see only
@@ -271,6 +272,237 @@ object PinotUpsert {
 
   private def keyDesc(keys: Seq[String]): Column =
     concat_ws(",", keys.map(col): _*)
+
+  /** The STREAMING upsert view over the Pinot tail — how Pinot's
+    * REALTIME upsert behaves in production: `readStream("pinot")` on
+    * the table directory, with latest-per-key state driven by the SAME
+    * `upsert.properties` the batch view reads (keys, comparison column,
+    * FULL/PARTIAL strategies, delete markers). Every micro-batch emits
+    * each TOUCHED key's current merged row (update-mode semantics), so
+    * an update sink materializes the view incrementally; state is ONE
+    * small row per live key — the bound Pinot's primary-key metadata
+    * map carries, here spread across executors and checkpointed.
+    *
+    * Delete markers EMIT (they are the retraction signal a sink needs):
+    * FULL mode emits the winning row with its marker column true;
+    * PARTIAL mode emits a tombstone row — keys + marker true + the
+    * tombstone's comparison value, merged columns NULL. Consumers
+    * filter `!delete` exactly like the batch view does internally.
+    *
+    * Loud contracts, same as batch: NULL comparison values and
+    * strategy-undefining ties reject. Two extra contracts streaming
+    * adds: APPEND is batch-only (its total order needs the full version
+    * history, which bounded state cannot keep), and a LATE delete
+    * marker — older than versions already merged into PARTIAL state —
+    * rejects (merged history cannot be retracted; Pinot's in-order
+    * Kafka partitions never produce this, a replayed tail could).
+    */
+  def latestStream(s: SparkSession, tableDir: String): DataFrame = {
+    val cfg = config(tableDir)
+    latestStreamOver(
+      s.readStream.format("pinot").load(tableDir), tableDir, cfg)
+  }
+
+  /** The stateful view over an already-loaded stream — split from
+    * [[latestStream]] so specs can drive it from MemoryStream too.
+    */
+  private[graft] def latestStreamOver(df: DataFrame, tableDir: String,
+      cfg: UpsertConfig): DataFrame = {
+    val schema = df.schema
+    val missing = (cfg.keys :+ cfg.cmp).filterNot(schema.fieldNames.contains) ++
+      cfg.strategies.keys.filterNot(schema.fieldNames.contains) ++
+      cfg.deleteCol.filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new PinotFormatException(
+        s"upsert table $tableDir: configured columns ${missing.mkString(",")} " +
+          "not present in the segment schema")
+    val partial = cfg.mode match {
+      case "FULL" => false
+      case "PARTIAL" => true
+      case other => throw new PinotFormatException(
+        s"upsert table $tableDir: unknown mode $other")
+    }
+    if (partial && cfg.strategies.values.exists(_ == Append))
+      throw new PinotFormatException(
+        s"upsert table $tableDir: the APPEND strategy needs the full " +
+          "version history and is batch-only — use PinotUpsert.latest")
+
+    val keys = cfg.keys
+    val cmp = cfg.cmp
+    val cmpIdx = schema.fieldIndex(cmp)
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val delIdx = cfg.deleteCol.map(schema.fieldIndex).getOrElse(-1)
+    def stratOf(i: Int): Strategy = {
+      val n = schema.fields(i).name
+      if (!partial || keys.contains(n) || n == cmp) Overwrite
+      else if (cfg.deleteCol.contains(n)) Overwrite
+      else cfg.strategies.getOrElse(n, Overwrite)
+    }
+    val strat: Array[Strategy] = schema.fields.indices.map(stratOf).toArray
+    val valueIdx = schema.fields.indices
+      .filterNot(i => keyIdx.contains(i) || i == cmpIdx).toArray
+    val anyOverwrite = valueIdx.exists(i => strat(i) == Overwrite)
+    val anyIgnore = valueIdx.exists(i => strat(i) == Ignore)
+
+    // output = the view schema: scalar UNION widens to an array exactly
+    // like the batch view; everything nullable (tombstones carry NULLs)
+    val outSchema = StructType(schema.fields.map { f =>
+      val dt =
+        if (partial && cfg.strategies.get(f.name).contains(Union) &&
+            !f.dataType.isInstanceOf[ArrayType])
+          ArrayType(f.dataType, containsNull = false)
+        else f.dataType
+      StructField(f.name, dt, nullable = true)
+    })
+    val n = outSchema.length
+    // state = the merged row + (min cmp for IGNORE, latest tombstone
+    // cmp, dead = tombstoned with no revival yet)
+    val stateSchema = StructType(outSchema.fields ++ Seq(
+      StructField("_min_cmp", schema(cmp).dataType, nullable = true),
+      StructField("_del_cmp", schema(cmp).dataType, nullable = true),
+      StructField("_dead", BooleanType, nullable = false)))
+    val keySchema = StructType(keyIdx.toSeq.map(i =>
+      schema.fields(i).copy(nullable = true)))
+
+    def ord(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def nullCmpError() = throw new PinotFormatException(
+      s"upsert table $tableDir: NULL $cmp — the comparison column must " +
+        "never be null")
+    def tieError(what: String) = throw new PinotFormatException(
+      s"upsert table $tableDir: duplicate $cmp — $what is undefined " +
+        "under a tie")
+    def addNum(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: Long, y: Long) => x + y
+      case (x: Int, y: Int) => x + y
+      case (x: Double, y: Double) => x + y
+      case (x: Float, y: Float) => x + y
+      case (x: Short, y: Short) => (x + y).toShort
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case other => throw new PinotFormatException(
+        s"upsert INCREMENT: non-numeric values $other")
+    }
+    // Row array columns surface as scala.collection.Seq (ArraySeq) —
+    // normalize before merging
+    def asSeq(v: Any): Seq[Any] = v match {
+      case null => Seq.empty
+      case s: scala.collection.Seq[_] => s.toSeq.asInstanceOf[Seq[Any]]
+      case other => Seq(other)
+    }
+    def unionMerge(cur: Any, add: Seq[Any]): Any =
+      (asSeq(cur) ++ add.filter(_ != null)).distinct
+        .sortWith((a, b) => ord(a, b) < 0)
+
+    val fn = (key: Row, it: Iterator[Row], gs: GroupState[Row]) => {
+      var vals: Array[Any] = null
+      var minCmp: Any = null
+      var delCmp: Any = null
+      var dead = false
+      gs.getOption.foreach { st =>
+        minCmp = st.get(n)
+        delCmp = st.get(n + 1)
+        dead = st.getBoolean(n + 2)
+        if (!dead) vals = Array.tabulate(n)(st.get)
+      }
+      // fold the batch in comparison order: within a batch this IS the
+      // ingestion order Pinot would apply
+      val rows = it.toArray
+      rows.foreach(r => if (r.get(cmpIdx) == null) nullCmpError())
+      java.util.Arrays.sort(rows.asInstanceOf[Array[Object]],
+        (a: Object, b: Object) => ord(a.asInstanceOf[Row].get(cmpIdx),
+          b.asInstanceOf[Row].get(cmpIdx)))
+      rows.foreach { r =>
+        val c = r.get(cmpIdx)
+        val isDel = delIdx >= 0 && r.get(delIdx) == true
+        if (!partial) {
+          // FULL: keep the winning raw row (marker column included)
+          if (vals == null || ord(c, vals(cmpIdx)) > 0)
+            vals = Array.tabulate(n)(r.get)
+          else if (ord(c, vals(cmpIdx)) == 0) tieError("the latest record")
+        } else if (isDel) {
+          if (vals != null) {
+            val d = ord(c, vals(cmpIdx))
+            if (d < 0) throw new PinotFormatException(
+              s"upsert table $tableDir: late delete marker at $cmp=$c " +
+                "is older than already-merged versions — merged history " +
+                "cannot be retracted")
+            if (d == 0) tieError("whether the latest record was deleted")
+          }
+          if (delCmp == null || ord(c, delCmp) > 0) delCmp = c
+          vals = null; minCmp = null; dead = true
+        } else {
+          if (delCmp != null) {
+            val d = ord(c, delCmp)
+            if (d == 0) tieError("whether this record was deleted")
+            if (d < 0) () // pre-delete history: discarded (revive-from-scratch)
+          }
+          if (delCmp == null || ord(c, delCmp) > 0) {
+            if (vals == null) {
+              dead = false
+              vals = new Array[Any](n)
+              keyIdx.foreach(i => vals(i) = r.get(i))
+              vals(cmpIdx) = c
+              minCmp = c
+              valueIdx.foreach { i =>
+                vals(i) = strat(i) match {
+                  case Union => unionMerge(null, asSeq(r.get(i)))
+                  case _ => r.get(i)
+                }
+              }
+            } else {
+              val d = ord(c, vals(cmpIdx))
+              if (d == 0 && anyOverwrite) tieError("the OVERWRITE winner")
+              val dMin = ord(c, minCmp)
+              if (dMin == 0 && anyIgnore) tieError("the IGNORE winner")
+              valueIdx.foreach { i =>
+                strat(i) match {
+                  case Overwrite => if (d > 0) vals(i) = r.get(i)
+                  case Ignore => if (dMin < 0) vals(i) = r.get(i)
+                  case Increment => vals(i) = addNum(vals(i), r.get(i))
+                  case Max =>
+                    val v = r.get(i)
+                    if (v != null && (vals(i) == null || ord(v, vals(i)) > 0))
+                      vals(i) = v
+                  case Min =>
+                    val v = r.get(i)
+                    if (v != null && (vals(i) == null || ord(v, vals(i)) < 0))
+                      vals(i) = v
+                  case Union => vals(i) = unionMerge(vals(i), asSeq(r.get(i)))
+                  case Append => () // rejected above
+                }
+              }
+              if (d > 0) vals(cmpIdx) = c
+              if (dMin < 0) minCmp = c
+            }
+          }
+        }
+      }
+      // persist + emit the touched key's current face
+      val stateVals: Array[Any] =
+        (if (vals == null) new Array[Any](n) else vals.clone()) ++
+          Array[Any](minCmp, delCmp, dead)
+      gs.update(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+        stateVals).asInstanceOf[Row])
+      if (vals != null) {
+        Iterator.single(Row.fromSeq(vals.toIndexedSeq))
+      } else if (dead) {
+        // PARTIAL tombstone: the retraction row a sink applies
+        val out = new Array[Any](n)
+        keyIdx.foreach(i => out(i) = key.get(keyIdx.indexOf(i)))
+        out(cmpIdx) = delCmp
+        if (delIdx >= 0) out(delIdx) = true
+        Iterator.single(Row.fromSeq(out.toIndexedSeq))
+      } else Iterator.empty
+    }
+
+    df.groupByKey(r => Row.fromSeq(keyIdx.toIndexedSeq.map(r.get)))(
+      Encoders.row(keySchema))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.row(stateSchema), Encoders.row(outSchema))
+  }
 
   /** FULL mode: ONE hash aggregate — [[LatestByAgg]] carries the whole
     * winning row as its O(1) state, so there is no window, no sort, and

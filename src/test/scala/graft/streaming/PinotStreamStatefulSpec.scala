@@ -164,4 +164,138 @@ class PinotStreamStatefulSpec extends SparkTestBase {
     assert(got === Set((ts(0).getTime, ts(20).getTime, 3, 7.0)),
       "session state or source offsets were lost across the Pinot-tail restarts")
   }
+
+  test("Pinot tail -> latestStream (FULL + delete markers): the streaming upsert view survives restarts and equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.pinot.PinotUpsert
+    val root = java.nio.file.Files.createTempDirectory("pinot_upstream")
+    val tableDir = root.resolve("ups_REALTIME").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def land(rows: (Long, Long, String, Boolean)*): Unit =
+      rows.toSeq.toDF("k", "ver", "payload", "gone").repartition(1)
+        .write.format("pinot").mode("append").save(tableDir)
+    // config must exist before the first stream run reads it
+    land((1L, 1L, "a1", false), (2L, 1L, "b1", false))
+    PinotUpsert.configure(tableDir, Seq("k"), "ver",
+      deleteCol = Some("gone"))
+    var batchSeq = 0L
+    def runOnce(): Unit = {
+      val q = PinotUpsert.latestStream(spark, tableDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSeq += 1
+          df.withColumn("_seq", lit(batchSeq))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      assert(q.awaitTermination(120000), "stream run did not terminate")
+    }
+
+    runOnce()
+    // run 2 (restart): key 1 superseded; key 2 DELETED; key 3 appears.
+    // Lost state would let the old (1, ver 1) win later; lost offsets
+    // would miss the delete.
+    land((1L, 5L, "a5", false), (2L, 6L, "b-del", true),
+      (3L, 1L, "c1", false))
+    runOnce()
+    // run 3 (restart): key 2 REVIVES past its tombstone; a LATE version
+    // of key 1 (ver 3 < merged ver 5) arrives and must lose silently
+    land((2L, 9L, "b9", false), (1L, 3L, "a3-late", false))
+    runOnce()
+
+    // the streaming view = the last emission per key
+    val updates = spark.read.parquet(out)
+    val last = updates
+      .groupBy("k")
+      .agg(graft.functions.LatestByAgg.latestBy(
+        struct(col("ver"), col("payload"), col("gone")), col("_seq"))
+        .as("w"))
+      .select(col("k"), col("w.v.ver"), col("w.v.payload"),
+        col("w.v.gone"))
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(last === Set((1L, 5L, "a5", false), (2L, 9L, "b9", false),
+      (3L, 1L, "c1", false)),
+      "upsert stream state or source offsets were lost across restarts")
+    // the delete EMITTED as a retraction in run 2 (marker true)
+    val kTwo = updates.filter(col("k") === 2L)
+      .select("ver", "gone").as[(Long, Boolean)].collect().toSet
+    assert(kTwo.contains((6L, true)),
+      "the winning delete did not emit its retraction row")
+    // batch twin: the final streaming states equal the batch view
+    val twin = spark.read.format("pinot").load(tableDir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    assert(twin === Set((1L, 5L, "a5"), (2L, 9L, "b9"), (3L, 1L, "c1")))
+  }
+
+  test("Pinot tail -> latestStream (PARTIAL): strategies merge statefully; tombstones retract; revive starts from scratch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.pinot.PinotUpsert
+    val root = java.nio.file.Files.createTempDirectory("pinot_upstreamp")
+    val tableDir = root.resolve("upsp_REALTIME").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def land(rows: (Long, Long, String, Long, Boolean)*): Unit =
+      rows.toSeq.toDF("k", "ver", "ow", "inc", "gone").repartition(1)
+        .write.format("pinot").mode("append").save(tableDir)
+    land((1L, 1L, "x1", 10L, false), (2L, 1L, "y1", 1L, false))
+    PinotUpsert.configurePartial(tableDir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"), deleteCol = Some("gone"))
+    var batchSeq = 0L
+    def runOnce(): Unit = {
+      val q = PinotUpsert.latestStream(spark, tableDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSeq += 1
+          df.withColumn("_seq", lit(batchSeq))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      assert(q.awaitTermination(120000), "stream run did not terminate")
+    }
+
+    runOnce()
+    // run 2 (restart): key 1 increments across the restart boundary
+    // (state-kept sum 10+5); key 2 is tombstoned
+    land((1L, 2L, "x2", 5L, false), (2L, 3L, "", 0L, true))
+    runOnce()
+    // run 3 (restart): key 2 revives — merges FROM SCRATCH (inc = 7,
+    // not 1+7)
+    land((2L, 5L, "y5", 7L, false))
+    runOnce()
+
+    val updates = spark.read.parquet(out)
+    val last = updates
+      .groupBy("k")
+      .agg(graft.functions.LatestByAgg.latestBy(
+        struct(col("ver"), col("ow"), col("inc"), col("gone")),
+        col("_seq")).as("w"))
+      .select(col("k"), col("w.v.ver"), col("w.v.ow"), col("w.v.inc"),
+        col("w.v.gone"))
+      .as[(Long, Long, String, Long, Boolean)].collect().toSet
+    assert(last === Set(
+      (1L, 2L, "x2", 15L, false),
+      (2L, 5L, "y5", 7L, false)),
+      "partial upsert stream state was lost or revive did not reset")
+    // the tombstone EMITTED with the marker and NULL merged columns
+    val tomb = updates.filter(col("k") === 2L && col("gone"))
+      .select("ver", "ow").collect()
+    assert(tomb.length == 1 && tomb(0).getLong(0) == 3L &&
+      tomb(0).isNullAt(1),
+      "the PARTIAL tombstone did not emit (ver=delete cmp, merged cols NULL)")
+    // batch twin on the final table state
+    val twin = spark.read.format("pinot").load(tableDir)
+      .select("k", "ver", "ow", "inc").as[(Long, Long, String, Long)]
+      .collect().toSet
+    assert(twin === Set((1L, 2L, "x2", 15L), (2L, 5L, "y5", 7L)))
+  }
 }
