@@ -49,11 +49,7 @@ case class FreqItemsAgg(
 
   override def nullable: Boolean = false
 
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("item", StringType, nullable = false),
-      StructField("cnt", LongType, nullable = false))),
-    containsNull = false)
+  override def dataType: DataType = FreqItemsAgg.OutType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -260,7 +256,16 @@ case class FreqMergeAgg(
 
   override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val sk = graft.pinot.SketchSection.deserialize(bytes)
-    mutable.HashMap.from(sk.freq)
+    // same loud contract as update(): a foreign payload kind or a
+    // capacity mismatch must name itself, not NPE downstream
+    sk.spec match {
+      case graft.pinot.SketchSection.FreqSpec(c2) =>
+        require(c2 == capacity,
+          s"freq_merge_items(capacity=$capacity) buffer holds a freq$c2 sketch")
+        mutable.HashMap.from(sk.freq)
+      case other => throw new IllegalArgumentException(
+        s"freq_merge_items: buffer payload is a ${other} section, not freq")
+    }
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): FreqMergeAgg =

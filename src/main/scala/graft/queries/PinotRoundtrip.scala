@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 13 // r13: group-slice fixture gains cents+kll
+  private val LayoutVersion = 14 // r14: group-slice fixture gains props+freq
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -744,6 +744,7 @@ object PinotRoundtrip {
           .orderBy("event_id")
           .limit(20000)
           .select(col("event_id"), col("event_type"), col("user_id"),
+            col("props"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
           .withColumn("ts_ms", row_number().over(w).cast("long"))
         Files.createDirectories(coldDir)
@@ -752,19 +753,20 @@ object PinotRoundtrip {
           val build = root.resolve("eventsGroupBuild_OFFLINE")
           base.filter(col("ts_ms").between(lo, lo + 99))
             .select(col("event_type"), lit(lo).as("bucket_start"),
-              col("user_id"), col("cents"), lit(1).as("cnt"))
+              col("user_id"), col("props"), col("cents"), lit(1).as("cnt"))
             .coalesce(1)
             .write.format("pinot").mode("append")
             .save(build.toString)
           val seg = graft.pinot.PinotCompact.rollup(build.toString,
             dims = Seq("event_type", "bucket_start"), metrics = Seq("cnt"),
-            sketchMetrics = Map("user_id" -> "hll16", "cents" -> "kll32768"))
+            sketchMetrics = Map("user_id" -> "hll16", "cents" -> "kll32768",
+              "props" -> "freq256"))
           Files.move(seg, coldDir.resolve(s"bucket$b"))
           deleteRec(build)
         }
         base.filter(col("ts_ms") > 600L)
           .select(col("event_type"), col("ts_ms"), col("user_id"),
-            col("cents"))
+            col("props"), col("cents"))
           .repartitionByRange(2, col("ts_ms"))
           .write.format("pinot").mode("append")
           .save(rawDir.toString)
@@ -808,6 +810,29 @@ object PinotRoundtrip {
           element_at(col("qarr"), 2).cast("long").as("p90_cents"),
           col("slice_rows"))
         .orderBy("event_type")
+    }),
+
+    // GROUPED time-sliced HEAVY HITTERS ("top props last N days PER
+    // event_type") — the freq<c> member of the grouped two-tier family
+    // (q155 hll, q157 kll): cold buckets inside [201, 850] contribute
+    // their per-(group, bucket) STORED freq256 payload rows, outside
+    // buckets prune from metadata, the raw tier folds its sliced rows
+    // into per-group query-time freq payloads, ONE hash exchange on
+    // event_type merges the tiers. Exact regime (100 distinct props ≪
+    // 256 per group: no Misra–Gries decrement ever fires), so the
+    // DuckDB truth over the original parquet hash-gates the whole
+    // rollup/boundary/merge composition.
+    "q167_pinot_group_freq_timeslice" -> ((s, d) => {
+      val (coldDir, rawDir) = groupSliceTables(s, d)
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedFreqItems(
+        s, coldDir, rawDir, "event_type", "props", 256,
+        "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
+        as = "sk", rowsAs = "slice_rows")
+        .select(col("event_type"), explode(col("sk")).as("e"),
+          col("slice_rows"))
+        .select(col("event_type"), col("e.item").as("item"),
+          col("e.cnt").as("cnt"), col("slice_rows"))
+        .orderBy(asc("event_type"), desc("cnt"), asc("item"))
     }),
 
     // FREQUENT_STRINGS over STORED Misra–Gries sections: top props
@@ -1750,6 +1775,21 @@ object PinotRoundtrip {
     "q160_pinot_stream_lambda" ->
       """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
         |SELECT count(DISTINCT event_id) AS distinct_events FROM base""".stripMargin,
+
+    // true per-type props counts + per-type slice row counts over
+    // exactly the sliced rows (exact regime: the merged freq summaries
+    // enumerate every (type, props) pair)
+    "q167_pinot_group_freq_timeslice" ->
+      """WITH base AS (SELECT event_type, props,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        | sl AS (SELECT event_type, props FROM base
+        |        WHERE ts_ms BETWEEN 201 AND 850)
+        |SELECT event_type, props AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS slice_rows
+        |FROM sl GROUP BY event_type, props
+        |ORDER BY event_type, cnt DESC, item""".stripMargin,
 
     // true top-10 props counts over the rows the sections consumed
     "q158_pinot_freq_stored" ->

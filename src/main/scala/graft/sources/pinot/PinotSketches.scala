@@ -366,6 +366,36 @@ object PinotSketches {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** GROUPED time-sliced heavy hitters ("top pages over the last N days
+    * PER country") over the same two-tier layout as
+    * [[groupedTimeSlicedHllDistinct]]: the rolled cold tier carries one
+    * `freq<capacity>` (Misra–Gries) payload per group per bucket, the
+    * raw hot tier folds its sliced rows into per-group query-time freq
+    * payloads, and ONE hash exchange on `groupCol` merges both. Counts
+    * are EXACT while each group's distinct `column` cardinality stays
+    * ≤ capacity; beyond it the Agarwal et al. mergeable-summaries bound
+    * (estimate ∈ [true − n/(capacity+1), true]) holds per group. Output:
+    * (`groupCol`, `as` = ARRAY<STRUCT<item, cnt>> sorted (cnt desc, item
+    * asc), `rowsAs`). Same loud mid-bucket / coverage-gap / tier-overlap
+    * contracts, validated from cached metadata before any row IO.
+    */
+  def groupedTimeSlicedFreqItems(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String, capacity: Int,
+      bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long,
+      as: String = "top_items", rowsAs: String = "slice_rows"): DataFrame = {
+    val merged = groupedTimeSlicedPayloads(s, rollupDir, rawDir, groupCol,
+      column, s"freq$capacity", bucketCol, bucketWidth, cntCol, rawTimeCol,
+      loMs, hiMs)
+    merged
+      .groupBy("g")
+      .agg(
+        graft.functions.FreqMergeAgg
+          .freqMergeItems(col("sketch"), capacity).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** The grouped two-tier payload stream shared by the grouped readers —
     * rows of (g, sketch BINARY, cnt BIGINT): the rolled cold tier's
     * per-(group, bucket) stored payload rows for buckets fully inside

@@ -53,6 +53,11 @@ class PlanAuditSpec extends SparkTestBase {
     // scalar-subquery threshold: a ONE-ROW broadcast crossed against the
     // probe side (exactly how Spark executes `> (SELECT avg ...)`)
     "q126_tpch_q22",
+    // corpus-count thresholds (tau = f(N)) folded into the job as a
+    // ONE-ROW count aggregate crossed into the DF filter / broadcast
+    // dictionary — replaces a separate docs.count() driver action
+    "q41_dedup_ngram_jaccard", "q73_dedup_components",
+    "q163_boilerplate_share", "q46b_tfidf_top_term",
     // theta-sketch set algebra: ONE collapsed sketch row per cohort,
     // crossed 1×1 so the union/intersect estimators see both arrays —
     // the raw events were already reduced by the aggregate

@@ -627,6 +627,66 @@ class SketchSectionSpec extends SparkTestBase {
     assert(ex.getMessage.contains("mid-bucket"))
   }
 
+  test("grouped time-sliced freq: rolled + raw tiers merge to exact per-group counts; outside rolled segments untouched") {
+    import spark.implicits._
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(deleteRec(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val root = java.nio.file.Files.createTempDirectory("group_freq")
+    val coldDir = root.resolve("gfCold_OFFLINE")
+    val rawDir = root.resolve("gfRaw_OFFLINE").toString
+    java.nio.file.Files.createDirectories(coldDir)
+    val df = (1 to 5000).map { t =>
+      (t.toLong, s"g${t % 3}", s"page_${t % (20 + t % 3)}")
+    }.toDF("ts_ms", "g", "page")
+    (0 until 3).foreach { b =>
+      val lo = b * 1000L + 1
+      val build = root.resolve("gfBuild_OFFLINE")
+      df.filter(col("ts_ms").between(lo, lo + 999))
+        .select(col("g"), lit(lo).as("bucket_start"), col("page"),
+          lit(1).as("cnt"))
+        .coalesce(1).write.format("pinot").mode("append")
+        .save(build.toString)
+      val seg = PinotCompact.rollup(build.toString,
+        dims = Seq("g", "bucket_start"), metrics = Seq("cnt"),
+        sketchMetrics = Map("page" -> "freq64"))
+      java.nio.file.Files.move(seg, coldDir.resolve(s"bucket$b"))
+      deleteRec(build)
+    }
+    df.filter(col("ts_ms") > 3000L)
+      .select(col("g"), col("ts_ms"), col("page"))
+      .repartitionByRange(2, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .save(rawDir)
+    // slice [1001, 4200]: bucket 0 pruned, buckets 1-2 stored payloads,
+    // raw tier boundary-scans
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    val got = SegmentIO.withOverride(_.startsWith(root.toString), rec) {
+      SegmentReader.clearSectionCacheForTests()
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedFreqItems(
+        spark, coldDir.toString, rawDir, "g", "page", 64,
+        "bucket_start", 1000L, "cnt", "ts_ms", 1001L, 4200L,
+        as = "sk", rowsAs = "rows")
+        .select(col("g"), explode(col("sk")).as("e"), col("rows"))
+        .select(col("g"), col("e.item"), col("e.cnt"), col("rows"))
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    val twin = df.filter(col("ts_ms").between(1001, 4200))
+    val rowsPerG = twin.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = twin.groupBy("g", "page").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        rowsPerG(r.getString(0)))).toSet
+    assert(got === want, "grouped time-sliced freq diverged from the twin")
+    import scala.jdk.CollectionConverters._
+    val bucket0Psf = rec.reads.keySet().asScala
+      .filter(_.startsWith(coldDir.resolve("bucket0").toString))
+    assert(bucket0Psf.isEmpty,
+      s"outside rolled segment read $bucket0Psf — pushed bucket filter must prune it")
+  }
+
   test("freq sections: stored Misra–Gries summaries merge to exact counts; payload bytes are insertion-order-free") {
     import spark.implicits._
     val dir = java.nio.file.Files
