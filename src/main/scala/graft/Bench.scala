@@ -269,7 +269,21 @@ object Bench {
         results(name) = -1.0; resultsMin(name) = -1.0
       } else {
         val clean = cleanOf(rs.toSeq)
-        val use = if (clean.length >= 2) clean else rs.toSeq
+        // Degraded-box fallback (r13 protocol fix): when contention
+        // probes flag nearly every rep, fewer than 2 "clean" reps remain
+        // and the old fallback published the raw median — which let a
+        // 3x-outlier become the headline (r13 q32: 5.91 s published from
+        // a rep set spanning 1.52-42.99 s whose clean reps read ~1.5 s).
+        // A ratio-outlier must NEVER become the published median: fall
+        // back to the non-outlier reps (contended-but-plausible), and
+        // only then to the raw set.
+        val use =
+          if (clean.length >= 2) clean
+          else {
+            val mn = rs.map(_.sec).min
+            val noOutlier = rs.toSeq.filterNot(r => outlierRep(r, mn))
+            if (noOutlier.nonEmpty) noOutlier else rs.toSeq
+          }
         val ts = use.map(_.sec).sorted
         // true median: even-count rep sets (one rep discarded as
         // contended) average the middle two instead of taking the upper,
@@ -338,7 +352,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""queries_min":$fullQsMin,""" +
-        s""""median_protocol":"median over clean reps: a rep is discarded when its [start,end] interval overlaps a hot probe (ST >1.3x / MT >1.5x best) OR it exceeds 3x the query's min by >0.3s (probes can miss host stalls); every discard triggers replacement reps (rounds 4-5, max 6 reps) until 3 clean remain; even-count sets average the middle two; all reps used when fewer than 2 clean",""" +
+        s""""median_protocol":"median over clean reps: a rep is discarded when its [start,end] interval overlaps a hot probe (ST >1.3x / MT >1.5x best) OR it exceeds 3x the query's min by >0.3s (probes can miss host stalls); every discard triggers replacement reps (rounds 4-5, max 6 reps) until 3 clean remain; even-count sets average the middle two; fewer than 2 clean reps fall back to the NON-OUTLIER reps (r14: a 3x-outlier never becomes the published median, even when probes flag everything), then to all reps",""" +
         s""""query_start_offsets_sec":$startsJson,""" +
         s""""query_reps":$repsJson,""" +
         s""""contention_probes":$probesJson,""" +

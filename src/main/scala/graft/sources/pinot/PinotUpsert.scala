@@ -49,11 +49,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, StructField, StructTy
   *    column is a time/sequence column and is never null; silently
   *    ranking NULL first or last would invent an ingestion order).
   *
-  * Filters on the RESULT must stay above the aggregate (a filter pushed
-  * below it could delete the winning version and resurrect a superseded
-  * one); filters that only touch the key columns are safe to push,
-  * which Spark does not infer — callers filter after [[latest]],
-  * trading pushdown for correctness.
+  * Filters on VALUE columns must stay above the aggregate (pushed below
+  * they could delete the winning version and resurrect a superseded
+  * one) — and do, because they reference aggregate output. Filters on
+  * KEY columns reference only grouping expressions, so Catalyst pushes
+  * them below the aggregate and V2 pushdown lands them in the scan: a
+  * point lookup on an upsert table reads only the key's segments
+  * (pinned in UpsertViewRuleSpec).
   */
 object PinotUpsert {
 

@@ -206,6 +206,26 @@ class UpsertViewRuleSpec extends SparkTestBase {
     assert(messages(ex3).exists(_.contains("undefined under a tie")))
   }
 
+  test("key-only filters push below the view's aggregate into the Pinot scan") {
+    // Filter(key = x) over the view references only grouping columns, so
+    // Catalyst's PushPredicateThroughNonJoin moves it below the
+    // aggregate and V2 pushdown lands it in the scan — a point lookup on
+    // an upsert table reads only the key's segments, not the table.
+    // (Filters on VALUE columns must stay above — they could resurrect a
+    // superseded version — and do, because they reference agg output.)
+    val dir = freshTable("tvpush")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val q = spark.read.format("pinot").load(dir).filter(col("k") === 2L)
+    assert(q.as[(Long, Long, String)].collect().toSeq ===
+      Seq((2L, 1L, "solo")))
+    val leaves = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    // the Pinot scan reports its pushed filters as skipFilters=[...]
+    assert(leaves.exists(_.contains("skipFilters=[EqualTo(k,2)")),
+      s"key filter did not reach the scan:\n${leaves.mkString("\n")}")
+  }
+
   test("partial upsert + delete markers: revive merges from scratch") {
     val dir = freshTable("tvpd")
     Seq(
