@@ -639,6 +639,31 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** Upsert-compaction fixture: the q161 version history COMPACTED
+    * (PinotUpsert.compact — Pinot's UpsertCompactionTask capability) at
+    * build time: the raw storage holds one winning row per user, the
+    * view answers identically to the uncompacted twin.
+    */
+  private def upsertCompactTable(s: SparkSession, d: String): String = synchronized {
+    val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pinot_rt_v$LayoutVersion$key")
+    val tableDir = root.resolve("eventsUpsertC_REALTIME")
+    if (!Files.exists(tableDir)) {
+      Tables.load(s, d, "events")
+        .orderBy("event_id")
+        .limit(20000)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .repartition(3)
+        .write.format("pinot").mode("append")
+        .save(tableDir.toString)
+      graft.sources.pinot.PinotUpsert.configure(
+        tableDir.toString, Seq("user_id"), "event_id")
+      graft.sources.pinot.PinotUpsert.compact(s, tableDir.toString)
+    }
+    tableDir.toString
+  }
+
   /** Heavy-hitters fixture: the events subset with an ingestion-time
     * `freq256` (Misra–Gries) section over the ~100-distinct-value props
     * column, RANGE-partitioned into 4 disjoint ts_ms segments like
@@ -920,6 +945,19 @@ object PinotRoundtrip {
           col("w").getField("v").getField("event_id").as("last_event_id"),
           col("w").getField("v").getField("event_type")
             .as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Upsert COMPACTION (Pinot's UpsertCompactionTask capability): the
+    // q161 version history compacted to one winning row per user at
+    // fixture build — the view answers IDENTICALLY (same DuckDB truth as
+    // q161), while the raw storage stopped growing with version count.
+    // The scan now reads |keys| rows instead of |versions|.
+    "q168_pinot_upsert_compacted" -> ((s, d) => {
+      val dir = upsertCompactTable(s, d)
+      s.read.format("pinot").load(dir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
         .orderBy("user_id")
     }),
 
@@ -1721,6 +1759,16 @@ object PinotRoundtrip {
     // same truth as q161 — an AvailableNow drain of the streaming view
     // must answer identically to the batch view
     "q166_pinot_upsert_stream" ->
+      """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+        |SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM base
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // same truth as q161 — compaction must not change a single answer
+    "q168_pinot_upsert_compacted" ->
       """WITH base AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
         |SELECT user_id, event_id AS last_event_id,
         |       event_type AS last_event_type

@@ -275,6 +275,121 @@ object PinotUpsert {
   private def keyDesc(keys: Seq[String]): Column =
     concat_ws(",", keys.map(col): _*)
 
+  /** Upsert COMPACTION (EXTENSION — the capability of Pinot's
+    * UpsertCompactionTask): rewrite the table's segments keeping only
+    * each key's CURRENT face, so storage stops growing with version
+    * count and a raw scan of the compacted table equals the view.
+    *
+    *  - FULL mode keeps the winning row per key — INCLUDING winning
+    *    delete markers (Pinot's deletedKeysTTL=∞ behavior): dropping a
+    *    tombstone would let a late arrival OLDER than the delete win a
+    *    key the user deleted. The view filters them, exactly as before.
+    *  - PARTIAL mode writes the merged row per live key, plus each dead
+    *    key's winning tombstone ROW (its own values — no NULL backfill,
+    *    no schema change) for the same late-arrival protection.
+    *    Type-widening strategies (scalar UNION/APPEND) cannot rewrite in
+    *    place and reject loudly.
+    *
+    * Idempotent: compacting a compacted table is a no-op rewrite (every
+    * key already has one row). The view stays correct THROUGHOUT — it
+    * never assumed one-version-per-key. Index/nullable/time configs
+    * survive when every source segment agrees (the same unanimity rule
+    * as [[graft.pinot.PinotCompact.compact]]); the swap is minion-style
+    * single-process like all graft maintenance ops.
+    */
+  def compact(s: SparkSession, tableDir: String): Unit = {
+    val cfg = config(tableDir)
+    val raw = s.read.format("pinot").option("upsertView", "raw")
+      .load(tableDir)
+    val widening = cfg.typeWidening(raw.schema)
+    if (widening.nonEmpty)
+      throw new PinotFormatException(
+        s"upsert compaction of $tableDir: partial strategies on " +
+          s"${widening.mkString(",")} widen scalar columns to arrays — " +
+          "the merged rows cannot rewrite into the table's own schema")
+    val kept: DataFrame = cfg.mode match {
+      case "FULL" => latestFull(raw, tableDir, cfg.keys, cfg.cmp)
+      case "PARTIAL" =>
+        val live = latestPartial(raw, tableDir, cfg.keys, cfg.cmp,
+          cfg.strategies, cfg.deleteCol)
+        cfg.deleteCol match {
+          case None => live
+          case Some(dc) =>
+            val isDel = coalesce(col(dc), lit(false))
+            // dead keys (no revival past their newest tombstone) keep
+            // the tombstone row itself; ties delete-vs-live already
+            // reject inside the live computation
+            val tombAll = latestFull(raw.filter(isDel), tableDir,
+              cfg.keys, cfg.cmp)
+            val lastLive = raw.filter(!isDel)
+              .groupBy(cfg.keys.map(col): _*)
+              .agg(max(col(cfg.cmp)).as("_live_cmp"))
+            val tomb = tombAll.join(lastLive, cfg.keys, "left")
+              .filter(col("_live_cmp").isNull ||
+                col("_live_cmp") < col(cfg.cmp))
+              .drop("_live_cmp")
+            live.unionByName(tomb)
+        }
+      case other => throw new PinotFormatException(
+        s"upsert table $tableDir: unknown mode $other")
+    }
+
+    // index/nullable/time configs survive on per-column unanimity
+    val io = SegmentIO.forPath(tableDir)
+    val segs = PinotSegments.discoverDirs(tableDir, io)
+    val metas = segs.map(PinotSegments.metaOf(_, io))
+    val colNames = raw.columns.toSeq
+    def unanimous(p: graft.pinot.ColumnMetadata => Boolean): Seq[String] =
+      colNames.filter(c => metas.forall(m =>
+        m.columns.get(c).exists(p)))
+    def opt(w: org.apache.spark.sql.DataFrameWriter[Row], key: String,
+        cols: Seq[String]): Unit =
+      if (cols.nonEmpty) { w.option(key, cols.mkString(",")); () }
+    val sketchCols = colNames.flatMap { c =>
+      metas.flatMap(_.columns.get(c).flatMap(_.sketchSpec)).distinct match {
+        case Seq(sp) if metas.forall(_.columns.get(c)
+            .exists(_.sketchSpec.isDefined)) => Some(s"$c:$sp")
+        case _ => None
+      }
+    }
+
+    val expect = kept.count()
+    val root = java.nio.file.Paths.get(tableDir)
+    val tmpTable = root.resolveSibling(
+      root.getFileName.toString + ".upsert_compact_tmp")
+    graft.pinot.PinotCompact.deleteRecursively(tmpTable)
+    val w = kept.write.format("pinot").mode("append")
+    opt(w, "invertedIndexColumns", unanimous(_.hasInvertedIndex))
+    opt(w, "bloomFilterColumns", unanimous(_.hasBloomFilter))
+    opt(w, "rangeIndexColumns", unanimous(_.hasRangeIndex))
+    opt(w, "textIndexColumns", unanimous(_.hasTextIndex))
+    opt(w, "jsonIndexColumns", unanimous(_.hasJsonIndex))
+    opt(w, "nullableColumns", unanimous(_.hasNullVector))
+    if (sketchCols.nonEmpty) w.option("sketchColumns", sketchCols.mkString(","))
+    metas.head.timeColumn.foreach(tc => w.option("timeColumn", tc))
+    w.save(tmpTable.toString)
+    val written = PinotSegments
+      .discoverDirs(tmpTable.toString, SegmentIO.forPath(tmpTable.toString))
+      .map(d => PinotSegments.metaOf(d, io).totalDocs.toLong).sum
+    require(written == expect,
+      s"upsert compaction of $tableDir: wrote $written rows, expected " +
+        s"$expect — aborting before the swap")
+    // minion-style swap: old segments out, compacted segments in;
+    // upsert.properties stays (the table remains upsert-configured)
+    segs.map(p => java.nio.file.Paths.get(p))
+      .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
+      .foreach(graft.pinot.PinotCompact.deleteRecursively)
+    java.nio.file.Files.list(tmpTable).forEach { child =>
+      if (java.nio.file.Files.isDirectory(child)) {
+        java.nio.file.Files.move(child,
+          root.resolve(child.getFileName.toString))
+        ()
+      }
+    }
+    graft.pinot.PinotCompact.deleteRecursively(tmpTable)
+    graft.pinot.TableManifest.refresh(root)
+  }
+
   /** The STREAMING upsert view over the Pinot tail — how Pinot's
     * REALTIME upsert behaves in production: `readStream("pinot")` on
     * the table directory, with latest-per-key state driven by the SAME

@@ -1,0 +1,126 @@
+package graft.pinot
+
+import graft.SparkTestBase
+import graft.sources.pinot.PinotUpsert
+import org.apache.spark.sql.functions._
+
+/** Upsert compaction ([[PinotUpsert.compact]] — Pinot's
+  * UpsertCompactionTask capability): the rewrite keeps each key's
+  * current face (winners / merged rows / tombstones), the view answers
+  * identically before and after, raw storage shrinks to one row per
+  * key, and late arrivals older than a retained tombstone still lose.
+  */
+class UpsertCompactSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory("upsert_compact")
+      .resolve(s"${name}_REALTIME").toString
+
+  private def rawCount(dir: String): Long =
+    spark.read.format("pinot").option("upsertView", "raw").load(dir).count()
+
+  test("FULL: compaction keeps winners + tombstones; view unchanged; raw equals view") {
+    val dir = freshTable("ucf")
+    Seq(
+      (1L, 1L, "a1", false), (1L, 2L, "a2", false), (1L, 3L, "a3", false),
+      (2L, 1L, "b1", false), (2L, 2L, "b-del", true), // dead key
+      (3L, 1L, "c-del", true), (3L, 2L, "c2", false)) // revived key
+      .toDF("k", "ver", "payload", "gone")
+      .repartition(2).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("gone"))
+    val before = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    PinotUpsert.compact(spark, dir)
+    val after = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    assert(after === before, "compaction changed the view")
+    assert(after === Set((1L, 3L, "a3"), (3L, 2L, "c2")))
+    // raw storage: one row per key (incl. key 2's retained tombstone)
+    assert(rawCount(dir) === 3)
+    // tombstone retention: a LATE arrival older than key 2's delete
+    // still loses; a NEWER one revives
+    Seq((2L, 1L, "b-late", false)).toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    assert(spark.read.format("pinot").load(dir)
+      .filter(col("k") === 2L).count() === 0,
+      "a late pre-delete arrival resurrected a deleted key")
+    Seq((2L, 9L, "b-new", false)).toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    assert(spark.read.format("pinot").load(dir)
+      .filter(col("k") === 2L).select("payload")
+      .as[String].collect().toSeq === Seq("b-new"))
+    // idempotent: compacting again is a no-op rewrite
+    PinotUpsert.compact(spark, dir)
+    assert(spark.read.format("pinot").load(dir)
+      .filter(col("k") === 2L).select("payload")
+      .as[String].collect().toSeq === Seq("b-new"))
+  }
+
+  test("PARTIAL: compaction writes merged rows + dead-key tombstones; merges keep composing") {
+    val dir = freshTable("ucp")
+    Seq(
+      (1L, 1L, "x1", 10L, false), (1L, 2L, "x2", 20L, false),
+      (2L, 1L, "y1", 5L, false), (2L, 2L, "", 0L, true)) // dead
+      .toDF("k", "ver", "ow", "inc", "gone")
+      .repartition(2).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"), deleteCol = Some("gone"))
+    PinotUpsert.compact(spark, dir)
+    // view: key 1 merged (inc 30), key 2 invisible
+    assert(spark.read.format("pinot").load(dir)
+      .select("k", "ver", "ow", "inc").as[(Long, Long, String, Long)]
+      .collect().toSet === Set((1L, 2L, "x2", 30L)))
+    // raw: merged row + key 2's tombstone row (own values, marker true)
+    val raw = spark.read.format("pinot").option("upsertView", "raw")
+      .load(dir).select("k", "ver", "inc", "gone")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(raw === Set((1L, 2L, 30L, false), (2L, 2L, 0L, true)))
+    // post-compaction versions keep merging: INCREMENT composes on the
+    // compacted base (30 + 5)
+    Seq((1L, 7L, "x7", 5L, false)).toDF("k", "ver", "ow", "inc", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    assert(spark.read.format("pinot").load(dir)
+      .filter(col("k") === 1L).select("inc").as[Long]
+      .collect().toSeq === Seq(35L))
+  }
+
+  test("type-widening strategies reject; the view never assumed one-version-per-key") {
+    val dir = freshTable("ucw")
+    Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "ver", "un")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver", Map("un" -> "UNION"))
+    val ex = intercept[PinotFormatException] {
+      PinotUpsert.compact(spark, dir)
+    }
+    assert(ex.getMessage.contains("widen"))
+  }
+
+  test("compaction preserves unanimous index configs") {
+    val dir = freshTable("uci")
+    (0 until 100).map(i => (i.toLong % 10, i.toLong, s"t${i % 3}"))
+      .toDF("k", "ver", "tag")
+      .coalesce(1).write.format("pinot").mode("append")
+      .option("invertedIndexColumns", "tag")
+      .save(dir)
+    (100 until 200).map(i => (i.toLong % 10, i.toLong, s"t${i % 3}"))
+      .toDF("k", "ver", "tag")
+      .coalesce(1).write.format("pinot").mode("append")
+      .option("invertedIndexColumns", "tag")
+      .save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    PinotUpsert.compact(spark, dir)
+    val io = SegmentIO.forPath(dir)
+    val metas = graft.sources.pinot.PinotSegments.discoverDirs(dir, io)
+      .map(d => SegmentMetadata.parse(new String(
+        io.readFully(io.resolve(d, "metadata.properties")),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    assert(metas.nonEmpty &&
+      metas.forall(_.columns("tag").hasInvertedIndex),
+      "unanimous inverted index did not survive upsert compaction")
+    assert(metas.map(_.totalDocs).sum === 10)
+  }
+}
