@@ -42,6 +42,23 @@ object Sketches {
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)),
 
+    // The upsert winner monoid as a PLAIN SQL aggregate: latest_by /
+    // earliest_by registered via GraftExtensions — one hash aggregate,
+    // no window (the SQL-only form of "last event per user"); the `.v`
+    // struct field carries the winner, `.ties`/`.null_cmp` the evidence
+    // the upsert view uses for its loud contracts. event_id is unique,
+    // so winners are well-defined and the DuckDB arg_max truth
+    // hash-gates both directions.
+    "q169_latest_by_sql" -> ((s, d) => {
+      ev(s, d).createOrReplaceTempView("events_lb")
+      s.sql("""
+        SELECT user_id,
+               latest_by(event_type, event_id).v AS last_event_type,
+               earliest_by(event_type, event_id).v AS first_event_type,
+               max(event_id) AS last_event_id
+        FROM events_lb GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // Theta-sketch cohort algebra over USER-DAYS (who did what on which
     // day): per-event-type sketches, then union/intersection ESTIMATES
     // computed purely on the collapsed sketches (array expressions — the
@@ -152,6 +169,12 @@ object Sketches {
     "q135_frequent_strings" ->
       """SELECT props AS item, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q169_latest_by_sql" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS last_event_type,
+        |       arg_min(event_type, event_id) AS first_event_type,
+        |       max(event_id) AS last_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q136_theta_distinct" ->
       """SELECT

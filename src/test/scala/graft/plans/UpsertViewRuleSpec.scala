@@ -226,6 +226,42 @@ class UpsertViewRuleSpec extends SparkTestBase {
       s"key filter did not reach the scan:\n${leaves.mkString("\n")}")
   }
 
+  test("the view over a KEY-PARTITIONED table plans ZERO exchanges") {
+    // key-partitioned ingest (partitionBy: one key value per segment)
+    // reports KeyGroupedPartitioning from segment min==max metadata, and
+    // the view's single aggregate clusters on exactly that key - so the
+    // WHOLE upsert view runs shuffle-free: scan -> partial -> final agg,
+    // no Exchange anywhere. This is the production Pinot layout (Kafka
+    // key-partitioned upsert streams), and the 100 TB plan shape.
+    val dir = freshTable("tvkg")
+    (0 until 40).map(i => (i.toLong % 4, i.toLong, s"p$i"))
+      .toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot").partitionBy("k")
+      .mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val q = spark.read.format("pinot").load(dir)
+    val got = q.select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got === Set((0L, 36L, "p36"), (1L, 37L, "p37"),
+      (2L, 38L, "p38"), (3L, 39L, "p39")))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val exchanges = nodes(q.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"upsert view over a key-partitioned table shuffled: $exchanges")
+  }
+
   test("partial upsert + delete markers: revive merges from scratch") {
     val dir = freshTable("tvpd")
     Seq(
