@@ -232,7 +232,12 @@ class PinotSegmentTable(tableName: String, segmentPaths: Seq[String],
       // form, so they arrive as a relation option (always ALSO kept
       // residual by the rule)
       jsonEq = PinotScan.decodeJsonProbes(
-        options.get(PinotScan.JsonEqOptionKey)))
+        options.get(PinotScan.JsonEqOptionKey)),
+      // `.option("upsertView", "raw")`: batch reads use it to skip the
+      // UpsertViewRule rewrite; STREAMING reads require it for a raw
+      // segment tail of an upsert table (PinotUpsert.latestStream is
+      // the view)
+      rawUpsertView = "raw".equalsIgnoreCase(options.get("upsertView")))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

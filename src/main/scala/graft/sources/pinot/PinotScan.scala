@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
     tableDir: Option[String] = None,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
-    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil,
+    rawUpsertView: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownOffset
@@ -740,7 +741,7 @@ class PinotScanBuilder(segmentPaths: Seq[String], fullSchema: StructType,
       new PinotScan(segmentPaths, projected, skipFilters, limit, tableDir,
         fullLimit = (limit.isDefined || offset.isDefined) && !sawFilters,
         splitTargetBytes = splitTargetBytes, scanTopN = scanTopN,
-        offset = offset, jsonEq = jsonEq)
+        offset = offset, jsonEq = jsonEq, rawUpsertView = rawUpsertView)
   }
 }
 
@@ -749,7 +750,8 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
     tableDir: Option[String] = None, fullLimit: Boolean = false,
     splitTargetBytes: Long = PinotScan.DefaultSplitTargetBytes,
     scanTopN: Option[ScanTopN] = None, offset: Option[Int] = None,
-    jsonEq: Seq[PinotScan.JsonProbe] = Nil)
+    jsonEq: Seq[PinotScan.JsonProbe] = Nil,
+    rawUpsertView: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -802,6 +804,18 @@ class PinotScan(segmentPaths: Seq[String], projected: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val dir = tableDir.getOrElse(throw new graft.pinot.PinotFormatException(
       "streaming read requires a table directory path"))
+    // upsert tables: a plain readStream would silently surface every
+    // superseded version — the same trap UpsertViewRule closes for
+    // batch reads. The streaming view is PinotUpsert.latestStream
+    // (which reads the raw tail explicitly); segment-level tails need
+    // the same explicit escape hatch as batch raw reads.
+    if (!rawUpsertView &&
+        PinotUpsert.tryConfig(dir, graft.pinot.SegmentIO.forPath(dir))
+          .isDefined)
+      throw new graft.pinot.PinotFormatException(
+        s"$dir is an upsert table: a raw stream would surface superseded " +
+          "versions. Use PinotUpsert.latestStream for the upsert view, " +
+          """or .option("upsertView", "raw") for the raw segment tail""")
     new PinotMicroBatchStream(dir, projected.fieldNames, skipFilters, limit)
   }
 

@@ -416,8 +416,11 @@ object PinotUpsert {
     */
   def latestStream(s: SparkSession, tableDir: String): DataFrame = {
     val cfg = config(tableDir)
+    // raw: the stateful view applies HERE — the scan's raw-stream guard
+    // must let this tail through
     latestStreamOver(
-      s.readStream.format("pinot").load(tableDir), tableDir, cfg)
+      s.readStream.format("pinot").option("upsertView", "raw")
+        .load(tableDir), tableDir, cfg)
   }
 
   /** The stateful view over an already-loaded stream — split from

@@ -262,6 +262,38 @@ class UpsertViewRuleSpec extends SparkTestBase {
       s"upsert view over a key-partitioned table shuffled: $exchanges")
   }
 
+  test("a raw readStream of an upsert table rejects loudly; the escape hatch tails raw") {
+    val dir = freshTable("tvstream")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val work = java.nio.file.Files.createTempDirectory("tvstream_ck")
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("pinot").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", work.resolve("c1").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    assert(messages(ex).exists(_.contains("upsert table")),
+      s"expected the raw-stream rejection, got: $ex")
+    // the explicit escape hatch tails every raw version
+    val rawQ = spark.readStream.format("pinot")
+      .option("upsertView", "raw").load(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("tvstream_raw")
+      .outputMode("complete")
+      .option("checkpointLocation", work.resolve("c2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(rawQ.awaitTermination(60000))
+    assert(spark.table("tvstream_raw").collect().head.getLong(0) === 3L)
+  }
+
   test("partial upsert + delete markers: revive merges from scratch") {
     val dir = freshTable("tvpd")
     Seq(
