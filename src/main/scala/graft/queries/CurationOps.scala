@@ -293,6 +293,30 @@ object CurationOps {
     // the corpus chunks in a single scan, no shuffle beyond the ordered
     // output; at 100 TB each chunk row carries only (ids, digest), the
     // chunk text itself flows straight into the downstream embedder.
+    // Deterministic TRAINING-MIX sampling: per-language keep rates
+    // applied by hashing each doc_id against a fixed-seed md5 threshold
+    // (first 4 hex chars compared lexicographically = numerically for
+    // equal-length hex) — the reproducible, engine-neutral way a data
+    // mix is downsampled for a training run ("30% of non-English"):
+    // re-running on any engine, any partitioning, any day keeps the
+    // SAME documents. Embarrassingly parallel (one scan, per-row hash,
+    // one map-side-combinable aggregate); the per-stratum kept-id sum /
+    // hash extrema prove the exact membership, not just the rate.
+    "q170_training_mix_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", lit("cccc")) // ~80%
+        .otherwise(lit("4ccc")) // ~30%
+      docs(s, d)
+        .withColumn("h4", substring(
+          md5(concat(lit("mix42:"), col("doc_id").cast("string"))), 1, 4))
+        .withColumn("kept", (col("h4") < rate).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("total"), sum("kept").as("kept"),
+          sum(when(col("kept") === 1, col("doc_id"))).as("kept_id_sum"),
+          min(when(col("kept") === 1, col("h4"))).as("min_kept_h4"),
+          max(when(col("kept") === 1, col("h4"))).as("max_kept_h4"))
+        .orderBy("lang", "source")
+    }),
+
     "q104_chunking" -> ((s, d) =>
       docs(s, d)
         .withColumn("words", split(col("text"), " "))
@@ -467,6 +491,21 @@ object CurationOps {
         |    AS rare_tokens
         |FROM tok JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q170_training_mix_sample" ->
+      """WITH s AS (
+        |  SELECT lang, source, doc_id,
+        |    substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+        |    CASE WHEN lang = 'en' THEN 'cccc' ELSE '4ccc' END AS rate
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN h4 < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN h4 < rate THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum,
+        |  min(CASE WHEN h4 < rate THEN h4 END) AS min_kept_h4,
+        |  max(CASE WHEN h4 < rate THEN h4 END) AS max_kept_h4
+        |FROM s GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     "q104_chunking" ->
       """WITH w AS (
