@@ -122,7 +122,7 @@ class ControllerProvider(client: PinotControllerClient, dataDir: String)
     // an upsert table return the upsert view (UpsertViewRule)
     new PinotSegmentTable(meta.tableName, paths,
       PinotSegments.schemaForDirs(paths, io), Some(tableDir),
-      upsertConfig = PinotUpsert.tryConfig(tableDir, io))
+      upsertConfig = PinotUpsert.tryConfigIn(tableDir, io, Some(listing)))
   }
 }
 

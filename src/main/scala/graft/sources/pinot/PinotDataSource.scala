@@ -426,7 +426,9 @@ object PinotSegmentTable {
         }
         val table = new PinotSegmentTable(meta.tableName, segs,
           PinotSegments.schemaForDirs(segs, io), Some(path), partitionCols,
-          PinotUpsert.tryConfig(path, io))
+          // presence from the listing already in hand: zero extra round
+          // trips on a non-upsert open (cold-open IO budget specs)
+          PinotUpsert.tryConfigIn(path, io, listing))
         cache.put(key, (stamp, table))
         table
     }

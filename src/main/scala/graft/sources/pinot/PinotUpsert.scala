@@ -196,6 +196,25 @@ object PinotUpsert {
         s"$tableDir is not an upsert table (no $ConfigFile — declare one " +
           "with PinotUpsert.configure)"))
 
+  /** [[tryConfig]] from a recursive listing the caller ALREADY holds
+    * (the table-open paths list once for discovery + cache
+    * fingerprints): presence resolves from the listing, so a non-upsert
+    * open pays ZERO extra round trips and an upsert open pays exactly
+    * one GET — the cold-open IO budgets (SegmentIOSpec,
+    * PinotControllerSpec) stay intact. Callers without a listing fall
+    * back to the probing [[tryConfig]].
+    */
+  def tryConfigIn(tableDir: String, io: SegmentIO,
+      listing: Option[Seq[SegmentIO.FileEntry]]): Option[UpsertConfig] =
+    listing match {
+      case None => tryConfig(tableDir, io)
+      case Some(entries) =>
+        val root = io.parent(io.resolve(tableDir, "x"))
+        entries.find(e => io.fileName(e.path) == ConfigFile &&
+            io.parent(e.path) == root)
+          .flatMap(e => tryConfigAt(e.path, io))
+    }
+
   /** `Some(config)` if `tableDir` carries `upsert.properties`, `None`
     * if not; a PRESENT-but-malformed config fails loudly (a table the
     * user declared as upsert must never silently read raw).
@@ -203,6 +222,10 @@ object PinotUpsert {
   def tryConfig(tableDir: String, io: SegmentIO): Option[UpsertConfig] = {
     val p = io.resolve(tableDir, ConfigFile)
     if (!io.exists(p)) return None
+    tryConfigAt(p, io)
+  }
+
+  private def tryConfigAt(p: String, io: SegmentIO): Option[UpsertConfig] = {
     val props = new String(io.readFully(p),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.contains('='))
