@@ -239,6 +239,10 @@ class UpsertViewRuleSpec extends SparkTestBase {
       .coalesce(1).write.format("pinot").partitionBy("k")
       .mode("append").save(dir)
     PinotUpsert.configure(dir, Seq("k"), "ver")
+    // self-sufficient against shared-session conf drift: the exchange
+    // elision requires v2 bucketing (Spark 4 default true, but suites
+    // toggle it)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val q = spark.read.format("pinot").load(dir)
     val got = q.select("k", "ver", "payload").as[(Long, Long, String)]
       .collect().toSet
@@ -258,6 +262,7 @@ class UpsertViewRuleSpec extends SparkTestBase {
     val exchanges = nodes(q.queryExecution.executedPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
+    spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     assert(exchanges.isEmpty,
       s"upsert view over a key-partitioned table shuffled: $exchanges")
   }
@@ -276,8 +281,11 @@ class UpsertViewRuleSpec extends SparkTestBase {
         .option("checkpointLocation", work.resolve("c1").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // generous bound: the full-suite run shares the box with parallel
+      // suites — a premature timeout here reads as "no exception"
+      val ended = q.awaitTermination(180000)
       q.exception.foreach(throw _)
+      assert(ended, "raw upsert stream neither failed nor terminated")
     }
     assert(messages(ex).exists(_.contains("upsert table")),
       s"expected the raw-stream rejection, got: $ex")
@@ -290,7 +298,7 @@ class UpsertViewRuleSpec extends SparkTestBase {
       .option("checkpointLocation", work.resolve("c2").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(rawQ.awaitTermination(60000))
+    assert(rawQ.awaitTermination(180000))
     assert(spark.table("tvstream_raw").collect().head.getLong(0) === 3L)
   }
 

@@ -297,7 +297,12 @@ class PinotWriteSpec extends SparkTestBase {
     val dimsDir = writeTable("pbdims", 800, "weight")
 
     val conf = spark.conf
-    val prevBucketing = conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    // NOTE: restore is UNSET, not set-to-captured: conf.get with a
+    // fallback reads Spark's registered default through the fallback
+    // string, and "restoring" that explicitly disabled v2 bucketing for
+    // every later suite on the shared session (r14: flaked the upsert
+    // ZERO-exchange plan pin). The shared test session never sets this
+    // key, so unset IS the prior state.
     val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -322,7 +327,7 @@ class PinotWriteSpec extends SparkTestBase {
       assert(rows.length === 4)
       assert(rows.forall(_.getLong(1) === 1000L * 200))
     } finally {
-      conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      conf.unset("spark.sql.sources.v2.bucketing.enabled")
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
