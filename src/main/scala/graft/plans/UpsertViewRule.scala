@@ -5,7 +5,7 @@ import graft.sources.pinot.{PinotSegmentTable, PinotUpsert}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,10 +55,20 @@ object UpsertViewRule extends Rule[LogicalPlan] {
   private val OptionKey = "upsertView"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // relations in WRITE position keep their raw identity
+    // relations in WRITE position keep their raw identity. SQL
+    // `INSERT INTO` reaches the analyzer as InsertIntoStatement and
+    // only converts to a V2WriteCommand in a LATER pass
+    // (ResolveInsertInto runs before injected resolution rules within a
+    // batch iteration, but sees the resolved relation one fixpoint
+    // iteration after ResolveRelations) — rewriting the target in the
+    // gap would leave ResolveInsertInto nothing to match and fail every
+    // SQL insert into an upsert table, so both write shapes exempt.
     val writeTargets = plan.collect {
-      case w: V2WriteCommand => w.table
-    }.collect { case r: DataSourceV2Relation => r }.toSet
+      case w: V2WriteCommand =>
+        w.table.collect { case r: DataSourceV2Relation => r }
+      case i: InsertIntoStatement =>
+        i.table.collect { case r: DataSourceV2Relation => r }
+    }.flatten.toSet
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if eligible(r) && !writeTargets(r) =>
         rewrite(r)

@@ -103,6 +103,28 @@ class UpsertViewRuleSpec extends SparkTestBase {
       .load(dir).count() === 4)
   }
 
+  test("SQL INSERT INTO an upsert table appends raw versions (target not rewritten)") {
+    // InsertIntoStatement is the pre-conversion write shape SQL inserts
+    // plan through: the rule must exempt its target in the analyzer pass
+    // where the relation first resolves, or ResolveInsertInto never
+    // matches and the INSERT fails analysis (r14 ADVICE).
+    val dir = freshTable("tvinsert")
+    writeVersions(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver")
+    val root = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.upsins",
+      "graft.sources.pinot.PinotCatalog")
+    spark.conf.set("spark.sql.catalog.upsins.data_dir", root)
+    spark.sql("INSERT INTO upsins.default.tvinsert VALUES (2, 9, 'newer')")
+    // the view sees the merged result; raw storage grew by one version
+    val got = spark.sql(
+      "SELECT k, ver, payload FROM upsins.default.tvinsert ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 2L, "new"), (2L, 9L, "newer")))
+    assert(spark.read.format("pinot").option("upsertView", "raw")
+      .load(dir).count() === 4)
+  }
+
   test("type-widening partial strategies reject loudly on the transparent path") {
     val dir = freshTable("tvu")
     writeVersions(dir)
