@@ -20,6 +20,47 @@ import java.nio.file.{Files, Path, Paths}
   */
 object PinotCompact {
 
+  /** The interrupted-swap marker: maintenance ops (compact / rollup /
+    * upsert compaction) write it at the table root BEFORE the
+    * delete-old/move-in swap and clear it after, so a crash inside the
+    * swap window leaves a table that FAILS LOUDLY on the next open
+    * (discovery checks the marker from the listing it already holds —
+    * zero extra IO) instead of silently serving partial segments. The
+    * pre-swap rows remain under the op's tmp dir for recovery.
+    */
+  val SwapMarkerFile = "_graft_swap.inprogress"
+
+  private[graft] def writeSwapMarker(root: Path, op: String,
+      tmpDir: Path): Unit = {
+    Files.write(root.resolve(SwapMarkerFile),
+      s"op=$op\nrecover.from=$tmpDir\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private[graft] def clearSwapMarker(root: Path): Unit = {
+    Files.deleteIfExists(root.resolve(SwapMarkerFile))
+    ()
+  }
+
+  /** Maintenance ops rewrite and swap segments with LOCAL filesystem
+    * calls (the segment writer is local by design — minion-style,
+    * like Pinot's). On a URI-schemed path (`hdfs://`, `s3a://`, even
+    * `file://`) those calls would land in a relative local directory
+    * named after the scheme while the REAL table stays untouched — a
+    * silent no-op that still reports success. Reject loudly BEFORE any
+    * work instead: run maintenance against a locally mounted copy and
+    * upload the result (distcp -p preserves the manifest stamps).
+    */
+  private[graft] def requireLocal(op: String, tableDir: String): Unit =
+    if (SegmentIO.hasUriScheme(tableDir))
+      throw new PinotFormatException(
+        s"$op: $tableDir is a URI-schemed (remote) path — maintenance " +
+          "ops rewrite segments with local filesystem IO and would " +
+          "silently leave the real table untouched. Run against a " +
+          "locally mounted copy and upload the result (preserve " +
+          "timestamps, e.g. distcp -p, to keep the manifest valid).")
+
   /** Discovery yields `<segment>/v3` for v3-layout segments but the
     * segment dir itself for v1/v2 layouts (no `v3/` subdir) — taking
     * `.getParent` unconditionally would hand maintenance ops the TABLE
@@ -51,6 +92,7 @@ object PinotCompact {
     * dir) when the table already has a single segment.
     */
   def compact(tableDir: String): Path = {
+    requireLocal("compact", tableDir)
     val root = Paths.get(tableDir)
     val segDirs = segmentDirs(tableDir)
     require(segDirs.nonEmpty, s"no segments under $tableDir")
@@ -105,9 +147,13 @@ object PinotCompact {
     try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
     finally check.close()
+    // marker-guarded swap: a crash between here and clearSwapMarker
+    // fails the NEXT open loudly (rows recoverable from the tmp dir)
+    writeSwapMarker(root, "compact", tmp)
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
+    clearSwapMarker(root)
     // logged best-effort manifest rebuild — stale manifests self-invalidate
     TableManifest.refresh(root)
     visible
@@ -120,6 +166,8 @@ object PinotCompact {
     * writer from the same value distribution.
     */
   def convert(segmentDir: String, destDir: String, formatVersion: Int): Path = {
+    requireLocal("convert", segmentDir)
+    requireLocal("convert (destination)", destDir)
     val r = SegmentReader.open(Paths.get(segmentDir))
     val meta = r.metadata
     val (cols, nullVectors) = materialize(Seq(r))
@@ -173,6 +221,7 @@ object PinotCompact {
   def rollup(tableDir: String, dims: Seq[String],
       metrics: Seq[String],
       sketchMetrics: Map[String, String] = Map.empty): Path = {
+    requireLocal("rollup", tableDir)
     val root = Paths.get(tableDir)
     val segDirs = segmentDirs(tableDir)
     val readers = segDirs.map(d => SegmentReader.open(d))
@@ -332,9 +381,11 @@ object PinotCompact {
     try require(check.totalDocs == order.length,
       "rollup: merged group count mismatch")
     finally check.close()
+    writeSwapMarker(root, "rollup", tmp)
     segDirs.foreach(d => deleteRecursively(d))
     val visible = root.resolve(mergedName)
     Files.move(tmp, visible)
+    clearSwapMarker(root)
     // logged best-effort manifest rebuild — stale manifests self-invalidate
     TableManifest.refresh(root)
     visible
@@ -349,6 +400,7 @@ object PinotCompact {
     * segment names.
     */
   def purgeOlderThan(tableDir: String, boundaryMillis: Long): Seq[String] = {
+    requireLocal("purgeOlderThan", tableDir)
     val segDirs = segmentDirs(tableDir)
     segDirs.flatMap { d =>
       val r = SegmentReader.open(d)

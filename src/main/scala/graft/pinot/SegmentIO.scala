@@ -99,6 +99,12 @@ object SegmentIO {
     try f finally overrideIO = null
   }
 
+  /** True when `p` is URI-schemed (`hdfs://…`, `s3a://…`, `file:…`) and
+    * would route through [[HadoopSegmentIO]] — the predicate maintenance
+    * ops use to reject paths their local NIO swap cannot mutate.
+    */
+  def hasUriScheme(p: String): Boolean = hasScheme(p)
+
   private def hasScheme(p: String): Boolean = {
     val i = p.indexOf(':')
     i > 1 && p.charAt(0).isLetter &&

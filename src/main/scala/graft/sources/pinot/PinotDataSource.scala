@@ -88,7 +88,21 @@ object PinotSegments {
     // string comparisons below see the listing's normalized form
     // regardless of trailing slashes / URI spellings in the input.
     val root = io.parent(io.resolve(path, "x"))
-    val metaDirs: Set[String] = listing.getOrElse(io.listTree(path)).collect {
+    val entries = listing.getOrElse(io.listTree(path))
+    // interrupted maintenance swap: the marker means segments were
+    // mid-replacement when the process died — some old segments may be
+    // deleted and some compacted ones not yet moved in. Fail LOUDLY
+    // (the pre-swap rows live under the op's tmp dir, named inside the
+    // marker) instead of silently serving a partial table. Presence
+    // resolves from the listing already in hand: zero extra IO.
+    val marker = io.resolve(root, graft.pinot.PinotCompact.SwapMarkerFile)
+    if (entries.exists(_.path == marker))
+      throw new PinotFormatException(
+        s"$path: interrupted maintenance swap " +
+          s"(${graft.pinot.PinotCompact.SwapMarkerFile} present) — the " +
+          "table may hold partial segments. Recover the pre-swap rows " +
+          "from the tmp dir named in the marker, then delete the marker.")
+    val metaDirs: Set[String] = entries.collect {
       case e if io.fileName(e.path) == "metadata.properties" =>
         io.parent(e.path)
     }.toSet

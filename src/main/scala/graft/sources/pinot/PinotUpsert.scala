@@ -321,6 +321,12 @@ object PinotUpsert {
     * single-process like all graft maintenance ops.
     */
   def compact(s: SparkSession, tableDir: String): Unit = {
+    // the rewrite + swap below run on local NIO: reject remote paths
+    // loudly BEFORE any work (a hdfs:// table would otherwise rewrite
+    // into a LOCAL `hdfs:…` directory, delete nothing, pass the count
+    // check against its own tmp output, and report success with the
+    // real table untouched)
+    graft.pinot.PinotCompact.requireLocal("upsert compaction", tableDir)
     val cfg = config(tableDir)
     val raw = s.read.format("pinot").option("upsertView", "raw")
       .load(tableDir)
@@ -398,7 +404,12 @@ object PinotUpsert {
       s"upsert compaction of $tableDir: wrote $written rows, expected " +
         s"$expect — aborting before the swap")
     // minion-style swap: old segments out, compacted segments in;
-    // upsert.properties stays (the table remains upsert-configured)
+    // upsert.properties stays (the table remains upsert-configured).
+    // Marker-guarded: a crash inside the window fails the NEXT open
+    // loudly instead of serving partial segments (rows recoverable
+    // from the tmp table)
+    graft.pinot.PinotCompact.writeSwapMarker(root, "upsert-compact",
+      tmpTable)
     segs.map(p => java.nio.file.Paths.get(p))
       .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
       .foreach(graft.pinot.PinotCompact.deleteRecursively)
@@ -409,6 +420,7 @@ object PinotUpsert {
         ()
       }
     }
+    graft.pinot.PinotCompact.clearSwapMarker(root)
     graft.pinot.PinotCompact.deleteRecursively(tmpTable)
     graft.pinot.TableManifest.refresh(root)
   }
@@ -534,9 +546,21 @@ object PinotUpsert {
       case s: scala.collection.Seq[_] => s.toSeq.asInstanceOf[Seq[Any]]
       case other => Seq(other)
     }
+    // NULL elements of an MV column survive the merge (one distinct
+    // null, sorted first) — exactly the batch view's
+    // array_distinct(flatten(collect_list()))/sort_array semantics, so
+    // latest and latestStream answer identically on MV UNION columns
+    // (r14 ADVICE). Scalar-widened UNION never sees nulls here (a null
+    // scalar contributes an empty Seq via asSeq), matching batch
+    // collect_set, which drops them.
+    def ordNullsFirst(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord(a, b)
     def unionMerge(cur: Any, add: Seq[Any]): Any =
-      (asSeq(cur) ++ add.filter(_ != null)).distinct
-        .sortWith((a, b) => ord(a, b) < 0)
+      (asSeq(cur) ++ add).distinct
+        .sortWith((a, b) => ordNullsFirst(a, b) < 0)
 
     val fn = (key: Row, it: Iterator[Row], gs: GroupState[Row]) => {
       var vals: Array[Any] = null
@@ -700,29 +724,36 @@ object PinotUpsert {
       case None => df
       case Some(dc) =>
         val isDel = coalesce(col(dc), lit(false))
+        // NULL-cmp rejection as its OWN single-expression filter BEFORE
+        // the revive machinery: inside the revive filter's conjunction a
+        // NULL cmp nulls the `cmp > _del_cmp` conjunct, and conjunct
+        // splitting/reordering could silently DROP the row instead of
+        // rejecting it (r14 ADVICE). A CASE expression cannot be split.
+        val checkedNull = df.where(
+          when(col(cmp).isNull, raise_error(concat(
+            lit(s"upsert table $tableDir: NULL $cmp within ("),
+            keyDesc(keys),
+            lit(") — the comparison column must never be null"))))
+            .otherwise(lit(true)))
         // per-key latest delete marker (cmp of the newest tombstone)
-        val lastDel = df.filter(isDel)
+        val lastDel = checkedNull.filter(isDel)
           .groupBy(keys.map(col): _*)
           .agg(max(col(cmp)).as("_del_cmp"))
-        val checked = df.join(lastDel, keys, "left")
-          .withColumn("_del_guard",
-            when(col(cmp).isNull, raise_error(concat(
-              lit(s"upsert table $tableDir: NULL $cmp within ("),
-              keyDesc(keys),
-              lit(") — the comparison column must never be null"))))
-              .when(col("_del_cmp").isNotNull &&
-                col(cmp) === col("_del_cmp") && !isDel,
-                raise_error(concat(
-                  lit(s"upsert table $tableDir: a record ties its key's " +
-                    s"delete marker on $cmp ("), keyDesc(keys),
-                  lit(") — whether it was deleted is undefined")))))
         // revive-from-scratch: only versions NEWER than the latest
         // delete merge; a key whose newest record IS the delete keeps
-        // no rows and disappears
-        checked
-          .where(col("_del_guard").isNull &&
-            (col("_del_cmp").isNull || col(cmp) > col("_del_cmp")))
-          .drop("_del_cmp", "_del_guard")
+        // no rows and disappears. The delete-marker TIE rejection rides
+        // the same single expression (a non-delete record at exactly the
+        // tombstone's cmp is undefined — the guard branch evaluates
+        // before the comparison can discard the row).
+        checkedNull.join(lastDel, keys, "left")
+          .where(col("_del_cmp").isNull ||
+            when(col(cmp) === col("_del_cmp") && !isDel,
+              raise_error(concat(
+                lit(s"upsert table $tableDir: a record ties its key's " +
+                  s"delete marker on $cmp ("), keyDesc(keys),
+                lit(") — whether it was deleted is undefined"))))
+              .otherwise(col(cmp) > col("_del_cmp")))
+          .drop("_del_cmp")
     }
 
     val valueCols = df.columns.toSeq.filterNot(c =>

@@ -21,6 +21,58 @@ class UpsertCompactSpec extends SparkTestBase {
   private def rawCount(dir: String): Long =
     spark.read.format("pinot").option("upsertView", "raw").load(dir).count()
 
+  test("maintenance ops loudly reject URI-schemed (remote) table paths before any work") {
+    // r14 VERDICT #1: the rewrite swaps with local NIO — on an hdfs://
+    // table it would land in a LOCAL `hdfs:…` dir, delete nothing, and
+    // report success with the real table untouched. `file:` routes
+    // through HadoopSegmentIO exactly like hdfs:// and drives the guard.
+    val dir = freshTable("ucremote")
+    Seq((1L, 1L, "a", false), (1L, 2L, "b", false))
+      .toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("gone"))
+    val uri = "file:" + dir
+    // readable through the Hadoop stack (the view works remotely)…
+    assert(spark.read.format("pinot").load(uri).count() === 1)
+    // …but every maintenance op rejects BEFORE mutating anything
+    def rejects(f: => Any): Unit = {
+      val ex = intercept[PinotFormatException](f)
+      assert(ex.getMessage.contains("URI-schemed"),
+        s"expected the loud remote rejection, got: $ex")
+    }
+    rejects(PinotUpsert.compact(spark, uri))
+    rejects(PinotCompact.compact(uri))
+    rejects(PinotCompact.rollup(uri, Seq("k"), Seq("ver")))
+    rejects(PinotCompact.purgeOlderThan(uri, Long.MaxValue))
+    rejects(PinotCompact.convert(uri, dir + "_conv", 1))
+    // the table is untouched: both raw versions still there
+    assert(rawCount(dir) === 2)
+  }
+
+  test("an interrupted swap fails the next open loudly instead of reading partial data") {
+    // r14 ADVICE: the swap deletes all old segments before moving the
+    // compacted ones in; a crash in that window used to leave a
+    // readable-but-partial table. The swap marker turns it loud.
+    val dir = freshTable("ucmarker")
+    Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "payload")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    assert(spark.read.format("pinot").load(dir).count() === 2)
+    // simulate a crash mid-swap: the marker is present
+    PinotCompact.writeSwapMarker(java.nio.file.Paths.get(dir),
+      "upsert-compact", java.nio.file.Paths.get(dir + ".tmp"))
+    val ex = intercept[Exception] {
+      spark.read.format("pinot").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("interrupted maintenance swap")),
+      s"expected the interrupted-swap rejection, got: $ex")
+    // operator recovers (restores rows, deletes the marker) → reads work
+    PinotCompact.clearSwapMarker(java.nio.file.Paths.get(dir))
+    assert(spark.read.format("pinot").load(dir).count() === 2)
+  }
+
   test("FULL: compaction keeps winners + tombstones; view unchanged; raw equals view") {
     val dir = freshTable("ucf")
     Seq(

@@ -157,4 +157,68 @@ class UpsertDifferentialSpec extends SparkTestBase {
     for (seed <- 11 to 13) run(seed, "PARTIAL", withDeletes = false)
     for (seed <- 14 to 16) run(seed, "PARTIAL", withDeletes = true)
   }
+
+  test("MV UNION keeps null elements identically in the batch and streaming views") {
+    // r14 ADVICE: unionMerge dropped null array elements while the batch
+    // view's array_distinct(flatten(collect_list())) keeps them — the
+    // same table answered differently between latest and latestStream.
+    val cfg = PinotUpsert.UpsertConfig("PARTIAL", Seq("k"), "ver",
+      Map("mv" -> PinotUpsert.Union), None)
+    val rows = Seq(
+      (1L, 1L, Seq("a", null)),
+      (1L, 2L, Seq("b", null, "a")),
+      (2L, 1L, Seq[String](null)))
+    val expect = Map(
+      1L -> (2L, Seq(null, "a", "b")),
+      2L -> (1L, Seq[String](null)))
+
+    val batch = PinotUpsert.viewOver(
+      rows.toDF("k", "ver", "mv"), "mem", cfg)
+      .as[(Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch === expect, "batch view mishandled null MV elements")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Seq[String])]
+    ms.addData(rows: _*)
+    val work = java.nio.file.Files.createTempDirectory("upsert_diff_mv")
+    val q = PinotUpsert.latestStreamOver(
+      ms.toDF().toDF("k", "ver", "mv"), "mem", cfg)
+      .writeStream.format("memory").queryName("ud_mv_nulls")
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "MV-null stream did not end")
+    val streamed = spark.table("ud_mv_nulls")
+      .as[(Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === expect,
+      "streaming view disagreed with the batch view on null MV elements")
+  }
+
+  test("NULL comparison values reject loudly when a delete column is configured") {
+    // r14 ADVICE: in the delete path the NULL-cmp rejection used to ride
+    // the same conjunction as the revive comparison — conjunct
+    // splitting could silently DROP the NULL-cmp row instead of
+    // rejecting. The check is now its own filter; prove it fires.
+    val dir = freshTable("udnullsdel")
+    Seq((1L, Some(1L), "a", 1L, false), (1L, None, "b", 2L, false),
+      (1L, Some(2L), "c", 0L, true))
+      .toDF("k", "ver", "ow", "inc", "gone")
+      .coalesce(1).write.format("pinot")
+      .option("nullableColumns", "ver")
+      .mode("append").save(dir)
+    PinotUpsert.configurePartial(dir, Seq("k"), "ver",
+      Map("inc" -> "INCREMENT"), deleteCol = Some("gone"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      spark.read.format("pinot").load(dir).collect()
+    }
+    assert(messages(ex).exists(_.contains("NULL ver")),
+      s"expected the NULL-cmp rejection with deleteCol, got: $ex")
+  }
 }
