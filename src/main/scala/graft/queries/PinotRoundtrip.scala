@@ -639,6 +639,40 @@ object PinotRoundtrip {
     tableDir.toString
   }
 
+  /** PARTIAL-upsert-with-deletes fixture: PARTIAL strategies like
+    * [[upsertPartialTable]] PLUS a delete marker (every event_id
+    * divisible by 7 is a DELETE of its user) — the revive-from-scratch
+    * combination: a user's columns merge only over versions NEWER than
+    * their latest tombstone; a user whose latest event IS a tombstone
+    * disappears. The cnt column (INCREMENT over lit 1) counts exactly
+    * the versions that merged, making the revive cut directly visible
+    * in the answer.
+    */
+  private def upsertPartialDeleteTable(s: SparkSession, d: String): String =
+    synchronized {
+      val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_pinot_rt_v$LayoutVersion$key")
+      val tableDir = root.resolve("eventsUpsertPD_REALTIME")
+      if (!Files.exists(tableDir)) {
+        Tables.load(s, d, "events")
+          .orderBy("event_id")
+          .limit(20000)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), (col("event_id") % 7 === 0).as("deleted"),
+            lit(1).as("cnt"))
+          .repartition(3)
+          .write.format("pinot").mode("append")
+          .save(tableDir.toString)
+        graft.sources.pinot.PinotUpsert.configurePartial(
+          tableDir.toString, Seq("user_id"), "event_id",
+          Map("event_type" -> "OVERWRITE", "value" -> "MAX",
+            "cnt" -> "INCREMENT"),
+          deleteCol = Some("deleted"))
+      }
+      tableDir.toString
+    }
+
   /** Upsert-compaction fixture: the q161 version history COMPACTED
     * (PinotUpsert.compact — Pinot's UpsertCompactionTask capability) at
     * build time: the raw storage holds one winning row per user, the
@@ -975,6 +1009,30 @@ object PinotRoundtrip {
         SELECT user_id, event_id AS last_event_id,
                event_type AS last_event_type
         FROM pinotu.default.eventsUpsert
+        ORDER BY user_id""")
+    }),
+
+    // PARTIAL upsert + DELETE markers (Pinot partialUpsertStrategies
+    // with deleteRecordColumn) through CATALOG SQL — the revive
+    // combination as a declared, oracled query: a user's columns merge
+    // (OVERWRITE / MAX / INCREMENT) only over versions NEWER than their
+    // latest tombstone; users whose latest event IS a tombstone
+    // disappear. n_versions (INCREMENT of 1) counts exactly the merged
+    // versions, so the revive cut itself is hash-gated. Plan: the
+    // tombstone aggregate reads only delete rows (pushed scan filter)
+    // and BROADCASTS back over the table — the main side never shuffles
+    // for the join (pinned in PlanAuditSpec).
+    "q171_pinot_partial_delete_upsert" -> ((s, d) => {
+      val dir = upsertPartialDeleteTable(s, d)
+      val root = java.nio.file.Paths.get(dir).getParent.toString
+      s.conf.set("spark.sql.catalog.pinotu",
+        "graft.sources.pinot.PinotCatalog")
+      s.conf.set("spark.sql.catalog.pinotu.data_dir", root)
+      s.sql("""
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type,
+               cnt AS n_versions, value AS max_value
+        FROM pinotu.default.eventsUpsertPD
         ORDER BY user_id""")
     }),
 
@@ -1797,6 +1855,22 @@ object PinotRoundtrip {
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |                           ORDER BY event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // the true column-wise merge over only the versions newer than each
+    // user's latest tombstone (revive-from-scratch); dead users absent
+    "q171_pinot_partial_delete_upsert" ->
+      """WITH base AS (SELECT user_id, event_id, event_type, value,
+        |    (event_id % 7 = 0) AS deleted
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)),
+        |del AS (SELECT user_id, max(event_id) AS del_id FROM base
+        |        WHERE deleted GROUP BY 1),
+        |kept AS (SELECT b.* FROM base b LEFT JOIN del d USING (user_id)
+        |         WHERE d.del_id IS NULL OR b.event_id > d.del_id)
+        |SELECT user_id, max(event_id) AS last_event_id,
+        |       arg_max(event_type, event_id) AS last_event_type,
+        |       CAST(count(*) AS INTEGER) AS n_versions,
+        |       max(value) AS max_value
+        |FROM kept GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // latest-per-key, then winning deletes hide their keys
     "q164_pinot_upsert_delete" ->

@@ -102,10 +102,100 @@ object SketchDedup {
         .orderBy("id_a", "id_b")
   }
 
+  /** Per-DOC-ROW band signatures — the STATELESS twin of
+    * [[signatures]]+banding: the whole shingle→minhash→band pipeline
+    * runs inside one projection over each doc row (shingle array,
+    * element-wise min-fold of the md5 permutation family, 16 band md5s),
+    * so a STREAM of documents computes its bands with no stateful
+    * aggregation, no watermark, and no shuffle. Values are bit-identical
+    * to the batch path (the min over a doc's shingles is the same fold;
+    * StreamNearDupSpec pins the equality, and the q172 DuckDB oracle
+    * recomputes the family independently), so stream-side bands join
+    * corpus-side stored buckets meaningfully. Docs under 3 words have no shingles
+    * and produce no bands (same rule as [[graft.functions.ShingleGen]]).
+    */
+  private[graft] def bandsOver(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+      .withColumn("sig_vec", aggregate(
+        col("shingles"),
+        array_repeat(lit(Long.MaxValue), NumPerms),
+        (acc, sh) => zip_with(acc,
+          graft.functions.SketchExprs.md5MinhashPerms(sh, NumPerms),
+          (a, b) => least(a, b))))
+      .withColumn("band", explode(expr(s"sequence(0, ${Bands - 1})")))
+      .withColumn("sig", md5(concat_ws(",", expr(
+        s"transform(slice(sig_vec, band * $RowsPerBand + 1, $RowsPerBand)," +
+          " x -> CAST(x AS STRING))"))))
+      .select(col("doc_id"), col("band"), col("sig"))
+
+  /** STREAMING near-dup against a stored corpus — the production
+    * LLM-pipeline shape batch q49 does not cover: "flag each INCOMING
+    * crawl doc that near-duplicates the EXISTING corpus". The corpus's
+    * LSH band buckets are persisted once (maintained incrementally by
+    * ingest in production); each micro-batch of incoming docs computes
+    * its bands statelessly ([[bandsOver]]) and LEFT-SEMI joins the
+    * bucket table — a doc sharing any band bucket with the corpus is a
+    * candidate duplicate. At 100 TB the static bucket side is
+    * corpus-sized: persist it bucketed/sorted by (band, sig) so each
+    * micro-batch joins against it without re-shuffling the corpus; the
+    * stream side is one micro-batch of new docs (tiny by comparison).
+    * State: NONE (the join is stream-static, the banding per-row) —
+    * restart-proven in StreamNearDupSpec.
+    */
+  private[graft] def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.load(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val incoming = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+    val work = java.nio.file.Files.createTempDirectory("q172_neardup")
+    // the persisted corpus bucket table
+    val bucketDir = work.resolve("corpus_buckets").toString
+    bandsOver(corpus).write.mode("overwrite").parquet(bucketDir)
+    val buckets = s.read.parquet(bucketDir)
+    // land incoming docs as files so readStream drains them in batches
+    val inDir = work.resolve("incoming").toString
+    incoming.repartition(4).write.mode("overwrite").parquet(inDir)
+    val flaggedDir = work.resolve("flagged").toString
+    incoming.select("doc_id").limit(0).write.parquet(flaggedDir) // schema seed
+    val q = bandsOver(
+      s.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir))
+      .join(buckets, Seq("band", "sig"), "left_semi")
+      .select("doc_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(flaggedDir)
+      }
+      .start()
+    require(q.awaitTermination(300000),
+      "q172: the AvailableNow near-dup stream did not terminate")
+    val flagged = s.read.parquet(flaggedDir).distinct()
+      .withColumnRenamed("doc_id", "f_id")
+    incoming.select(col("doc_id"))
+      .join(flagged, col("doc_id") === col("f_id"), "left")
+      .select(col("doc_id"), col("f_id").isNotNull.as("near_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding + bucket join + exact verification at J>=0.8,
     // over the md5-derived engine-neutral permutation family (oracled).
     "q49_dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d, neutral = true)),
+
+    // Streaming near-dup of the incoming crawl (doc_id % 10 >= 8)
+    // against the stored corpus bucket table (doc_id % 10 < 8): every
+    // incoming doc flagged iff it shares an LSH band bucket with some
+    // corpus doc — stateless banding per micro-batch + a stream-static
+    // left-semi join, drained AvailableNow. The DuckDB oracle recomputes
+    // the same md5 permutation family over both sides.
+    "q172_stream_neardup_corpus" -> ((s, d) => streamNearDup(s, d)),
 
     // SimHash: 64-bit sign-aggregated token hash; banded bucket join;
     // near-dups = hamming distance <= 7. Token hashes come from the
@@ -161,6 +251,37 @@ object SketchDedup {
   // reads from the lo half for j<32, hi otherwise, and hamming is the
   // sum of the halves' bit_counts).
   val oracleSql: Map[String, String] = Map(
+    // the same md5 permutation family over both sides: an incoming doc
+    // (doc_id % 10 >= 8) is near_dup iff it shares a band signature
+    // with some corpus doc (doc_id % 10 < 8)
+    "q172_stream_neardup_corpus" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(words) - 1),
+        |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+        |         AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |ab AS (SELECT doc_id, shingle,
+        |         (CAST(concat('0x', substr(md5(shingle), 1, 13)) AS BIGINT)
+        |          + CAST(concat('0x', substr(md5(shingle), 14, 13)) AS BIGINT))
+        |           % 2147483647 AS x
+        |       FROM sh),
+        |pm AS (SELECT doc_id, i,
+        |         min(((1 + ((i + 1) * 1013904223) % 2147483646) * x
+        |              + (i * 2654435761) % 2147483647) % 2147483647) AS mv
+        |       FROM ab CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS sig
+        |       FROM pm GROUP BY doc_id, i // 4),
+        |flag AS (SELECT DISTINCT a.doc_id FROM bd a JOIN bd c
+        |         ON a.band = c.band AND a.sig = c.sig
+        |         WHERE a.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)
+        |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS near_dup
+        |FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id % 10 >= 8
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q50_dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |           FROM documents),

@@ -711,10 +711,12 @@ object PinotUpsert {
     *
     * With a delete column, records merge FROM SCRATCH after a key's
     * latest delete (Pinot's revive semantics). That needs the last
-    * delete per key BEFORE merging — one extra aggregate + a
-    * co-partitioned self-join on the same key hashing (AQE reuses the
-    * exchange), the one shape in the upsert family that costs a second
-    * pass; the deleteless path stays single-aggregate.
+    * delete per key BEFORE merging — one extra aggregate whose scan
+    * reads ONLY tombstone rows (the delete filter pushes into the Pinot
+    * scan) and whose result BROADCASTS back over the table (dead keys ≪
+    * rows, so the main side never shuffles for the join; plan pinned in
+    * PlanAuditSpec). The one shape in the upsert family that costs a
+    * second aggregate; the deleteless path stays single-aggregate.
     */
   private def latestPartial(df: DataFrame, tableDir: String,
       keys: Seq[String], cmp: String,

@@ -202,6 +202,44 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("the PARTIAL+delete revive shape: pushed tombstone scan, broadcast join, one merge exchange") {
+    // q171 is the one upsert shape that costs a second aggregate (the
+    // per-key latest tombstone, needed BEFORE the merge can cut at it).
+    // Pin the plan that keeps it cheap at 100 TB:
+    //  - the tombstone scan reads ONLY delete rows (the deleted=true
+    //    filter reaches the Pinot scan as a skipFilter),
+    //  - the tombstone aggregate BROADCASTS to the main scan (dead keys
+    //    ≪ rows; the main side never shuffles for the join),
+    //  - the merge itself stays the usual partial→exchange→final, so
+    //    exactly TWO hash exchanges total (tombstone agg + merge agg),
+    //  - and none of the banned shapes sneak back (window / distinct
+    //    expand / sort-aggregate).
+    val nodes = allNodes(finalPlan("q171_pinot_partial_delete_upsert"))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "q171: revive shape plans a window")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.ExpandExec]),
+      "q171: revive shape plans a distinct expand")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      "q171: revive shape fell back to SortAggregate")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q171: the tombstone side must broadcast, not shuffle the table")
+    val hashEx = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.length <= 2,
+      s"q171: ${hashEx.length} hash exchanges — tombstone agg + merge agg only")
+    val tombScan = nodes.map(_.toString).find(_.contains(
+      "skipFilters=[EqualTo(deleted,true)"))
+    assert(tombScan.isDefined,
+      "q171: the tombstone aggregate must push deleted=true into its scan")
+  }
+
   test("q17 aggregates the fact side before its broadcast outer join") {
     val nodes = allNodes(finalPlan("q17_join_outer"))
     // the fact table must never shuffle on the 25-value nation key —
