@@ -22,7 +22,7 @@ object PinotRoundtrip {
     */
   // bump when the subset/columns change — keys the /tmp cache so a stale
   // layout from an earlier build is never reused
-  private val LayoutVersion = 14 // r14: group-slice fixture gains props+freq
+  private val LayoutVersion = 15 // r15: group-slice fixture gains bitmap+kmv
 
   private def segmentTable(s: SparkSession, d: String): String = synchronized {
     val key = Paths.get(d).toAbsolutePath.toString.replaceAll("[^a-zA-Z0-9]", "_")
@@ -812,20 +812,26 @@ object PinotRoundtrip {
           val build = root.resolve("eventsGroupBuild_OFFLINE")
           base.filter(col("ts_ms").between(lo, lo + 99))
             .select(col("event_type"), lit(lo).as("bucket_start"),
-              col("user_id"), col("props"), col("cents"), lit(1).as("cnt"))
+              col("user_id"), col("props"), col("cents"), lit(1).as("cnt"),
+              // the same base columns under a second name so the rollup
+              // can carry a SECOND sketch kind over them (one spec per
+              // column): bitmap (exact distinct) + kmv (bottom-k theta)
+              col("user_id").as("uid_bm"), col("props").as("props_kmv"))
             .coalesce(1)
             .write.format("pinot").mode("append")
             .save(build.toString)
           val seg = graft.pinot.PinotCompact.rollup(build.toString,
             dims = Seq("event_type", "bucket_start"), metrics = Seq("cnt"),
             sketchMetrics = Map("user_id" -> "hll16", "cents" -> "kll32768",
-              "props" -> "freq256"))
+              "props" -> "freq256", "uid_bm" -> "bitmap",
+              "props_kmv" -> "kmv1024"))
           Files.move(seg, coldDir.resolve(s"bucket$b"))
           deleteRec(build)
         }
         base.filter(col("ts_ms") > 600L)
           .select(col("event_type"), col("ts_ms"), col("user_id"),
-            col("props"), col("cents"))
+            col("props"), col("cents"),
+            col("user_id").as("uid_bm"), col("props").as("props_kmv"))
           .repartitionByRange(2, col("ts_ms"))
           .write.format("pinot").mode("append")
           .save(rawDir.toString)
@@ -850,6 +856,38 @@ object PinotRoundtrip {
         s, coldDir, rawDir, "event_type", "user_id", 16,
         "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
         as = "distinct_users", rowsAs = "slice_rows")
+        .orderBy("event_type")
+    }),
+
+    // GROUPED time-sliced EXACT distinct via BITMAP payloads — the
+    // bitmap member of the grouped two-tier family (q155 hll, q157 kll,
+    // q167 freq): cold buckets inside [201, 850] contribute their
+    // per-(group, bucket) stored Roaring64 payload rows (exact at any
+    // cardinality), outside buckets prune from metadata, the raw tier
+    // folds sliced rows into per-group query-time bitmaps, ONE hash
+    // exchange on event_type merges the tiers. Same truth as q155 —
+    // and unlike hll, no sparse-regime caveat is needed.
+    "q173_pinot_group_bitmap_timeslice" -> ((s, d) => {
+      val (coldDir, rawDir) = groupSliceTables(s, d)
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedBitmapDistinct(
+        s, coldDir, rawDir, "event_type", "uid_bm",
+        "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
+        as = "distinct_users", rowsAs = "slice_rows")
+        .orderBy("event_type")
+    }),
+
+    // GROUPED time-sliced KMV (theta) distinct — the last sketch family
+    // in the grouped two-tier reader: per-(group, bucket) bottom-1024
+    // summaries merge with the raw tier's query-time kmv payloads.
+    // Exact regime: ~100 distinct props per group ≪ k=1024 (the
+    // bottom-k IS the full hash set), so the DuckDB truth over the
+    // original parquet hash-gates the whole composition.
+    "q174_pinot_group_kmv_timeslice" -> ((s, d) => {
+      val (coldDir, rawDir) = groupSliceTables(s, d)
+      graft.sources.pinot.PinotSketches.groupedTimeSlicedKmvDistinct(
+        s, coldDir, rawDir, "event_type", "props_kmv", 1024,
+        "bucket_start", 100L, "cnt", "ts_ms", 201L, 850L,
+        as = "distinct_props", rowsAs = "slice_rows")
         .orderBy("event_type")
     }),
 
@@ -1776,6 +1814,29 @@ object PinotRoundtrip {
         |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
         |SELECT event_type,
         |       count(DISTINCT user_id) AS distinct_users,
+        |       CAST(count(*) AS BIGINT) AS slice_rows
+        |FROM base WHERE ts_ms BETWEEN 201 AND 850
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the same truth as q155 through the exact-bitmap tier composition
+    "q173_pinot_group_bitmap_timeslice" ->
+      """WITH base AS (SELECT event_type, user_id,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       CAST(count(*) AS BIGINT) AS slice_rows
+        |FROM base WHERE ts_ms BETWEEN 201 AND 850
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the true grouped distinct-props count over exactly the sliced rows
+    // (kmv exact regime: per-group distincts ≪ k)
+    "q174_pinot_group_kmv_timeslice" ->
+      """WITH base AS (SELECT event_type, props,
+        |    row_number() OVER (ORDER BY event_id) AS ts_ms
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000))
+        |SELECT event_type,
+        |       count(DISTINCT props) AS distinct_props,
         |       CAST(count(*) AS BIGINT) AS slice_rows
         |FROM base WHERE ts_ms BETWEEN 201 AND 850
         |GROUP BY 1 ORDER BY event_type""".stripMargin,

@@ -396,6 +396,62 @@ object PinotSketches {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** GROUPED time-sliced EXACT distinct over the same two-tier layout as
+    * [[groupedTimeSlicedHllDistinct]], with `bitmap` payloads — Pinot's
+    * DISTINCT_COUNT_BITMAP as a rollup aggregation: the rolled cold tier
+    * carries one Roaring64 bitmap per group per bucket (exact at ANY
+    * cardinality, unlike hll; sized O(distincts)), the raw hot tier
+    * folds its sliced rows into per-group query-time bitmaps, ONE hash
+    * exchange on `groupCol` merges both. Integral columns keep raw
+    * values; strings keep xxhash64 values (both exact modulo the
+    * documented hash-collision caveat of the stored-sketch contract).
+    * Output (`groupCol`, `as`, `rowsAs`); same loud mid-bucket /
+    * coverage-gap / tier-overlap contracts from cached metadata.
+    */
+  def groupedTimeSlicedBitmapDistinct(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String,
+      bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long,
+      as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    val merged = groupedTimeSlicedPayloads(s, rollupDir, rawDir, groupCol,
+      column, "bitmap", bucketCol, bucketWidth, cntCol, rawTimeCol,
+      loMs, hiMs)
+    merged
+      .groupBy("g")
+      .agg(
+        BitmapMergeAgg.bitmapMergeDistinct(col("sketch")).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** GROUPED time-sliced KMV (theta-sketch) distinct over the same
+    * two-tier layout — Pinot's DISTINCT_COUNT_THETA_SKETCH as a rollup
+    * aggregation: one bottom-k summary per group per bucket in the cold
+    * tier (fixed K·8 bytes per group regardless of cardinality — the
+    * middle ground between bitmap's exactness and hll's fixed 2^p), a
+    * per-group query-time kmv over the raw tier's sliced rows, ONE hash
+    * exchange merging both. Exact while each group's merged distinct
+    * count stays ≤ k (the bottom-k IS the full hash set); ~1/√k relative
+    * error beyond. Output (`groupCol`, `as`, `rowsAs`); same loud
+    * tier contracts.
+    */
+  def groupedTimeSlicedKmvDistinct(s: SparkSession, rollupDir: String,
+      rawDir: String, groupCol: String, column: String, k: Int,
+      bucketCol: String, bucketWidth: Long, cntCol: String,
+      rawTimeCol: String, loMs: Long, hiMs: Long,
+      as: String = "distinct_count", rowsAs: String = "slice_rows"): DataFrame = {
+    val merged = groupedTimeSlicedPayloads(s, rollupDir, rawDir, groupCol,
+      column, s"kmv$k", bucketCol, bucketWidth, cntCol, rawTimeCol,
+      loMs, hiMs)
+    merged
+      .groupBy("g")
+      .agg(
+        graft.functions.KmvMergeAgg
+          .kmvMergeEstimate(col("sketch"), k).as(as),
+        sum(col("cnt")).as(rowsAs))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** The grouped two-tier payload stream shared by the grouped readers —
     * rows of (g, sketch BINARY, cnt BIGINT): the rolled cold tier's
     * per-(group, bucket) stored payload rows for buckets fully inside

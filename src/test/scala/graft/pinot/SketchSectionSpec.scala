@@ -687,6 +687,83 @@ class SketchSectionSpec extends SparkTestBase {
       s"outside rolled segment read $bucket0Psf — pushed bucket filter must prune it")
   }
 
+  test("grouped time-sliced bitmap + kmv: rolled + raw tiers merge exactly; outside rolled segments untouched") {
+    import spark.implicits._
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(deleteRec(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val root = java.nio.file.Files.createTempDirectory("group_bmkmv")
+    val coldDir = root.resolve("gbCold_OFFLINE")
+    val rawDir = root.resolve("gbRaw_OFFLINE").toString
+    java.nio.file.Files.createDirectories(coldDir)
+    // uid: integral (bitmap keeps RAW longs); page: string (kmv keeps
+    // xxhash64 values) — the two input modes of the new readers
+    val df = (1 to 5000).map { t =>
+      (t.toLong, s"g${t % 4}", (t % (60 + t % 4)).toLong,
+        s"page_${t % (20 + t % 3)}")
+    }.toDF("ts_ms", "g", "uid", "page")
+    (0 until 3).foreach { b =>
+      val lo = b * 1000L + 1
+      val build = root.resolve("gbBuild_OFFLINE")
+      df.filter(col("ts_ms").between(lo, lo + 999))
+        .select(col("g"), lit(lo).as("bucket_start"), col("uid"),
+          col("page"), lit(1).as("cnt"))
+        .coalesce(1).write.format("pinot").mode("append")
+        .save(build.toString)
+      val seg = PinotCompact.rollup(build.toString,
+        dims = Seq("g", "bucket_start"), metrics = Seq("cnt"),
+        sketchMetrics = Map("uid" -> "bitmap", "page" -> "kmv256"))
+      java.nio.file.Files.move(seg, coldDir.resolve(s"bucket$b"))
+      deleteRec(build)
+    }
+    df.filter(col("ts_ms") > 3000L)
+      .select(col("g"), col("ts_ms"), col("uid"), col("page"))
+      .repartitionByRange(2, col("ts_ms"))
+      .write.format("pinot").mode("append")
+      .save(rawDir)
+    // slice [1001, 4200]: bucket 0 pruned, buckets 1-2 stored payloads,
+    // raw tier boundary-scans — same split as the hll/freq twins
+    val rec = new RecordingSegmentIO(LocalSegmentIO)
+    val (gotBm, gotKmv) =
+      SegmentIO.withOverride(_.startsWith(root.toString), rec) {
+        SegmentReader.clearSectionCacheForTests()
+        val bm = graft.sources.pinot.PinotSketches
+          .groupedTimeSlicedBitmapDistinct(
+            spark, coldDir.toString, rawDir, "g", "uid",
+            "bucket_start", 1000L, "cnt", "ts_ms", 1001L, 4200L,
+            as = "du", rowsAs = "rows").orderBy("g").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val kv = graft.sources.pinot.PinotSketches
+          .groupedTimeSlicedKmvDistinct(
+            spark, coldDir.toString, rawDir, "g", "page", 256,
+            "bucket_start", 1000L, "cnt", "ts_ms", 1001L, 4200L,
+            as = "dp", rowsAs = "rows").orderBy("g").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        (bm, kv)
+      }
+    val twin = df.filter(col("ts_ms").between(1001, 4200))
+    val wantBm = twin.groupBy("g")
+      .agg(countDistinct(col("uid")).as("du"), count(lit(1)).as("rows"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotBm === wantBm,
+      "grouped time-sliced bitmap distinct diverged from the twin")
+    // kmv exact regime: ~22 distinct pages per group ≪ k=256
+    val wantKmv = twin.groupBy("g")
+      .agg(countDistinct(col("page")).as("dp"), count(lit(1)).as("rows"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotKmv === wantKmv,
+      "grouped time-sliced kmv distinct diverged from the twin")
+    import scala.jdk.CollectionConverters._
+    val bucket0Psf = rec.reads.keySet().asScala
+      .filter(_.startsWith(coldDir.resolve("bucket0").toString))
+    assert(bucket0Psf.isEmpty,
+      s"outside rolled segment read $bucket0Psf — pushed bucket filter must prune it")
+  }
+
   test("freq sections: stored Misra–Gries summaries merge to exact counts; payload bytes are insertion-order-free") {
     import spark.implicits._
     val dir = java.nio.file.Files
