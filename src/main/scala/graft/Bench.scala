@@ -358,15 +358,39 @@ object Bench {
         s""""contention_probes":$probesJson,""" +
         s""""contention_probes_mt":$probesMtJson,""" +
         s""""contention_suspects":$suspectsJson,"sf":"$sfDir",$env}""").getBytes("UTF-8"))
-    val headlineLine =
+    val fullLine =
       s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    // The PRINTED line must fit the driver's capture: it keeps only the
+    // LAST 2000 chars of stdout and sbt appends ~75 chars of its own
+    // after us, so anything over ~1900 chars loses its head — seconds
+    // at 3 decimals overflowed that window from r12 on (BENCH_r12–r14
+    // parsed null / dropped the first ~36 queries). Integer
+    // MILLISECONDS ("unit":"ms") + a short sf tag keep the whole
+    // 174-query map inside the window; the full-precision seconds line
+    // lands in BENCH_LINE.json and the per-rep dump in
+    // BENCH_DETAIL.json.
+    // keys drop the uniform "q" prefix too ("01" = q01): at 175 queries
+    // even integer-ms values leave only ~30 chars of window slack with
+    // the prefix on — sf0.1's larger values would overflow again
+    val qsMs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+        math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    val sfTag = sfDir.split('/').filter(_.nonEmpty)
+      .lastOption.getOrElse(sfDir)
+    val headlineLine =
+      s"""{"metric":"headline_total","value":${math.round(headlineTotal * 1000)},"unit":"ms","queries":$qsMs,"sf":"$sfTag"}"""
+    if (headlineLine.length > 1880)
+      System.err.println(s"[bench] WARNING: printed line is " +
+        s"${headlineLine.length} chars — may overflow the driver's " +
+        "2000-char tail capture")
     // Belt and braces for the driver handoff (r7's BENCH_r07.json had
     // "parsed": null despite a well-formed line in the captured tail):
-    // the line is also persisted as a file, and printed LAST — after
-    // spark.stop() — so no shutdown chatter can land between it and
-    // process exit, with an explicit flush.
+    // the full line is persisted as a file, and the compact line is
+    // printed LAST — after spark.stop() — so no shutdown chatter can
+    // land between it and process exit, with an explicit flush.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
-      (headlineLine + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
     println(headlineLine)
     System.out.flush()

@@ -28,6 +28,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructField,
   * exchange of one small row per (group, partition) is the whole
   * shuffle story at 100 TB.
   *
+  * SQL callers, note: nothing FORCES you to look at the evidence — a
+  * bare `latest_by(v, cmp).v` under a comparison tie returns a
+  * partition-order-dependent winner, exactly like Spark's own `max_by`
+  * (strictly better only in that the evidence EXISTS here). Before
+  * trusting `.v`, apply the guard idiom the upsert view uses:
+  * {{{
+  *   SELECT k, CASE WHEN w.null_cmp THEN raise_error('NULL cmp')
+  *                  WHEN w.ties > 1 THEN raise_error('tie: undefined')
+  *                  ELSE w.v END AS v
+  *   FROM (SELECT k, latest_by(v, cmp) AS w FROM t GROUP BY k)
+  * }}}
+  * or prove your comparison column unique per key (q169's event_id is).
+  *
   * A TypedImperativeAggregate (not Declarative) so the planner picks
   * ObjectHashAggregateExec even when the value type is non-primitive
   * (a struct of the table's columns) — a declarative buffer with
