@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output passes through RAW (no `[info] ` log-prefix
+// decoration): the benchmark mains print one machine-parseable JSON
+// line whose consumer reads the process stdout tail — an `[info] `
+// prefix in front of the line breaks a strict JSON parse of it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -369,18 +369,25 @@ object Bench {
     // 174-query map inside the window; the full-precision seconds line
     // lands in BENCH_LINE.json and the per-rep dump in
     // BENCH_DETAIL.json.
-    // keys drop the uniform "q" prefix too ("01" = q01): at 175 queries
-    // even integer-ms values leave only ~30 chars of window slack with
-    // the prefix on — sf0.1's larger values would overflow again
-    val qsMs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
-        math.round(v * 1000) }
+    // keys keep the "qNN" prefix the driver's parser expects (r15's
+    // prefix-free "01" keys saved 175 chars but parsed null driver-side);
+    // integer ms keeps the q-prefixed 175-query map at ~1.9k chars —
+    // inside the ~1,925-char effective window (2000-char tail capture
+    // minus sbt's ~75-char [success] epilogue)
+    // toSeq FIRST: mapping the LinkedHashMap directly would collapse
+    // colliding compacted keys before the size check could see them
+    val compactKeyed = results.toSeq.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> math.round(v * 1000) }
+    require(compactKeyed.toMap.size == results.size,
+      "bench: compacted query keys collide — two queries share a number " +
+        "prefix, the printed per-query map would silently drop one")
+    val qsMs = compactKeyed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sfTag = sfDir.split('/').filter(_.nonEmpty)
       .lastOption.getOrElse(sfDir)
     val headlineLine =
       s"""{"metric":"headline_total","value":${math.round(headlineTotal * 1000)},"unit":"ms","queries":$qsMs,"sf":"$sfTag"}"""
-    if (headlineLine.length > 1880)
+    if (headlineLine.length > 1900)
       System.err.println(s"[bench] WARNING: printed line is " +
         s"${headlineLine.length} chars — may overflow the driver's " +
         "2000-char tail capture")

@@ -32,6 +32,19 @@ object Calibrate {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Standalone probe main: prints one JSON line with two single-thread
+    * readings and one saturating reading — the cheap way to poll the
+    * box's basal state between benchmark attempts (the PinotBench gate
+    * is only decidable near the 0.508 s clean floor, so sessions poll
+    * for a clean window before burning a full battery run).
+    */
+  def main(args: Array[String]): Unit = {
+    run() // JIT warm-up
+    val a = run(); val b = run()
+    val mt = runParallel(Runtime.getRuntime.availableProcessors())
+    println(f"""{"st1_sec":$a%.3f,"st2_sec":$b%.3f,"mt_sec":$mt%.3f}""")
+  }
+
   /** SATURATING probe: the same fixed work on every core at once. A
     * single-thread probe provably misses multi-core contention (r4: a
     * clean 0.52/0.55 pair coexisted with 4-6× per-query inflation) —

@@ -32,9 +32,32 @@ object PinotCompact {
 
   private[graft] def writeSwapMarker(root: Path, op: String,
       tmpDir: Path): Unit = {
-    Files.write(root.resolve(SwapMarkerFile),
-      s"op=$op\nrecover.from=$tmpDir\n".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+    // The marker only protects the swap if it is DURABLE before the
+    // first delete: force the file contents AND the table-root directory
+    // entry (the POSIX way to persist a new filename) so an OS/power
+    // crash mid-swap still fails the next open loudly. A process crash
+    // alone never needed this (the page cache survives), but segment
+    // deletions that persist while the marker does not would reopen a
+    // partially-swapped table cleanly — the exact silent partial read
+    // the marker exists to prevent.
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(
+      root.resolve(SwapMarkerFile), CREATE, WRITE, TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        s"op=$op\nrecover.from=$tmpDir\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    try {
+      val dir = java.nio.channels.FileChannel.open(root, READ)
+      try dir.force(true) finally dir.close()
+    } catch {
+      // some platforms/filesystems reject opening a directory for fsync
+      // (Windows, some network mounts) — there the guarantee degrades to
+      // process-crash safety, the pre-r16 behavior
+      case _: java.io.IOException =>
+    }
     ()
   }
 
@@ -42,6 +65,22 @@ object PinotCompact {
     Files.deleteIfExists(root.resolve(SwapMarkerFile))
     ()
   }
+
+  /** Remote twins of the marker pair, routed through the [[SegmentIO]]
+    * seam. Durability note: the Hadoop write's close() persists per the
+    * target store's contract (HDFS flushes to the pipeline; object
+    * stores commit the PUT) — the local flow's explicit fsync has no
+    * portable remote equivalent, so remote crash-safety is
+    * store-contract-grade, which every remote writer shares.
+    */
+  private[graft] def writeSwapMarker(root: String, op: String,
+      tmpDir: String, io: SegmentIO): Unit =
+    io.writeFully(io.resolve(root, SwapMarkerFile),
+      s"op=$op\nrecover.from=$tmpDir\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def clearSwapMarker(root: String, io: SegmentIO): Unit =
+    io.deleteRecursively(io.resolve(root, SwapMarkerFile))
 
   /** Maintenance ops rewrite and swap segments with LOCAL filesystem
     * calls (the segment writer is local by design — minion-style,
@@ -87,18 +126,14 @@ object PinotCompact {
     }.toMap
 
 
-  /** Compact every segment under `tableDir` into one merged segment.
-    * Returns the merged segment directory. No-op (returns the existing
-    * dir) when the table already has a single segment.
+  /** Merge `readers`' rows into ONE verified segment written at `dest`
+    * (a LOCAL path — the segment writer is java.nio by design),
+    * preserving column types, null vectors, index requests, text
+    * analyzers, and stored-sketch specs; shared by the local and remote
+    * compact flows. Closes the readers. Returns (mergedName, totalDocs).
     */
-  def compact(tableDir: String): Path = {
-    requireLocal("compact", tableDir)
-    val root = Paths.get(tableDir)
-    val segDirs = segmentDirs(tableDir)
-    require(segDirs.nonEmpty, s"no segments under $tableDir")
-    if (segDirs.length == 1) return segDirs.head
-
-    val readers = segDirs.map(d => SegmentReader.open(d))
+  private def writeMerged(dest: Path,
+      readers: Seq[SegmentReader]): (String, Int) = {
     val metas = readers.map(_.metadata)
     val first = metas.head
     val colNames = first.columns.keys.toSeq
@@ -137,16 +172,43 @@ object PinotCompact {
     }.toMap
 
     val mergedName = s"merged_${first.tableName}_0"
-    val tmp = root.resolve(s"tmp_compact_$mergedName")
-    SegmentWriter.write(tmp, first.tableName, mergedName, cols,
+    SegmentWriter.write(dest, first.tableName, mergedName, cols,
       invertedCols, nullVectors, first.timeColumn, bloomCols = bloomCols,
       rangeCols = rangeCols, textCols = textCols,
       textAnalyzers = textAnalyzers, jsonIdxCols = jsonIdxCols,
       sketchCols = sketchCols)
-    val check = SegmentReader.open(tmp)
+    val check = SegmentReader.open(dest)
     try require(check.totalDocs == totalDocs,
       "compact: merged doc count mismatch") // sanity before the swap
     finally check.close()
+    (mergedName, totalDocs)
+  }
+
+  /** Compact every segment under `tableDir` into one merged segment.
+    * Returns the merged segment directory. No-op (returns the existing
+    * dir) when the table already has a single segment.
+    *
+    * URI-schemed paths (`hdfs://…`, `file:…`, object-store schemes)
+    * compact IN PLACE through the [[SegmentIO]] seam (r16; previously a
+    * loud reject): segments are read remotely, merged into a local
+    * staging segment, verified, uploaded under a discovery-invisible
+    * `tmp_`-prefixed remote dir, READ BACK through the remote stack,
+    * and only then swapped in under the same marker protocol the local
+    * flow uses — for those tables the returned Path is the remote URI
+    * rendered as a path (use its string/name, not filesystem calls).
+    */
+  def compact(tableDir: String): Path = {
+    val io = SegmentIO.forPath(tableDir)
+    if (io ne LocalSegmentIO) return compactRemote(tableDir, io)
+    val root = Paths.get(tableDir)
+    val segDirs = segmentDirs(tableDir)
+    require(segDirs.nonEmpty, s"no segments under $tableDir")
+    if (segDirs.length == 1) return segDirs.head
+
+    val readers = segDirs.map(d => SegmentReader.open(d))
+    val tableName = readers.head.metadata.tableName
+    val tmp = root.resolve(s"tmp_compact_merged_${tableName}_0")
+    val (mergedName, _) = writeMerged(tmp, readers)
     // marker-guarded swap: a crash between here and clearSwapMarker
     // fails the NEXT open loudly (rows recoverable from the tmp dir)
     writeSwapMarker(root, "compact", tmp)
@@ -157,6 +219,54 @@ object PinotCompact {
     // logged best-effort manifest rebuild — stale manifests self-invalidate
     TableManifest.refresh(root)
     visible
+  }
+
+  /** Every regular file under `localDir`, uploaded to `remoteDir`
+    * through the seam ('/'-relative layout preserved).
+    */
+  private def uploadTree(localDir: Path, remoteDir: String,
+      io: SegmentIO): Unit = {
+    val walk = Files.walk(localDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val rel = localDir.relativize(f).toString.replace('\\', '/')
+        io.writeFully(io.resolve(remoteDir, rel), Files.readAllBytes(f))
+      }
+    } finally walk.close()
+  }
+
+  private def compactRemote(tableDir: String, io: SegmentIO): Path = {
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(tableDir, io)
+      .map(p => if (io.fileName(p) == "v3") io.parent(p) else p)
+    require(segDirs.nonEmpty, s"no segments under $tableDir")
+    if (segDirs.length == 1) return Paths.get(segDirs.head)
+
+    val readers = segDirs.map(d => SegmentReader.open(d, io))
+    val staging = Files.createTempDirectory("pinot_compact_remote")
+    try {
+      val dest = staging.resolve("merged")
+      val (mergedName, totalDocs) = writeMerged(dest, readers)
+      val remoteTmp = io.resolve(tableDir, s"tmp_compact_$mergedName")
+      uploadTree(dest, remoteTmp, io)
+      // read-back verification THROUGH the remote stack before anything
+      // is deleted: a partial/corrupt upload aborts here, table untouched
+      val rb = SegmentReader.open(remoteTmp, io)
+      try require(rb.totalDocs == totalDocs,
+        s"compact: remote read-back of $remoteTmp saw ${rb.totalDocs} " +
+          s"docs, expected $totalDocs — aborting before the swap")
+      finally rb.close()
+      writeSwapMarker(tableDir, "compact", remoteTmp, io)
+      segDirs.foreach(io.deleteRecursively)
+      val visible = io.resolve(tableDir, mergedName)
+      io.rename(remoteTmp, visible)
+      // the table manifest is rebuilt by LOCAL writers only; a stale one
+      // self-invalidates against the post-swap listing, but deleting it
+      // here saves the next open even the failed validation read
+      io.deleteRecursively(io.resolve(tableDir, TableManifest.FileName))
+      clearSwapMarker(tableDir, io)
+      Paths.get(visible)
+    } finally deleteRecursively(staging)
   }
 
   /** Rewrite ONE segment in another on-disk format (v3 ↔ v1/v2) — the
@@ -400,10 +510,15 @@ object PinotCompact {
     * segment names.
     */
   def purgeOlderThan(tableDir: String, boundaryMillis: Long): Seq[String] = {
-    requireLocal("purgeOlderThan", tableDir)
-    val segDirs = segmentDirs(tableDir)
+    // remote-capable (r16): discovery, the metadata-only expiry read,
+    // and the segment-dir delete all route through the SegmentIO seam —
+    // identical local behavior (LocalSegmentIO IS the prior java.nio
+    // calls), and hdfs://-hosted tables purge where the data lives
+    val io = SegmentIO.forPath(tableDir)
+    val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(tableDir, io)
+      .map(p => if (io.fileName(p) == "v3") io.parent(p) else p)
     segDirs.flatMap { d =>
-      val r = SegmentReader.open(d)
+      val r = SegmentReader.open(d, io)
       val meta = try r.metadata finally r.close()
       val expired = for {
         tc <- meta.timeColumn
@@ -412,7 +527,7 @@ object PinotCompact {
         mxMs <- mx.toLongOption
       } yield mxMs < boundaryMillis
       if (expired.contains(true)) {
-        deleteRecursively(d)
+        io.deleteRecursively(d)
         Some(meta.segmentName)
       } else None
     }

@@ -44,6 +44,23 @@ trait SegmentIO {
   def writeFully(p: String, bytes: Array[Byte]): Unit =
     throw new PinotFormatException(
       s"$p: this SegmentIO does not support writes")
+  /** Delete `p` (file or directory tree). Absent paths are a no-op —
+    * the mutation half of remote-capable maintenance (compact / purge)
+    * alongside [[rename]]; implementations must be recursive so a
+    * segment dir goes in one call (object stores serve it as a bulk
+    * prefix delete).
+    */
+  def deleteRecursively(p: String): Unit =
+    throw new PinotFormatException(
+      s"$p: this SegmentIO does not support deletes")
+  /** Rename/move `src` to `dst` (same store). Local filesystems give
+    * atomicity; HDFS renames are atomic per Hadoop's contract; plain
+    * object stores emulate (copy+delete) — which is why the maintenance
+    * swap is marker-guarded rather than rename-atomic.
+    */
+  def rename(src: String, dst: String): Unit =
+    throw new PinotFormatException(
+      s"$src: this SegmentIO does not support renames")
   def resolve(dir: String, child: String): String
   def fileName(p: String): String
   def parent(p: String): String = {
@@ -140,7 +157,24 @@ object LocalSegmentIO extends SegmentIO {
   override def readFully(p: String): Array[Byte] =
     Files.readAllBytes(Paths.get(p))
   override def writeFully(p: String, bytes: Array[Byte]): Unit = {
-    Files.write(Paths.get(p), bytes)
+    // parents created like Hadoop's create(): tree uploads write nested
+    // files without a separate mkdirs round per directory
+    val path = Paths.get(p)
+    if (path.getParent != null) Files.createDirectories(path.getParent)
+    Files.write(path, bytes)
+    ()
+  }
+  override def deleteRecursively(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path)) {
+      val walk = Files.walk(path)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+  override def rename(src: String, dst: String): Unit = {
+    Files.move(Paths.get(src), Paths.get(dst))
     ()
   }
   override def listFiles(dir: String): Seq[String] = {
@@ -252,6 +286,16 @@ final class HadoopSegmentIO(conf: org.apache.hadoop.conf.Configuration)
   override def writeFully(p: String, bytes: Array[Byte]): Unit = {
     val out = fs(p).create(hp(p), true /* overwrite */)
     try out.write(bytes) finally out.close()
+  }
+  override def deleteRecursively(p: String): Unit = {
+    fs(p).delete(hp(p), true /* recursive */)
+    ()
+  }
+  override def rename(src: String, dst: String): Unit = {
+    if (!fs(src).rename(hp(src), hp(dst)))
+      throw new PinotFormatException(s"rename $src -> $dst failed " +
+        "(Hadoop rename returned false — check the destination does " +
+        "not already exist)")
   }
   override def listFiles(dir: String): Seq[String] =
     fs(dir).listStatus(hp(dir)).toSeq

@@ -132,19 +132,89 @@ object SketchDedup {
           " x -> CAST(x AS STRING))"))))
       .select(col("doc_id"), col("band"), col("sig"))
 
+  /** The per-batch candidate check, INVERTED so the corpus-sized side
+    * never shuffles: the corpus bucket scan (band, sig only — column
+    * pruning keeps doc payloads out of the read) streams straight into a
+    * BroadcastHashJoin whose BUILD side is the micro-batch's bands — a
+    * few KB per trigger. No exchange, no sort on the corpus side; the
+    * only shuffle in the per-batch job is the distinct over the flagged
+    * doc ids (≤ batch-size rows). StreamNearDupSpec pins this plan.
+    * A left-semi join the other way round (batch side left) could only
+    * broadcast the CORPUS, so at 100 TB every micro-batch would
+    * re-shuffle the corpus-sized static side — the shape r15 shipped.
+    * If a micro-batch ever outgrew broadcast, the fallback is the
+    * bucketed/sorted corpus layout, not a corpus shuffle.
+    */
+  private[graft] def flaggedAgainst(buckets: DataFrame,
+      batchBands: DataFrame): DataFrame =
+    buckets.select("band", "sig")
+      .join(broadcast(batchBands.select("doc_id", "band", "sig")),
+        Seq("band", "sig"))
+      .select("doc_id")
+      .distinct()
+
+  /** Drains one AvailableNow pass of the near-dup stream: incoming docs
+    * are banded STATELESSLY in the streaming query ([[bandsOver]]);
+    * each micro-batch's bands are checked against the standing bucket
+    * table ([[flaggedAgainst]]) and the flagged ids appended to
+    * `flaggedDir`. With `grow = true` the batch ALSO appends its
+    * non-duplicate docs' bands to the bucket table as an
+    * `ingest_batch=<id>` partition — the corpus grows as the crawl
+    * lands, so later docs dedup against earlier SURVIVORS, not just the
+    * seed corpus. Crash-retry safety: the bucket read prunes to
+    * `ingest_batch < batchId`, so a half-written partition from a
+    * failed attempt of the SAME batch can never flag a doc against its
+    * own bands; the partition write is mode-overwrite on a
+    * batchId-keyed directory, so the retry replaces it byte-for-byte.
+    * (Flag re-appends on retry only duplicate rows — the reader
+    * distincts.)
+    */
+  private[graft] def runNearDup(s: SparkSession, inDir: String,
+      incomingSchema: org.apache.spark.sql.types.StructType,
+      bucketRoot: String, ckptDir: String, flaggedDir: String,
+      grow: Boolean, timeoutMs: Long = 300000): Unit = {
+    val q = bandsOver(
+      s.readStream.schema(incomingSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bands: DataFrame, batchId: Long) =>
+        val buckets = s.read.parquet(bucketRoot)
+          .filter(col("ingest_batch") < batchId)
+        val flagged = flaggedAgainst(buckets, bands).persist()
+        try {
+          flagged.write.mode("append").parquet(flaggedDir)
+          if (grow) {
+            bands.join(flagged, Seq("doc_id"), "left_anti")
+              .select("doc_id", "band", "sig")
+              .write.mode("overwrite")
+              .parquet(s"$bucketRoot/ingest_batch=$batchId")
+          }
+        } finally flagged.unpersist()
+        ()
+      }
+      .start()
+    require(q.awaitTermination(timeoutMs),
+      "near-dup: the AvailableNow stream did not terminate")
+  }
+
   /** STREAMING near-dup against a stored corpus — the production
     * LLM-pipeline shape batch q49 does not cover: "flag each INCOMING
     * crawl doc that near-duplicates the EXISTING corpus". The corpus's
-    * LSH band buckets are persisted once (maintained incrementally by
-    * ingest in production); each micro-batch of incoming docs computes
-    * its bands statelessly ([[bandsOver]]) and LEFT-SEMI joins the
-    * bucket table — a doc sharing any band bucket with the corpus is a
-    * candidate duplicate. At 100 TB the static bucket side is
-    * corpus-sized: persist it bucketed/sorted by (band, sig) so each
-    * micro-batch joins against it without re-shuffling the corpus; the
-    * stream side is one micro-batch of new docs (tiny by comparison).
-    * State: NONE (the join is stream-static, the banding per-row) —
-    * restart-proven in StreamNearDupSpec.
+    * LSH band buckets are persisted once as the `ingest_batch=-1` seed
+    * partition of the bucket table (and, with [[runNearDup]]'s
+    * `grow = true` ingest mode, grow per-batch as surviving docs land);
+    * each micro-batch of incoming docs computes its bands statelessly
+    * ([[bandsOver]]) and its (band, sig) pairs BROADCAST into a join
+    * the corpus-sized bucket scan streams through ([[flaggedAgainst]])
+    * — a doc sharing any band bucket with the corpus is a candidate
+    * duplicate, and the corpus side crosses no exchange at any scale.
+    * State: NONE (the join is per-batch against the standing table, the
+    * banding per-row) — restart- and grow-proven in StreamNearDupSpec.
+    * This query runs the non-growing regime so the DuckDB oracle
+    * (incoming vs the fixed corpus) stays exact.
     */
   private[graft] def streamNearDup(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.load(s, d, "documents")
@@ -154,40 +224,38 @@ object SketchDedup {
     // the STANDING state of this op in production (the bucket table is
     // maintained by ingest) — cache them per source dir like the pinot
     // fixtures, so repeated runs measure the stream dedup itself, not a
-    // corpus rebuild; checkpoint + flag output stay fresh per run
-    val (bucketDir, inDir) = synchronized {
+    // corpus rebuild; checkpoint + flag output stay fresh per run.
+    // Reuse is gated on a completion SENTINEL written last (not on the
+    // root dir, which exists from the first write onward): a crash
+    // mid-build leaves no sentinel, and the next run wipes the partial
+    // cache and rebuilds instead of silently under-flagging.
+    val (bucketRoot, inDir) = synchronized {
       val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
         .replaceAll("[^a-zA-Z0-9]", "_")
       val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_neardup_v1$key")
+        sys.props("java.io.tmpdir"), s"graft_neardup_v2$key")
+      val sentinel = root.resolve("_graft_cache_complete")
       val b = root.resolve("corpus_buckets")
       val in = root.resolve("incoming")
-      if (!java.nio.file.Files.exists(root)) {
+      if (!java.nio.file.Files.exists(sentinel)) {
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
         val corpus = docs.filter(col("doc_id") % 10 < 8)
-        bandsOver(corpus).write.mode("overwrite").parquet(b.toString)
+        bandsOver(corpus).write.mode("overwrite")
+          .parquet(b.resolve("ingest_batch=-1").toString)
         incoming.repartition(4).write.mode("overwrite").parquet(in.toString)
+        java.nio.file.Files.createFile(sentinel)
       }
       (b.toString, in.toString)
     }
-    val buckets = s.read.parquet(bucketDir)
     val work = java.nio.file.Files.createTempDirectory("q172_neardup")
     val flaggedDir = work.resolve("flagged").toString
     incoming.select("doc_id").limit(0).write.parquet(flaggedDir) // schema seed
-    val q = bandsOver(
-      s.readStream.schema(incoming.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir))
-      .join(buckets, Seq("band", "sig"), "left_semi")
-      .select("doc_id")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(flaggedDir)
-      }
-      .start()
-    require(q.awaitTermination(300000),
-      "q172: the AvailableNow near-dup stream did not terminate")
+    runNearDup(s, inDir, incoming.schema, bucketRoot,
+      work.resolve("ckpt").toString, flaggedDir, grow = false)
     val flagged = s.read.parquet(flaggedDir).distinct()
       .withColumnRenamed("doc_id", "f_id")
     incoming.select(col("doc_id"))

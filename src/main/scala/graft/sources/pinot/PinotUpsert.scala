@@ -420,8 +420,13 @@ object PinotUpsert {
         ()
       }
     }
-    graft.pinot.PinotCompact.clearSwapMarker(root)
+    // tmp-table cleanup BEFORE the marker clears: a crash between the
+    // two leaves the marker, so the next open fails loudly and names the
+    // already-completed swap — whereas clearing first could strand a
+    // full sibling copy of the table on disk with no signal, reclaimed
+    // only if another compaction of the same table ever runs
     graft.pinot.PinotCompact.deleteRecursively(tmpTable)
+    graft.pinot.PinotCompact.clearSwapMarker(root)
     graft.pinot.TableManifest.refresh(root)
   }
 
