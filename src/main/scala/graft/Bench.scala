@@ -92,12 +92,18 @@ object Bench {
     val calMtBefore = Calibrate.runParallel(nProbeThreads)
 
     // The full surface in declared order: headline first, rest sorted.
-    val surface: Seq[(String, (SparkSession, String) => DataFrame)] =
+    val fullSurface: Seq[(String, (SparkSession, String) => DataFrame)] =
       Headline.map(n =>
         n -> headlineVariant.getOrElse(n, SparkEntry.queries(n))) ++
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filterNot { case (n, _) => Headline.contains(n) }
           .map { case (n, f) => n -> headlineVariant.getOrElse(n, f) }
+    // Dev-only subset filter for profiling single queries
+    // (SPARK_GRAFT_ONLY=q113_png_resize,q114_png_frames); the driver
+    // never sets it, so driver artifacts always cover the whole surface.
+    val surface = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(fullSurface)(only => fullSurface.filter(p => only(p._1)))
 
     val sweepT0 = System.nanoTime()
     // Interleaved contention probes: the same fixed-work single-thread
@@ -296,7 +302,8 @@ object Bench {
       }
     }
 
-    val headlineTotal = Headline.map(results(_)).filter(_ >= 0).sum
+    val headlineTotal = Headline.filter(results.contains)
+      .map(results(_)).filter(_ >= 0).sum
     // The driver captures only the TAIL of the run output; round 2's
     // full-name 4-decimal line (+jvm block) outgrew that window and the
     // JSON never parsed. The printed line uses short `qNN` keys (the

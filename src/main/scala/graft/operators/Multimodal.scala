@@ -107,20 +107,99 @@ object Multimodal {
     * EVERY call — per-row that cost dominates the actual codec
     * (~5000 images cost ~1.5 s; amortized, ~0.1 s).
     */
+  /** A reusable, seekable, in-heap ImageIO stream over one growable
+    * byte array — both halves of the codec round-trip in a single
+    * zero-copy buffer. The JDK's own adapters
+    * (`MemoryCacheImageOutput/InputStream` + a fresh
+    * `ByteArrayOutput/InputStream` pair) allocate a block-cache list and
+    * two array copies PER CALL; at ~1M round-trips per sf1 run that
+    * allocation churn is GC time that grows with data volume (q113's
+    * super-linear 0.1→1 exponent flagged r13–r15). One instance per
+    * partition, reset per image, amortizes to zero steady-state
+    * allocation for the stream machinery.
+    */
+  private final class ByteArrayImageStream
+      extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0
+
+    /** Start a fresh image in the same buffer. */
+    def rewindForWrite(): Unit = { len = 0; streamPos = 0; bitOffset = 0 }
+    /** Rewind to serve the just-written bytes as decoder input. */
+    def rewindForRead(): Unit = { streamPos = 0; bitOffset = 0 }
+    def data: Array[Byte] = buf
+    def size: Int = len
+
+    private def ensure(cap: Int): Unit =
+      if (cap > buf.length) {
+        var n = buf.length << 1
+        while (n < cap) n <<= 1
+        buf = java.util.Arrays.copyOf(buf, n)
+      }
+    override def write(b: Int): Unit = {
+      flushBits()
+      val at = streamPos.toInt
+      ensure(at + 1)
+      buf(at) = b.toByte
+      streamPos += 1
+      if (streamPos > len) len = at + 1
+    }
+    override def write(b: Array[Byte], off: Int, l: Int): Unit = {
+      flushBits()
+      val at = streamPos.toInt
+      ensure(at + l)
+      System.arraycopy(b, off, buf, at, l)
+      streamPos += l
+      if (streamPos.toInt > len) len = streamPos.toInt
+    }
+    override def read(): Int =
+      if (streamPos >= len) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (streamPos >= len) return -1
+      val n = math.min(l, len - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n
+      n
+    }
+    override def length(): Long = len.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    // flushBefore is a discard HINT; honoring it would advance
+    // flushedPos and forbid the rewind-to-0 the decode half needs.
+    // Everything stays cached in the buffer, so dropping the hint is
+    // within the ImageInputStream contract.
+    override def flushBefore(pos: Long): Unit = ()
+  }
+
   final class PngCodec {
     javax.imageio.ImageIO.setUseCache(false)
     private val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val stream = new ByteArrayImageStream
+
+    /** Encode to REAL PNG bytes and decode them back, both halves over
+      * the codec's reusable buffer — bit-identical to
+      * `decode(encode(img))` with none of the per-call stream/copy
+      * allocation. The hot path of the round-trip queries.
+      */
+    def roundTrip(img: java.awt.image.BufferedImage)
+        : java.awt.image.BufferedImage = {
+      stream.rewindForWrite()
+      writer.setOutput(stream)
+      writer.write(img)
+      stream.rewindForRead()
+      reader.setInput(stream)
+      reader.read(0)
+    }
 
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
+      stream.rewindForWrite()
+      writer.setOutput(stream)
       writer.write(img)
-      ios.close()
-      bos.toByteArray
+      java.util.Arrays.copyOf(stream.data, stream.size)
     }
 
     def decode(png: Array[Byte]): java.awt.image.BufferedImage = {
@@ -192,9 +271,9 @@ object Multimodal {
       ids.map { docId =>
         val w = 16 + (docId % 3).toInt * 8   // 16 / 24 / 32
         val h = 16 + (docId % 5).toInt * 4   // 16..32
-        val png = codec.encode(synthImage(docId, w, h)) // real payload
-        // decode side: trust only the PNG bytes
-        val (bw, bh, lum) = meanLum(codec.decode(png))
+        // encode to a real PNG payload, then trust ONLY the PNG bytes
+        // on the decode side (roundTrip = encode + decode, zero-copy)
+        val (bw, bh, lum) = meanLum(codec.roundTrip(synthImage(docId, w, h)))
         PngFeatures(docId, bw, bh, lum)
       }
     }
@@ -220,7 +299,7 @@ object Multimodal {
       ids.map { docId =>
         val w = 16 + (docId % 3).toInt * 8
         val h = 16 + (docId % 5).toInt * 4
-        val big = codec.decode(codec.encode(synthImage(docId, w, h)))
+        val big = codec.roundTrip(synthImage(docId, w, h))
         val ow = (big.getWidth + 1) / 2
         val oh = (big.getHeight + 1) / 2
         val small = new java.awt.image.BufferedImage(
@@ -236,7 +315,7 @@ object Multimodal {
           }
           y += 1
         }
-        val (bw, bh, lum) = meanLum(codec.decode(codec.encode(small)))
+        val (bw, bh, lum) = meanLum(codec.roundTrip(small))
         ResizedPng(docId, bw, bh, lum)
       }
     }
@@ -259,8 +338,8 @@ object Multimodal {
       val codec = new PngCodec
       ids.flatMap { docId =>
         Iterator.range(0, nFrames, stride).map { f =>
-          val png = codec.encode(synthImage(docId, 16, 16, salt = 7 * f))
-          val (_, _, lum) = meanLum(codec.decode(png))
+          val (_, _, lum) =
+            meanLum(codec.roundTrip(synthImage(docId, 16, 16, salt = 7 * f)))
           FrameLum(docId, f, lum)
         }
       }

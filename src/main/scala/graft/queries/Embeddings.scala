@@ -175,7 +175,8 @@ object Embeddings {
     * clusters (literal partition pruning on disk). Shared by q48 and the
     * q48b recall gate.
     */
-  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+  private def knnIvf(s: SparkSession, d: String,
+      nProbe: Int = IvfIndex.NProbe): DataFrame = {
     val idx = IvfIndex.ensure(s, d, emb(s, d))
     val cent = IvfIndex.centroids(s, idx)
     val corpus = IvfIndex.assignments(s, idx)
@@ -188,7 +189,7 @@ object Embeddings {
       .withColumn("c_sim", graft.functions.DoubleDotProduct.dotd(
         col("q_vec").cast("array<double>"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= IvfIndex.NProbe)
+      .filter(col("probe_rank") <= nProbe)
       .select("q_id", "cluster")
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
@@ -230,6 +231,16 @@ object Embeddings {
     // job runs per query. Approximate by construction → spec-checked
     // recall vs q47 instead of a SQL oracle.
     "q48_knn_ivf" -> ((s, d) => knnIvf(s, d).orderBy("q_id", "rank")),
+
+    // The IVF read path in an EXACT regime: nprobe = nlist (every
+    // cluster probed) makes IVF brute-force by construction, so the
+    // persisted-index machinery — centroid probe-ranking, the
+    // cluster-partitioned read, multi-assignment dedup — gets a
+    // hash-green DuckDB row against q47's exact oracle. q48 keeps the
+    // approximate operating point (recall-gated via q48b); this row
+    // pins that the index itself stores/reads every vector faithfully.
+    "q48c_knn_ivf_fullprobe" -> ((s, d) =>
+      knnIvf(s, d, nProbe = Int.MaxValue).orderBy("q_id", "rank")),
 
     // RECALL GATE for the approximate path (q48's one blind spot in the
     // driver artifact: ANN has no SQL oracle by construction). This
@@ -373,6 +384,28 @@ object Embeddings {
       |  list_sum(list_transform(range(1, len(qvec) + 1),
       |    i -> qvec[i] * qvec[i])) AS dotself FROM E)""".stripMargin
 
+  /** Exact cosine top-5 in DuckDB — the oracle for q47 (brute force)
+    * AND q48c (full-probe IVF, which is brute force by construction).
+    */
+  private val knnBruteSql = qvecCte +
+    """
+      |, J AS (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, len(q.qvec) + 1),
+      |      i -> q.qvec[i] * n.qvec[i])) AS dot,
+      |    q.dotself AS q_self, n.dotself AS n_self
+      |  FROM S q JOIN S n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+      |R AS (
+      |  SELECT q_id, n_id,
+      |    dot / sqrt(CAST(q_self AS DOUBLE) * n_self) AS cos_sim,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY dot / sqrt(CAST(q_self AS DOUBLE) * n_self) DESC,
+      |        n_id ASC) AS rank
+      |  FROM J)
+      |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+      |  round(cos_sim, 4) AS cos_sim
+      |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q46_cosine_pairs" -> (qvecCte +
       """
@@ -387,24 +420,11 @@ object Embeddings {
         |WHERE dot > 0 AND dot * dot * 25 >= sa * sb * 4
         |ORDER BY id_a, id_b""".stripMargin),
 
-    "q47_knn_brute" -> (qvecCte +
-      """
-        |, J AS (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    list_sum(list_transform(range(1, len(q.qvec) + 1),
-        |      i -> q.qvec[i] * n.qvec[i])) AS dot,
-        |    q.dotself AS q_self, n.dotself AS n_self
-        |  FROM S q JOIN S n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
-        |R AS (
-        |  SELECT q_id, n_id,
-        |    dot / sqrt(CAST(q_self AS DOUBLE) * n_self) AS cos_sim,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY dot / sqrt(CAST(q_self AS DOUBLE) * n_self) DESC,
-        |        n_id ASC) AS rank
-        |  FROM J)
-        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
-        |  round(cos_sim, 4) AS cos_sim
-        |FROM R WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    "q47_knn_brute" -> knnBruteSql,
+
+    // full-probe IVF ≡ brute force: the same exact oracle gates the
+    // index read path (q48 proper stays recall-gated via q48b)
+    "q48c_knn_ivf_fullprobe" -> knnBruteSql,
 
     // q48b emits a constant-when-healthy row: every output value is
     // derivable from the corpus alone PROVIDED recall@5 >= 0.95, and the

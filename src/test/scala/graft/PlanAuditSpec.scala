@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkTestBase {
   // IVF probe's 10-row × centroid cross, all broadcast-tiny
   private val intendedNestedLoop = Set(
     "q46_cosine_pairs", "q47_knn_brute", "q48_knn_ivf", "q48b_ivf_recall",
+    "q48c_knn_ivf_fullprobe", // q48's probe cross at nprobe = nlist
     "q88_gapfill", "q90_quantized_ann", "q97_mixture_weights",
     "q100_pinot_vector", "q112_cosine_pairs_blocked",
     "q128_semdedup_keeper", // q46's theta pair join feeding the keeper
