@@ -82,14 +82,17 @@ object PinotCompact {
   private[graft] def clearSwapMarker(root: String, io: SegmentIO): Unit =
     io.deleteRecursively(io.resolve(root, SwapMarkerFile))
 
-  /** Maintenance ops rewrite and swap segments with LOCAL filesystem
-    * calls (the segment writer is local by design — minion-style,
-    * like Pinot's). On a URI-schemed path (`hdfs://`, `s3a://`, even
-    * `file://`) those calls would land in a relative local directory
-    * named after the scheme while the REAL table stays untouched — a
-    * silent no-op that still reports success. Reject loudly BEFORE any
-    * work instead: run maintenance against a locally mounted copy and
-    * upload the result (distcp -p preserves the manifest stamps).
+  /** The STILL-LOCAL maintenance ops ([[convert]] and the Spark-side
+    * upsert compaction, whose rewrites go through the local DSv2 write
+    * path) swap segments with LOCAL filesystem calls. On a URI-schemed
+    * path (`hdfs://`, `s3a://`, even `file://`) those calls would land
+    * in a relative local directory named after the scheme while the
+    * REAL table stays untouched — a silent no-op that still reports
+    * success. Reject loudly BEFORE any work instead: run those against
+    * a locally mounted copy and upload the result (distcp -p preserves
+    * the manifest stamps). [[compact]], [[rollup]] and
+    * [[purgeOlderThan]] route through [[SegmentIO]] instead (r16) and
+    * operate remotely in place.
     */
   private[graft] def requireLocal(op: String, tableDir: String): Unit =
     if (SegmentIO.hasUriScheme(tableDir))
@@ -236,6 +239,35 @@ object PinotCompact {
     } finally walk.close()
   }
 
+  /** Upload a locally-staged rewritten segment, verify it THROUGH the
+    * remote stack, then marker-guarded-swap it in for `oldSegDirs` —
+    * the remote ending shared by [[compact]] and [[rollup]]. Nothing is
+    * deleted before the read-back verification passes.
+    */
+  private def remoteSwapIn(tableDir: String, io: SegmentIO, staged: Path,
+      mergedName: String, op: String, expectDocs: Int,
+      oldSegDirs: Seq[String]): Path = {
+    val remoteTmp = io.resolve(tableDir, s"tmp_${op}_$mergedName")
+    uploadTree(staged, remoteTmp, io)
+    // read-back verification THROUGH the remote stack before anything
+    // is deleted: a partial/corrupt upload aborts here, table untouched
+    val rb = SegmentReader.open(remoteTmp, io)
+    try require(rb.totalDocs == expectDocs,
+      s"$op: remote read-back of $remoteTmp saw ${rb.totalDocs} " +
+        s"docs, expected $expectDocs — aborting before the swap")
+    finally rb.close()
+    writeSwapMarker(tableDir, op, remoteTmp, io)
+    oldSegDirs.foreach(io.deleteRecursively)
+    val visible = io.resolve(tableDir, mergedName)
+    io.rename(remoteTmp, visible)
+    // the table manifest is rebuilt by LOCAL writers only; a stale one
+    // self-invalidates against the post-swap listing, but deleting it
+    // here saves the next open even the failed validation read
+    io.deleteRecursively(io.resolve(tableDir, TableManifest.FileName))
+    clearSwapMarker(tableDir, io)
+    Paths.get(visible)
+  }
+
   private def compactRemote(tableDir: String, io: SegmentIO): Path = {
     val segDirs = graft.sources.pinot.PinotSegments.discoverDirs(tableDir, io)
       .map(p => if (io.fileName(p) == "v3") io.parent(p) else p)
@@ -247,25 +279,8 @@ object PinotCompact {
     try {
       val dest = staging.resolve("merged")
       val (mergedName, totalDocs) = writeMerged(dest, readers)
-      val remoteTmp = io.resolve(tableDir, s"tmp_compact_$mergedName")
-      uploadTree(dest, remoteTmp, io)
-      // read-back verification THROUGH the remote stack before anything
-      // is deleted: a partial/corrupt upload aborts here, table untouched
-      val rb = SegmentReader.open(remoteTmp, io)
-      try require(rb.totalDocs == totalDocs,
-        s"compact: remote read-back of $remoteTmp saw ${rb.totalDocs} " +
-          s"docs, expected $totalDocs — aborting before the swap")
-      finally rb.close()
-      writeSwapMarker(tableDir, "compact", remoteTmp, io)
-      segDirs.foreach(io.deleteRecursively)
-      val visible = io.resolve(tableDir, mergedName)
-      io.rename(remoteTmp, visible)
-      // the table manifest is rebuilt by LOCAL writers only; a stale one
-      // self-invalidates against the post-swap listing, but deleting it
-      // here saves the next open even the failed validation read
-      io.deleteRecursively(io.resolve(tableDir, TableManifest.FileName))
-      clearSwapMarker(tableDir, io)
-      Paths.get(visible)
+      remoteSwapIn(tableDir, io, dest, mergedName, "compact", totalDocs,
+        segDirs)
     } finally deleteRecursively(staging)
   }
 
@@ -331,10 +346,13 @@ object PinotCompact {
   def rollup(tableDir: String, dims: Seq[String],
       metrics: Seq[String],
       sketchMetrics: Map[String, String] = Map.empty): Path = {
-    requireLocal("rollup", tableDir)
-    val root = Paths.get(tableDir)
-    val segDirs = segmentDirs(tableDir)
-    val readers = segDirs.map(d => SegmentReader.open(d))
+    // remote-capable like compact (r16): URI-schemed tables roll up via
+    // remote read → local staging → upload → read-back → marker swap
+    val io = SegmentIO.forPath(tableDir)
+    val segDirs =
+      graft.sources.pinot.PinotSegments.discoverDirs(tableDir, io)
+        .map(p => if (io.fileName(p) == "v3") io.parent(p) else p)
+    val readers = segDirs.map(d => SegmentReader.open(d, io))
     val metas = readers.map(_.metadata)
     val first = metas.head
     val colNames = first.columns.keys.toSeq
@@ -482,23 +500,37 @@ object PinotCompact {
     val rangeCols = colNames.filter(c =>
       dims.contains(c) && metas.forall(_.columns(c).hasRangeIndex)).toSet
     val mergedName = s"rollup_${first.tableName}_0"
-    val tmp = root.resolve(s"tmp_rollup_$mergedName")
-    SegmentWriter.write(tmp, first.tableName, mergedName, rolled,
-      invertedCols, Map.empty, first.timeColumn.filter(dims.contains),
-      bloomCols = bloomCols, rangeCols = rangeCols, textCols = rollTextCols,
-      textAnalyzers = rollTextAnalyzers)
-    val check = SegmentReader.open(tmp)
-    try require(check.totalDocs == order.length,
-      "rollup: merged group count mismatch")
-    finally check.close()
-    writeSwapMarker(root, "rollup", tmp)
-    segDirs.foreach(d => deleteRecursively(d))
-    val visible = root.resolve(mergedName)
-    Files.move(tmp, visible)
-    clearSwapMarker(root)
-    // logged best-effort manifest rebuild — stale manifests self-invalidate
-    TableManifest.refresh(root)
-    visible
+    def writeRolled(dest: Path): Unit = {
+      SegmentWriter.write(dest, first.tableName, mergedName, rolled,
+        invertedCols, Map.empty, first.timeColumn.filter(dims.contains),
+        bloomCols = bloomCols, rangeCols = rangeCols, textCols = rollTextCols,
+        textAnalyzers = rollTextAnalyzers)
+      val check = SegmentReader.open(dest)
+      try require(check.totalDocs == order.length,
+        "rollup: merged group count mismatch")
+      finally check.close()
+    }
+    if (io ne LocalSegmentIO) {
+      val staging = Files.createTempDirectory("pinot_rollup_remote")
+      try {
+        val dest = staging.resolve("rolled")
+        writeRolled(dest)
+        remoteSwapIn(tableDir, io, dest, mergedName, "rollup",
+          order.length, segDirs)
+      } finally deleteRecursively(staging)
+    } else {
+      val root = Paths.get(tableDir)
+      val tmp = root.resolve(s"tmp_rollup_$mergedName")
+      writeRolled(tmp)
+      writeSwapMarker(root, "rollup", tmp)
+      segDirs.foreach(d => deleteRecursively(Paths.get(d)))
+      val visible = root.resolve(mergedName)
+      Files.move(tmp, visible)
+      clearSwapMarker(root)
+      // logged best-effort manifest rebuild — stale manifests self-invalidate
+      TableManifest.refresh(root)
+      visible
+    }
   }
 
   /** Retention purge (EXTENSION — Pinot's RetentionManager): delete

@@ -200,6 +200,111 @@ object SketchDedup {
       "near-dup: the AvailableNow stream did not terminate")
   }
 
+  /** The standing near-dup fixture, cached per source dir: the corpus's
+    * band buckets as the bucket table's `ingest_batch=-1` seed
+    * partition, the incoming docs landed as 4 parquet files (the
+    * micro-batch feed), and the SAME incoming docs split into 4 WAVE
+    * files by `doc_id % 4` with strictly increasing mtimes — file-source
+    * streaming orders files by modification time, so with
+    * maxFilesPerTrigger=1 wave k IS batch k deterministically, which is
+    * what lets the growing regime (q175) carry a sequential DuckDB
+    * oracle. Reuse is gated on a completion SENTINEL written last (not
+    * on the root dir, which exists from the first write onward): a
+    * crash mid-build leaves no sentinel, and the next run wipes the
+    * partial cache and rebuilds instead of silently under-flagging.
+    */
+  private def fixture(s: SparkSession, d: String, docs: DataFrame,
+      incoming: DataFrame): (String, String, String) = synchronized {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_neardup_v3$key")
+    val sentinel = root.resolve("_graft_cache_complete")
+    val b = root.resolve("corpus_buckets")
+    val in = root.resolve("incoming")
+    val waves = root.resolve("incoming_waves")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      bandsOver(corpus).write.mode("overwrite")
+        .parquet(b.resolve("ingest_batch=-1").toString)
+      incoming.repartition(4).write.mode("overwrite").parquet(in.toString)
+      java.nio.file.Files.createDirectories(waves)
+      val t0 = java.nio.file.Files.getLastModifiedTime(in).toMillis
+      (0 until 4).foreach { k =>
+        val stage = root.resolve(s"wave_stage_$k")
+        incoming.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = {
+          import scala.jdk.CollectionConverters._
+          val ls = java.nio.file.Files.list(stage)
+          try ls.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally ls.close()
+        }
+        val dest = waves.resolve(f"wave_$k%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + k * 2000L))
+        graft.pinot.PinotCompact.deleteRecursively(stage)
+      }
+      java.nio.file.Files.createFile(sentinel)
+    }
+    (b.toString, in.toString, waves.toString)
+  }
+
+  /** Copy the seed bucket partition into a run-private bucket table —
+    * the growing regime MUTATES its table, so runs must not share it.
+    */
+  private def copySeedBuckets(base: String, dest: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(base)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val to = dest.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(to)
+      else java.nio.file.Files.copy(p, to)
+      ()
+    } finally walk.close()
+  }
+
+  /** STREAMING near-dup with the GROWING corpus (the production ingest
+    * regime; q172's fixed-corpus twin): each wave's survivors join the
+    * bucket table before the next wave arrives, so wave k dedups
+    * against the seed corpus PLUS the survivors of waves < k — and
+    * nothing else (flagged docs never enter the table; docs within one
+    * wave never see each other). Wave→batch order is deterministic (see
+    * [[fixture]]), so the DuckDB oracle replays the same four-step
+    * sequence with chained CTEs. The bucket table is copied per run
+    * from the cached seed (the run mutates it); the stream itself is
+    * the same checkpointed AvailableNow pipeline as q172 with
+    * `grow = true`.
+    */
+  private[graft] def streamNearDupGrow(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.load(s, d, "documents")
+    val incoming = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+    val (seedBuckets, _, wavesDir) = fixture(s, d, docs, incoming)
+    val work = java.nio.file.Files.createTempDirectory("q175_neardup")
+    val bucketRoot = work.resolve("buckets")
+    copySeedBuckets(seedBuckets, bucketRoot)
+    val flaggedDir = work.resolve("flagged").toString
+    incoming.select("doc_id").limit(0).write.parquet(flaggedDir) // schema seed
+    runNearDup(s, wavesDir, incoming.schema, bucketRoot.toString,
+      work.resolve("ckpt").toString, flaggedDir, grow = true)
+    val flagged = s.read.parquet(flaggedDir).distinct()
+      .withColumnRenamed("doc_id", "f_id")
+    incoming.select(col("doc_id"))
+      .join(flagged, col("doc_id") === col("f_id"), "left")
+      .select(col("doc_id"), col("f_id").isNotNull.as("near_dup"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING near-dup against a stored corpus — the production
     * LLM-pipeline shape batch q49 does not cover: "flag each INCOMING
     * crawl doc that near-duplicates the EXISTING corpus". The corpus's
@@ -229,28 +334,7 @@ object SketchDedup {
     // root dir, which exists from the first write onward): a crash
     // mid-build leaves no sentinel, and the next run wipes the partial
     // cache and rebuilds instead of silently under-flagging.
-    val (bucketRoot, inDir) = synchronized {
-      val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_neardup_v2$key")
-      val sentinel = root.resolve("_graft_cache_complete")
-      val b = root.resolve("corpus_buckets")
-      val in = root.resolve("incoming")
-      if (!java.nio.file.Files.exists(sentinel)) {
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
-        val corpus = docs.filter(col("doc_id") % 10 < 8)
-        bandsOver(corpus).write.mode("overwrite")
-          .parquet(b.resolve("ingest_batch=-1").toString)
-        incoming.repartition(4).write.mode("overwrite").parquet(in.toString)
-        java.nio.file.Files.createFile(sentinel)
-      }
-      (b.toString, in.toString)
-    }
+    val (bucketRoot, inDir, _) = fixture(s, d, docs, incoming)
     val work = java.nio.file.Files.createTempDirectory("q172_neardup")
     val flaggedDir = work.resolve("flagged").toString
     incoming.select("doc_id").limit(0).write.parquet(flaggedDir) // schema seed
@@ -276,6 +360,12 @@ object SketchDedup {
     // left-semi join, drained AvailableNow. The DuckDB oracle recomputes
     // the same md5 permutation family over both sides.
     "q172_stream_neardup_corpus" -> ((s, d) => streamNearDup(s, d)),
+
+    // The GROWING-corpus regime (production ingest): four deterministic
+    // incoming waves drain through the same checkpointed stream with
+    // grow = true — wave k is flagged against the seed corpus plus the
+    // SURVIVORS of waves < k; the oracle replays the sequence in DuckDB.
+    "q175_stream_neardup_grow" -> ((s, d) => streamNearDupGrow(s, d)),
 
     // SimHash: 64-bit sign-aggregated token hash; banded bucket join;
     // near-dups = hamming distance <= 7. Token hashes come from the
@@ -357,6 +447,56 @@ object SketchDedup {
         |flag AS (SELECT DISTINCT a.doc_id FROM bd a JOIN bd c
         |         ON a.band = c.band AND a.sig = c.sig
         |         WHERE a.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)
+        |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS near_dup
+        |FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id % 10 >= 8
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the growing regime replayed sequentially: wave k (doc_id % 4 = k
+    // of the incoming docs) flags against corpus bands ∪ the bands of
+    // SURVIVING docs of waves < k — four chained steps, matching the
+    // deterministic wave→batch order of the fixture
+    "q175_stream_neardup_grow" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(words) - 1),
+        |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+        |         AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |ab AS (SELECT doc_id, shingle,
+        |         (CAST(concat('0x', substr(md5(shingle), 1, 13)) AS BIGINT)
+        |          + CAST(concat('0x', substr(md5(shingle), 14, 13)) AS BIGINT))
+        |           % 2147483647 AS x
+        |       FROM sh),
+        |pm AS (SELECT doc_id, i,
+        |         min(((1 + ((i + 1) * 1013904223) % 2147483646) * x
+        |              + (i * 2654435761) % 2147483647) % 2147483647) AS mv
+        |       FROM ab CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS sig
+        |       FROM pm GROUP BY doc_id, i // 4),
+        |inc AS (SELECT doc_id, band, sig FROM bd WHERE doc_id % 10 >= 8),
+        |b0 AS (SELECT band, sig FROM bd WHERE doc_id % 10 < 8),
+        |f0 AS (SELECT DISTINCT i.doc_id FROM inc i JOIN b0 USING (band, sig)
+        |       WHERE i.doc_id % 4 = 0),
+        |b1 AS (SELECT band, sig FROM b0 UNION ALL
+        |       SELECT band, sig FROM inc WHERE doc_id % 4 = 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM f0)),
+        |f1 AS (SELECT DISTINCT i.doc_id FROM inc i JOIN b1 USING (band, sig)
+        |       WHERE i.doc_id % 4 = 1),
+        |b2 AS (SELECT band, sig FROM b1 UNION ALL
+        |       SELECT band, sig FROM inc WHERE doc_id % 4 = 1
+        |         AND doc_id NOT IN (SELECT doc_id FROM f1)),
+        |f2 AS (SELECT DISTINCT i.doc_id FROM inc i JOIN b2 USING (band, sig)
+        |       WHERE i.doc_id % 4 = 2),
+        |b3 AS (SELECT band, sig FROM b2 UNION ALL
+        |       SELECT band, sig FROM inc WHERE doc_id % 4 = 2
+        |         AND doc_id NOT IN (SELECT doc_id FROM f2)),
+        |f3 AS (SELECT DISTINCT i.doc_id FROM inc i JOIN b3 USING (band, sig)
+        |       WHERE i.doc_id % 4 = 3),
+        |flag AS (SELECT doc_id FROM f0 UNION SELECT doc_id FROM f1
+        |         UNION SELECT doc_id FROM f2 UNION SELECT doc_id FROM f3)
         |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS near_dup
         |FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
         |WHERE d.doc_id % 10 >= 8

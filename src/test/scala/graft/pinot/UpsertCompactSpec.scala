@@ -26,8 +26,9 @@ class UpsertCompactSpec extends SparkTestBase {
     // table they would land in a LOCAL `hdfs:…` dir, delete nothing, and
     // report success with the real table untouched. `file:` routes
     // through HadoopSegmentIO exactly like hdfs:// and drives the guard.
-    // (compact + purgeOlderThan went remote-capable in r16 — covered by
-    // the next test; the ops below still require a local mount.)
+    // (compact, rollup + purgeOlderThan went remote-capable in r16 —
+    // covered by the next test; the ops below still require a local
+    // mount.)
     val dir = freshTable("ucremote")
     Seq((1L, 1L, "a", false), (1L, 2L, "b", false))
       .toDF("k", "ver", "payload", "gone")
@@ -43,7 +44,6 @@ class UpsertCompactSpec extends SparkTestBase {
         s"expected the loud remote rejection, got: $ex")
     }
     rejects(PinotUpsert.compact(spark, uri))
-    rejects(PinotCompact.rollup(uri, Seq("k"), Seq("ver")))
     rejects(PinotCompact.convert(uri, dir + "_conv", 1))
     // the table is untouched: both raw versions still there
     assert(rawCount(dir) === 2)
@@ -86,6 +86,27 @@ class UpsertCompactSpec extends SparkTestBase {
     val r = SegmentReader.open(segDirsAfter.head)
     try assert(r.metadata.columns("tag").hasInvertedIndex)
     finally r.close()
+
+    // remote rollup: the same seam — 600 rows roll up to the 5 distinct
+    // tags with exact summed ids; indexes on the dim survive
+    val dirR = java.nio.file.Files.createTempDirectory("remote_rollup")
+      .resolve("rr_OFFLINE").toString
+    (0 until 2).foreach { seg =>
+      (0 until 100).map(i => (s"tag${i % 5}", 1L))
+        .toDF("tag", "hits").repartition(1)
+        .write.format("pinot").mode("append")
+        .option("invertedIndexColumns", "tag").save(dirR)
+    }
+    val rolled = PinotCompact.rollup("file:" + dirR,
+      dims = Seq("tag"), metrics = Seq("hits"))
+    assert(rolled.toString.endsWith("rollup_rr_0"))
+    val rdf = spark.read.format("pinot").load(dirR)
+    assert(rdf.count() === 5)
+    assert(rdf.agg(sum("hits")).head.getLong(0) === 200L)
+    val rr = SegmentReader.open(
+      graft.sources.pinot.PinotSegments.discover(dirR).head)
+    try assert(rr.metadata.columns("tag").hasInvertedIndex)
+    finally rr.close()
 
     // remote retention purge: rebuild the 3-day shape, expire day 0
     val dir2 = java.nio.file.Files.createTempDirectory("remote_purge")
