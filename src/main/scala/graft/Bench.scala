@@ -392,8 +392,12 @@ object Bench {
       .mkString("{", ",", "}")
     val sfTag = sfDir.split('/').filter(_.nonEmpty)
       .lastOption.getOrElse(sfDir)
+    // "total" not "headline_total": the 9 chars matter — at 177
+    // q-prefixed queries the line sits ~15 chars under the capture
+    // window, and per-query values gaining a digit on a slow box is
+    // exactly the margin this buys back
     val headlineLine =
-      s"""{"metric":"headline_total","value":${math.round(headlineTotal * 1000)},"unit":"ms","queries":$qsMs,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${math.round(headlineTotal * 1000)},"unit":"ms","queries":$qsMs,"sf":"$sfTag"}"""
     if (headlineLine.length > 1900)
       System.err.println(s"[bench] WARNING: printed line is " +
         s"${headlineLine.length} chars — may overflow the driver's " +

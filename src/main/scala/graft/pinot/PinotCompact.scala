@@ -227,7 +227,7 @@ object PinotCompact {
   /** Every regular file under `localDir`, uploaded to `remoteDir`
     * through the seam ('/'-relative layout preserved).
     */
-  private def uploadTree(localDir: Path, remoteDir: String,
+  private[graft] def uploadTree(localDir: Path, remoteDir: String,
       io: SegmentIO): Unit = {
     val walk = Files.walk(localDir)
     try {

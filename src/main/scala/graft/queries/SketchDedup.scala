@@ -167,7 +167,11 @@ object SketchDedup {
     * own bands; the partition write is mode-overwrite on a
     * batchId-keyed directory, so the retry replaces it byte-for-byte.
     * (Flag re-appends on retry only duplicate rows — the reader
-    * distincts.)
+    * distincts.) Long-running ingest accretes one partition dir per
+    * batch; production bounds that by periodically folding the
+    * `ingest_batch>=0` partitions into the seed partition between
+    * stream runs (a plain parquet rewrite while no stream holds the
+    * table) — the read path is layout-agnostic either way.
     */
   private[graft] def runNearDup(s: SparkSession, inDir: String,
       incomingSchema: org.apache.spark.sql.types.StructType,

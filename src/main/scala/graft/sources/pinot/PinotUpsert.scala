@@ -321,12 +321,11 @@ object PinotUpsert {
     * single-process like all graft maintenance ops.
     */
   def compact(s: SparkSession, tableDir: String): Unit = {
-    // the rewrite + swap below run on local NIO: reject remote paths
-    // loudly BEFORE any work (a hdfs:// table would otherwise rewrite
-    // into a LOCAL `hdfs:…` directory, delete nothing, pass the count
-    // check against its own tmp output, and report success with the
-    // real table untouched)
-    graft.pinot.PinotCompact.requireLocal("upsert compaction", tableDir)
+    // remote-capable (r16): the Spark rewrite always lands in a LOCAL
+    // staging table (the DSv2 writer is local by design); for a
+    // URI-schemed table the verified staging segments then upload
+    // through the SegmentIO seam and swap in under the same marker
+    // protocol — the pre-r16 loud reject is gone
     val cfg = config(tableDir)
     val raw = s.read.format("pinot").option("upsertView", "raw")
       .load(tableDir)
@@ -383,9 +382,19 @@ object PinotUpsert {
     }
 
     val expect = kept.count()
-    val root = java.nio.file.Paths.get(tableDir)
-    val tmpTable = root.resolveSibling(
-      root.getFileName.toString + ".upsert_compact_tmp")
+    val remote = io ne graft.pinot.LocalSegmentIO
+    // the rewrite ALWAYS lands in a local staging table first (the DSv2
+    // writer is local); for a local table that staging doubles as the
+    // swap-in tmp sibling, for a remote one it is a temp dir whose
+    // verified segments upload through the seam
+    val tmpTable =
+      if (remote)
+        java.nio.file.Files.createTempDirectory("upsert_compact_remote")
+          .resolve(io.fileName(tableDir))
+      else {
+        val root = java.nio.file.Paths.get(tableDir)
+        root.resolveSibling(root.getFileName.toString + ".upsert_compact_tmp")
+      }
     graft.pinot.PinotCompact.deleteRecursively(tmpTable)
     val w = kept.write.format("pinot").mode("append")
     opt(w, "invertedIndexColumns", unanimous(_.hasInvertedIndex))
@@ -398,36 +407,85 @@ object PinotUpsert {
     metas.head.timeColumn.foreach(tc => w.option("timeColumn", tc))
     w.save(tmpTable.toString)
     val written = PinotSegments
-      .discoverDirs(tmpTable.toString, SegmentIO.forPath(tmpTable.toString))
-      .map(d => PinotSegments.metaOf(d, io).totalDocs.toLong).sum
+      .discoverDirs(tmpTable.toString, graft.pinot.LocalSegmentIO)
+      .map(d => PinotSegments.metaOf(d, graft.pinot.LocalSegmentIO)
+        .totalDocs.toLong).sum
     require(written == expect,
       s"upsert compaction of $tableDir: wrote $written rows, expected " +
         s"$expect — aborting before the swap")
-    // minion-style swap: old segments out, compacted segments in;
-    // upsert.properties stays (the table remains upsert-configured).
-    // Marker-guarded: a crash inside the window fails the NEXT open
-    // loudly instead of serving partial segments (rows recoverable
-    // from the tmp table)
-    graft.pinot.PinotCompact.writeSwapMarker(root, "upsert-compact",
-      tmpTable)
-    segs.map(p => java.nio.file.Paths.get(p))
-      .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
-      .foreach(graft.pinot.PinotCompact.deleteRecursively)
-    java.nio.file.Files.list(tmpTable).forEach { child =>
-      if (java.nio.file.Files.isDirectory(child)) {
-        java.nio.file.Files.move(child,
-          root.resolve(child.getFileName.toString))
-        ()
+    if (remote) {
+      try remoteUpsertSwap(tableDir, io, tmpTable, segs, expect)
+      finally graft.pinot.PinotCompact.deleteRecursively(tmpTable.getParent)
+    } else {
+      val root = java.nio.file.Paths.get(tableDir)
+      // minion-style swap: old segments out, compacted segments in;
+      // upsert.properties stays (the table remains upsert-configured).
+      // Marker-guarded: a crash inside the window fails the NEXT open
+      // loudly instead of serving partial segments (rows recoverable
+      // from the tmp table)
+      graft.pinot.PinotCompact.writeSwapMarker(root, "upsert-compact",
+        tmpTable)
+      segs.map(p => java.nio.file.Paths.get(p))
+        .map(p => if (p.getFileName.toString == "v3") p.getParent else p)
+        .foreach(graft.pinot.PinotCompact.deleteRecursively)
+      java.nio.file.Files.list(tmpTable).forEach { child =>
+        if (java.nio.file.Files.isDirectory(child)) {
+          java.nio.file.Files.move(child,
+            root.resolve(child.getFileName.toString))
+          ()
+        }
       }
+      // tmp-table cleanup BEFORE the marker clears: a crash between the
+      // two leaves the marker, so the next open fails loudly and names the
+      // already-completed swap — whereas clearing first could strand a
+      // full sibling copy of the table on disk with no signal, reclaimed
+      // only if another compaction of the same table ever runs
+      graft.pinot.PinotCompact.deleteRecursively(tmpTable)
+      graft.pinot.PinotCompact.clearSwapMarker(root)
+      graft.pinot.TableManifest.refresh(root)
     }
-    // tmp-table cleanup BEFORE the marker clears: a crash between the
-    // two leaves the marker, so the next open fails loudly and names the
-    // already-completed swap — whereas clearing first could strand a
-    // full sibling copy of the table on disk with no signal, reclaimed
-    // only if another compaction of the same table ever runs
-    graft.pinot.PinotCompact.deleteRecursively(tmpTable)
-    graft.pinot.PinotCompact.clearSwapMarker(root)
-    graft.pinot.TableManifest.refresh(root)
+  }
+
+  /** Upload the locally staged compacted table and swap it into a
+    * REMOTE upsert table: every staged segment dir lands under ONE
+    * discovery-invisible `tmp_upsert_compact` remote dir, the total doc
+    * count is re-verified THROUGH the remote stack, and only then does
+    * the marker-guarded swap delete the old segments and rename the new
+    * ones in. `upsert.properties` at the table root is never touched.
+    */
+  private def remoteUpsertSwap(tableDir: String, io: SegmentIO,
+      staging: java.nio.file.Path, oldSegs: Seq[String],
+      expect: Long): Unit = {
+    val remoteTmp = io.resolve(tableDir, "tmp_upsert_compact")
+    io.deleteRecursively(remoteTmp)
+    val stagedSegs = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(staging)
+      try ls.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_)).toSeq
+      finally ls.close()
+    }
+    stagedSegs.foreach { d =>
+      graft.pinot.PinotCompact.uploadTree(d,
+        io.resolve(remoteTmp, d.getFileName.toString), io)
+    }
+    // read-back verification THROUGH the remote stack before any delete
+    val readBack = PinotSegments.discoverDirs(remoteTmp, io)
+      .map(d => PinotSegments.metaOf(d, io).totalDocs.toLong).sum
+    require(readBack == expect,
+      s"upsert compaction of $tableDir: remote read-back saw $readBack " +
+        s"rows, expected $expect — aborting before the swap")
+    graft.pinot.PinotCompact.writeSwapMarker(tableDir, "upsert-compact",
+      remoteTmp, io)
+    oldSegs.map(p => if (io.fileName(p) == "v3") io.parent(p) else p)
+      .foreach(io.deleteRecursively)
+    io.listAll(remoteTmp).filter(io.isDirectory).foreach { child =>
+      io.rename(child, io.resolve(tableDir, io.fileName(child)))
+    }
+    io.deleteRecursively(
+      io.resolve(tableDir, graft.pinot.TableManifest.FileName))
+    io.deleteRecursively(remoteTmp)
+    graft.pinot.PinotCompact.clearSwapMarker(tableDir, io)
   }
 
   /** The STREAMING upsert view over the Pinot tail — how Pinot's

@@ -21,32 +21,43 @@ class UpsertCompactSpec extends SparkTestBase {
   private def rawCount(dir: String): Long =
     spark.read.format("pinot").option("upsertView", "raw").load(dir).count()
 
-  test("still-local maintenance ops loudly reject URI-schemed (remote) table paths before any work") {
-    // r14 VERDICT #1: these rewrites swap with local NIO — on an hdfs://
-    // table they would land in a LOCAL `hdfs:…` dir, delete nothing, and
-    // report success with the real table untouched. `file:` routes
-    // through HadoopSegmentIO exactly like hdfs:// and drives the guard.
-    // (compact, rollup + purgeOlderThan went remote-capable in r16 —
-    // covered by the next test; the ops below still require a local
-    // mount.)
+  test("upsert compaction operates on URI-schemed tables; convert still rejects loudly") {
+    // r14 VERDICT #1 introduced the loud remote reject (a hdfs:// table
+    // would have rewritten into a LOCAL `hdfs:…` dir and reported
+    // success); r16 lifts it for upsert compaction — local staging
+    // rewrite, tree upload, remote read-back, marker-guarded swap.
+    // `file:` routes through HadoopSegmentIO exactly like hdfs://.
     val dir = freshTable("ucremote")
-    Seq((1L, 1L, "a", false), (1L, 2L, "b", false))
+    Seq((1L, 1L, "a", false), (1L, 2L, "b", false), (2L, 1L, "c", true))
       .toDF("k", "ver", "payload", "gone")
+      .coalesce(1).write.format("pinot").mode("append").save(dir)
+    Seq((1L, 3L, "a3", false)).toDF("k", "ver", "payload", "gone")
       .coalesce(1).write.format("pinot").mode("append").save(dir)
     PinotUpsert.configure(dir, Seq("k"), "ver", deleteCol = Some("gone"))
     val uri = "file:" + dir
-    // readable through the Hadoop stack (the view works remotely)…
     assert(spark.read.format("pinot").load(uri).count() === 1)
-    // …but the local-only maintenance ops reject BEFORE mutating anything
+    val viewBefore = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    PinotUpsert.compact(spark, uri)
+    // view identical; raw shrank to one face per key (winner + key 2's
+    // retained tombstone); marker cleared; tmp dir gone
+    val after = spark.read.format("pinot").load(dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    assert(after === viewBefore, "remote compaction changed the view")
+    assert(rawCount(dir) === 2)
+    val root = java.nio.file.Paths.get(dir)
+    assert(!java.nio.file.Files.exists(
+      root.resolve(PinotCompact.SwapMarkerFile)))
+    assert(!java.nio.file.Files.exists(root.resolve("tmp_upsert_compact")))
+    // convert (explicit source→dest rewrite) keeps the loud reject
     def rejects(f: => Any): Unit = {
       val ex = intercept[PinotFormatException](f)
       assert(ex.getMessage.contains("URI-schemed"),
         s"expected the loud remote rejection, got: $ex")
     }
-    rejects(PinotUpsert.compact(spark, uri))
     rejects(PinotCompact.convert(uri, dir + "_conv", 1))
-    // the table is untouched: both raw versions still there
-    assert(rawCount(dir) === 2)
   }
 
   test("compact + purgeOlderThan operate on URI-schemed tables through the SegmentIO seam") {
