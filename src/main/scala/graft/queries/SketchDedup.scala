@@ -263,6 +263,9 @@ object SketchDedup {
 
   /** Copy the seed bucket partition into a run-private bucket table —
     * the growing regime MUTATES its table, so runs must not share it.
+    * Hardlinks where the filesystem allows (the seed's parquet files
+    * are immutable — grow only ADDS partition dirs), byte copy as the
+    * cross-device fallback.
     */
   private def copySeedBuckets(base: String, dest: java.nio.file.Path): Unit = {
     val src = java.nio.file.Paths.get(base)
@@ -272,7 +275,11 @@ object SketchDedup {
       val to = dest.resolve(src.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(to)
-      else java.nio.file.Files.copy(p, to)
+      else
+        try java.nio.file.Files.createLink(to, p)
+        catch { case _: java.io.IOException =>
+          java.nio.file.Files.copy(p, to); ()
+        }
       ()
     } finally walk.close()
   }
