@@ -60,7 +60,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // shuffle partitions TRACK the core count (the driver also runs
+      // this bench at a lower SPARK_GRAFT_CPUS to measure scaling; a
+      // constant 32 would make the low-core run schedule 4× more tasks
+      // per exchange than it has cores, charging it pure task-dispatch
+      // overhead — guide §2.2: partitions sized to the execution, with
+      // AQE coalescing below). At 32 CPUs this is byte-identical to the
+      // r8–r15 configuration, so cross-round comparisons stand.
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

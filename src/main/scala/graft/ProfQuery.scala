@@ -17,7 +17,11 @@ object ProfQuery {
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // dev-only A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,6 +31,7 @@ object ProfQuery {
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+    val spark = extra.foldLeft(spark0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -168,19 +168,43 @@ case class Md5Hash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val md = Md5MinHashPerms.digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    // first 8 digest bytes, big-endian = first 16 hex chars
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
+    // token VALUES repeat heavily (natural text is Zipfian) and this
+    // runs once per word OCCURRENCE — the same bounded per-thread memo
+    // as Md5MinHashPerms turns ~N-occurrence md5 work into ~N-distinct
+    val memo = Md5Hash64.memos.get()
+    val key = s.toString
+    var hv = memo.get(key)
+    if (hv == null) {
+      val md = Md5MinHashPerms.digests.get()
+      md.reset()
+      val d = md.digest(s.getBytes)
+      // first 8 digest bytes, big-endian = first 16 hex chars
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      hv = java.lang.Long.valueOf(h)
+      memo.put(key, hv)
+    }
+    hv
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash64 =
     copy(child = newChild)
   override def prettyName: String = "md5_hash64"
+}
+
+object Md5Hash64 {
+  /** Per-thread LRU memo token → hash, same bound/rationale as
+    * [[Md5MinHashPerms.memos]].
+    */
+  private[functions] val memos
+      : ThreadLocal[java.util.LinkedHashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 32768
+      })
 }
 
 /** `simhash_contrib(h, c)` — the weighted ±c 64-bit contribution vector of

@@ -73,12 +73,22 @@ object SketchDedup {
           s"transform(slice(sig_vec, band * $RowsPerBand + 1, $RowsPerBand)," +
             " x -> CAST(x AS STRING))"))))
         .select("doc_id", "band", "sig")
+      // The candidate set is REUSED three times below (both endpoint
+      // projections of candDocs + the final left-semi), and each use
+      // re-ran the banding self-join + distinct (~0.2 s apiece at
+      // sf0.1 — exchange reuse only saves the signature partials, not
+      // the band/md5/join work above them). Candidates are tiny by
+      // construction (LSH survivors), so materialize ONCE and let all
+      // three consumers read the cached blocks; localCheckpoint also
+      // truncates the 40-node lineage the three plans each re-optimized
+      // (guide §5 / §3.3 on materializing reused intermediates).
       val cand = bandSigs.as("a")
         .join(bandSigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
+        .localCheckpoint()
       // verify candidates with exact Jaccard over shingles of ONLY the
       // docs that appear in candidates
       val candDocs = cand.select(col("id_a").as("doc_id"))
@@ -176,15 +186,32 @@ object SketchDedup {
   private[graft] def runNearDup(s: SparkSession, inDir: String,
       incomingSchema: org.apache.spark.sql.types.StructType,
       bucketRoot: String, ckptDir: String, flaggedDir: String,
-      grow: Boolean, timeoutMs: Long = 300000): Unit = {
-    val q = bandsOver(
-      s.readStream.schema(incomingSchema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir))
+      grow: Boolean, timeoutMs: Long = 300000,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    // Batch granularity is a THROUGHPUT knob, not a semantics knob,
+    // unless grow = true: growing runs must see one ingest wave per
+    // batch (wave k dedups against survivors of waves < k), so they
+    // pass maxFilesPerTrigger = 1. Non-growing runs flag against a
+    // FIXED corpus — the flag set is identical at any batch split —
+    // so they drain everything available in ONE batch and pay the
+    // micro-batch machinery (offset log, commit log, per-batch planning
+    // + broadcast + parquet commit) once instead of once per file
+    // (guide §1.2: remove passes that compute nothing new).
+    val reader = s.readStream.schema(incomingSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val q = bandsOver(reader.parquet(inDir))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (bands: DataFrame, batchId: Long) =>
+      .foreachBatch { (bands0: DataFrame, batchId: Long) =>
+        // Growing batches consume `bands` twice (the broadcast build
+        // and the survivor append) — persist the micro-batch-sized
+        // frame so the shingle→minhash→band projection runs once per
+        // batch, not once per consumer (guide §5: cache only reused
+        // AND expensive-to-recompute frames; a micro-batch is both).
+        val bands = if (grow) bands0.persist() else bands0
         val buckets = s.read.parquet(bucketRoot)
           .filter(col("ingest_batch") < batchId)
         val flagged = flaggedAgainst(buckets, bands).persist()
@@ -196,7 +223,10 @@ object SketchDedup {
               .write.mode("overwrite")
               .parquet(s"$bucketRoot/ingest_batch=$batchId")
           }
-        } finally flagged.unpersist()
+        } finally {
+          flagged.unpersist()
+          if (grow) bands.unpersist()
+        }
         ()
       }
       .start()
@@ -307,7 +337,8 @@ object SketchDedup {
     val flaggedDir = work.resolve("flagged").toString
     incoming.select("doc_id").limit(0).write.parquet(flaggedDir) // schema seed
     runNearDup(s, wavesDir, incoming.schema, bucketRoot.toString,
-      work.resolve("ckpt").toString, flaggedDir, grow = true)
+      work.resolve("ckpt").toString, flaggedDir, grow = true,
+      maxFilesPerTrigger = Some(1)) // wave k IS batch k — see [[fixture]]
     val flagged = s.read.parquet(flaggedDir).distinct()
       .withColumnRenamed("doc_id", "f_id")
     incoming.select(col("doc_id"))
@@ -412,16 +443,20 @@ object SketchDedup {
       val banded = sims
         .withColumn("k", explode(expr("sequence(0, 7)")))
         .withColumn("band_val", expr("(simhash >> (8 * k)) & 255"))
+      // hamming is row-local on the join output, so FILTER BEFORE the
+      // dedup: distinct-then-filter hashed every candidate band
+      // collision (118k rows, 32-byte keys — 1.1 s at sf0.1, the whole
+      // query's hot spot) to then discard 99% of it; filter-then-
+      // distinct dedups only true near-dup pairs (~1k rows). Identical
+      // result — the predicate commutes with duplicate elimination.
       banded.as("a")
         .join(banded.as("b"),
           col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= 7)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
   }
 

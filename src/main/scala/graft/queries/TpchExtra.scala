@@ -187,8 +187,17 @@ object TpchExtra {
       // and the distinct-late count off an order-partitioned window —
       // no self-join, no second fact scan. numwait = Σ late lines of
       // the sole-late supplier on multi-supplier orders.
+      // (l_orderkey, l_suppkey) is ~unique in lineitem (598,807 groups
+      // from 600,000 rows at sf0.1), so a map-side partial aggregate
+      // combines nothing and just pays a full hash build of the fact
+      // table (measured 1.4 s of q127's 2.4 s). Exchanging by
+      // l_orderkey FIRST makes the aggregate run in ONE complete pass
+      // (hash(l_orderkey) clusters every (l_orderkey, l_suppkey)
+      // group) AND hands the window below its required partitioning —
+      // two exchanges collapse to one, no partial agg (guide §2.4).
       val perOS = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(sum(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
