@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation cost of the dedup pipeline's scan stage (the same
   * interpreted-HOF trap the q46 dot product hit; see LongDotProduct).
   */
-case class ShingleGen(child: Expression)
+case class ShingleGen(child: Expression, distinct: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -36,26 +36,46 @@ case class ShingleGen(child: Expression)
     // split(" ", -1) ≡ Spark's split(text, " "): empty tokens kept
     val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (words.length < 3) return Nil
-    val seen = new java.util.LinkedHashSet[String](words.length * 2)
-    var i = 0
-    while (i <= words.length - 3) {
-      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](words.length * 2)
+      var i = 0
+      while (i <= words.length - 3) {
+        seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+        i += 1
+      }
+      val out = new Array[InternalRow](seen.size())
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = InternalRow(UTF8String.fromString(it.next())); j += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    } else {
+      // every occurrence, document order — the q82 repetition signal
+      // needs duplicate shingles (it MEASURES them); same single-pass
+      // generator, no LinkedHashSet, no interpreted transform/slice/
+      // concat_ws lambda chain
+      val out = new Array[InternalRow](words.length - 2)
+      var i = 0
+      while (i <= words.length - 3) {
+        out(i) = InternalRow(UTF8String.fromString(
+          words(i) + " " + words(i + 1) + " " + words(i + 2)))
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
-    val out = new Array[InternalRow](seen.size())
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = InternalRow(UTF8String.fromString(it.next())); j += 1 }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleGen =
     copy(child = newChild)
 
-  override def prettyName: String = "shingles"
+  override def prettyName: String = if (distinct) "shingles" else "shingles_all"
 }
 
 object ShingleGen {
   def shingles(c: Column): Column =
     GraftSqlBridge.toColumn(ShingleGen(GraftSqlBridge.toExpression(c)))
+
+  /** One row per shingle OCCURRENCE (duplicates kept, document order). */
+  def shinglesAll(c: Column): Column =
+    GraftSqlBridge.toColumn(
+      ShingleGen(GraftSqlBridge.toExpression(c), distinct = false))
 }

@@ -186,12 +186,17 @@ object CurationOps {
     // over the corpus at any scale, partitioned by doc.
     "q82_repetition" -> ((s, d) =>
       docs(s, d)
-        .withColumn("words", split(col("text"), " "))
-        .filter(size(col("words")) >= 3)
-        .select(col("doc_id"), expr(
-          "explode(transform(sequence(0, size(words) - 3), " +
-            "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))")
-          .as("sh"))
+        // single-pass generator (no interpreted transform/concat_ws
+        // lambda chain), duplicates kept — q82 measures them
+        .select(col("doc_id"),
+          graft.functions.ShingleGen.shinglesAll(col("text")).as(Seq("sh")))
+        // both aggregates are keyed by doc_id (the second strictly
+        // coarser): exchanging by doc_id ONCE lets both run complete —
+        // the old shape paid two exchanges and a map-side partial that
+        // combined ~nothing (within-doc repeats are rare by
+        // construction; repetitive docs are the anomaly this query
+        // hunts) — guide §2.4 "share one exchange"
+        .repartition(col("doc_id"))
         .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_sh"), max("c").as("max_c"))

@@ -75,14 +75,33 @@ object SetOps {
     // Arbitrary GROUPING SETS (beyond rollup/cube): per-flag, per-status,
     // and grand-total rows in one pass (SQL entry point).
     "q38_grouping_sets" -> ((s, d) => {
-      Tables.registerAll(s, d)
-      s.sql(
-        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-          |  coalesce(l_linestatus, 'ALL') AS ls,
-          |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
-          |FROM lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY rf, ls""".stripMargin)
+      // Same result as GROUP BY GROUPING SETS ((rf), (ls), ()) — but
+      // the stock plan EXPANDS the fact table 3× (600k → 1.8M rows at
+      // sf0.1, the query's whole cost) before aggregating. count and
+      // sum decompose over any partition of the input, so aggregate to
+      // the finest grouping ONCE (6 rows) and derive all three sets
+      // from the base; exchange reuse keeps it ONE scan + ONE wide
+      // exchange (guide §1.2: don't compute rows you throw away —
+      // Expand manufactures 1.2M of them). round() stays OUTSIDE the
+      // rollup, exactly where the GROUPING SETS plan applied it.
+      val base = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("rfk"), col("l_linestatus").as("lsk"))
+        .agg(count(lit(1)).as("c"), sum("l_extendedprice").as("sp"))
+      val byRf = base.groupBy("rfk")
+        .agg(sum("c").as("cnt0"), sum("sp").as("sp0"))
+        .select(coalesce(col("rfk"), lit("ALL")).as("rf"),
+          lit("ALL").as("ls"), col("cnt0"), col("sp0"))
+      val byLs = base.groupBy("lsk")
+        .agg(sum("c").as("cnt0"), sum("sp").as("sp0"))
+        .select(lit("ALL").as("rf"),
+          coalesce(col("lsk"), lit("ALL")).as("ls"), col("cnt0"), col("sp0"))
+      val total = base.agg(sum("c").as("cnt0"), sum("sp").as("sp0"))
+        .select(lit("ALL").as("rf"), lit("ALL").as("ls"),
+          col("cnt0"), col("sp0"))
+      byRf.unionAll(byLs).unionAll(total)
+        .select(col("rf"), col("ls"), col("cnt0").as("cnt"),
+          round(col("sp0"), 2).as("sum_price"))
+        .orderBy("rf", "ls")
     }),
 
     // DISTINCT aggregates: exact distinct counts per group.
