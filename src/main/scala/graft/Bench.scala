@@ -406,17 +406,25 @@ object Bench {
     val fullHeadline =
       s"""{"metric":"total","value":${math.round(headlineTotal * 1000)},"unit":"ms","queries":$qsMs,"sf":"$sfTag"}"""
     // effective window: the 2000-char stdout tail minus sbt's ~76-char
-    // [success] epilogue. When the contract-shaped line cannot fit
-    // (slow-box values gain digits), fall back to the same strict-JSON
-    // payload without the decorative metric/unit fields: a parseable
-    // line missing two constants beats an unparseable full one.
+    // [success] epilogue. When the ms-unit line cannot fit (slow-box
+    // values gain digits: at 2× this box's speed the ms render measures
+    // 1,959 chars and would lose its head), fall back to the SAME
+    // contract shape in integer CENTISECONDS ("unit":"cs") — one digit
+    // shorter per slow query, self-describing, and full-precision
+    // seconds stay in BENCH_LINE.json / BENCH_DETAIL.json either way.
+    val qsCs = compactKeyed.map { case (k, v) =>
+      "\"" + k + "\":" + math.round(v / 10.0) }
+      .mkString("{", ",", "}")
+    val csHeadline =
+      s"""{"metric":"total","value":${math.round(headlineTotal * 100)},"unit":"cs","queries":$qsCs,"sf":"$sfTag"}"""
     val headlineLine =
       if (fullHeadline.length <= 1924) fullHeadline
+      else if (csHeadline.length <= 1924) csHeadline
       else
-        s"""{"value":${math.round(headlineTotal * 1000)},"queries":$qsMs,"sf":"$sfTag"}"""
+        s"""{"value":${math.round(headlineTotal * 100)},"queries":$qsCs,"sf":"$sfTag"}"""
     if (headlineLine.length > 1924)
       System.err.println(s"[bench] WARNING: printed line is " +
-        s"${headlineLine.length} chars even after the fallback render — " +
+        s"${headlineLine.length} chars even after the fallback renders — " +
         "overflows the driver's 2000-char tail capture")
     // Belt and braces for the driver handoff (r7's BENCH_r07.json had
     // "parsed": null despite a well-formed line in the captured tail):
